@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{RelationalQueries, WindowQueries}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is assembled from per-area modules; each entry mirrors one
+  * operator row of SURVEY.md §2. `oracleSql` carries the DuckDB-runnable
+  * equivalent for every SQL-expressible query (column aliases match the
+  * Spark output exactly — the driver hashes values under sorted column
+  * names).
+  */
 object SparkEntry {
+
+  private def modules: Seq[QueryModule] = Seq(
+    RelationalQueries,
+    WindowQueries
+  )
+
+  private lazy val allDefs: Seq[QueryDef] = {
+    val ds = modules.flatMap(_.defs)
+    val dup = ds.groupBy(_.name).collect { case (n, xs) if xs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate query names: ${dup.mkString(", ")}")
+    ds
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allDefs.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] =
+    allDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Oracle parity: DuckDB/pandas-style permissive semantics (null on
+      // bad cast, no div-by-zero errors), not Spark 4's ANSI default.
+      .config("spark.sql.ansi.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS); read as long, converted
+      // in graft.Tables.events.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

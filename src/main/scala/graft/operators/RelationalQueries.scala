@@ -1,0 +1,562 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface from SURVEY.md §2.1–§2.4, re-expressed
+  * against the driver's TPC-H-ish tables so the DuckDB oracle can check
+  * every operator. Each query is the idiomatic Spark construct for the
+  * reference operator it mirrors (reference file:line in each scaladoc).
+  *
+  * Scale posture: dimension joins are broadcast; aggregations rely on
+  * partial (map-side) aggregation; filters/projections are pushed to the
+  * parquet scan by Catalyst.
+  */
+object RelationalQueries extends QueryModule {
+
+  /** S5/P5/P6 — predicate + date-range filtered scan with column pruning
+    * (ref: core/storage.py:133-199, pages/3:82-86). Filters and the
+    * 4-column projection both reach the parquet reader.
+    */
+  private def scanFiltered(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") > 25)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        to_date(col("l_shipdate")).as("ship_date"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** S6 — partition catalog listing with row counts, newest first
+    * (ref: core/storage.py:202-271).
+    */
+  private def partitionCatalog(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("y"), desc("m"))
+
+  /** S7 — column-pruned scan (ref: core/storage.py:331). */
+  private def scanPruned(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .orderBy("o_orderkey")
+      .limit(100)
+
+  /** P3 — full-row dedup (ref: core/etl.py:135). */
+  private def dedupFull(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .dropDuplicates()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P4 — keyed dedup keep-last with an explicit order column (the
+    * rebuild's ingest-sequence design; ref: core/etl.py:203-209,
+    * core/storage.py:119-125 `keep='last'`).
+    */
+  private def dedupKeepLast(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber").desc, col("l_quantity").desc)
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("l_orderkey")
+  }
+
+  /** P9 — cascade filter options: distinct values of B after filtering A
+    * (ref: pages/3_플랜트_분석.py:144-160).
+    */
+  private def cascadeDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderpriority"))
+      .distinct()
+      .orderBy("o_orderpriority")
+
+  /** A1 — monthly group counts (ref: app.py:281, core/storage.py:559). */
+  private def aggGroupCount(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_orderpriority", "ym")
+
+  /** A2 — multi-agg per group: last date + count (ref: app.py:467-470). */
+  private def aggMulti(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(to_date(max(col("l_shipdate"))).as("last_ship"),
+        count(lit(1)).as("n"))
+      .orderBy("l_partkey")
+
+  /** A3 — lag-stats pack: count/mean/median/min/max/sample-stddev
+    * (ref: core/analytics.py:391-408; pandas .std() is ddof=1 ⇒
+    * stddev_samp; median is exact ⇒ `percentile`, not approx).
+    */
+  private def aggStatsPack(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(percentile(col("l_quantity"), lit(0.5)), 2).as("med_qty"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(stddev_samp(col("l_quantity")), 2).as("std_qty"))
+      .orderBy("l_returnflag")
+
+  /** A5 — top-2 categories with share-of-total (ref: app.py:40-64). */
+  private def aggTopShare(s: SparkSession, d: String): DataFrame = {
+    val cnt = Tables.part(s, d).groupBy(col("p_type")).agg(count(lit(1)).as("n"))
+    cnt
+      .withColumn("pct",
+        round(lit(100.0) * col("n") / sum(col("n")).over(Window.partitionBy()), 2))
+      .orderBy(desc("n"), col("p_type"))
+      .limit(2)
+  }
+
+  /** A6 — exact distinct count, an invariant check so approx is not
+    * acceptable (ref: check_duplication.py:50-52).
+    */
+  private def aggDistinctCount(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+
+  /** A7/J4 — zero-filled month spine: dense min→max months × keys, absent
+    * counts → 0 (ref: core/storage.py:472-483, 562-571). The spine and
+    * key list are tiny ⇒ broadcast; only the counts agg shuffles.
+    */
+  private def spineZeroFill(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(date_trunc("month", col("o_orderdate")).as("m"), col("o_orderpriority"))
+    val months = o.agg(min(col("m")).as("lo"), max(col("m")).as("hi"))
+      .select(explode(sequence(to_date(col("lo")), to_date(col("hi")),
+        expr("interval 1 month"))).as("md"))
+      .select(date_format(col("md"), "yyyy-MM").as("ym"))
+    val keys = o.select(col("o_orderpriority")).distinct()
+    val counts = o.groupBy(date_format(col("m"), "yyyy-MM").as("ym"),
+      col("o_orderpriority")).agg(count(lit(1)).as("n"))
+    broadcast(months).crossJoin(broadcast(keys))
+      .join(counts, Seq("ym", "o_orderpriority"), "left")
+      .na.fill(0L, Seq("n"))
+      .select(col("o_orderpriority"), col("ym"), col("n"))
+      .orderBy("o_orderpriority", "ym")
+  }
+
+  /** A8 — pivot months → columns, zero-filled via explicit pivot values
+    * (ref: app.py:281-282, pages/3:271-272).
+    */
+  private def pivotMonthCount(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot(month(col("o_orderdate")), 1 to 12)
+      .count()
+      .na.fill(0L)
+    val renamed = (1 to 12).foldLeft(p) { (df, i) =>
+      df.withColumnRenamed(i.toString, f"m$i%02d")
+    }
+    renamed.orderBy("o_orderpriority")
+  }
+
+  /** A9 — pivot with sum values (ref: pages/2_매출수량_관리.py:112). */
+  private def pivotSumSegment(s: SparkSession, d: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.customer(s, d)
+      .groupBy(col("c_nationkey"))
+      .pivot(col("c_mktsegment"), segs)
+      .agg(round(sum(col("c_acctbal")), 2))
+      .orderBy("c_nationkey")
+  }
+
+  /** A10 — unpivot wide → long then re-aggregate
+    * (ref: pages/2_매출수량_관리.py:133-142).
+    */
+  private def unpivotMeasures(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .groupBy(col("measure"))
+      .agg(round(sum(col("val")), 2).as("total"))
+      .orderBy("measure")
+
+  /** A11 — rollup with subtotal / grand-total label rows
+    * (ref: pages/3_플랜트_분석.py:270-317 `create_pivot_with_subtotals`).
+    */
+  private def rollupSubtotals(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).as("g_status"),
+        grouping(col("o_orderpriority")).as("g_priority"))
+      .select(
+        when(col("g_status") === 1, lit("TOTAL"))
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("g_status") === 1, lit(""))
+          .when(col("g_priority") === 1, lit("SUBTOTAL"))
+          .otherwise(col("o_orderpriority")).as("priority"),
+        col("n"))
+      .orderBy("status", "priority")
+
+  /** A12 — hybrid view year render "{sum}({avg})" over monthly counts
+    * (ref: pages/3_플랜트_분석.py:334-371).
+    */
+  private def hybridYearRender(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("p"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("p"), col("y"))
+      .agg(concat(sum(col("n")).cast("string"), lit("("),
+        round(avg(col("n")), 1).cast("string"), lit(")")).as("render"))
+      .orderBy("p", "y")
+
+  /** A13/W8 — deterministic mode (most frequent value, ties → smallest)
+    * (ref: app.py:493-508 `.mode().iloc[0]`).
+    */
+  private def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("n").desc, col("o_orderpriority"))
+    Tables.orders(s, d)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** A14 — KPI with MoM delta: current-month-to-date vs previous-month
+    * same-day-range (ref: app.py:343-374). The max-date scalar stays in
+    * the plan as a broadcast 1-row cross join — no driver collect.
+    */
+  private def kpiMomDelta(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val mx = o.agg(max(col("o_orderdate")).as("dmax"))
+    o.crossJoin(broadcast(mx))
+      .agg(
+        sum(when(date_trunc("month", col("o_orderdate")) === date_trunc("month", col("dmax")) &&
+          dayofmonth(col("o_orderdate")) <= dayofmonth(col("dmax")), 1).otherwise(0))
+          .cast("long").as("cur_n"),
+        sum(when(date_trunc("month", col("o_orderdate")) === date_trunc("month", add_months(col("dmax"), -1)) &&
+          dayofmonth(col("o_orderdate")) <= dayofmonth(col("dmax")), 1).otherwise(0))
+          .cast("long").as("prev_n"))
+      .select(col("cur_n"), col("prev_n"),
+        when(col("prev_n") > 0,
+          round(lit(100.0) * (col("cur_n") - col("prev_n")) / col("prev_n"), 2))
+          .as("delta_pct"))
+  }
+
+  /** A15 — LOT-style detection: ≥3 same-key incidents within a rolling
+    * 30-day window of the latest timestamp (ref: app.py:437-472).
+    */
+  private def lotDetection(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val mx = e.agg(max(col("ts")).as("tmax"))
+    e.crossJoin(broadcast(mx))
+      .filter(col("ts") >= col("tmax") - expr("interval 30 days"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("ts")).cast("timestamp_ntz").as("last_ts"))
+      .filter(col("n") >= 3)
+      .orderBy(desc("last_ts"), col("user_id"), col("event_type"))
+  }
+
+  /** J-chain — fact ⋈ dim ⋈ dim ⋈ dim with broadcast dimensions
+    * (ref: the claims⋈sales join family, §2.3; this is the generalized
+    * star-join the engine must handle at 100 TB — dims broadcast, only
+    * the fact-side aggregation shuffles).
+    */
+  private def joinMultiway(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("r_name", "n_name")
+
+  /** J1/W8 — latest-per-key then left join back to the dimension
+    * (ref: pages/2_매출수량_관리.py:81-85).
+    */
+  private def joinLatestPerKey(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val latest = Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+        to_date(col("o_orderdate")).as("latest_date"))
+    Tables.customer(s, d)
+      .join(latest, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"), col("latest_orderkey"), col("latest_date"))
+      .orderBy("c_custkey")
+  }
+
+  /** J2 — left join with zero-fill of the missing measure
+    * (ref: pages/2_매출수량_관리.py:88-95 Smart Sync).
+    */
+  private def joinZeroFill(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, d)
+      .join(counts, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** J3 — PPM-style ratio join: monthly counts ⋈ monthly volume,
+    * ratio × 1e6 guarded against zero denominators
+    * (ref: reports/phase2_adaptive_report.md:140-169).
+    */
+  private def joinRatioPpm(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"))
+    val q = Tables.lineitem(s, d)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    c.join(q, Seq("ym"), "left")
+      .select(col("ym"), col("n"),
+        when(col("qty") > 0, round(col("n") / col("qty") * 1e6, 2)).as("ppm"))
+      .orderBy("ym")
+  }
+
+  /** Semi join — EXISTS (Spark left_semi; §2.3 has no semi join in the
+    * reference but the generic surface requires it).
+    */
+  private def joinSemi(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(
+        Tables.lineitem(s, d).filter(year(col("l_shipdate")) === 2000)
+          .select(col("l_suppkey")),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+
+  /** Anti join — NOT EXISTS. */
+  private def joinAnti(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+
+  /** O3/O4 — union + dedup (ref: core/storage.py:119 unionByName merge). */
+  private def unionDedup(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val a = o.filter(col("o_totalprice") > 200000)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val b = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    a.unionByName(b).distinct()
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Flagship pricing-summary aggregation (TPC-H Q1 shape): the widest
+    * partial-agg + codegen path in the engine.
+    */
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_agg", q1Agg, Some(
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(avg(l_extendedprice),2) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    QueryDef("q_scan_filtered", scanFiltered, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity, CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem
+        |WHERE l_returnflag = 'R' AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01' AND l_quantity > 25
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    QueryDef("q_partition_catalog", partitionCatalog, Some(
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+        | CAST(month(o_orderdate) AS INTEGER) AS m, count(*) AS n
+        |FROM orders GROUP BY 1,2 ORDER BY y DESC, m DESC""".stripMargin)),
+    QueryDef("q_scan_pruned", scanPruned, Some(
+      "SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100")),
+    QueryDef("q_dedup_full", dedupFull, Some(
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY 1, 2")),
+    QueryDef("q_dedup_keep_last", dedupKeepLast, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+        | SELECT l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber DESC, l_quantity DESC) AS rn
+        | FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin)),
+    QueryDef("q_cascade_distinct", cascadeDistinct, Some(
+      "SELECT DISTINCT o_orderpriority FROM orders WHERE o_orderstatus = 'F' ORDER BY 1")),
+    QueryDef("q_agg_group_count", aggGroupCount, Some(
+      """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+        |FROM orders GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+    QueryDef("q_agg_multi", aggMulti, Some(
+      """SELECT l_partkey, CAST(max(l_shipdate) AS DATE) AS last_ship, count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_agg_stats_pack", aggStatsPack, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        | round(avg(l_quantity),2) AS avg_qty,
+        | round(median(l_quantity),2) AS med_qty,
+        | min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        | round(stddev_samp(l_quantity),2) AS std_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_agg_top_share", aggTopShare, Some(
+      """SELECT p_type, n, round(100.0 * n / sum(n) OVER (), 2) AS pct
+        |FROM (SELECT p_type, count(*) AS n FROM part GROUP BY 1) t
+        |ORDER BY n DESC, p_type LIMIT 2""".stripMargin)),
+    QueryDef("q_agg_distinct_count", aggDistinctCount, Some(
+      "SELECT count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders FROM orders")),
+    QueryDef("q_spine_zero_fill", spineZeroFill, Some(
+      """WITH bounds AS (
+        |  SELECT date_trunc('month', min(o_orderdate)) AS lo,
+        |         date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        |months AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS m FROM bounds),
+        |keys AS (SELECT DISTINCT o_orderpriority FROM orders),
+        |counts AS (SELECT o_orderpriority, date_trunc('month', o_orderdate) AS m, count(*) AS n
+        |           FROM orders GROUP BY 1,2)
+        |SELECT k.o_orderpriority, strftime(months.m, '%Y-%m') AS ym, coalesce(c.n, 0) AS n
+        |FROM months CROSS JOIN keys k
+        |LEFT JOIN counts c ON c.o_orderpriority = k.o_orderpriority AND c.m = months.m
+        |ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q_pivot_month_count", pivotMonthCount, Some(
+      """SELECT o_orderpriority,
+        | count(CASE WHEN month(o_orderdate)=1 THEN 1 END) AS m01,
+        | count(CASE WHEN month(o_orderdate)=2 THEN 1 END) AS m02,
+        | count(CASE WHEN month(o_orderdate)=3 THEN 1 END) AS m03,
+        | count(CASE WHEN month(o_orderdate)=4 THEN 1 END) AS m04,
+        | count(CASE WHEN month(o_orderdate)=5 THEN 1 END) AS m05,
+        | count(CASE WHEN month(o_orderdate)=6 THEN 1 END) AS m06,
+        | count(CASE WHEN month(o_orderdate)=7 THEN 1 END) AS m07,
+        | count(CASE WHEN month(o_orderdate)=8 THEN 1 END) AS m08,
+        | count(CASE WHEN month(o_orderdate)=9 THEN 1 END) AS m09,
+        | count(CASE WHEN month(o_orderdate)=10 THEN 1 END) AS m10,
+        | count(CASE WHEN month(o_orderdate)=11 THEN 1 END) AS m11,
+        | count(CASE WHEN month(o_orderdate)=12 THEN 1 END) AS m12
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_pivot_sum_segment", pivotSumSegment, Some(
+      """SELECT c_nationkey,
+        | round(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN c_acctbal END),2) AS "AUTOMOBILE",
+        | round(sum(CASE WHEN c_mktsegment='BUILDING'   THEN c_acctbal END),2) AS "BUILDING",
+        | round(sum(CASE WHEN c_mktsegment='FURNITURE'  THEN c_acctbal END),2) AS "FURNITURE",
+        | round(sum(CASE WHEN c_mktsegment='HOUSEHOLD'  THEN c_acctbal END),2) AS "HOUSEHOLD",
+        | round(sum(CASE WHEN c_mktsegment='MACHINERY'  THEN c_acctbal END),2) AS "MACHINERY"
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_unpivot_measures", unpivotMeasures, Some(
+      """SELECT measure, round(sum(val),2) AS total FROM (
+        | SELECT 'l_extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+        | UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        | UNION ALL SELECT 'l_tax', l_tax FROM lineitem) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_rollup_subtotals", rollupSubtotals, Some(
+      """SELECT
+        | CASE WHEN GROUPING(o_orderstatus)=1 THEN 'TOTAL' ELSE o_orderstatus END AS status,
+        | CASE WHEN GROUPING(o_orderstatus)=1 THEN ''
+        |      WHEN GROUPING(o_orderpriority)=1 THEN 'SUBTOTAL'
+        |      ELSE o_orderpriority END AS priority,
+        | count(*) AS n
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)),
+    QueryDef("q_hybrid_year_render", hybridYearRender, Some(
+      """WITH m AS (
+        | SELECT o_orderpriority AS p, CAST(year(o_orderdate) AS INTEGER) AS y,
+        |        month(o_orderdate) AS mo, count(*) AS n
+        | FROM orders GROUP BY 1,2,3)
+        |SELECT p, y,
+        | CAST(CAST(sum(n) AS BIGINT) AS VARCHAR) || '(' ||
+        | CAST(round(avg(n),1) AS VARCHAR) || ')' AS render
+        |FROM m GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+    QueryDef("q_mode_per_group", modePerGroup, Some(
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority FROM (
+        | SELECT o_orderstatus, o_orderpriority,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY count(*) DESC, o_orderpriority) AS rn
+        | FROM orders GROUP BY 1,2) t WHERE rn = 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_kpi_mom_delta", kpiMomDelta, Some(
+      """WITH mx AS (SELECT max(o_orderdate) AS dmax FROM orders),
+        |k AS (SELECT
+        | CAST(sum(CASE WHEN date_trunc('month', o_orderdate) = date_trunc('month', dmax)
+        |   AND day(o_orderdate) <= day(dmax) THEN 1 ELSE 0 END) AS BIGINT) AS cur_n,
+        | CAST(sum(CASE WHEN date_trunc('month', o_orderdate) = date_trunc('month', dmax - INTERVAL 1 MONTH)
+        |   AND day(o_orderdate) <= day(dmax) THEN 1 ELSE 0 END) AS BIGINT) AS prev_n
+        |FROM orders, mx)
+        |SELECT cur_n, prev_n,
+        | CASE WHEN prev_n > 0 THEN round(100.0*(cur_n - prev_n)/prev_n, 2) END AS delta_pct
+        |FROM k""".stripMargin)),
+    QueryDef("q_lot_detection", lotDetection, Some(
+      """WITH mx AS (SELECT max(ts) AS tmax FROM events)
+        |SELECT user_id, event_type, count(*) AS n, max(ts) AS last_ts
+        |FROM events, mx WHERE ts >= tmax - INTERVAL 30 DAY
+        |GROUP BY 1,2 HAVING count(*) >= 3
+        |ORDER BY last_ts DESC, user_id, event_type""".stripMargin)),
+    QueryDef("q_join_multiway", joinMultiway, Some(
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        | round(sum(o_totalprice),2) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+    QueryDef("q_join_latest_per_key", joinLatestPerKey, Some(
+      """WITH latest AS (
+        | SELECT o_custkey, o_orderkey AS latest_orderkey, CAST(o_orderdate AS DATE) AS latest_date,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders)
+        |SELECT c_custkey, c_name, latest_orderkey, latest_date
+        |FROM customer LEFT JOIN (SELECT * FROM latest WHERE rn=1) l ON c_custkey = l.o_custkey
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q_join_zero_fill", joinZeroFill, Some(
+      """SELECT c_custkey, coalesce(n_orders, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        | SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1) o
+        |ON c_custkey = o.o_custkey ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q_join_ratio_ppm", joinRatioPpm, Some(
+      """WITH c AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(*) AS n
+        |           FROM orders GROUP BY 1),
+        |q AS (SELECT strftime(l_shipdate, '%Y-%m') AS ym, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1)
+        |SELECT c.ym, c.n,
+        | CASE WHEN q.qty > 0 THEN round(c.n / q.qty * 1000000, 2) END AS ppm
+        |FROM c LEFT JOIN q ON c.ym = q.ym ORDER BY c.ym""".stripMargin)),
+    QueryDef("q_join_semi", joinSemi, Some(
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_suppkey = s_suppkey AND year(l_shipdate) = 2000)
+        |ORDER BY s_suppkey""".stripMargin)),
+    QueryDef("q_join_anti", joinAnti, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("q_union_dedup", unionDedup, Some(
+      """SELECT o_orderstatus, count(*) AS n FROM (
+        | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000
+        | UNION
+        | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
