@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{RelationalQueries, WindowQueries}
+import graft.operators.{AnalyticsQueries, RelationalQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
-    WindowQueries
+    WindowQueries,
+    AnalyticsQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {
@@ -25,9 +26,12 @@ object SparkEntry {
     ds
   }
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
+    * rows>0. The risk scan is the reference's hot "Risk Radar" query
+    * (SURVEY.md §7.3 minimum end-to-end slice).
+    */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    queries("q_risk_scan")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

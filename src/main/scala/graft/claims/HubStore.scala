@@ -1,0 +1,101 @@
+package graft.claims
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Partitioned-parquet claims hub with upsert-by-key merge
+  * (ref: core/storage.py:19-130, 133-271).
+  *
+  * Layout decisions vs the reference (SURVEY.md §1.3): hive-style
+  * `접수년=YYYY/접수월=MM/` partitions everywhere (the reference writes
+  * bare `YYYY/MM/` but its own readers prefer hive), null partition
+  * values → 0 (ref: core/storage.py:49-50), and the merge orders rows
+  * by an explicit ingest sequence instead of pandas' physical row order.
+  *
+  * Scale posture: dynamic partition overwrite rewrites only touched
+  * months — at 100 TB an incremental upload touches a handful of
+  * partitions, not the whole hub; reads prune on the partition columns.
+  */
+object HubStore {
+
+  import ClaimsSchema._
+
+  /** S3 — partitioned write (ref: core/storage.py:19-72). */
+  def write(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    prepPartitionCols(df)
+      .write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+
+  /** Partition column hygiene: int-typed, nulls → 0
+    * (ref: core/storage.py:49-50).
+    */
+  private def prepPartitionCols(df: DataFrame): DataFrame =
+    partitionCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, coalesce(expr(s"try_cast(`$c` AS INT)"), lit(0)))
+    }
+
+  /** S4/J5/P4 — merge-then-write upsert: existing hub ∪ new batch with
+    * bidirectional schema alignment, dedup by claim id keeping the
+    * newest (new batch wins over hub; within a batch the highest ingest
+    * sequence wins) (ref: core/storage.py:75-130).
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, path: String): Unit = {
+    val merged =
+      if (exists(spark, path)) merge(read(spark, path), incoming)
+      else ClaimsEtl.withIngestSeq(incoming)
+    // The merge output is small relative to the hub only in the touched
+    // partitions; dynamic overwrite keeps untouched months as-is — but a
+    // keyed upsert can move a claim across months, so the full merged
+    // frame is written (matching the reference's full rewrite).
+    write(merged.drop(ingestSeqCol, batchCol), path)
+  }
+
+  private val batchCol = "_batch_seq"
+
+  /** The pure merge (ref: core/storage.py:107-125): old hub gets batch 0,
+    * incoming batch 1; keep-last = max (batch, ingest-seq) per key.
+    * Single shuffle on the claim key.
+    */
+  def merge(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val old = ClaimsEtl.withIngestSeq(existing).withColumn(batchCol, lit(0))
+    val neu = ClaimsEtl.withIngestSeq(incoming).withColumn(batchCol, lit(1))
+    val unioned = old.unionByName(neu, allowMissingColumns = true)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(batchCol).desc, col(ingestSeqCol).desc)
+    unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S5 — read with optional partition filters; Catalyst prunes the
+    * year/month directories (ref: core/storage.py:133-199).
+    */
+  def read(spark: SparkSession, path: String,
+      year: Option[Int] = None, month: Option[Int] = None): DataFrame = {
+    val base = spark.read.parquet(path)
+    val f1 = year.fold(base)(y => base.filter(col("접수년") === y))
+    month.fold(f1)(m => f1.filter(col("접수월") === m))
+  }
+
+  /** S6 — partition catalog with row counts, newest first
+    * (ref: core/storage.py:202-271).
+    */
+  def catalog(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(col("접수년"), col("접수월"))
+      .agg(count(lit(1)).as("건수"))
+      .orderBy(col("접수년").desc, col("접수월").desc)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).nonEmpty
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.claims.RiskScanJob
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Statistical analytics surface (SURVEY.md §2.8) exercised on the
+  * driver's generic tables. These queries have no SQL equivalent (the
+  * scoring pipeline is the reference's differentiating operator), so the
+  * driver records rows-only checks; exact semantics are covered by the
+  * 400-case Python-oracle cross-validation in RiskScoringEngineSpec.
+  */
+object AnalyticsQueries extends QueryModule {
+
+  /** Deterministic as-of far past every test month: all months closed,
+    * partial-month logic off (the reference's wall-clock dependence is
+    * injected — SURVEY.md §7.5 item 4).
+    */
+  private val asOf = LocalDate.of(2030, 1, 1)
+
+  /** R1–R9 — full risk scan over the orders fact table, keyed like the
+    * reference's risk radar (ref: app.py:262-324). Orders (not events)
+    * so the driver's own smoke session can run `entry` without the
+    * nanos-timestamp read config that events needs.
+    */
+  private def riskScan(s: SparkSession, d: String): DataFrame =
+    RiskScanJob.scan(Tables.orders(s, d),
+      keyCols = Seq("o_orderpriority", "o_orderstatus"),
+      dateCol = "o_orderdate",
+      gradeCol = None,
+      asOf = asOf)
+
+  /** Same scan over the higher-cardinality events keys (exercises the
+    * per-key parallelism path; requires the nanos-aware session).
+    */
+  private def riskScanEvents(s: SparkSession, d: String): DataFrame =
+    RiskScanJob.scan(Tables.events(s, d),
+      keyCols = Seq("user_id", "event_type"),
+      dateCol = "ts",
+      gradeCol = None,
+      asOf = asOf)
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_risk_scan", riskScan, None),
+    QueryDef("q_risk_scan_events", riskScanEvents, None)
+  )
+}
