@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, RelationalQueries, WindowQueries}
+import graft.operators.{AnalyticsQueries, RelationalQueries, TextQueries,
+  VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,7 +17,9 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     WindowQueries,
-    AnalyticsQueries
+    AnalyticsQueries,
+    TextQueries,
+    VectorQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {

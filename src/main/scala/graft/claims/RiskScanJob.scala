@@ -79,7 +79,9 @@ object RiskScanJob {
         scoreUdf(col("series"), gradeExpr, col("target_ym"), lit(asOf.toString)))
       .withColumn("trend",
         array_join(transform(
-          slice(col("series"), -6, 6), x => x.getField("n").cast("string")),
+          when(size(col("series")) < 6, col("series"))
+            .otherwise(slice(col("series"), -6, 6)),
+          x => x.getField("n").cast("string")),
           " → "))
       .withColumn("cur_n", element_at(col("series"), -1).getField("n"))
 

@@ -1,0 +1,164 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.text.{DedupJobs, TextFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the `documents` table:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * language ID, quality scoring, token counting, fingerprinting.
+  * SQL-expressible ops carry DuckDB oracles; the hash-based ones
+  * (xxhash64 signatures) are rows-only checked here and exactly
+  * covered by DedupSpec unit tests.
+  */
+object TextQueries extends QueryModule {
+
+  import TextFunctions._
+
+  /** Exact dedup groups by content digest. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    DedupJobs.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("digest")
+
+  /** MinHash-LSH near-dup groups (per-doc survivor mapping). */
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    DedupJobs.minhashDupGroups(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** SimHash signatures + near-dup degree per doc. */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val pairs = DedupJobs.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
+    val degree = pairs.select(col("id_a").as("doc_id"))
+      .unionByName(pairs.select(col("id_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+    sigs.join(degree, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_near"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact bigram-Jaccard near-dup pairs, blocked by language. */
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+      blockCols = Seq("lang"), n = 2, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  /** Heuristic language ID vs the labeled lang column. */
+  private def langIdQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
+      .withColumn("match", col("pred_lang") === col("lang"))
+      .orderBy("doc_id")
+
+  /** Quality components + composite score. */
+  private def qualityQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), qualityComponents(col("text")).as("q"))
+      .select(col("doc_id"), col("q.n_chars").as("n_chars"),
+        col("q.n_tokens").as("n_tokens"),
+        col("q.mean_token_len").as("mean_token_len"),
+        col("q.punct_ratio").as("punct_ratio"),
+        col("q.stopword_ratio").as("stopword_ratio"),
+        col("q.quality_score").as("quality_score"))
+      .orderBy("doc_id")
+
+  /** Whitespace + BPE-ish regex token counts. */
+  private def tokenCountQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokenCounts(col("text")).as("t"))
+      .select(col("doc_id"), col("t.ws_tokens").as("ws_tokens"),
+        col("t.re_tokens").as("re_tokens"))
+      .orderBy("doc_id")
+
+  /** Canonical content fingerprint (md5 of sorted distinct tokens). */
+  private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dedup_exact", dedupExact, Some(
+      """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
+    QueryDef("q_dedup_minhash", dedupMinhash, None),
+    QueryDef("q_dedup_simhash", dedupSimhash, None),
+    QueryDef("q_ngram_jaccard", ngramJaccard, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(range(1, len($toksSql)),
+         |      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS grams
+         |  FROM documents)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
+         |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+         |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("q_text_langid", langIdQuery, Some {
+      val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>
+        val pat = words.mkString("\\b(", "|", ")\\b")
+        s"len(regexp_extract_all(lower(text), '$pat', 0)) AS $lang"
+      }.mkString(",\n    ") +
+        ",\n    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS zh"
+      s"""WITH h AS (SELECT doc_id, lang AS lbl,
+         |    $scoreExprs
+         |  FROM documents)
+         |SELECT doc_id, lbl AS lang,
+         |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und'
+         |       WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en'
+         |       WHEN de >= es AND de >= fr AND de >= zh THEN 'de'
+         |       WHEN es >= fr AND es >= zh THEN 'es'
+         |       WHEN fr >= zh THEN 'fr'
+         |       ELSE 'zh' END AS pred_lang,
+         |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und'
+         |       WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en'
+         |       WHEN de >= es AND de >= fr AND de >= zh THEN 'de'
+         |       WHEN es >= fr AND es >= zh THEN 'es'
+         |       WHEN fr >= zh THEN 'fr'
+         |       ELSE 'zh' END = lbl AS match
+         |FROM h ORDER BY doc_id""".stripMargin
+    }),
+    QueryDef("q_text_quality", qualityQuery, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+         |    ELSE 0.0 END AS mtl,
+         |  CASE WHEN len(text) > 0 THEN
+         |    len(regexp_extract_all(text, '[[:punct:]]', 0))::DOUBLE / len(text)
+         |    ELSE 0.0 END AS pr,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    len(regexp_extract_all(lower(text),
+         |      '\\b(the|and|of|to|in|is|that|for|der|die|das|und|ist|nicht|mit|ein|el|la|de|que|los|una|por|con|le|et|les|des|une|est|dans)\\b',
+         |      0))::DOUBLE / len(toks) ELSE 0.0 END AS sr
+         |  FROM t)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  round(mtl, 4) AS mean_token_len,
+         |  round(pr, 4) AS punct_ratio,
+         |  round(sr, 4) AS stopword_ratio,
+         |  round(((CASE WHEN n_tokens >= 10 AND n_chars >= 50 THEN 1.0 ELSE 0.0 END) +
+         |         (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END) +
+         |         (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |         (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0, 2)
+         |    AS quality_score
+         |FROM c ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_token_counts", tokenCountQuery, Some(
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INTEGER) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INTEGER) AS re_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_text_fingerprint", fingerprintQuery, Some(
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

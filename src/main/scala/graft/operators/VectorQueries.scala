@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.multimodal.MultimodalOps
+import graft.vector.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (array<float> ×64) and the
+  * multimodal binary-column pipeline over `documents`.
+  */
+object VectorQueries extends QueryModule {
+
+  private val DIM = 64
+
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+
+  /** Brute-force cosine top-10 against vec_id 0 — the exactness
+    * baseline every ANN variant is measured against.
+    */
+  private def topkBrute(s: SparkSession, d: String): DataFrame =
+    VectorOps.topKCosine(Tables.embeddings(s, d), queryVec(s, d),
+      "vec_id", "embedding", k = 10)
+
+  /** LSH-bucketed ANN top-10 (same query; candidates limited to the
+    * query's hyperplane bucket).
+    */
+  private def topkAnn(s: SparkSession, d: String): DataFrame =
+    VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
+      "vec_id", "embedding", k = 10, dim = DIM)
+
+  /** Per-label centroid cosine spread — a groupBy over vectors
+    * (array aggregation via posexplode, the scalable elementwise-mean
+    * shape: shuffles (label, pos, value) not whole vectors).
+    */
+  private def labelCentroids(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+    e.groupBy(col("label"), col("pos"))
+      .agg(avg(col("col")).as("v"))
+      .groupBy(col("label"))
+      .agg(round(sqrt(sum(col("v") * col("v"))), 4).as("centroid_norm"),
+        count(lit(1)).as("dims"))
+      .orderBy("label")
+  }
+
+  /** Multimodal pipeline: text → binary payload → stubbed decode →
+    * frame sampling → metadata report (decode is a deterministic fake;
+    * schema/batching/partition flow is the real contract).
+    */
+  private def multimodalPipeline(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val decoded = MultimodalOps.decodeMetadata(withPayload, "payload")
+    MultimodalOps.sampleFrames(decoded, stride = 10, maxFrames = 8)
+      .select(col("doc_id"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.n_frames").as("n_frames"),
+        col("media_meta.format").as("format"),
+        col("media_meta.byte_len").as("byte_len"),
+        size(col("sampled_frames")).as("n_sampled"))
+      .orderBy("doc_id")
+  }
+
+  /** Multimodal feature extraction (stub encoder): binary → fixed-dim
+    * float feature vector, reported as vector norm per doc.
+    */
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    MultimodalOps.extractFeatures(withPayload, "payload", dim = 16)
+      .select(col("doc_id"),
+        round(VectorOps.norm(col("features").cast("array<double>")), 4)
+          .as("feature_norm"))
+      .orderBy("doc_id")
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vector_topk", topkBrute, Some(
+      """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(embedding::DOUBLE[], qvec::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings, q
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)),
+    QueryDef("q_vector_ann", topkAnn, None),
+    QueryDef("q_vector_centroids", labelCentroids, Some(
+      """WITH e AS (
+        |  SELECT label, u.pos, u.v FROM embeddings,
+        |    LATERAL (SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+        |                    unnest(embedding::DOUBLE[]) AS v) u),
+        |m AS (SELECT label, pos, avg(v) AS v FROM e GROUP BY 1, 2)
+        |SELECT label, round(sqrt(sum(v * v)), 4) AS centroid_norm,
+        |  count(*) AS dims
+        |FROM m GROUP BY 1 ORDER BY label""".stripMargin)),
+    QueryDef("q_multimodal_pipeline", multimodalPipeline, None),
+    QueryDef("q_multimodal_features", multimodalFeatures, None)
+  )
+}

@@ -1,0 +1,148 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Deduplication jobs for the training-data pipeline: exact,
+  * MinHash+LSH near-dup, SimHash, and n-gram Jaccard. Each job is
+  * shuffle-minimal and skew-guarded — the shapes that survive a 100 TB
+  * corpus:
+  *
+  *  - exact: one hash-groupBy on the text digest (never the raw text —
+  *    the shuffle carries 32-byte digests, not documents)
+  *  - MinHash LSH: map-side shingle→signature, shuffle only
+  *    (doc_id, band, bucket) triples, bucket-local pair generation with
+  *    an explicit bucket-size cap against degenerate buckets
+  *  - SimHash: map-side 64-bit signature, band-rotate bucketing
+  *  - n-gram Jaccard: blocked pair join + exact verification
+  */
+object DedupJobs {
+
+  import TextFunctions._
+
+  /** Exact dedup by content digest: groups of identical texts, keeping
+    * the smallest id as survivor.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), md5(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
+  /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+    *
+    * @param k          signature length (hash permutations)
+    * @param bands      LSH bands (rows per band = k/bands); with k=32,
+    *                   bands=8 → r=4, S-curve threshold ≈ (1/8)^(1/4) ≈ 0.59
+    * @param shingleN   words per shingle
+    * @param threshold  exact-Jaccard acceptance floor
+    * @param maxBucket  skew guard: buckets larger than this are dropped
+    *                   (a degenerate bucket of m docs generates m²/2
+    *                   pairs — at corpus scale one hot bucket can
+    *                   dominate the whole job)
+    */
+  def minhashCandidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+
+    val withSig = docs
+      .select(col(idCol).as("doc_id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("bands", bandHashes(minhashSignature(col("sh"), k), k, bands))
+
+    val exploded = withSig
+      .select(col("doc_id"), col("sh"), explode(col("bands")).as("b"))
+      .select(col("doc_id"), col("sh"),
+        col("b.band").as("band"), col("b.bucket").as("bucket"))
+
+    // bucket-local pairs (a < b), skew-capped
+    val buckets = exploded
+      .groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+
+    val pairs = buckets
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(members, a ->
+          |    transform(members, b -> struct(a.doc_id AS id_a, b.doc_id AS id_b,
+          |                                   a.sh AS sh_a, b.sh AS sh_b)))),
+          |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    pairs
+      .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Near-dup groups: every doc mapped to the smallest verified
+    * neighbor id (one min-neighbor pass — cheap transitive-lite
+    * grouping; full connected components would iterate this join to a
+    * fixpoint, unnecessary for reporting survivors).
+    */
+  def minhashDupGroups(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, idCol, textCol, k, bands, shingleN, threshold)
+    val neighbors = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+      .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
+      .groupBy("doc_id").agg(min("nb").as("min_nb"), count(lit(1)).as("n_candidates"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(neighbors, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("dup_group"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
+  }
+
+  /** SimHash signatures with near-dup bucket counts: docs whose 64-bit
+    * simhash matches another doc within `maxHamming` bits, found via
+    * 4×16-bit block bucketing (pigeonhole: ≤3 differing bits → at least
+    * one identical 16-bit block).
+    */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = docs.select(col(idCol).as("doc_id"),
+      simhash64(col(textCol)).as("simhash"))
+    val blocks = sigs.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("blk"),
+          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("b"))
+    val pairs = blocks.alias("x")
+      .join(blocks.alias("y"),
+        col("x.b.blk") === col("y.b.blk") && col("x.b.key") === col("y.b.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        hamming64(col("x.simhash"), col("y.simhash")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+    pairs
+  }
+
+  /** Exact n-gram Jaccard over blocked pairs: documents inside the same
+    * block (e.g., language) compared by distinct word-n-gram overlap.
+    * The block bounds the pair explosion; SQL-expressible end to end.
+    */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+    val prepped = docs.select(
+      (col(idCol).as("doc_id") +: blockCols.map(col)) :+
+        shingles(col(textCol), n).as("grams"): _*)
+    val a = prepped.alias("a")
+    val b = prepped.alias("b")
+    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
+    a.join(b, joinCond)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        jaccard(col("a.grams"), col("b.grams")).as("jaccard_raw"))
+      .filter(col("jaccard_raw") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+}

@@ -1,0 +1,173 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the training-data pipeline
+  * operators (dedup, quality, language-ID, fingerprinting). Everything
+  * here composes built-in codegen'd functions — no UDFs — so the whole
+  * path stays inside WholeStageCodegen at 100 TB scan scale.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased text, empties dropped. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Distinct token set (order-stable via sort). */
+  def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
+
+  /** Word n-gram shingles as strings ("a b c"), distinct.
+    * Shingling is the standard MinHash unit (Broder '97).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(
+          transform(sequence(lit(0), size(toks) - n),
+            i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** MinHash signature: k permutations approximated by seeded xxhash64
+    * (min over shingles of xxhash64(seed, shingle)). Returns
+    * array<long> of length k. Empty shingle set → nulls.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+
+  /** LSH band hashes: signature split into `bands` bands of
+    * `k/bands` rows; each band hashed to one bucket key. Returns
+    * array<struct<band:int, bucket:long>>.
+    */
+  def bandHashes(sig: Column, k: Int, bands: Int): Column = {
+    val rows = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(slice(sig, b * rows + 1, lit(rows))).as("bucket")))
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** 64-bit SimHash over the token multiset: for each bit, sum +1/-1
+    * weighted by token occurrences, take the sign. Charikar '02.
+    * Computed with codegen'd array ops: per token a 64-bit xxhash, then
+    * per bit position the signed vote aggregate.
+    */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(tokens(text), t => xxhash64(t))
+    // votes(bit) = sum over tokens of (bit set ? 1 : -1)
+    // simhash bit = votes(bit) > 0
+    val bits = transform(sequence(lit(0), lit(63)), bit =>
+      when(
+        aggregate(hashes, lit(0),
+          (acc, h) => acc +
+            when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1)
+              .otherwise(-1)) > 0, lit(1L)).otherwise(lit(0L)))
+    aggregate(
+      zip_with(bits, sequence(lit(0), lit(63)),
+        (b, i) => call_function("shiftleft", b, i)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Canonical document fingerprint: md5 of the sorted distinct token
+    * set — stable under word reordering and duplication (the rebuild's
+    * SQL-checkable stand-in for a rolling-hash fingerprint).
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokenSet(text)))
+
+  /** Language marker lexicons (tiny, high-frequency function words) for
+    * space-delimited languages. Heuristic n-gram/stopword language ID —
+    * public-knowledge approach (cf. Cavnar & Trenkle '94 n-gram
+    * categorization). zh is detected by CJK codepoint density instead
+    * (word-boundary regexes cannot segment unspaced CJK text).
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "une", "est", "dans"))
+
+  /** CJK ideograph regex — identical syntax in Java regex and RE2, so
+    * the DuckDB oracle matches byte for byte.
+    */
+  val cjkPattern: String = "[\\x{4e00}-\\x{9fff}]"
+
+  /** Occurrences of any of `words` as whole tokens in `text`. */
+  def markerHits(text: Column, words: Seq[String]): Column = {
+    val pattern = words.mkString("\\b(", "|", ")\\b")
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+  }
+
+  /** Per-language scores: marker-word hits for latin-script languages,
+    * CJK codepoint count for zh.
+    */
+  def langScores(text: Column): Seq[(String, Column)] =
+    langMarkers.map { case (lang, words) => lang -> markerHits(text, words) } :+
+      ("zh" -> size(regexp_extract_all(text, lit(cjkPattern), lit(0))))
+
+  /** Predicted language = argmax of scores (ties → earlier language in
+    * `langScores` order wins; all zero → "und").
+    */
+  def langId(text: Column): Column = {
+    val scored = langScores(text).map { case (lang, hits) =>
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    val best = scored.reduce((a, b) =>
+      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Quality-score components: char length, token count, mean token
+    * length, punctuation ratio, stopword ratio, and a composite score
+    * in [0,1] (simple interpretable heuristics in the C4/Gopher-rules
+    * family).
+    */
+  def qualityComponents(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val meanTokLen = when(nToks > 0,
+      aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nToks)
+      .otherwise(lit(0.0))
+    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
+      .cast("double")
+    val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
+    val stopHits = markerHits(text, langMarkers.flatMap(_._2)).cast("double")
+    val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
+    // composite: reward 3..10-char mean tokens, some stopwords, low punct
+    val lenOk = when(nToks >= 10 && nChars >= 50, lit(1.0)).otherwise(lit(0.0))
+    val tokOk = when(meanTokLen >= 3 && meanTokLen <= 10, lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio <= 0.2, lit(1.0)).otherwise(lit(0.0))
+    val stopOk = when(stopRatio >= 0.05, lit(1.0)).otherwise(lit(0.0))
+    val score = (lenOk + tokOk + punctOk + stopOk) / 4.0
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      round(meanTokLen, 4).as("mean_token_len"),
+      round(punctRatio, 4).as("punct_ratio"),
+      round(stopRatio, 4).as("stopword_ratio"),
+      round(score, 2).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (word pieces, digits, punctuation as separate tokens — the
+    * GPT-2-style pretokenizer pattern family).
+    */
+  def tokenCounts(text: Column): Column =
+    struct(
+      size(tokens(text)).as("ws_tokens"),
+      size(regexp_extract_all(text,
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"))
+}
