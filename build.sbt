@@ -23,7 +23,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Korean identifiers end-to-end (hive partition dirs like 접수년=2023)
+// need UTF-8 file-path encoding; sun.jnu.encoding follows the process
+// locale, so the forked JVMs must inherit a UTF-8 locale.
+Test / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
+run / envVars ++= Map("LANG" -> "C.UTF-8", "LC_ALL" -> "C.UTF-8")
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "-Dfile.encoding=UTF-8",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

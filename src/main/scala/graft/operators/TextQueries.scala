@@ -39,10 +39,12 @@ object TextQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Exact bigram-Jaccard near-dup pairs, blocked by language. */
+  /** Exact bigram-Jaccard near-dup pairs, blocked by language
+    * (prefix-filtered set-similarity join; τ=0.5 near-dup floor).
+    */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      blockCols = Seq("lang"), n = 2, threshold = 0.2)
+      blockCols = Seq("lang"), n = 2, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
   /** Heuristic language ID vs the labeled lang column. */
@@ -98,7 +100,7 @@ object TextQueries extends QueryModule {
          |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
          |FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
          |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-         |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.2
+         |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin)),
     QueryDef("q_text_langid", langIdQuery, Some {
       val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>

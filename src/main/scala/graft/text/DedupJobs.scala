@@ -125,22 +125,59 @@ object DedupJobs {
     pairs
   }
 
-  /** Exact n-gram Jaccard over blocked pairs: documents inside the same
-    * block (e.g., language) compared by distinct word-n-gram overlap.
-    * The block bounds the pair explosion; SQL-expressible end to end.
+  /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-family,
+    * Chaudhuri et al. / Xiao et al. — public set-similarity-join
+    * technique): a pair with Jaccard ≥ τ must share at least one gram
+    * within each document's (|g| − ⌈τ·|g|⌉ + 1)-length prefix under a
+    * global rare-first gram order. Candidates come from joining only
+    * those prefixes — the naive all-pairs comparison (m² array
+    * intersections per block) never materializes — then exact Jaccard
+    * verifies. Exact: the prefix filter has no false negatives, so the
+    * output equals the naive all-pairs SQL oracle.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
     val prepped = docs.select(
       (col(idCol).as("doc_id") +: blockCols.map(col)) :+
         shingles(col(textCol), n).as("grams"): _*)
-    val a = prepped.alias("a")
-    val b = prepped.alias("b")
-    val joinCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
-      .reduce(_ && _) && col("a.doc_id") < col("b.doc_id")
-    a.join(b, joinCond)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        jaccard(col("a.grams"), col("b.grams")).as("jaccard_raw"))
+      .filter(size(col("grams")) > 0)
+
+    // global (per-block) document frequency of each gram → rare-first order
+    val exploded = prepped
+      .select((col("doc_id") +: blockCols.map(col)) :+
+        size(col("grams")).as("glen") :+ explode(col("grams")).as("gram"): _*)
+    val gramDf = exploded
+      .groupBy((blockCols.map(col) :+ col("gram")): _*)
+      .agg(count(lit(1)).as("df"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val prefixLen = col("glen") - ceil(lit(threshold) * col("glen")) + 1
+    val prefixes = exploded
+      .join(gramDf, blockCols :+ "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefixLen)
+      .select((col("doc_id") +: blockCols.map(col)) :+ col("glen") :+ col("gram"): _*)
+
+    // length bound (exact): j ≤ min(|A|,|B|)/max(|A|,|B|), so a pair can
+    // reach τ only when the smaller set is ≥ τ × the larger.
+    val joinCond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
+      (col("a.gram") === col("b.gram")) :+
+      (col("a.doc_id") < col("b.doc_id")) :+
+      (least(col("a.glen"), col("b.glen")) >=
+        lit(threshold) * greatest(col("a.glen"), col("b.glen")))).reduce(_ && _)
+    val candidates = prefixes.alias("a")
+      .join(prefixes.alias("b"), joinCond)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val gramsOf = prepped.select(col("doc_id"), col("grams"))
+    candidates
+      .join(gramsOf.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("grams", "grams_a"), Seq("id_a"))
+      .join(gramsOf.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("grams", "grams_b"), Seq("id_b"))
+      .withColumn("jaccard_raw", jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))

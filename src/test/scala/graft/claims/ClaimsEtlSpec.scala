@@ -1,0 +1,88 @@
+package graft.claims
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ETL semantics vs the reference pipeline (ref: core/etl.py; fixture
+  * extends data/dummy_claims.csv per FIXTURES.md §1: negative-lag row,
+  * duplicate key keep-last, garbage dates, null-key row, month gap).
+  */
+class ClaimsEtlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def fixturePath: String =
+    getClass.getResource("/claims_fixture.csv").getPath
+
+  private lazy val processed =
+    ClaimsEtl.ingestCsv(spark, fixturePath).cache()
+
+  test("canonicalize yields exactly 54 data columns") {
+    val canon = ClaimsEtl.canonicalize54(ClaimsEtl.loadCsv(spark, fixturePath))
+    assert(canon.columns.filterNot(_ == ClaimsSchema.ingestSeqCol).length == 54)
+    // missing columns present as nulls
+    assert(canon.select("접수경로").distinct().collect().map(_.get(0)).toSeq == Seq(null))
+  }
+
+  test("null-key row dropped; duplicate key keeps last uploaded row") {
+    val rows = processed.select("상담번호", "등급기준").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows.size == 6)
+    assert(!rows.contains(null))
+    assert(rows("C005") == "사고") // later row wins (keep='last')
+  }
+
+  test("multi-format date parse with null on failure") {
+    val m = processed.select("상담번호", "제조일자").collect()
+      .map(r => r.getString(0) -> Option(r.getDate(1)).map(_.toString)).toMap
+    assert(m("C001").contains("2023-10-01")) // yyyy-MM-dd
+    assert(m("C002").contains("2023-10-02")) // yyyy/MM/dd
+    assert(m("C003").contains("2023-11-01")) // yyyy.MM.dd
+    assert(m("C006").isEmpty)                // garbage → null
+  }
+
+  test("receipt date built from parts; lag derivation flags negatives") {
+    val m = processed
+      .select("상담번호", "접수일자", "Lag_Days", "Lag_Valid").collect()
+      .map(r => r.getString(0) ->
+        (Option(r.getDate(1)).map(_.toString),
+          if (r.isNullAt(2)) None else Some(r.getInt(2)),
+          r.getBoolean(3))).toMap
+    assert(m("C001") == (Some("2023-10-10"), Some(9), true))
+    assert(m("C004") == (Some("2023-11-16"), Some(-4), false)) // negative lag kept, flagged
+    assert(m("C006")._2.isEmpty && !m("C006")._3)              // null mfg → invalid
+  }
+
+  test("접수년/월 numeric after preprocess") {
+    val r = processed.filter(col("상담번호") === "C005")
+      .select("접수년", "접수월").collect()(0)
+    assert(r.getInt(0) == 2024 && r.getInt(1) == 1)
+  }
+
+  test("quality report counts rows, duplicates and nulls") {
+    val canon = ClaimsEtl.canonicalize54(ClaimsEtl.loadCsv(spark, fixturePath))
+    val q = ClaimsEtl.validateQuality(canon)
+    assert(q.totalRows == 8)
+    assert(q.colsOk)
+    assert(q.duplicateCount == 0) // full rows differ (C005 rows differ in grade)
+    assert(q.nullCounts("상담번호") == 1)
+    assert(q.nullCounts("접수경로") == 8)
+  }
+
+  test("epoch-ms heuristic mfg-date clean") {
+    import spark.implicits._
+    val df = Seq("1697068800000", "2023-10-12", "junk").toDF("제조일자")
+    val out = df.select(ClaimsEtl.cleanMfgDate(col("제조일자")).as("d"))
+      .collect().map(r => Option(r.getDate(0)).map(_.toString))
+    assert(out(0).contains("2023-10-12")) // epoch ms > 1e12
+    assert(out(1).contains("2023-10-12"))
+    assert(out(2).isEmpty)
+  }
+}

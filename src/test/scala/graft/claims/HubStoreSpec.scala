@@ -1,0 +1,79 @@
+package graft.claims
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hub storage semantics (ref: core/storage.py:19-271): hive-partitioned
+  * write, upsert-by-key merge with new-batch-wins, partition-pruned
+  * read, catalog listing.
+  */
+class HubStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ingest(): org.apache.spark.sql.DataFrame =
+    ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+
+  test("partitioned write produces hive layout with null partitions as 0") {
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("접수년="))
+    assert(dirs.toSet == Set("접수년=2023", "접수년=2024"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 6)
+  }
+
+  test("partition-pruned read equals filtered full read") {
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    val pruned = HubStore.read(spark, dir, year = Some(2023), month = Some(11))
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), "expected partition pruning in plan")
+  }
+
+  test("upsert: new batch wins on key collision, new keys appended") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+
+    val update = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(Seq(
+        // C001 re-uploaded with a different grade; C099 brand new
+        ("C001", "2023", "10", "10", "PLANT_A", "중대"),
+        ("C099", "2024", "2", "1", "PLANT_B", "일반"))
+        .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트", "등급기준"))))
+    HubStore.upsert(spark, update, dir)
+
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 7)
+    val c1 = after.filter(col("상담번호") === "C001")
+      .select("등급기준").collect()(0).getString(0)
+    assert(c1 == "중대")
+  }
+
+  test("catalog lists partitions newest first with counts") {
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    val cat = HubStore.catalog(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(cat.head._1 == 2024)
+    assert(cat.map(_._3).sum == 6)
+  }
+
+  test("merge is idempotent for identical batches") {
+    val a = ingest()
+    val merged = HubStore.merge(a, a)
+    assert(merged.count() == a.count())
+  }
+}
