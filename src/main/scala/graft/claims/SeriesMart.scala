@@ -1,0 +1,191 @@
+package graft.claims
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Nested time-series datamart: one document per (플랜트, 제품범주2,
+  * 대분류) with a zero-filled monthly history, per-중분류 children, and
+  * series stats (ref: core/storage.py:470-660 `generate_nested_series`).
+  *
+  * Semantics replicated exactly:
+  *  - month spine = global min→max month of 접수일자 over the WHOLE hub
+  *  - `history` counts ALL rows; `stats` (mean/std/slope) are computed
+  *    from Lag_Valid-only counts — the reference's deliberate asymmetry
+  *    (core/storage.py:558-573)
+  *  - std is sample stddev ddof=1 (np.nanstd(arr, ddof=1)); slope =
+  *    least-squares slope of the last 3 points = (y₃−y₁)/2; avg_lag_days
+  *    = mean of valid lags rounded to 1dp, 0.0 when none
+  *  - JSON `key` joins raw values with Python str() semantics (null →
+  *    "None"); filenames sanitize `[\/:*?"<>|]` → "-" with null → ""
+  *
+  * Scale shape: two aggregations (child-grain counts, then struct
+  * assembly) — the hub scan reduces to (#keys × #months) rows before
+  * any document is built; documents are bounded by months × children.
+  * The mart itself is written as a partitioned JSON dataset (file-per-
+  * key is a driver-side export kept for reference-layout compatibility;
+  * at 100 TB key cardinality the dataset form is the real sink).
+  */
+object SeriesMart {
+
+  private val parentKeys = Seq("플랜트", "제품범주2", "대분류")
+  private val childKey = "중분류"
+
+  /** Sample stddev (ddof=1) of an array column, 0.0 when n ≤ 1. */
+  private def stdSample(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    val mean = aggregate(arr, lit(0.0), (a, x) => a + x) / n
+    val ss = aggregate(arr, lit(0.0), (a, x) => a + x * x)
+    when(n > 1, sqrt(greatest((ss - n * mean * mean) / (n - 1), lit(0.0))))
+      .otherwise(lit(0.0))
+  }
+
+  private def meanOf(arr: Column): Column = {
+    val n = size(arr).cast("double")
+    when(n > 0, aggregate(arr, lit(0.0), (a, x) => a + x) / n).otherwise(lit(0.0))
+  }
+
+  /** Least-squares slope of the last 3 points ((y₃−y₁)/2 for n=3
+    * equispaced), 0.0 when fewer than 3 (ref: core/storage.py:486-500).
+    */
+  private def slope3(arr: Column): Column =
+    when(size(arr) >= 3,
+      (element_at(arr, -1) - element_at(arr, -3)) / 2.0)
+      .otherwise(lit(0.0))
+
+  private def statsStruct(validArr: Column, avgLag: Column): Column =
+    struct(
+      meanOf(validArr).as("mean"),
+      stdSample(validArr).as("std"),
+      slope3(validArr).as("slope"),
+      round(coalesce(avgLag, lit(0.0)), 1).as("avg_lag_days"))
+
+  /** Python-str key component: null → "None" (ref: str(plant)). */
+  private def pyStr(c: String): Column =
+    coalesce(col(c).cast("string"), lit("None"))
+
+  /** Filename-sanitized component: null → "", forbidden chars → "-"
+    * (ref: core/storage.py:465-469).
+    */
+  private def sanitized(c: String): Column =
+    regexp_replace(coalesce(col(c).cast("string"), lit("")),
+      "[\\\\/:*?\"<>|]", "-")
+
+  /** Build the mart as a DataFrame of nested documents. `asOf` stands in
+    * for the reference's wall-clock `last_updated`.
+    */
+  def build(claims: DataFrame, asOf: String): DataFrame = {
+    val base = claims.withColumn("ym",
+      date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
+
+    // global month spine (dated rows only)
+    val bounds = base.filter(col("ym").isNotNull)
+      .agg(min("ym").as("lo"), max("ym").as("hi"))
+    val months = bounds.select(explode(sequence(
+      to_date(col("lo"), "yyyy-MM"), to_date(col("hi"), "yyyy-MM"),
+      expr("interval 1 month"))).as("md"))
+      .select(date_format(col("md"), "yyyy-MM").as("ym"))
+
+    // child-grain monthly counts (all rows + Lag_Valid-only)
+    val childCols = parentKeys :+ childKey
+    val counts = base.filter(col("ym").isNotNull)
+      .groupBy((childCols :+ "ym").map(col): _*)
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col(ClaimsSchema.lagValidCol), 1L).otherwise(0L)).as("n_valid"))
+
+    // every (child key × month) — keys from ALL rows (a key whose rows
+    // are all undated still yields an all-zero history, as in the ref)
+    val keys = claims.select(childCols.map(col): _*).distinct()
+    val filled = broadcast(months).crossJoin(keys)
+      .join(counts, childCols :+ "ym", "left")
+      .na.fill(0L, Seq("n_all", "n_valid"))
+
+    // per-child lag stats
+    val childLags = claims.groupBy(childCols.map(col): _*)
+      .agg(avg(when(col(ClaimsSchema.lagValidCol),
+        col(ClaimsSchema.lagDaysCol))).as("avg_lag"))
+
+    val childSeries = filled
+      .groupBy(childCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("ym"), col("n_all"), col("n_valid"))))
+        .as("series"))
+      .join(childLags, childCols, "left")
+      .select(
+        parentKeys.map(col) :+
+          struct(
+            coalesce(col(childKey).cast("string"), lit("")).as("sub_key"),
+            statsStruct(transform(col("series"), s => s.getField("n_valid").cast("double")),
+              col("avg_lag")).as("stats"),
+            transform(col("series"), s =>
+              struct(s.getField("ym").as("date"),
+                s.getField("n_all").cast("int").as("count"))).as("history"))
+            .as("child"): _*)
+
+    val children = childSeries
+      .groupBy(parentKeys.map(col): _*)
+      .agg(array_sort(collect_list(col("child"))).as("children"))
+
+    // parent-grain series + lag stats
+    val pCounts = filled
+      .groupBy((parentKeys :+ "ym").map(col): _*)
+      .agg(sum("n_all").as("n_all"), sum("n_valid").as("n_valid"))
+    val parentLags = claims.groupBy(parentKeys.map(col): _*)
+      .agg(avg(when(col(ClaimsSchema.lagValidCol),
+        col(ClaimsSchema.lagDaysCol))).as("avg_lag"))
+
+    val parents = pCounts
+      .groupBy(parentKeys.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("ym"), col("n_all"), col("n_valid"))))
+        .as("series"))
+      .join(parentLags, parentKeys, "left")
+
+    parents
+      .join(children, parentKeys, "left")
+      .select(
+        concat_ws("_", parentKeys.map(pyStr): _*).as("key"),
+        concat_ws("_", parentKeys.map(sanitized): _*).as("filename_key"),
+        struct(
+          lit(asOf).as("last_updated"),
+          lit(0).as("warning_level"),
+          lit(null).cast("string").as("champion_model"),
+          statsStruct(transform(col("series"), s => s.getField("n_valid").cast("double")),
+            col("avg_lag")).as("parent_stats")).as("meta"),
+        struct(
+          transform(col("series"), s =>
+            struct(s.getField("ym").as("date"),
+              s.getField("n_all").cast("int").as("count"))).as("history"),
+          array().cast("array<struct<date:string,count:int>>").as("forecast"))
+          .as("data"),
+        coalesce(col("children"),
+          array().cast(
+            "array<struct<sub_key:string,stats:struct<mean:double,std:double,slope:double,avg_lag_days:double>,history:array<struct<date:string,count:int>>>>"))
+          .as("children"))
+  }
+
+  /** Dataset-form sink (the 100 TB path): one JSON dataset, partition
+    * count sized by the writer.
+    */
+  def writeJsonDataset(mart: DataFrame, dir: String): Unit =
+    mart.drop("filename_key").write.mode("overwrite").json(dir)
+
+  /** Reference-layout export: one pretty JSON file per key with the
+    * sanitized filename (ref: core/storage.py:643-648). Driver-side by
+    * design — the shipped mart is ~5k small files.
+    */
+  def writePerKeyFiles(mart: DataFrame, dir: String): Int = {
+    val out = new java.io.File(dir)
+    out.mkdirs()
+    var written = 0
+    val it = mart.toJSON.collectAsList().iterator()
+    val keyRe = "\"filename_key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    while (it.hasNext) {
+      val json = it.next()
+      val fn = keyRe.findFirstMatchIn(json).map(_.group(1)).getOrElse("unknown")
+      val cleaned = json.replaceFirst(",?\"filename_key\":\"(?:[^\"\\\\]|\\\\.)*\"", "")
+      val f = new java.io.File(out, s"$fn.json")
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.write(cleaned) finally w.close()
+      written += 1
+    }
+    written
+  }
+}
