@@ -1,0 +1,133 @@
+package graft.api
+
+import java.time.LocalDate
+
+import graft.claims._
+import graft.ml._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Facade mirroring the reference's entry points (SURVEY.md §7.1) so a
+  * user of `graviton94/claim-analysis-engine` finds the same verbs:
+  *
+  * | reference                              | here                    |
+  * |----------------------------------------|-------------------------|
+  * | etl.process_claim_data                 | processClaimData        |
+  * | storage.save_partitioned_parquet       | upsertHub               |
+  * | storage.load_partitioned_data          | loadHub                 |
+  * | storage.get_available_periods          | availablePeriods        |
+  * | storage.generate_nested_series         | generateNestedSeries    |
+  * | storage.load_sales_with_estimation     | loadSalesWithEstimation |
+  * | app.load_and_scan_risks                | scanRisks               |
+  * | analytics.calculate_lag_stats          | lagStats                |
+  * | trainer.HyperParameterTuner.tune_all   | tuneAll                 |
+  * | trainer.ChampionSelector               | trainChampion/forecast  |
+  * | trainer.predict_with_seasonal_allocation | seasonalAllocation    |
+  *
+  * `asOf` injects the reference's wall-clock dependence everywhere
+  * (SURVEY.md §7.5 item 4).
+  */
+final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
+    salesPath: String, modelsPath: String, seriesPath: String) {
+
+  // ---- ETL / storage ----
+  def processClaimData(csvPath: String): DataFrame =
+    ClaimsEtl.ingestCsv(spark, csvPath)
+
+  def upsertHub(prepared: DataFrame): Unit =
+    HubStore.upsert(spark, prepared, hubPath)
+
+  def loadHub(year: Option[Int] = None, month: Option[Int] = None): DataFrame =
+    HubStore.read(spark, hubPath, year, month)
+
+  def availablePeriods(): DataFrame = HubStore.catalog(spark, hubPath)
+
+  def generateNestedSeries(asOf: LocalDate): Long = {
+    val mart = SeriesMart.build(loadHub(), asOf.toString)
+    SeriesMart.writeJsonDataset(mart, seriesPath)
+    mart.count()
+  }
+
+  // ---- sales ----
+  def loadSalesWithEstimation(): DataFrame =
+    SalesStore.withEstimation(spark.read.parquet(salesPath))
+
+  def syncSalesWithClaims(): DataFrame =
+    SalesStore.syncWithClaims(SalesStore.claimKeys(loadHub()),
+      loadSalesWithEstimation())
+
+  def ppm(): DataFrame = SalesStore.ppm(loadHub(), loadSalesWithEstimation())
+
+  // ---- risk analytics ----
+  def scanRisks(asOf: LocalDate): DataFrame =
+    RiskScanJob.scan(loadHub(),
+      keyCols = Seq("플랜트", "대분류", "소분류", "등급기준"),
+      dateCol = ClaimsSchema.receiptDateCol,
+      gradeCol = Some("등급기준"),
+      asOf = asOf)
+      .filter(col("score") > 0)
+
+  def lagStats(groupCols: Seq[String] = Seq("플랜트")): DataFrame =
+    Dashboard.lagStats(loadHub(), groupCols)
+
+  def lotAlerts(): DataFrame = Dashboard.lotDetection(loadHub())
+
+  // ---- forecasting ----
+  def tuneAll(y: Array[Double], exog: Option[Array[Double]] = None)
+      : Map[String, Tuner#Trial] = new Tuner().tuneAll(y, exog)
+
+  def trainChampion(plant: String, major: String, steps: Int = 3)
+      : Option[DataFrame] = {
+    import spark.implicits._
+    val monthly = loadHub()
+      .filter(col("플랜트") === plant && col("대분류") === major)
+      .groupBy(date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("ym")
+    val y = monthly.select("n").collect().map(_.getLong(0).toDouble)
+    if (y.length < 12) None // ref: pages/4:72-73 floor
+    else {
+      val tuner = new Tuner()
+      val tuned = tuner.tuneAll(y).map { case (k, t) => k -> t.params }
+      val sel = new ChampionSelector()
+      sel.trainModels(y, None, tuned)
+      sel.champion.foreach(m =>
+        ModelStore.saveChampion(modelsPath, plant, major, m, sel.championRmse))
+      Some(sel.leaderboard.map(e => (e.model, e.rmse)).toDF("Model", "RMSE"))
+    }
+  }
+
+  def forecastAllPlants(keyCols: Seq[String], steps: Int = 3): DataFrame = {
+    val monthly = loadHub()
+      .groupBy((keyCols.map(col) :+
+        date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM").as("ym")): _*)
+      .agg(count(lit(1)).as("n"))
+    FleetTrainer.trainAll(monthly, keyCols, steps)
+  }
+
+  def seasonalAllocation(plant: String, major: String,
+      futureMonths: Seq[Int]): DataFrame = {
+    val history = loadHub()
+      .filter(col("플랜트") === plant && col("대분류") === major)
+      .groupBy(col("접수년"), col("접수월"), col("소분류"))
+      .agg(count(lit(1)).as("건수"))
+    val champion = ModelStore.loadChampion(modelsPath, plant, major)
+    val totals = champion match {
+      case Some(m) =>
+        // champions trained with exog throw here without future exog —
+        // fall back to the 3-month mean (ref: trainer.py:85-91)
+        try m.predict(futureMonths.length, None)
+        catch {
+          case _: Exception =>
+            val recent = history.groupBy(col("접수년"), col("접수월"))
+              .agg(sum(col("건수")).as("n"))
+              .orderBy(col("접수년").desc, col("접수월").desc)
+              .limit(3).agg(avg(col("n"))).collect()(0).getDouble(0)
+            Array.fill(futureMonths.length)(recent)
+        }
+      case None => return spark.emptyDataFrame
+    }
+    SeasonalAllocation.allocate(spark, plant, major, history,
+      futureMonths.zip(totals.toSeq))
+  }
+}

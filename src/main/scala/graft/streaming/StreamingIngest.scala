@@ -1,0 +1,70 @@
+package graft.streaming
+
+import graft.claims.{ClaimsEtl, ClaimsSchema, HubStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming upload ingestion — the Spark-native enhancement flagged as
+  * post-parity in SURVEY.md §2.10/§7: the reference's manual
+  * upload→merge cycle (pages/1, core/storage.py:75-130) modeled as a
+  * file-source Structured Stream whose `foreachBatch` performs the same
+  * canonicalize→preprocess→upsert pipeline per micro-batch.
+  *
+  * Each micro-batch is an atomic hub upsert: claim-id keyed dedup with
+  * batch-wins ordering, dynamic-partition overwrite. Exactly-once per
+  * file via the file-source's checkpointed file log. At cluster scale
+  * the same code ingests a landing bucket continuously; locally the
+  * test drives it with `processAllAvailable()`.
+  */
+object StreamingIngest {
+
+  /** Start ingesting CSV uploads dropped into `landingDir` into the hub
+    * at `hubPath`. Returns the running query (caller stops it).
+    *
+    * The stream tracks file ARRIVALS (text source + checkpointed file
+    * log = exactly-once per file); each micro-batch re-reads its files
+    * as header-mapped CSV — a streaming CSV schema would bind columns
+    * positionally, but uploads map columns BY NAME like the reference's
+    * pandas reader (canonicalize54 then projects name-wise).
+    */
+  def start(spark: SparkSession, landingDir: String, hubPath: String,
+      checkpointDir: String): StreamingQuery = {
+    val arrivals = spark.readStream
+      .option("maxFilesPerTrigger", "16")
+      .text(landingDir)
+
+    arrivals.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime("5 seconds"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select(input_file_name().as("f"))
+          .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
+        if (files.nonEmpty) {
+          val sess = batch.sparkSession
+          val raw = sess.read
+            .option("header", "true")
+            .option("encoding", "UTF-8")
+            .csv(files: _*)
+          val prepared = ClaimsEtl.preprocess(
+            ClaimsEtl.canonicalize54(
+              ClaimsEtl.dropFullDuplicates(
+                ClaimsEtl.withIngestSeq(raw))))
+          HubStore.upsert(sess, prepared, hubPath)
+        }
+      }
+      .start()
+  }
+
+  /** Event-time windowed counts over a claims stream — the watermarked
+    * aggregation surface (SURVEY.md §2.10 optional): monthly counts per
+    * plant with late-data tolerance.
+    */
+  def windowedCounts(stream: DataFrame, watermark: String = "30 days"): DataFrame =
+    stream
+      .withColumn("ts", col(ClaimsSchema.receiptDateCol).cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("플랜트"), window(col("ts"), "30 days").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("플랜트"), col("w.start").as("window_start"), col("n"))
+}

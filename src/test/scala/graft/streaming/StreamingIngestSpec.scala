@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingIngestSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  test("file-stream upload merges into the hub with upsert semantics") {
+    val landing = Files.createTempDirectory("landing").toString
+    val hub = Files.createTempDirectory("hub").toString + "/hub"
+    val ckpt = Files.createTempDirectory("ckpt").toString
+
+    val q = StreamingIngest.start(spark, landing, hub, ckpt)
+    try {
+      // batch 1: the fixture upload
+      Files.copy(
+        Paths.get(getClass.getResource("/claims_fixture.csv").getPath),
+        Paths.get(landing, "upload1.csv"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(hub)
+      assert(after1.count() == 6)
+
+      // batch 2: re-upload C001 with a changed grade + a new claim
+      val update =
+        "상담번호,접수년,접수월,접수일,플랜트,등급기준\n" +
+          "C001,2023,10,10,PLANT_A,중대\n" +
+          "C100,2024,3,2,PLANT_B,일반\n"
+      Files.write(Paths.get(landing, "upload2.csv"),
+        update.getBytes("UTF-8"))
+      q.processAllAvailable()
+
+      val after2 = spark.read.parquet(hub)
+      assert(after2.count() == 7)
+      val c1 = after2.filter(col("상담번호") === "C001")
+        .select("등급기준").collect()(0).getString(0)
+      assert(c1 == "중대") // later upload wins
+    } finally q.stop()
+  }
+
+  test("watermarked windowed counts run on a claims stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String)]
+    val df = mem.toDF()
+      .withColumnRenamed("_1", "플랜트")
+      .withColumn("접수일자", to_date(col("_2")))
+    val out = StreamingIngest.windowedCounts(df)
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode("append").start()
+    try {
+      mem.addData(("P1", "2024-01-01"), ("P1", "2024-01-05"), ("P2", "2024-01-02"))
+      mem.addData(("P1", "2024-06-01")) // advances watermark past January
+      q.processAllAvailable()
+      val rows = spark.sql("select * from wc").collect()
+      assert(rows.exists(r => r.getString(0) == "P1" && r.getLong(2) == 2L))
+    } finally q.stop()
+  }
+}
