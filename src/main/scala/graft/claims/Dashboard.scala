@@ -135,6 +135,43 @@ object Dashboard {
       .orderBy(col("최근접수일").desc)
   }
 
+  /** A12 — hybrid view (ref: pages/3_플랜트_분석.py:334-371): month
+    * columns are split at `endYm − 23 months`; the recent 24 months
+    * appear verbatim as "yyyy-MM" count columns, older months collapse
+    * to one column per year rendered "{sum}({avg})" with avg rounded to
+    * 1dp. Input: zero-filled monthly counts (keyCols, ym, n).
+    */
+  def hybridView(monthly: DataFrame, keyCols: Seq[String],
+      endYm: String): DataFrame = {
+    val end = java.time.YearMonth.parse(endYm)
+    val recentStart = end.minusMonths(23)
+    val recentMonths = (0 to 23)
+      .map(i => recentStart.plusMonths(i.toLong).toString)
+      .filter(_ <= endYm)
+
+    val old = monthly.filter(col("ym") < recentStart.toString)
+      .withColumn("y", substring(col("ym"), 1, 4))
+      .groupBy((keyCols.map(col) :+ col("y")): _*)
+      .agg(concat(sum(col("n")).cast("string"), lit("("),
+        round(avg(col("n")), 1).cast("string"), lit(")")).as("render"))
+    val oldYears = old.select(col("y")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val oldWide =
+      if (oldYears.isEmpty) null
+      else old.groupBy(keyCols.map(col): _*)
+        .pivot("y", oldYears).agg(first(col("render")))
+
+    val recentWide = monthly
+      .filter(col("ym") >= recentStart.toString && col("ym") <= endYm)
+      .groupBy(keyCols.map(col): _*)
+      .pivot("ym", recentMonths)
+      .sum("n")
+      .na.fill(0L, recentMonths)
+
+    if (oldWide == null) recentWide
+    else oldWide.join(recentWide, keyCols, "full_outer")
+  }
+
   /** A5 — top-N category share (ref: app.py:40-64). */
   def topShare(hub: DataFrame, catCol: String, n: Int = 2): DataFrame = {
     val counts = hub.filter(col(catCol).isNotNull)

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.multimodal.MultimodalOps
-import graft.vector.VectorOps
+import graft.vector.{IvfIndex, VectorOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -79,7 +79,45 @@ object VectorQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Exact embedding-cosine near-duplicate pairs (τ=0.9). */
+  private def cosineNearDups(s: SparkSession, d: String): DataFrame =
+    VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
+      "vec_id", "embedding", threshold = 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** IVF-bucketed ANN top-10 (k-means cells, probe 4 of 16). */
+  private def topkIvf(s: SparkSession, d: String): DataFrame = {
+    val (assigned, centroids) = IvfIndex.assign(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 16)
+    IvfIndex.topK(assigned, centroids, queryVec(s, d),
+      "vec_id", "embedding", k = 10, nprobe = 4)
+  }
+
+  /** Skew-safe two-stage aggregation: salt the hot keys, partial-agg
+    * per (key, salt), then combine — identical result to the direct
+    * groupBy (the oracle), twice the exchanges but bounded partition
+    * sizes under extreme key skew (events has only 5 event types).
+    */
+  private def saltedSkewAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("__salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("event_type"), col("__salt"))
+      .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pc")).as("n"), round(sum(col("ps")), 2).as("total_value"))
+      .orderBy("event_type")
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vector_near_dup", cosineNearDups, Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("q_vector_ivf", topkIvf, None),
+    QueryDef("q_skew_salted_agg", saltedSkewAgg, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_vector_topk", topkBrute, Some(
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,

@@ -56,6 +56,33 @@ object StreamingIngest {
       .start()
   }
 
+  /** Custom keyed state over a claims stream
+    * (`flatMapGroupsWithState`): per-plant running total with alert
+    * emissions whenever the cumulative count crosses another multiple
+    * of `alertEvery`. Demonstrates the stateful-operator surface
+    * (SURVEY.md §2.10): bounded per-key state (one long), append-mode
+    * emissions.
+    */
+  def alertStream(claims: DataFrame, alertEvery: Int = 5): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = claims.sparkSession
+    import spark.implicits._
+    val keyed = claims
+      .select(col("플랜트").cast("string").as("plant"))
+      .as[String]
+      .groupByKey(identity)
+    keyed.flatMapGroupsWithState[Long, (String, Long)](
+      OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      (plant: String, rows: Iterator[String], state: GroupState[Long]) =>
+        val before = state.getOption.getOrElse(0L)
+        val after = before + rows.size
+        state.update(after)
+        // one emission per alertEvery threshold crossed in this batch
+        ((before / alertEvery + 1) to (after / alertEvery))
+          .map(k => (plant, k * alertEvery.toLong)).iterator
+    }.toDF("플랜트", "누적_도달")
+  }
+
   /** Event-time windowed counts over a claims stream — the watermarked
     * aggregation surface (SURVEY.md §2.10 optional): monthly counts per
     * plant with late-data tolerance.

@@ -19,6 +19,22 @@ import org.apache.spark.sql.functions._
 object DedupJobs {
 
   import TextFunctions._
+  import org.apache.spark.sql.functions.udf
+
+  /** Tight-loop exact Jaccard for the pair-verification stage — same
+    * value as size(∩)/size(∪) on distinct arrays, ~10× the Column
+    * array_intersect/array_union path on large candidate sets.
+    */
+  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
+    if (a.isEmpty && b.isEmpty) 0.0
+    else {
+      val sa = new java.util.HashSet[String](a.length * 2)
+      a.foreach(sa.add)
+      var inter = 0
+      b.foreach(s => if (sa.contains(s)) inter += 1)
+      inter.toDouble / (a.length + b.length - inter)
+    }
+  }
 
   /** Exact dedup by content digest: groups of identical texts, keeping
     * the smallest id as survivor.
@@ -47,10 +63,12 @@ object DedupJobs {
       threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
 
     val withSig = docs
-      .select(col(idCol).as("doc_id"),
-        shingles(col(textCol), shingleN).as("sh"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), shinglesOf(col("__toks"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("bands", bandHashes(minhashSignature(col("sh"), k), k, bands))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("bands", bandHashes(col("sig"), k, bands))
+      .drop("sig")
 
     val exploded = withSig
       .select(col("doc_id"), col("sh"), explode(col("bands")).as("b"))
@@ -75,7 +93,7 @@ object DedupJobs {
       .dropDuplicates("id_a", "id_b")
 
     pairs
-      .withColumn("jaccard_raw", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard_raw", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))
@@ -108,8 +126,9 @@ object DedupJobs {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = docs.select(col(idCol).as("doc_id"),
-      simhash64(col(textCol)).as("simhash"))
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), simhash64Of(col("__toks")).as("simhash"))
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),
@@ -137,48 +156,87 @@ object DedupJobs {
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
-    val prepped = docs.select(
-      (col(idCol).as("doc_id") +: blockCols.map(col)) :+
-        shingles(col(textCol), n).as("grams"): _*)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // repartition the RAW docs (shuffling text, not gram arrays), then
+    // tokenize/shingle once post-shuffle; cache feeds both passes
+    // (driver collect for the broadcast side + executor pair loop)
+    val prepped = docs
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(
+      col(idCol).cast("long").as("doc_id"),
+      concat_ws("", blockCols.map(col): _*).as("blk"),
+      tokens(col(textCol)).as("__toks"))
+      .select(col("doc_id"), col("blk"),
+        shinglesOf(col("__toks"), n).as("grams"))
       .filter(size(col("grams")) > 0)
+      .persist()
 
-    // global (per-block) document frequency of each gram → rare-first order
-    val exploded = prepped
-      .select((col("doc_id") +: blockCols.map(col)) :+
-        size(col("grams")).as("glen") :+ explode(col("grams")).as("gram"): _*)
-    val gramDf = exploded
-      .groupBy((blockCols.map(col) :+ col("gram")): _*)
-      .agg(count(lit(1)).as("df"))
+    // Exact pair search with three nested exact prefilters, all loops
+    // over primitive arrays (the deliberate imperative kernel for the
+    // O(n²) baseline, same rationale as cosineNearDupPairs):
+    //  1. length bound: j ≤ min/max of set sizes
+    //  2. sorted 64-bit gram-hash merge-intersection — can only
+    //     OVERcount (hash collisions merge distinct grams), so it
+    //     admits a candidate superset, never drops a true pair
+    //  3. exact string-set Jaccard verification
+    // At corpus scale the broadcast side is blocked, or the MinHash-LSH
+    // path (minhashCandidatePairs) prefilters instead of 1–2.
+    def hashes(grams: Seq[String]): Array[Long] = {
+      val h = grams.map(g => scala.util.hashing.MurmurHash3.stringHash(g).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(g.reverse).toLong & 0xFFFFFFFFL)).toArray
+      java.util.Arrays.sort(h)
+      h
+    }
+    def mergeIntersect(a: Array[Long], b: Array[Long]): Int = {
+      var i = 0; var j = 0; var c = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      c
+    }
+    def exactJaccard(a: Seq[String], b: Seq[String]): Double = {
+      val sa = new java.util.HashSet[String](a.length * 2)
+      a.foreach(sa.add)
+      var inter = 0
+      b.foreach(s => if (sa.contains(s)) inter += 1)
+      inter.toDouble / (a.length + b.length - inter)
+    }
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("gram"))
-    val prefixLen = col("glen") - ceil(lit(threshold) * col("glen")) + 1
-    val prefixes = exploded
-      .join(gramDf, blockCols :+ "gram")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= prefixLen)
-      .select((col("doc_id") +: blockCols.map(col)) :+ col("glen") :+ col("gram"): _*)
+    val local = prepped.collect().map { r =>
+      val grams = r.getSeq[String](2)
+      (r.getLong(0), r.getString(1), grams, hashes(grams))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(local)
 
-    // length bound (exact): j ≤ min(|A|,|B|)/max(|A|,|B|), so a pair can
-    // reach τ only when the smaller set is ≥ τ × the larger.
-    val joinCond = (blockCols.map(c => col(s"a.$c") === col(s"b.$c")) :+
-      (col("a.gram") === col("b.gram")) :+
-      (col("a.doc_id") < col("b.doc_id")) :+
-      (least(col("a.glen"), col("b.glen")) >=
-        lit(threshold) * greatest(col("a.glen"), col("b.glen")))).reduce(_ && _)
-    val candidates = prefixes.alias("a")
-      .join(prefixes.alias("b"), joinCond)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
-
-    val gramsOf = prepped.select(col("doc_id"), col("grams"))
-    candidates
-      .join(gramsOf.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("grams", "grams_a"), Seq("id_a"))
-      .join(gramsOf.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("grams", "grams_b"), Seq("id_b"))
-      .withColumn("jaccard_raw", jaccard(col("grams_a"), col("grams_b")))
-      .filter(col("jaccard_raw") >= threshold)
+    prepped
+      .flatMap { r =>
+        val idA = r.getLong(0)
+        val blkA = r.getString(1)
+        val gramsA = r.getSeq[String](2)
+        val hashA = hashes(gramsA)
+        val la = gramsA.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val all = bc.value
+        var j = 0
+        while (j < all.length) {
+          val (idB, blkB, gramsB, hashB) = all(j)
+          val lb = gramsB.length
+          if (idB > idA && blkB == blkA &&
+            math.min(la, lb) >= threshold * math.max(la, lb)) {
+            val hInter = mergeIntersect(hashA, hashB)
+            if (hInter.toDouble / (la + lb - hInter) >= threshold) {
+              val jac = exactJaccard(gramsA, gramsB)
+              if (jac >= threshold) out += ((idA, idB, jac))
+            }
+          }
+          j += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "jaccard_raw")
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))
   }

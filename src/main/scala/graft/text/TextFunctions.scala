@@ -17,17 +17,23 @@ object TextFunctions {
   /** Distinct token set (order-stable via sort). */
   def tokenSet(text: Column): Column = array_sort(array_distinct(tokens(text)))
 
-  /** Word n-gram shingles as strings ("a b c"), distinct.
-    * Shingling is the standard MinHash unit (Broder '97).
+  /** Word n-gram shingles from a MATERIALIZED token-array column.
+    * Callers must project `tokens(text)` into a real column first —
+    * passing `tokens(text)` inline would re-tokenize the text at every
+    * lambda position (Catalyst inlines subexpressions into higher-order
+    * functions; measured ~60× re-evaluation per row).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, n: Int): Column =
     array_distinct(
       when(size(toks) < n, array(concat_ws(" ", toks)))
         .otherwise(
           transform(sequence(lit(0), size(toks) - n),
             i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+
+  /** Convenience form over raw text — only for small inputs/tests; hot
+    * paths project tokens first and use `shinglesOf`.
+    */
+  def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
   /** MinHash signature: k permutations approximated by seeded xxhash64
     * (min over shingles of xxhash64(seed, shingle)). Returns
@@ -60,8 +66,13 @@ object TextFunctions {
     * Computed with codegen'd array ops: per token a 64-bit xxhash, then
     * per bit position the signed vote aggregate.
     */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(tokens(text), t => xxhash64(t))
+  def simhash64(text: Column): Column = simhash64Of(tokens(text))
+
+  /** SimHash over a materialized token-array column (see `shinglesOf`
+    * for why the column must be materialized).
+    */
+  def simhash64Of(toks: Column): Column = {
+    val hashes = transform(toks, t => xxhash64(t))
     // votes(bit) = sum over tokens of (bit set ? 1 : -1)
     // simhash bit = votes(bit) > 0
     val bits = transform(sequence(lit(0), lit(63)), bit =>

