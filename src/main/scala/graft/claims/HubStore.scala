@@ -93,6 +93,24 @@ object HubStore {
       .agg(count(lit(1)).as("건수"))
       .orderBy(col("접수년").desc, col("접수월").desc)
 
+  /** Bucketed variant of the hub for co-located keyed joins: clustering
+    * + sorting by the claim key lets repeated merges/joins on 상담번호
+    * skip their shuffles entirely (bucket-aware SortMergeJoin). At
+    * 100 TB this is the difference between re-shuffling the whole hub
+    * on every upsert and a map-side merge per bucket. Registered as a
+    * catalog table (bucket metadata lives in the catalog, not parquet).
+    */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      buckets: Int = 32): Unit =
+    prepPartitionCols(df)
+      .write
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .option("path", path)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
   def exists(spark: SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
