@@ -28,7 +28,14 @@ final case class RiskConfig(
     thresholdYelCrit: Int = 50,
     thresholdYelGen: Int = 60,
     // Safety guards
-    minProgressForVelocity: Double = 0.2)
+    minProgressForVelocity: Double = 0.2,
+    // Dense-track MoM velocity check (ref: the Phase 2.8 work order,
+    // reports/phase2_8_fix_requirement.md:58-72). The shipped reference
+    // CALLS `_calculate_velocity_score` but never defines it — the
+    // crash is swallowed to (⚪, 0, Err) by the UI wrapper. Default
+    // false = shipped behavior (term contributes 0); true = the
+    // documented intended behavior.
+    velocityEnabled: Boolean = false)
 
 object RiskConfig {
   val default: RiskConfig = RiskConfig()

@@ -201,6 +201,24 @@ final class RiskScoringEngine(
     (scoreAdd, triggered.toList)
   }
 
+  /** Dense-track MoM velocity (the Phase 2.8 intended implementation,
+    * reports/phase2_8_fix_requirement.md:58-72; only active when
+    * cfg.velocityEnabled — see RiskConfig): skip below 5 current or
+    * (prev 0 and current < 3); ratio vs max(prev, 0.5): ≥3× → +30,
+    * ≥2× → +15.
+    */
+  private def velocityScore(): Double = {
+    if (!cfg.velocityEnabled || nObs < 1) return 0.0
+    val prev = history.last
+    if (prev == 0 && currentValue < 3) return 0.0
+    if (currentValue < 5) return 0.0
+    val denom = if (prev > 0) prev else 0.5
+    val ratio = currentValue / denom
+    if (ratio >= 3.0) 30.0
+    else if (ratio >= 2.0) 15.0
+    else 0.0
+  }
+
   /** EWMA control (adjust=False recursion; ref: core/analytics.py:281-283). */
   private def ewmaScore(): Double = {
     val xs = series.map(_._2)
@@ -274,9 +292,10 @@ final class RiskScoringEngine(
       val baseScore = math.min(50.0, math.max(0.0, (z - startSigma) * 25.0))
       val (nelsonScore, rules) = nelsonRules(z)
       triggeredRules = rules
-      // NOTE: the reference adds `_calculate_velocity_score()` here,
-      // which is undefined (see class scaladoc) — treated as 0.
-      totalScore = baseScore + nelsonScore + ewmaScore()
+      // NOTE: the shipped reference adds `_calculate_velocity_score()`
+      // here, which is undefined (see class scaladoc) — 0 by default;
+      // the documented intended term activates via cfg.velocityEnabled.
+      totalScore = baseScore + nelsonScore + ewmaScore() + velocityScore()
     }
 
     val momentum = momentumScore()

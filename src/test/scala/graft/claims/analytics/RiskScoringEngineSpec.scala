@@ -67,6 +67,56 @@ class RiskScoringEngineSpec extends AnyFunSuite {
     assert(r == RiskResult(0, "🟢", "당월0건"))
   }
 
+  test("case regression: 중대 2건 at mean ≥ 0.5 is softened to 🟡 not 🔴") {
+    // ref: reports/phase2_8_fix_requirement.md — '중대 | 철사' false-alarm
+    // case: sparse critical with baseline ~1.0/month and 2 current
+    val start = YearMonth.of(2023, 1)
+    val counts = Seq(1.0, 1, 0, 1, 2, 1, 0, 1, 1, 1, 1, 2.0) // mean ≈ 0.9
+    val series = counts.zipWithIndex.map { case (v, i) =>
+      (start.plusMonths(i.toLong), v)
+    }.toIndexedSeq
+    val r = RiskScoringEngine.score(series, Some("중대"),
+      Some(series.last._1), LocalDate.of(2030, 1, 1))
+    assert(r.status != "🔴", s"must not red-alert: $r")
+  }
+
+  test("case regression: 일반 4→14건 surge alerts when velocity enabled") {
+    // ref: '일반 | 관능' miss case — volatile general-grade history then
+    // a 3.5× MoM surge; the intended velocity term pushes it to alert
+    val start = YearMonth.of(2022, 1)
+    val hist = Seq(5.0, 2, 6, 3, 5, 2, 6, 3, 5, 2, 6, 4) // volatile, prev=4
+    val series = (hist :+ 14.0).zipWithIndex.map { case (v, i) =>
+      (start.plusMonths(i.toLong), v)
+    }.toIndexedSeq
+    val cfgOn = RiskConfig(velocityEnabled = true)
+    val on = RiskScoringEngine.score(series, Some("일반"),
+      Some(series.last._1), LocalDate.of(2030, 1, 1), cfgOn)
+    val off = RiskScoringEngine.score(series, Some("일반"),
+      Some(series.last._1), LocalDate.of(2030, 1, 1))
+    assert(on.score >= off.score)
+    assert(on.score - off.score > 0, s"velocity term must add: on=$on off=$off")
+    assert(on.status == "🟡" || on.status == "🔴", s"must alert: $on")
+  }
+
+  test("velocity term thresholds match the Phase 2.8 work order") {
+    val start = YearMonth.of(2023, 1)
+    def scoreFor(hist: Seq[Double], current: Double): Int = {
+      val series = (hist :+ current).zipWithIndex.map { case (v, i) =>
+        (start.plusMonths(i.toLong), v)
+      }.toIndexedSeq
+      RiskScoringEngine.score(series, None, Some(series.last._1),
+        LocalDate.of(2030, 1, 1), RiskConfig(velocityEnabled = true)).score -
+        RiskScoringEngine.score(series, None, Some(series.last._1),
+          LocalDate.of(2030, 1, 1)).score
+    }
+    // dense volatile history (high σ keeps the z-score term small so
+    // the velocity delta isn't absorbed by the 100 cap); prev month = 2
+    val base = Seq(10.0, 2, 10, 2, 10, 2, 10, 2, 10, 2, 10, 2)
+    assert(scoreFor(base, 14.0) == 30) // ratio 7 → +30
+    assert(scoreFor(base, 5.0) == 15)  // ratio 2.5 → +15
+    assert(scoreFor(base, 4.0) == 0)   // current < 5 → skip
+  }
+
   test("score is always within [0, 100]") {
     val rng = new scala.util.Random(7)
     (1 to 200).foreach { _ =>
