@@ -22,6 +22,7 @@ object IvfIndex {
     val feat = vectors.withColumn("__features",
       array_to_vector(col(vecCol).cast("array<double>")))
     val model = new KMeans().setK(k).setSeed(seed)
+      .setMaxIter(10) // coarse quantizer — convergence beyond this buys no recall
       .setFeaturesCol("__features").fit(feat)
     val assigned = model.transform(feat)
       .withColumnRenamed("prediction", "cell")

