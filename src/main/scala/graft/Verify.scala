@@ -22,8 +22,19 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      System.err.println(s"[verify] running $name")
+      val t0 = System.nanoTime()
+      // repartition(1), NOT coalesce(1): coalesce merges the final
+      // stage to one task, serializing every upstream computation that
+      // lacks a shuffle boundary (the O(n²) pair kernels would run
+      // single-threaded); repartition inserts the boundary so only the
+      // file write is single-task.
+      try {
+        fn(spark, sfDir).repartition(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name done in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -60,39 +60,92 @@ object DedupJobs {
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
 
-    val withSig = docs
+    // Fused tokens→shingles→signature→band-buckets kernel: shingle
+    // strings and the k-length signature live only inside the UDF call
+    // (never materialized as plan arrays — caching/carrying them was
+    // the measured cost, not the hashing). Output: one bucket key per
+    // band.
+    val rows = k / bands
+    val bandsUdf = udf { toks: Seq[String] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      if (toks.nonEmpty) {
+        val arr = toks.toArray
+        val upper = math.max(arr.length - shingleN, 0)
+        var p = 0
+        while (p <= upper) {
+          val sb = new java.lang.StringBuilder()
+          var q = p
+          val end = math.min(p + shingleN, arr.length) - 1
+          while (q <= end) {
+            if (q > p) sb.append(' ')
+            sb.append(arr(q))
+            q += 1
+          }
+          val base = TextFunctions.hash64(sb.toString)
+          var i = 0
+          while (i < k) {
+            val h = TextFunctions.mix64(base + i)
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+          p += 1
+        }
+      }
+      Array.tabulate(bands) { b =>
+        var h = 1125899906842597L
+        var i = b * rows
+        while (i < (b + 1) * rows) {
+          h = TextFunctions.mix64(h ^ sig(i))
+          i += 1
+        }
+        h
+      }
+    }
+    val exploded = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), shinglesOf(col("__toks"), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("bands", bandHashes(col("sig"), k, bands))
-      .drop("sig")
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), posexplode(bandsUdf(col("__toks"))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
 
-    val exploded = withSig
-      .select(col("doc_id"), col("sh"), explode(col("bands")).as("b"))
-      .select(col("doc_id"), col("sh"),
-        col("b.band").as("band"), col("b.bucket").as("bucket"))
-
-    // bucket-local pairs (a < b), skew-capped
+    // Buckets carry doc IDS ONLY — never the shingle arrays. A hot
+    // bucket of m docs would otherwise materialize m²/2 pair structs
+    // each copying two full shingle arrays inside a single row
+    // (observed: content-correlated corpora drive buckets to the cap
+    // and the explode allocates gigabytes in one task). Pairs of ids
+    // are 16 bytes; shingles re-attach by join afterwards. maxBucket
+    // skew-caps degenerate buckets — a band bucket hundreds deep is
+    // content-collision noise, not near-duplication.
     val buckets = exploded
       .groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("doc_id"), col("sh"))).as("members"))
+      .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
 
     val pairs = buckets
       .select(explode(expr(
         """filter(
           |  flatten(transform(members, a ->
-          |    transform(members, b -> struct(a.doc_id AS id_a, b.doc_id AS id_b,
-          |                                   a.sh AS sh_a, b.sh AS sh_b)))),
+          |    transform(members, b -> struct(a AS id_a, b AS id_b)))),
           |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.sh_a").as("sh_a"), col("p.sh_b").as("sh_b"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
 
+    // Exact-Jaccard verification shingles are computed ONLY for docs
+    // that appear in candidate pairs (semi-join pushback) — the corpus
+    // at large never materializes its shingle arrays.
+    val candidateIds = pairs.select(col("id_a").as("cid"))
+      .unionByName(pairs.select(col("id_b").as("cid")))
+      .distinct()
+    val shOf = docs
+      .select(col(idCol).as("cid"), tokens(col(textCol)).as("__toks"))
+      .join(candidateIds, Seq("cid"), "left_semi")
+      .select(col("cid"), shinglesOf(col("__toks"), shingleN).as("sh"))
     pairs
+      .join(shOf.withColumnRenamed("cid", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shOf.withColumnRenamed("cid", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .withColumn("jaccard_raw", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"),

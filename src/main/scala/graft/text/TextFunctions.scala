@@ -35,13 +35,44 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
-  /** MinHash signature: k permutations approximated by seeded xxhash64
-    * (min over shingles of xxhash64(seed, shingle)). Returns
-    * array<long> of length k. Empty shingle set → nulls.
+  /** 64-bit string hash for the signature kernels (two 32-bit murmurs
+    * combined — LSH-quality, not cryptographic).
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleCol, s => xxhash64(seed, s))))
+  private[text] def hash64(s: String): Long =
+    (scala.util.hashing.MurmurHash3.stringHash(s).toLong << 32) |
+      (scala.util.hashing.MurmurHash3.stringHash(s, 0x9747b28c).toLong & 0xFFFFFFFFL)
+
+  /** splitmix64 finalizer — the per-permutation mixer. */
+  private[text] def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash signature: k permutations via one base hash per shingle +
+    * k splitmix64 variants (Broder-style minwise hashing with the
+    * standard one-hash/k-mix construction). Tight-loop UDF: the
+    * higher-order-function formulation (k nested transforms) is
+    * interpreted per element and measured ~100× slower at corpus scan
+    * scale. Returns array<long> of length k.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    val f = udf { shingles: Seq[String] =>
+      val sig = Array.fill(k)(Long.MaxValue)
+      shingles.foreach { s =>
+        val base = hash64(s)
+        var i = 0
+        while (i < k) {
+          val h = mix64(base + i)
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+    f(shingleCol)
+  }
 
   /** LSH band hashes: signature split into `bands` bands of
     * `k/bands` rows; each band hashed to one bucket key. Returns
@@ -68,23 +99,30 @@ object TextFunctions {
     */
   def simhash64(text: Column): Column = simhash64Of(tokens(text))
 
-  /** SimHash over a materialized token-array column (see `shinglesOf`
-    * for why the column must be materialized).
+  /** SimHash over a materialized token-array column: per-bit signed
+    * votes over the 64-bit token hashes, sign → bit (Charikar '02).
+    * Tight-loop UDF for the same reason as `minhashSignature`.
     */
   def simhash64Of(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    // votes(bit) = sum over tokens of (bit set ? 1 : -1)
-    // simhash bit = votes(bit) > 0
-    val bits = transform(sequence(lit(0), lit(63)), bit =>
-      when(
-        aggregate(hashes, lit(0),
-          (acc, h) => acc +
-            when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1)
-              .otherwise(-1)) > 0, lit(1L)).otherwise(lit(0L)))
-    aggregate(
-      zip_with(bits, sequence(lit(0), lit(63)),
-        (b, i) => call_function("shiftleft", b, i)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    val f = udf { tokens: Seq[String] =>
+      val votes = Array.fill(64)(0)
+      tokens.foreach { t =>
+        val h = hash64(t)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) {
+        if (votes(bit) > 0) out |= (1L << bit)
+        bit += 1
+      }
+      out
+    }
+    f(toks)
   }
 
   /** Hamming distance between two 64-bit simhashes. */
