@@ -197,50 +197,64 @@ object DedupJobs {
     pairs
   }
 
-  /** Exact n-gram Jaccard pairs with prefix filtering (PPJoin-family,
-    * Chaudhuri et al. / Xiao et al. — public set-similarity-join
-    * technique): a pair with Jaccard ≥ τ must share at least one gram
-    * within each document's (|g| − ⌈τ·|g|⌉ + 1)-length prefix under a
-    * global rare-first gram order. Candidates come from joining only
-    * those prefixes — the naive all-pairs comparison (m² array
-    * intersections per block) never materializes — then exact Jaccard
-    * verifies. Exact: the prefix filter has no false negatives, so the
-    * output equals the naive all-pairs SQL oracle.
+  /** Exact blocked n-gram Jaccard pairs. Output equals the naive
+    * all-pairs SQL oracle; the search itself never materializes gram
+    * strings for the corpus at large: a fused kernel reduces each doc
+    * to sorted 64-bit gram hashes, the broadcast pair loop applies two
+    * exact prefilters (length bound j ≤ min/max; hash-merge
+    * intersection, whose collisions only OVERcount — a candidate
+    * superset, never a miss), and gram strings are computed solely for
+    * candidate docs at the final exact-verification join.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // repartition the RAW docs (shuffling text, not gram arrays), then
-    // tokenize/shingle once post-shuffle; cache feeds both passes
-    // (driver collect for the broadcast side + executor pair loop)
+
+    // Fused tokens→gram-hash kernel: only (id, block, sorted 64-bit
+    // gram hashes) flow through the plan — gram STRINGS are computed
+    // solely for candidate pairs at the exact-verification step.
+    val hashGramsUdf = udf { toks: Seq[String] =>
+      val arr = toks.toArray
+      val upper = math.max(arr.length - n, 0)
+      val set = new java.util.TreeSet[java.lang.Long]()
+      var p = 0
+      while (p <= upper) {
+        val sb = new java.lang.StringBuilder()
+        var q = p
+        val end = math.min(p + n, arr.length) - 1
+        while (q <= end) {
+          if (q > p) sb.append(' ')
+          sb.append(arr(q))
+          q += 1
+        }
+        set.add(TextFunctions.hash64(sb.toString))
+        p += 1
+      }
+      val out = Array.ofDim[Long](set.size)
+      val it = set.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out
+    }
     val prepped = docs
       .repartition(spark.sparkContext.defaultParallelism)
       .select(
-      col(idCol).cast("long").as("doc_id"),
-      concat_ws("", blockCols.map(col): _*).as("blk"),
-      tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), col("blk"),
-        shinglesOf(col("__toks"), n).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .persist()
+        col(idCol).cast("long").as("doc_id"),
+        concat_ws("\u0001", blockCols.map(col): _*).as("blk"),
+        tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .select(col("doc_id"), col("blk"), hashGramsUdf(col("__toks")).as("gh"))
 
-    // Exact pair search with three nested exact prefilters, all loops
-    // over primitive arrays (the deliberate imperative kernel for the
-    // O(n²) baseline, same rationale as cosineNearDupPairs):
-    //  1. length bound: j ≤ min/max of set sizes
-    //  2. sorted 64-bit gram-hash merge-intersection — can only
-    //     OVERcount (hash collisions merge distinct grams), so it
-    //     admits a candidate superset, never drops a true pair
-    //  3. exact string-set Jaccard verification
-    // At corpus scale the broadcast side is blocked, or the MinHash-LSH
-    // path (minhashCandidatePairs) prefilters instead of 1–2.
-    def hashes(grams: Seq[String]): Array[Long] = {
-      val h = grams.map(g => scala.util.hashing.MurmurHash3.stringHash(g).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(g.reverse).toLong & 0xFFFFFFFFL)).toArray
-      java.util.Arrays.sort(h)
-      h
-    }
+    // Candidate search over the broadcast hash arrays with two exact
+    // prefilters (the deliberate imperative kernel for the O(n²)
+    // baseline, same rationale as cosineNearDupPairs):
+    //  1. length bound: j ≤ min/max of distinct-gram counts
+    //  2. sorted-hash merge-intersection — collisions can only MERGE
+    //     distinct grams (overcount), so this admits a candidate
+    //     superset and never drops a true pair
+    // At corpus scale the broadcast side is blocked, or MinHash-LSH
+    // (minhashCandidatePairs) replaces 1–2 as the prefilter.
     def mergeIntersect(a: Array[Long], b: Array[Long]): Int = {
       var i = 0; var j = 0; var c = 0
       while (i < a.length && j < b.length) {
@@ -250,46 +264,52 @@ object DedupJobs {
       }
       c
     }
-    def exactJaccard(a: Seq[String], b: Seq[String]): Double = {
-      val sa = new java.util.HashSet[String](a.length * 2)
-      a.foreach(sa.add)
-      var inter = 0
-      b.foreach(s => if (sa.contains(s)) inter += 1)
-      inter.toDouble / (a.length + b.length - inter)
-    }
-
-    val local = prepped.collect().map { r =>
-      val grams = r.getSeq[String](2)
-      (r.getLong(0), r.getString(1), grams, hashes(grams))
+    val localTyped = prepped.collect().map { r =>
+      (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray)
     }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(local)
+    val bc = spark.sparkContext.broadcast(localTyped)
 
-    prepped
+    val candidates = prepped
       .flatMap { r =>
         val idA = r.getLong(0)
         val blkA = r.getString(1)
-        val gramsA = r.getSeq[String](2)
-        val hashA = hashes(gramsA)
-        val la = gramsA.length
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        val hashA = r.getSeq[Long](2).toArray
+        val la = hashA.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         val all = bc.value
         var j = 0
         while (j < all.length) {
-          val (idB, blkB, gramsB, hashB) = all(j)
-          val lb = gramsB.length
+          val (idB, blkB, hashB) = all(j)
+          val lb = hashB.length
           if (idB > idA && blkB == blkA &&
             math.min(la, lb) >= threshold * math.max(la, lb)) {
             val hInter = mergeIntersect(hashA, hashB)
-            if (hInter.toDouble / (la + lb - hInter) >= threshold) {
-              val jac = exactJaccard(gramsA, gramsB)
-              if (jac >= threshold) out += ((idA, idB, jac))
-            }
+            if (hInter.toDouble / (la + lb - hInter) >= threshold)
+              out += ((idA, idB))
           }
           j += 1
         }
         out
       }
-      .toDF("id_a", "id_b", "jaccard_raw")
+      .toDF("id_a", "id_b")
+
+    // exact string-set verification, shingles computed only for docs in
+    // candidate pairs
+    val candidateIds = candidates.select(col("id_a").as("cid"))
+      .unionByName(candidates.select(col("id_b").as("cid")))
+      .distinct()
+    val shOf = docs
+      .select(col(idCol).cast("long").as("cid"),
+        tokens(col(textCol)).as("__toks"))
+      .join(candidateIds, Seq("cid"), "left_semi")
+      .select(col("cid"), shinglesOf(col("__toks"), n).as("sh"))
+    candidates
+      .join(shOf.withColumnRenamed("cid", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(shOf.withColumnRenamed("cid", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard_raw", jaccardUdf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))
   }
