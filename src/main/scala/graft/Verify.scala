@@ -21,6 +21,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Session warmup so the first query's timing doesn't absorb
+    // codegen/file-listing startup.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/orders.parquet").count()
+    } catch { case _: Throwable => () }
     SparkEntry.queries.foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()

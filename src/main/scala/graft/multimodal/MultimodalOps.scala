@@ -67,6 +67,24 @@ object MultimodalOps {
       slice(sequence(lit(0), col("media_meta.n_frames") - 1, lit(stride)),
         1, maxFrames))
 
+  /** Resize stage: target dimensions computed plan-side from the
+    * decoded metadata (aspect-preserving fit into maxDim box, like an
+    * image-pipeline thumbnailer); the payload re-encode is stubbed as a
+    * proportional byte estimate. No payload column access — pure
+    * metadata arithmetic after decode.
+    */
+  def resize(df: DataFrame, maxDim: Int): DataFrame = {
+    val w = col("media_meta.width")
+    val h = col("media_meta.height")
+    val scale = least(lit(1.0), lit(maxDim) / greatest(w, h).cast("double"))
+    df.withColumn("resized",
+      struct(
+        ceil(w * scale).cast("int").as("width"),
+        ceil(h * scale).cast("int").as("height"),
+        ceil(col("media_meta.byte_len") * scale * scale).cast("long")
+          .as("est_bytes")))
+  }
+
   /** Feature-extract stage (STUB): fixed-length feature vector derived
     * deterministically from payload bytes — stands in for an encoder
     * forward pass; the array<float> output schema and batching are the

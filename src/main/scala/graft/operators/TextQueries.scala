@@ -80,6 +80,26 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints: per-doc selected rolling-hash count plus
+    * cross-doc shared-fingerprint degree (docs sharing any winnowed
+    * hash — the plagiarism/overlap detection shape).
+    */
+  private def winnowQuery(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"), winnowFingerprints(col("__toks")).as("fps"))
+    val exploded = fp.select(col("doc_id"), explode(col("fps")).as("h"))
+    val shared = exploded.groupBy("h")
+      .agg(collect_set(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) > 1)
+      .select(explode(col("docs")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    fp.select(col("doc_id"), size(col("fps")).as("n_fingerprints"))
+      .join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .orderBy("doc_id")
+  }
+
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
 
@@ -158,6 +178,7 @@ object TextQueries extends QueryModule {
          |  CAST(len($toksSql) AS INTEGER) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INTEGER) AS re_tokens
          |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_text_winnow", winnowQuery, None),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

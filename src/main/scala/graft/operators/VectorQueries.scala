@@ -55,14 +55,18 @@ object VectorQueries extends QueryModule {
     val withPayload = Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val decoded = MultimodalOps.decodeMetadata(withPayload, "payload")
-    MultimodalOps.sampleFrames(decoded, stride = 10, maxFrames = 8)
+    MultimodalOps.resize(
+      MultimodalOps.sampleFrames(decoded, stride = 10, maxFrames = 8),
+      maxDim = 512)
       .select(col("doc_id"),
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"),
         col("media_meta.n_frames").as("n_frames"),
         col("media_meta.format").as("format"),
         col("media_meta.byte_len").as("byte_len"),
-        size(col("sampled_frames")).as("n_sampled"))
+        size(col("sampled_frames")).as("n_sampled"),
+        col("resized.width").as("resized_w"),
+        col("resized.height").as("resized_h"))
       .orderBy("doc_id")
   }
 

@@ -130,11 +130,52 @@ object TextFunctions {
     bit_count(a.bitwiseXOR(b))
 
   /** Canonical document fingerprint: md5 of the sorted distinct token
-    * set — stable under word reordering and duplication (the rebuild's
-    * SQL-checkable stand-in for a rolling-hash fingerprint).
+    * set — stable under word reordering and duplication (the
+    * SQL-checkable set-level fingerprint).
     */
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", tokenSet(text)))
+
+  /** Winnowing fingerprints (Schleimer et al. '03, the MOSS local
+    * document-fingerprinting algorithm): polynomial rolling hash over
+    * token `window`-grams, then the minimum hash of each `winnow`-sized
+    * window of those — guarantees any shared run of ≥ winnow+window−1
+    * tokens yields a shared fingerprint. Returns the distinct selected
+    * hashes, sorted. Tight-loop UDF over a materialized token column.
+    */
+  def winnowFingerprints(toks: Column, window: Int = 4, winnow: Int = 4): Column = {
+    val f = udf { tokens: Seq[String] =>
+      val th = tokens.map(hash64).toArray
+      val n = th.length
+      if (n == 0) Array.empty[Long]
+      else {
+        val grams =
+          if (n < window) Array(th.foldLeft(1125899906842597L)((a, b) => mix64(a ^ b)))
+          else Array.tabulate(n - window + 1) { i =>
+            var h = 1125899906842597L
+            var j = i
+            while (j < i + window) { h = mix64(h ^ th(j)); j += 1 }
+            h
+          }
+        val selected = new java.util.TreeSet[java.lang.Long]()
+        var i = 0
+        while (i < grams.length) {
+          var best = Long.MaxValue
+          var j = i
+          val end = math.min(i + winnow, grams.length) - 1
+          while (j <= end) { if (grams(j) < best) best = grams(j); j += 1 }
+          selected.add(best)
+          i += winnow
+        }
+        val out = Array.ofDim[Long](selected.size)
+        val it = selected.iterator()
+        var k = 0
+        while (it.hasNext) { out(k) = it.next(); k += 1 }
+        out
+      }
+    }
+    f(toks)
+  }
 
   /** Language marker lexicons (tiny, high-frequency function words) for
     * space-delimited languages. Heuristic n-gram/stopword language ID —
