@@ -207,7 +207,8 @@ object DedupJobs {
     * candidate docs at the final exact-verification join.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      blockCols: Seq[String], n: Int, threshold: Double): DataFrame = {
+      blockCols: Seq[String], n: Int, threshold: Double,
+      broadcastBlockSize: Int = 1 << 20): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -267,31 +268,35 @@ object DedupJobs {
     val localTyped = prepped.collect().map { r =>
       (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray)
     }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(localTyped)
 
-    val candidates = prepped
-      .flatMap { r =>
-        val idA = r.getLong(0)
-        val blkA = r.getString(1)
-        val hashA = r.getSeq[Long](2).toArray
-        val la = hashA.length
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-        val all = bc.value
-        var j = 0
-        while (j < all.length) {
-          val (idB, blkB, hashB) = all(j)
-          val lb = hashB.length
-          if (idB > idA && blkB == blkA &&
-            math.min(la, lb) >= threshold * math.max(la, lb)) {
-            val hInter = mergeIntersect(hashA, hashB)
-            if (hInter.toDouble / (la + lb - hInter) >= threshold)
-              out += ((idA, idB))
+    // broadcast-side blocking: corpora beyond executor memory stream
+    // block by block; per-block candidate sets union
+    val candidates = localTyped.grouped(broadcastBlockSize).map { block =>
+      val bc = spark.sparkContext.broadcast(block)
+      prepped
+        .flatMap { r =>
+          val idA = r.getLong(0)
+          val blkA = r.getString(1)
+          val hashA = r.getSeq[Long](2).toArray
+          val la = hashA.length
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val all = bc.value
+          var j = 0
+          while (j < all.length) {
+            val (idB, blkB, hashB) = all(j)
+            val lb = hashB.length
+            if (idB > idA && blkB == blkA &&
+              math.min(la, lb) >= threshold * math.max(la, lb)) {
+              val hInter = mergeIntersect(hashA, hashB)
+              if (hInter.toDouble / (la + lb - hInter) >= threshold)
+                out += ((idA, idB))
+            }
+            j += 1
           }
-          j += 1
+          out
         }
-        out
-      }
-      .toDF("id_a", "id_b")
+        .toDF("id_a", "id_b")
+    }.toSeq.reduce(_ unionByName _)
 
     // exact string-set verification, shingles computed only for docs in
     // candidate pairs

@@ -82,8 +82,13 @@ object VectorOps {
     s
   }
 
+  /** @param broadcastBlockSize the collected side is broadcast in
+    *        blocks of this many vectors, so corpora larger than
+    *        executor memory stream block by block (results union; each
+    *        block pass is a full scan of the distributed side).
+    */
   def cosineNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, broadcastBlockSize: Int = 1 << 20): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     val prepped = vectors.select(col(idCol).cast("long").as("vid"),
@@ -92,9 +97,8 @@ object VectorOps {
     // other streams through mapPartitions with an unboxed dot-product
     // loop. This is the deliberate last-resort imperative kernel for
     // the O(n²) exact baseline — a join would materialize every pair
-    // row with both vectors attached (measured 500× slower). At corpus
-    // scale the broadcast side is processed in blocks and the
-    // approximate paths (LSH / IVF) prefilter instead.
+    // row with both vectors attached (measured 500× slower). The
+    // approximate paths (LSH / IVF) prefilter instead at corpus scale.
     val local = prepped.collect().map { r =>
       val arr = r.getSeq[Double](1).toArray
       var s = 0.0
@@ -102,34 +106,38 @@ object VectorOps {
       while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
       (r.getLong(0), arr, math.sqrt(s))
     }.sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(local)
-    prepped
-      .repartition(spark.sparkContext.defaultParallelism)
-      .flatMap { r =>
-        val idA = r.getLong(0)
-        val a = r.getSeq[Double](1).toArray
-        var sa = 0.0
-        var i = 0
-        while (i < a.length) { sa += a(i) * a(i); i += 1 }
-        val nrmA = math.sqrt(sa)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        val all = bc.value
-        var j = 0
-        while (j < all.length) {
-          val (idB, b, nrmB) = all(j)
-          if (idB > idA && nrmA * nrmB > 0) {
-            var dot = 0.0
-            var k = 0
-            val n = math.min(a.length, b.length)
-            while (k < n) { dot += a(k) * b(k); k += 1 }
-            val cos = dot / (nrmA * nrmB)
-            if (cos >= threshold) out += ((idA, idB, cos))
+
+    val streaming = prepped.repartition(spark.sparkContext.defaultParallelism)
+    val blockResults = local.grouped(broadcastBlockSize).map { block =>
+      val bc = spark.sparkContext.broadcast(block)
+      streaming
+        .flatMap { r =>
+          val idA = r.getLong(0)
+          val a = r.getSeq[Double](1).toArray
+          var sa = 0.0
+          var i = 0
+          while (i < a.length) { sa += a(i) * a(i); i += 1 }
+          val nrmA = math.sqrt(sa)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val all = bc.value
+          var j = 0
+          while (j < all.length) {
+            val (idB, b, nrmB) = all(j)
+            if (idB > idA && nrmA * nrmB > 0) {
+              var dot = 0.0
+              var k = 0
+              val n = math.min(a.length, b.length)
+              while (k < n) { dot += a(k) * b(k); k += 1 }
+              val cos = dot / (nrmA * nrmB)
+              if (cos >= threshold) out += ((idA, idB, cos))
+            }
+            j += 1
           }
-          j += 1
+          out
         }
-        out
-      }
-      .toDF("id_a", "id_b", "cos_raw")
+        .toDF("id_a", "id_b", "cos_raw")
+    }.toSeq
+    blockResults.reduce(_ unionByName _)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 

@@ -59,6 +59,32 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)), s"near dup expected within 8 bits; got $pairs")
   }
 
+  test("ngram jaccard with tiny broadcast blocks equals single-block result") {
+    import spark.implicits._
+    val blocked = docs().withColumn("lang", lit("en"))
+    def run(blockSize: Int) = DedupJobs.ngramJaccardPairs(blocked, "doc_id",
+      "text", Seq("lang"), n = 2, threshold = 0.5,
+      broadcastBlockSize = blockSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(2) == run(1000))
+    assert(run(2).nonEmpty)
+  }
+
+  test("cosine near-dup with tiny broadcast blocks equals single-block result") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.98f, 0.2f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    def run(blockSize: Int) = graft.vector.VectorOps.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", 0.9, broadcastBlockSize = blockSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(2) == run(1000))
+    assert(run(2) == Set((0L, 1L), (2L, 3L)))
+  }
+
   test("ngram jaccard pairs verify blocked near-dups") {
     import spark.implicits._
     val blocked = docs().withColumn("lang", lit("en"))
