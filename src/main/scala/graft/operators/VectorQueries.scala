@@ -111,7 +111,27 @@ object VectorQueries extends QueryModule {
       .agg(sum(col("pc")).as("n"), round(sum(col("ps")), 2).as("total_value"))
       .orderBy("event_type")
 
+  /** Recall of the approximate searchers vs the exact brute-force
+    * top-10 — the metric that justifies an ANN path at scale
+    * (recall@k, standard ANN evaluation).
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = topkBrute(s, d).select(col("vec_id"))
+    val lsh = VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
+      "vec_id", "embedding", k = 10, dim = DIM).select(col("vec_id"))
+    val (assigned, centroids) = IvfIndex.assign(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 16)
+    val ivf = IvfIndex.topK(assigned, centroids, queryVec(s, d),
+      "vec_id", "embedding", k = 10, nprobe = 4).select(col("vec_id"))
+    def recallOf(name: String, approx: DataFrame) =
+      exact.join(approx, Seq("vec_id"), "left_semi")
+        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+        .select(lit(name).as("method"), round(col("recall_at_10"), 2).as("recall_at_10"))
+    recallOf("lsh", lsh).unionByName(recallOf("ivf", ivf)).orderBy("method")
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vector_ann_recall", annRecall, None),
     QueryDef("q_vector_near_dup", cosineNearDups, Some(
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
