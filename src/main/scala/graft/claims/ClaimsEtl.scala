@@ -33,6 +33,17 @@ object ClaimsEtl {
     withIngestSeq(cleaned)
   }
 
+  /** S2 — Excel load (the reference's primary upload path, ref:
+    * core/etl.py:39-40 `pd.read_excel`, pages/1:37): first worksheet,
+    * row 1 = header, all cells string-typed like the CSV path (pandas
+    * `object` parity; canonicalize54 owns typing downstream). Parsed
+    * driver-side — an uploaded workbook is a driver-sized artifact —
+    * then parallelized with the same explicit ingest-sequence contract
+    * as loadCsv.
+    */
+  def loadExcel(spark: SparkSession, path: String): DataFrame =
+    withIngestSeq(graft.sources.Xlsx.read(spark, path))
+
   /** Attach the explicit ingest order (SURVEY.md §7.5 item 1).
     * `monotonically_increasing_id` is non-decreasing in (partition,
     * row-in-partition) order, which for a file source equals file order

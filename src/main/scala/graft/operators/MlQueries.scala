@@ -24,6 +24,8 @@ object MlQueries extends QueryModule {
   /** M1–M8 — distributed per-key champion training + forecast over the
     * monthly order series (seeded search ⇒ deterministic; stat model
     * outputs have no SQL oracle → rows-only + ForecastSpec coverage).
+    * Forecast/CI arrays are exploded to one scalar row per (key, step)
+    * so the driver's tabular compare can hash the output.
     */
   private def fleetForecast(s: SparkSession, d: String): DataFrame = {
     val monthly = Tables.orders(s, d)
@@ -32,10 +34,14 @@ object MlQueries extends QueryModule {
       .agg(count(lit(1)).as("n"))
     FleetTrainer.trainAll(monthly, Seq("o_orderpriority"),
       steps = 3, nTrials = 5)
-      .withColumn("forecast", transform(col("forecast"), v => round(v, 2)))
-      .withColumn("ci_lower", transform(col("ci_lower"), v => round(v, 2)))
-      .withColumn("ci_upper", transform(col("ci_upper"), v => round(v, 2)))
-      .orderBy("o_orderpriority")
+      .select(col("o_orderpriority"), col("champion"), col("test_rmse"),
+        posexplode(arrays_zip(col("forecast"), col("ci_lower"), col("ci_upper"))))
+      .select(col("o_orderpriority"), col("champion"), col("test_rmse"),
+        (col("pos") + 1).as("step"),
+        round(col("col.forecast"), 2).as("forecast"),
+        round(col("col.ci_lower"), 2).as("ci_lower"),
+        round(col("col.ci_upper"), 2).as("ci_upper"))
+      .orderBy("o_orderpriority", "step")
   }
 
   override val defs: Seq[QueryDef] = Seq(

@@ -25,8 +25,9 @@ object VectorQueries extends QueryModule {
     VectorOps.topKCosine(Tables.embeddings(s, d), queryVec(s, d),
       "vec_id", "embedding", k = 10)
 
-  /** LSH-bucketed ANN top-10 (same query; candidates limited to the
-    * query's hyperplane bucket).
+  /** Multi-table LSH ANN top-10 (same query; candidates limited to
+    * vectors sharing any of the query's 8 per-table hyperplane
+    * buckets).
     */
   private def topkAnn(s: SparkSession, d: String): DataFrame =
     VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
@@ -89,12 +90,16 @@ object VectorQueries extends QueryModule {
       "vec_id", "embedding", threshold = 0.9)
       .orderBy("id_a", "id_b")
 
-  /** IVF-bucketed ANN top-10 (k-means cells, probe 4 of 16). */
+  /** IVF-bucketed ANN top-10 (k-means cells, probe 6 of 16). The index
+    * is built once per (session, dataset) and cached — every IVF query
+    * in the session reads the same persisted assignment, the local
+    * analog of a partitioned-by-cell index layout.
+    */
   private def topkIvf(s: SparkSession, d: String): DataFrame = {
-    val (assigned, centroids) = IvfIndex.assign(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 16)
+    val (assigned, centroids) = IvfIndex.assignCached(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
     IvfIndex.topK(assigned, centroids, queryVec(s, d),
-      "vec_id", "embedding", k = 10, nprobe = 4)
+      "vec_id", "embedding", k = 10, nprobe = 6)
   }
 
   /** Skew-safe two-stage aggregation: salt the hot keys, partial-agg
@@ -116,13 +121,15 @@ object VectorQueries extends QueryModule {
     * (recall@k, standard ANN evaluation).
     */
   private def annRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = topkBrute(s, d).select(col("vec_id"))
+    // The exact top-10 feeds one semi-join per approximate method —
+    // persisted so the brute-force scan runs once, not per method.
+    val exact = topkBrute(s, d).select(col("vec_id")).persist()
     val lsh = VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
       "vec_id", "embedding", k = 10, dim = DIM).select(col("vec_id"))
-    val (assigned, centroids) = IvfIndex.assign(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 16)
+    val (assigned, centroids) = IvfIndex.assignCached(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
     val ivf = IvfIndex.topK(assigned, centroids, queryVec(s, d),
-      "vec_id", "embedding", k = 10, nprobe = 4).select(col("vec_id"))
+      "vec_id", "embedding", k = 10, nprobe = 6).select(col("vec_id"))
     def recallOf(name: String, approx: DataFrame) =
       exact.join(approx, Seq("vec_id"), "left_semi")
         .agg((count(lit(1)) / 10.0).as("recall_at_10"))

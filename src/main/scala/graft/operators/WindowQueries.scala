@@ -81,14 +81,18 @@ object WindowQueries extends QueryModule {
     * (ref: app.py:306-307; array ops: collect_list/array_sort/transform).
     */
   private def trendString(s: SparkSession, d: String): DataFrame =
+    // One shuffle: assemble each key's sorted series and slice the last
+    // 6 in-plan (the row_number-filter-then-agg form costs a second
+    // exchange for the window; same construction as RiskScanJob.scan).
     monthly(s, d)
-      .withColumn("rn", row_number().over(Window.partitionBy("p").orderBy(col("ym").desc)))
-      .filter(col("rn") <= 6)
       .groupBy(col("p"))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("ym"), col("n")))),
+      .agg(array_sort(collect_list(struct(col("ym"), col("n")))).as("series"))
+      .select(col("p"),
+        array_join(transform(
+          when(size(col("series")) < 6, col("series"))
+            .otherwise(slice(col("series"), -6, 6)),
           x => x.getField("n").cast("string")),
-        " → ").as("trend"))
+          " → ").as("trend"))
       .orderBy("p")
 
   /** F2–F6 — date part/arithmetic functions

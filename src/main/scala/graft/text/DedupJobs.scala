@@ -177,24 +177,39 @@ object DedupJobs {
     * 4×16-bit block bucketing (pigeonhole: ≤3 differing bits → at least
     * one identical 16-bit block).
     */
+  /** @param maxBucket skew guard, same pattern as
+    *        [[minhashCandidatePairs]]: a hot 16-bit block key of m docs
+    *        would otherwise generate m²/2 pairs inside one join task
+    *        (the 16-bit keyspace has only 65k values per block — at
+    *        corpus scale EVERY bucket is hot). Buckets beyond the cap
+    *        are dropped as content-collision noise.
+    */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
     val sigs = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), simhash64Of(col("__toks")).as("simhash"))
+    // Pigeonhole bucketing: ≤3 differing bits of 64 → at least one of
+    // the 4 16-bit blocks identical. Buckets carry (id, simhash)
+    // members only; pairs are generated bucket-locally under the cap.
     val blocks = sigs.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("blk"),
           shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("b"))
-    val pairs = blocks.alias("x")
-      .join(blocks.alias("y"),
-        col("x.b.blk") === col("y.b.blk") && col("x.b.key") === col("y.b.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        hamming64(col("x.simhash"), col("y.simhash")).as("hamming"))
+    val buckets = blocks
+      .groupBy(col("b.blk").as("blk"), col("b.key").as("key"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(members, a ->
+          |    transform(members, b -> struct(a AS x, b AS y)))),
+          |  p -> p.x.doc_id < p.y.doc_id)""".stripMargin)).as("p"))
+      .select(col("p.x.doc_id").as("id_a"), col("p.y.doc_id").as("id_b"),
+        hamming64(col("p.x.simhash"), col("p.y.simhash")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
-    pairs
   }
 
   /** Exact blocked n-gram Jaccard pairs. Output equals the naive
@@ -265,14 +280,17 @@ object DedupJobs {
       }
       c
     }
-    val localTyped = prepped.collect().map { r =>
+    // Blocks stream through the driver via toLocalIterator — the full
+    // corpus never sits in driver heap; each block goes straight to the
+    // (disk-backed) broadcast manager. Corpora beyond executor memory
+    // stream block by block; per-block candidate sets union.
+    import scala.jdk.CollectionConverters._
+    val localBlocks = prepped.toLocalIterator().asScala.map { r =>
       (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray)
-    }.sortBy(_._1)
+    }.grouped(broadcastBlockSize)
 
-    // broadcast-side blocking: corpora beyond executor memory stream
-    // block by block; per-block candidate sets union
-    val candidates = localTyped.grouped(broadcastBlockSize).map { block =>
-      val bc = spark.sparkContext.broadcast(block)
+    val candidates = localBlocks.map { blockSeq =>
+      val bc = spark.sparkContext.broadcast(blockSeq.toArray)
       prepped
         .flatMap { r =>
           val idA = r.getLong(0)
@@ -296,19 +314,21 @@ object DedupJobs {
           out
         }
         .toDF("id_a", "id_b")
-    }.toSeq.reduce(_ unionByName _)
+    }.toSeq
+    val candidatesAll = (candidates :+ Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .reduce(_ unionByName _)
 
     // exact string-set verification, shingles computed only for docs in
     // candidate pairs
-    val candidateIds = candidates.select(col("id_a").as("cid"))
-      .unionByName(candidates.select(col("id_b").as("cid")))
+    val candidateIds = candidatesAll.select(col("id_a").as("cid"))
+      .unionByName(candidatesAll.select(col("id_b").as("cid")))
       .distinct()
     val shOf = docs
       .select(col(idCol).cast("long").as("cid"),
         tokens(col(textCol)).as("__toks"))
       .join(candidateIds, Seq("cid"), "left_semi")
       .select(col("cid"), shinglesOf(col("__toks"), n).as("sh"))
-    candidates
+    candidatesAll
       .join(shOf.withColumnRenamed("cid", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shOf.withColumnRenamed("cid", "id_b")

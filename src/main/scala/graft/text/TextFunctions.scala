@@ -157,15 +157,33 @@ object TextFunctions {
             while (j < i + window) { h = mix64(h ^ th(j)); j += 1 }
             h
           }
+        // Schleimer et al. §4: slide a winnow-sized window ONE gram at
+        // a time; record the window minimum, rightmost occurrence on
+        // ties, deduping consecutive picks by position. Sliding by the
+        // winnow size instead (tiling) loses the guarantee that any
+        // shared run of ≥ winnow+window−1 tokens yields a shared
+        // fingerprint — tiles align to absolute offsets, so the same
+        // run at a different offset can select different minima.
         val selected = new java.util.TreeSet[java.lang.Long]()
+        val nw = math.min(winnow, grams.length)
+        var minPos = -1
         var i = 0
-        while (i < grams.length) {
-          var best = Long.MaxValue
-          var j = i
-          val end = math.min(i + winnow, grams.length) - 1
-          while (j <= end) { if (grams(j) < best) best = grams(j); j += 1 }
-          selected.add(best)
-          i += winnow
+        while (i + nw <= grams.length) {
+          if (minPos < i) {
+            // previous minimum slid out — rescan the window, rightmost min
+            minPos = i
+            var j = i + 1
+            while (j < i + nw) { if (grams(j) <= grams(minPos)) minPos = j; j += 1 }
+            selected.add(grams(minPos))
+          } else {
+            // only the newly entered gram can change the minimum
+            val entered = i + nw - 1
+            if (grams(entered) <= grams(minPos)) {
+              minPos = entered
+              selected.add(grams(minPos))
+            }
+          }
+          i += 1
         }
         val out = Array.ofDim[Long](selected.size)
         val it = selected.iterator()

@@ -1,7 +1,5 @@
 package graft.vector
 
-import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,37 +8,180 @@ import org.apache.spark.sql.functions._
   * family): k-means centroids partition the corpus; a query probes only
   * the `nprobe` nearest cells. At 100 TB the corpus is written
   * partitioned by cell, so a probe reads `nprobe/k` of the data; here
-  * the cell assignment and probing run in one session.
+  * the session-lifetime `assignCached` is the local analog — the index
+  * is built once per dataset and every query reads the cached
+  * assignment.
+  *
+  * Training follows the standard large-corpus recipe (FAISS-style):
+  * the coarse quantizer is fitted on a BOUNDED sample pulled to the
+  * driver (k is small — tens to thousands of cells — so a ~20k-vector
+  * sample saturates centroid quality), then cell assignment runs
+  * map-side against the broadcast centroids: zero shuffles, one corpus
+  * scan, embarrassingly parallel. Distributed Lloyd iterations (k
+  * corpus passes) buy nothing for a 16-cell quantizer and were the
+  * measured dominant cost of the IVF entries.
+  *
+  * Vectors are L2-normalized before clustering so the quantizer's
+  * Euclidean metric agrees with the cosine scoring metric (on unit
+  * vectors, argmin L2 = argmax cosine); the probe ranks cells by the
+  * same metric assignment used — a raw dot-product probe over
+  * unnormalized centroids would rank different cells than assignment
+  * and silently cost recall.
   */
 object IvfIndex {
 
-  /** Assign each vector to its nearest of `k` centroids (seeded k-means
-    * → deterministic locally).
+  /** Tight-loop L2 normalization (zero vectors pass through). A Column
+    * lambda would re-evaluate the norm aggregate per element after
+    * CollapseProject inlining.
     */
-  def assign(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
-    val feat = vectors.withColumn("__features",
-      array_to_vector(col(vecCol).cast("array<double>")))
-    val model = new KMeans().setK(k).setSeed(seed)
-      .setMaxIter(10) // coarse quantizer — convergence beyond this buys no recall
-      .setFeaturesCol("__features").fit(feat)
-    val assigned = model.transform(feat)
-      .withColumnRenamed("prediction", "cell")
-      .drop("__features")
-    (assigned, model.clusterCenters.map(_.toArray))
+  private val normalizeUdf = udf { v: Seq[Double] =>
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n > 0) v.map(_ / n) else v
   }
 
-  /** Top-k cosine restricted to the `nprobe` cells nearest the query. */
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def nearestCell(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = sqDist(cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Seeded k-means++ init + Lloyd iterations over a driver-side sample
+    * of normalized vectors. Deterministic for a fixed seed.
+    */
+  private[vector] def lloyd(sample: Array[Array[Double]], k: Int,
+      iters: Int, seed: Long): Array[Array[Double]] = {
+    val n = sample.length
+    val kk = math.max(1, math.min(k, n))
+    val rnd = new scala.util.Random(seed)
+    val dim = sample.head.length
+    // k-means++ seeding: distance-weighted draws.
+    val centroids = Array.ofDim[Array[Double]](kk)
+    centroids(0) = sample(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < kk) {
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = sqDist(sample(i), centroids(c - 1))
+        if (d < d2(i)) d2(i) = d
+        total += d2(i)
+        i += 1
+      }
+      var target = rnd.nextDouble() * total
+      var pick = 0
+      i = 0
+      while (i < n && target > 0) { target -= d2(i); if (target > 0) pick = math.min(i + 1, n - 1); i += 1 }
+      centroids(c) = sample(pick).clone()
+      c += 1
+    }
+    // Lloyd: assign → mean, empty cells keep their previous centroid.
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(Array.fill(dim)(0.0))
+      val counts = Array.fill(kk)(0L)
+      var i = 0
+      while (i < n) {
+        val cell = nearestCell(centroids, sample(i))
+        val s = sums(cell)
+        val v = sample(i)
+        var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        counts(cell) += 1
+        i += 1
+      }
+      var cc = 0
+      while (cc < kk) {
+        if (counts(cc) > 0) {
+          var j = 0
+          while (j < dim) { centroids(cc)(j) = sums(cc)(j) / counts(cc); j += 1 }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Fit the coarse quantizer on a bounded, deterministic sample and
+    * assign each vector to its nearest centroid map-side. Returned
+    * centroids are in the L2-normalized space.
+    */
+  def assign(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, seed: Long = 42L, sampleN: Int = 20000,
+      iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
+    val normed = vectors.withColumn("__nvec",
+      normalizeUdf(col(vecCol).cast("array<double>")))
+    // Deterministic sample: first sampleN ids (any fixed rule works —
+    // the quantizer needs coverage, not randomness; id order is as
+    // arbitrary w.r.t. vector geometry as a hash order).
+    val sample = normed
+      .select(col(idCol), col("__nvec"))
+      .orderBy(col(idCol))
+      .limit(sampleN)
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "IVF fit: empty corpus")
+    val centroids = lloyd(sample, k, iters, seed)
+    val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
+    val cellUdf = udf { v: Seq[Double] => nearestCell(bc.value, v.toArray) }
+    val assigned = normed
+      .withColumn("cell", cellUdf(col("__nvec")))
+      .drop("__nvec")
+    (assigned, centroids)
+  }
+
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (DataFrame, Array[Array[Double]])]()
+
+  /** Build-once/read-many index handle: fitted and persisted on first
+    * use per (session, dataset, k) and shared by every subsequent query
+    * — locally what the partitioned-by-cell parquet layout does on a
+    * cluster.
+    */
+  def assignCached(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, datasetKey: String): (DataFrame, Array[Array[Double]]) = {
+    val key = s"${System.identityHashCode(vectors.sparkSession)}|$datasetKey|$k"
+    cache.computeIfAbsent(key, _ => {
+      val (assigned, centroids) = assign(vectors, idCol, vecCol, k)
+      (assigned.persist(), centroids)
+    })
+  }
+
+  /** Top-k cosine restricted to the `nprobe` cells nearest the query
+    * under the assignment metric (L2 in normalized space: rank by
+    * |c|² − 2·q̂·c, the |q̂|² term being constant).
+    */
   def topK(assigned: DataFrame, centroids: Array[Array[Double]],
       query: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     val centroidDf = centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
-    val probeCells = query.crossJoin(broadcast(centroidDf))
+      .map { case (c, i) => (i, c, c.map(x => x * x).sum) }
+      .toSeq.toDF("cell", "centroid", "cnorm2")
+    val probeCells = query
+      .withColumn("qn", normalizeUdf(col("qvec").cast("array<double>")))
+      .crossJoin(broadcast(centroidDf))
       .withColumn("dist",
-        VectorOps.dot(col("qvec").cast("array<double>"), col("centroid")) * -1)
+        col("cnorm2") - VectorOps.dot(col("qn"), col("centroid")) * 2)
       .orderBy(col("dist"), col("cell"))
       .limit(nprobe)
       .select(col("cell"))

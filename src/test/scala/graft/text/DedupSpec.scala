@@ -59,6 +59,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)), s"near dup expected within 8 bits; got $pairs")
   }
 
+  test("simhash degenerate block stays bounded under maxBucket cap") {
+    import spark.implicits._
+    // All-identical texts: every doc lands in the same 4 block buckets.
+    // Uncapped this is m²/2 pairs from one bucket — the cap must bound
+    // the output (cap exceeded → bucket dropped entirely), and a
+    // permissive cap must return exactly the all-pairs set.
+    val same = (0L until 20L).map(i => (i, "identical text repeated here"))
+      .toDF("doc_id", "text")
+    val capped = DedupJobs.simhashNearDups(same, "doc_id", "text",
+      maxHamming = 3, maxBucket = 5).count()
+    assert(capped == 0L, "over-cap degenerate buckets must be dropped")
+    val open = DedupJobs.simhashNearDups(same, "doc_id", "text",
+      maxHamming = 3, maxBucket = 1000).count()
+    assert(open == 190L, s"20 identical docs → C(20,2)=190 pairs, got $open")
+  }
+
   test("ngram jaccard with tiny broadcast blocks equals single-block result") {
     import spark.implicits._
     val blocked = docs().withColumn("lang", lit("en"))
