@@ -47,6 +47,45 @@ object TextQueries extends QueryModule {
       blockCols = Seq("lang"), n = 2, threshold = 0.8)
       .orderBy("id_a", "id_b")
 
+  /** Soundness audit for the MinHash-LSH path, DuckDB-checkable even
+    * though the LSH search itself is not SQL-expressible: every emitted
+    * pair is re-verified with the INDEPENDENT plan-side set-Jaccard
+    * (codegen'd array_intersect/array_union — a different code path
+    * than the kernel's tight-loop verification UDF) and violations of
+    * the τ=0.5 floor are emitted. The oracle asserts the violation set
+    * is EMPTY (pairs ⊆ exact-threshold pairs).
+    */
+  private def dedupMinhashSound(s: SparkSession, d: String): DataFrame =
+    DedupJobs.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text",
+      withAudit = true)
+      .filter(col("jaccard_check") < 0.5)
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"), col("jaccard_check"))
+      .orderBy("id_a", "id_b")
+
+  /** Completeness audit for the SimHash pigeonhole blocking: on a
+    * bounded id-slice the blocked candidate join at maxHamming=3 must
+    * equal brute-force all-pairs — with 4 blocks of 16 bits, any pair
+    * within 3 differing bits shares at least one identical block (an
+    * exact guarantee, not probabilistic). Emits the symmetric
+    * difference; the oracle asserts EMPTY.
+    */
+  private def dedupSimhashSound(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
+    val blocked = DedupJobs.simhashNearDups(docs, "doc_id", "text",
+      maxHamming = 3).select("id_a", "id_b")
+    val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
+    val brute = sigs.alias("x")
+      .join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
+      .filter(hamming64(col("x.simhash"), col("y.simhash")) <= 3)
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+    blocked.exceptAll(brute).withColumn("side", lit("blocked_only"))
+      .unionByName(brute.exceptAll(blocked).withColumn("side", lit("brute_only")))
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"), col("side"))
+      .orderBy("id_a", "id_b", "side")
+  }
+
   /** Heuristic language ID vs the labeled lang column. */
   private def langIdQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -108,7 +147,13 @@ object TextQueries extends QueryModule {
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
     QueryDef("q_dedup_minhash", dedupMinhash, None),
+    QueryDef("q_dedup_minhash_sound", dedupMinhashSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS jaccard_check WHERE FALSE""".stripMargin)),
     QueryDef("q_dedup_simhash", dedupSimhash, None),
+    QueryDef("q_dedup_simhash_sound", dedupSimhashSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS VARCHAR) AS side WHERE FALSE""".stripMargin)),
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(
       s"""WITH t AS (
          |  SELECT doc_id, lang,

@@ -56,11 +56,19 @@ object DedupJobs {
     *                   (a degenerate bucket of m docs generates m²/2
     *                   pairs — at corpus scale one hot bucket can
     *                   dominate the whole job)
+    * @param withAudit  when set, each verified pair also carries
+    *                   `jaccard_check`: the same exact Jaccard computed
+    *                   by the INDEPENDENT codegen'd set path
+    *                   (array_intersect/array_union) instead of the
+    *                   tight-loop UDF — the soundness-audit surface
+    *                   (violations of `jaccard_check ≥ threshold`
+    *                   should not exist)
     */
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      withAudit: Boolean = false): DataFrame = {
 
     // Fused tokens→shingles→signature→band-buckets kernel: shingle
     // strings and the k-length signature live only inside the UDF call
@@ -141,15 +149,23 @@ object DedupJobs {
       .select(col(idCol).as("cid"), tokens(col(textCol)).as("__toks"))
       .join(candidateIds, Seq("cid"), "left_semi")
       .select(col("cid"), shinglesOf(col("__toks"), shingleN).as("sh"))
-    pairs
+    val verified = pairs
       .join(shOf.withColumnRenamed("cid", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
       .join(shOf.withColumnRenamed("cid", "id_b")
         .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .withColumn("jaccard_raw", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_raw") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        round(col("jaccard_raw"), 4).as("jaccard"))
+    // Direct ratio, not TextFunctions.jaccard: its zero-union guard
+    // (`when(union > 0, …)`) evaluates array_union twice per row, and
+    // verified pairs always have non-empty shingle sets.
+    val audit =
+      if (withAudit)
+        Seq(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard_check"))
+      else Nil
+    verified.select(col("id_a") +: col("id_b") +:
+      round(col("jaccard_raw"), 4).as("jaccard") +: audit: _*)
   }
 
   /** Near-dup groups: every doc mapped to the smallest verified
