@@ -130,6 +130,14 @@ object DedupJobs {
       .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
 
+    // persist + eager count: `pairs` feeds three consumers (both
+    // candidateIds branches and the verification join), and the
+    // candidateIds consumer is a BROADCAST subplan — its future races
+    // the cache fill and, losing, recomputes the whole
+    // shingle→signature→bucket search cold in a single task (measured:
+    // 1.8 s of a 4 s query). Materializing before returning makes every
+    // consumer a cache read; at corpus scale this boundary is a
+    // checkpoint, locally MEMORY_AND_DISK is the same shape.
     val pairs = buckets
       .select(explode(expr(
         """filter(
@@ -138,6 +146,8 @@ object DedupJobs {
           |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .persist()
+    pairs.count()
 
     // Exact-Jaccard verification shingles are computed ONLY for docs
     // that appear in candidate pairs (semi-join pushback) — the corpus
