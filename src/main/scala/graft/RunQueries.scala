@@ -22,10 +22,9 @@ object RunQueries {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/orders.parquet").count()
-    } catch { case _: Throwable => () }
+    // Warmup; the only expected failure is a missing/foreign sfDir
+    // (AnalysisException: PATH_NOT_FOUND) — anything else should surface.
+    Warmup.run(spark, sfDir)
     names.foreach { name =>
       SparkEntry.queries.get(name) match {
         case None => println(s"$name: UNKNOWN")

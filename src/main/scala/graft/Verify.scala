@@ -23,10 +23,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Session warmup so the first query's timing doesn't absorb
     // codegen/file-listing startup.
-    try {
-      spark.range(1000000).selectExpr("sum(id)").collect()
-      spark.read.parquet(s"$sfDir/orders.parquet").count()
-    } catch { case _: Throwable => () }
+    Warmup.run(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()

@@ -21,16 +21,27 @@ object TextQueries extends QueryModule {
     DedupJobs.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
       .orderBy("digest")
 
-  /** MinHash-LSH near-dup groups (per-doc survivor mapping). */
+  /** MinHash-LSH near-dup groups (per-doc survivor mapping). The
+    * candidate search is session-cached per dataset dir — this entry
+    * and [[dedupMinhashSound]] share ONE search (round 2 ran it twice).
+    */
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
-    DedupJobs.minhashDupGroups(Tables.documents(s, d), "doc_id", "text")
+    DedupJobs.minhashDupGroups(Tables.documents(s, d), "doc_id", "text",
+      cacheKey = Some(s"documents|$d"))
       .orderBy("doc_id")
 
-  /** SimHash signatures + near-dup degree per doc. */
+  /** SimHash signatures + near-dup degree per doc. (8, 2) block
+    * combinations give EXACT recall up to 6 differing bits (pigeonhole:
+    * ≤6 dirty bits leave ≥2 of 8 blocks clean, and that block pair is
+    * one of the 28 bucket keys), so the entry's `maxHamming = 6`
+    * matches the guarantee bound — the round-2 entry advertised 16 bits
+    * on a 3-bit guarantee.
+    */
   private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
-    val pairs = DedupJobs.simhashNearDups(docs, "doc_id", "text", maxHamming = 16)
+    val pairs = DedupJobs.simhashNearDups(docs, "doc_id", "text",
+      maxHamming = 6, blocks = 8, comboSize = 2)
     val degree = pairs.select(col("id_a").as("doc_id"))
       .unionByName(pairs.select(col("id_b").as("doc_id")))
       .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
@@ -40,11 +51,12 @@ object TextQueries extends QueryModule {
   }
 
   /** Exact bigram-Jaccard near-dup pairs, blocked by language
-    * (prefix-filtered set-similarity join; τ=0.5 near-dup floor).
+    * (prefix-filtered set-similarity join; τ=0.8 near-dup floor).
     */
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-      blockCols = Seq("lang"), n = 2, threshold = 0.8)
+      blockCols = Seq("lang"), n = 2, threshold = 0.8,
+      cacheKey = Some(s"documents|$d"))
       .orderBy("id_a", "id_b")
 
   /** Soundness audit for the MinHash-LSH path, DuckDB-checkable even
@@ -57,27 +69,29 @@ object TextQueries extends QueryModule {
     */
   private def dedupMinhashSound(s: SparkSession, d: String): DataFrame =
     DedupJobs.minhashCandidatePairs(Tables.documents(s, d), "doc_id", "text",
-      withAudit = true)
+      withAudit = true, cacheKey = Some(s"documents|$d"))
       .filter(col("jaccard_check") < 0.5)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"), col("jaccard_check"))
       .orderBy("id_a", "id_b")
 
-  /** Completeness audit for the SimHash pigeonhole blocking: on a
-    * bounded id-slice the blocked candidate join at maxHamming=3 must
-    * equal brute-force all-pairs — with 4 blocks of 16 bits, any pair
-    * within 3 differing bits shares at least one identical block (an
-    * exact guarantee, not probabilistic). Emits the symmetric
-    * difference; the oracle asserts EMPTY.
+  /** Completeness audit for the SimHash pigeonhole blocking, at the
+    * SAME guarantee bound the main entry runs: on a bounded id-slice
+    * the (8, 2)-block candidate join at maxHamming=6 must equal
+    * brute-force all-pairs — ≤6 differing bits leave ≥2 clean blocks,
+    * whose combination key collides (exact guarantee while every
+    * participating bucket is under the cap; the slice keeps buckets far
+    * below it). Emits the symmetric difference; the oracle asserts
+    * EMPTY.
     */
   private def dedupSimhashSound(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val blocked = DedupJobs.simhashNearDups(docs, "doc_id", "text",
-      maxHamming = 3).select("id_a", "id_b")
+      maxHamming = 6, blocks = 8, comboSize = 2).select("id_a", "id_b")
     val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
     val brute = sigs.alias("x")
       .join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
-      .filter(hamming64(col("x.simhash"), col("y.simhash")) <= 3)
+      .filter(hamming64(col("x.simhash"), col("y.simhash")) <= 6)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     blocked.exceptAll(brute).withColumn("side", lit("blocked_only"))
       .unionByName(brute.exceptAll(blocked).withColumn("side", lit("brute_only")))
@@ -138,6 +152,22 @@ object TextQueries extends QueryModule {
       .na.fill(0L, Seq("n_shared"))
       .orderBy("doc_id")
   }
+
+  /** Soundness audit for the winnowing kernel: the incremental
+    * sliding-minimum selection must equal an independent naive
+    * recomputation (every window rescanned, rightmost min) on every
+    * document. Emits mismatching docs; the oracle asserts EMPTY.
+    */
+  private def winnowSound(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+      .select(col("doc_id"),
+        winnowFingerprints(col("__toks")).as("fast"),
+        winnowFingerprintsNaive(col("__toks")).as("naive"))
+      .filter(not(col("fast") === col("naive")))
+      .select(col("doc_id"), size(col("fast")).as("n_fast"),
+        size(col("naive")).as("n_naive"))
+      .orderBy("doc_id")
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
@@ -224,6 +254,9 @@ object TextQueries extends QueryModule {
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INTEGER) AS re_tokens
          |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("q_text_winnow", winnowQuery, None),
+    QueryDef("q_text_winnow_sound", winnowSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS n_fast,
+        |  CAST(NULL AS INTEGER) AS n_naive WHERE FALSE""".stripMargin)),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

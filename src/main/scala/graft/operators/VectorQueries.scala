@@ -120,25 +120,66 @@ object VectorQueries extends QueryModule {
     * top-10 — the metric that justifies an ANN path at scale
     * (recall@k, standard ANN evaluation).
     */
-  private def annRecall(s: SparkSession, d: String): DataFrame = {
+  /** Computed once per (session, dataset) — the floor audit entry
+    * consumes the same tiny materialized result instead of re-running
+    * the brute-force + LSH + IVF searches.
+    */
+  private def annRecall(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"annrecall|$d") {
+      (annRecallCompute(s, d), Seq.empty)
+    }
+
+  private def annRecallCompute(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     // The exact top-10 feeds one semi-join per approximate method —
-    // persisted so the brute-force scan runs once, not per method.
+    // persisted so the brute-force scan runs once, not per method. The
+    // 2-row result is materialized eagerly so the persist is released
+    // before returning (a bare persist here leaked for the session
+    // lifetime in round 2).
     val exact = topkBrute(s, d).select(col("vec_id")).persist()
-    val lsh = VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
-      "vec_id", "embedding", k = 10, dim = DIM).select(col("vec_id"))
-    val (assigned, centroids) = IvfIndex.assignCached(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
-    val ivf = IvfIndex.topK(assigned, centroids, queryVec(s, d),
-      "vec_id", "embedding", k = 10, nprobe = 6).select(col("vec_id"))
-    def recallOf(name: String, approx: DataFrame) =
-      exact.join(approx, Seq("vec_id"), "left_semi")
-        .agg((count(lit(1)) / 10.0).as("recall_at_10"))
-        .select(lit(name).as("method"), round(col("recall_at_10"), 2).as("recall_at_10"))
-    recallOf("lsh", lsh).unionByName(recallOf("ivf", ivf)).orderBy("method")
+    try {
+      val lsh = VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
+        "vec_id", "embedding", k = 10, dim = DIM).select(col("vec_id"))
+      val (assigned, centroids) = IvfIndex.assignCached(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
+      val ivf = IvfIndex.topK(assigned, centroids, queryVec(s, d),
+        "vec_id", "embedding", k = 10, nprobe = 6).select(col("vec_id"))
+      def recallOf(name: String, approx: DataFrame) =
+        exact.join(approx, Seq("vec_id"), "left_semi")
+          .agg((count(lit(1)) / 10.0).as("recall_at_10"))
+          .select(lit(name).as("method"), round(col("recall_at_10"), 2).as("recall_at_10"))
+      recallOf("lsh", lsh).unionByName(recallOf("ivf", ivf)).orderBy("method")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .toDF("method", "recall_at_10")
+    } finally exact.unpersist()
+  }
+
+  /** Soundness floor for the ANN paths, DuckDB-checkable even though
+    * the searches are not SQL-expressible: recall@10 of each
+    * approximate method against the exact top-10 must clear a fixed
+    * floor (LSH ≥ 0.2, IVF ≥ 0.5 — well under the observed 0.3 / 0.8,
+    * both deterministic: seeded quantizer, fixed hyperplanes). Emits
+    * the violations; the oracle asserts the set is EMPTY.
+    */
+  private def annRecallFloor(s: SparkSession, d: String): DataFrame = {
+    val floors = Seq("lsh" -> 0.2, "ivf" -> 0.5)
+    val floorDf = {
+      import s.implicits._
+      floors.toDF("method", "floor")
+    }
+    annRecall(s, d)
+      .join(floorDf, Seq("method"))
+      .filter(col("recall_at_10") < col("floor"))
+      .select(col("method"), col("recall_at_10"), col("floor"))
+      .orderBy("method")
   }
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_vector_ann_recall", annRecall, None),
+    QueryDef("q_vector_ann_floor", annRecallFloor, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS method,
+        |  CAST(NULL AS DOUBLE) AS recall_at_10,
+        |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_near_dup", cosineNearDups, Some(
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim

@@ -1,6 +1,7 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Column}
+import graft.SessionCache
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication jobs for the training-data pipeline: exact,
@@ -13,8 +14,16 @@ import org.apache.spark.sql.functions._
   *  - MinHash LSH: map-side shingle→signature, shuffle only
   *    (doc_id, band, bucket) triples, bucket-local pair generation with
   *    an explicit bucket-size cap against degenerate buckets
-  *  - SimHash: map-side 64-bit signature, band-rotate bucketing
-  *  - n-gram Jaccard: blocked pair join + exact verification
+  *  - SimHash: map-side 64-bit signature, block-combination bucketing
+  *    with an exact pigeonhole recall guarantee
+  *  - n-gram Jaccard: exact distributed set-similarity join via prefix
+  *    filtering (no all-pairs, no driver funnel)
+  *
+  * The expensive searches (MinHash, n-gram) are built once per
+  * (session, input, parameters) through [[graft.SessionCache]]: the
+  * verified-pairs frame is persisted and shared by every consumer
+  * (the dedup query, its soundness audit, the group mapping), and the
+  * cache evicts with the owning session.
   */
 object DedupJobs {
 
@@ -36,6 +45,22 @@ object DedupJobs {
     }
   }
 
+  /** Spread a parallelism-starved scan before a per-doc kernel. A
+    * cluster-scale corpus arrives already split across many files/row
+    * groups -- repartitioning it would shuffle every corpus byte for
+    * nothing, so such scans pass through untouched. A single-row-group
+    * local file, though, would run the whole kernel in ONE task; that
+    * scan is spread to defaultParallelism/4 partitions -- enough to
+    * saturate cores on the map-side kernel while keeping tasks large
+    * enough to amortize per-task overhead (32 near-empty tasks measured
+    * slower than 8 right-sized ones on the local corpus).
+    */
+  private def spread(docs: DataFrame): DataFrame = {
+    val sc = docs.sparkSession.sparkContext
+    if (docs.rdd.getNumPartitions * 2 >= sc.defaultParallelism) docs
+    else docs.repartition(math.max(sc.defaultParallelism / 4, 1))
+  }
+
   /** Exact dedup by content digest: groups of identical texts, keeping
     * the smallest id as survivor.
     */
@@ -46,6 +71,15 @@ object DedupJobs {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
 
   /** MinHash-LSH candidate pairs verified by exact shingle Jaccard.
+    *
+    * Built once per (session, input, parameters) and session-cached:
+    * one eager job materializes the (band, bucket) index — tokenizing
+    * the corpus exactly once, reused for both the signature and the
+    * verification-shingle stages — then the verified pairs (small:
+    * near-dup ids + scores) persist for every consumer. The audit
+    * column is always computed during the build (it costs one codegen'd
+    * set expression on the few verified pairs) so the dedup query and
+    * its soundness audit share one search.
     *
     * @param k          signature length (hash permutations)
     * @param bands      LSH bands (rows per band = k/bands); with k=32,
@@ -63,12 +97,29 @@ object DedupJobs {
     *                   tight-loop UDF — the soundness-audit surface
     *                   (violations of `jaccard_check ≥ threshold`
     *                   should not exist)
+    * @param cacheKey   stable identity of `docs` for the session cache;
+    *                   defaults to the analyzed plan's semantic hash
     */
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 100,
-      withAudit: Boolean = false): DataFrame = {
+      withAudit: Boolean = false,
+      cacheKey: Option[String] = None): DataFrame = {
+    val ident = cacheKey.getOrElse(
+      "sem=" + docs.queryExecution.analyzed.semanticHash())
+    val key = s"minhash|$ident|$idCol|$textCol|k=$k|b=$bands|n=$shingleN|t=$threshold|mb=$maxBucket"
+    val verified = SessionCache.getOrBuild(docs.sparkSession, key) {
+      buildMinhashPairs(docs, idCol, textCol, k, bands, shingleN, threshold, maxBucket)
+    }
+    if (withAudit) verified
+    else verified.select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  private def buildMinhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int,
+      threshold: Double, maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
 
     // Fused tokens→shingles→signature→band-buckets kernel: shingle
     // strings and the k-length signature live only inside the UDF call
@@ -111,9 +162,17 @@ object DedupJobs {
         h
       }
     }
-    val exploded = docs
+
+    // The corpus is tokenized exactly ONCE into this cached frame,
+    // feeding both the signature stage and the verification-shingle
+    // stage (round 2 tokenized twice — a full extra corpus pass); the
+    // cache fills under the single eager buckets job below.
+    val toks = spread(docs)
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
+      .persist()
+
+    val exploded = toks
       .select(col("doc_id"), posexplode(bandsUdf(col("__toks"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
 
@@ -125,19 +184,30 @@ object DedupJobs {
     // are 16 bytes; shingles re-attach by join afterwards. maxBucket
     // skew-caps degenerate buckets — a band bucket hundreds deep is
     // content-collision noise, not near-duplication.
+    //
+    // Deliberately NOT persisted: `pairs` and `candidateIds` below both
+    // read it through the SAME shuffle exchange, which ReuseExchange
+    // dedups into one map stage — the scheduler-level guarantee that
+    // the expensive search runs once per job. (Round 2 instead put an
+    // eager persist+count barrier after pair generation; it serialized
+    // the search into its own job chain and still double-tokenized —
+    // the 4× local regression.)
     val buckets = exploded
       .groupBy(col("band"), col("bucket"))
       .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
+      .persist()
+    // ONE eager job runs the whole expensive kernel exactly once:
+    // tokenize (fills the toks cache; single consumer here, so no
+    // branch race) -> signatures -> bucket agg. Every downstream
+    // branch -- pair generation, the candidate broadcast, the shingle
+    // attach -- reads these two caches; nothing recomputes the search.
+    // (Round 2 instead persisted the PAIRS frame behind an eager
+    // count() barrier: it serialized the search into its own job
+    // chain, double-tokenized, and still let the verification branches
+    // race.)
+    buckets.count()
 
-    // persist + eager count: `pairs` feeds three consumers (both
-    // candidateIds branches and the verification join), and the
-    // candidateIds consumer is a BROADCAST subplan — its future races
-    // the cache fill and, losing, recomputes the whole
-    // shingle→signature→bucket search cold in a single task (measured:
-    // 1.8 s of a 4 s query). Materializing before returning makes every
-    // consumer a cache read; at corpus scale this boundary is a
-    // checkpoint, locally MEMORY_AND_DISK is the same shape.
     val pairs = buckets
       .select(explode(expr(
         """filter(
@@ -145,20 +215,23 @@ object DedupJobs {
           |    transform(members, b -> struct(a AS id_a, b AS id_b)))),
           |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .persist()
-    pairs.count()
 
     // Exact-Jaccard verification shingles are computed ONLY for docs
-    // that appear in candidate pairs (semi-join pushback) — the corpus
-    // at large never materializes its shingle arrays.
-    val candidateIds = pairs.select(col("id_a").as("cid"))
-      .unionByName(pairs.select(col("id_b").as("cid")))
-      .distinct()
-    val shOf = docs
-      .select(col(idCol).as("cid"), tokens(col(textCol)).as("__toks"))
+    // that appear in some surviving bucket (semi-join pushback) — the
+    // corpus at large never materializes its shingle arrays. No
+    // distinct on the candidate ids: a semi join dedups by itself.
+    val candidateIds = buckets
+      .select(explode(col("members")).as("cid"))
+    val shOf = toks
+      .withColumnRenamed("doc_id", "cid")
       .join(candidateIds, Seq("cid"), "left_semi")
       .select(col("cid"), shinglesOf(col("__toks"), shingleN).as("sh"))
+
+    // Direct ratio, not TextFunctions.jaccard: its zero-union guard
+    // (`when(union > 0, …)`) evaluates array_union twice per row, and
+    // verified pairs always have non-empty shingle sets. The
+    // cross-band pair dedup runs LAST, on the few verified rows,
+    // instead of shuffling the full candidate set up front.
     val verified = pairs
       .join(shOf.withColumnRenamed("cid", "id_a")
         .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
@@ -166,16 +239,19 @@ object DedupJobs {
         .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
       .withColumn("jaccard_raw", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_raw") >= threshold)
-    // Direct ratio, not TextFunctions.jaccard: its zero-union guard
-    // (`when(union > 0, …)`) evaluates array_union twice per row, and
-    // verified pairs always have non-empty shingle sets.
-    val audit =
-      if (withAudit)
-        Seq(round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      .select(col("id_a"), col("id_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard_check"))
-      else Nil
-    verified.select(col("id_a") +: col("id_b") +:
-      round(col("jaccard_raw"), 4).as("jaccard") +: audit: _*)
+      .dropDuplicates("id_a", "id_b")
+      .persist()
+    // ONE eager job: everything above — tokenize, signature, buckets,
+    // pair generation, verification — lands in this count; consumers
+    // read the small verified frame from cache.
+    verified.count()
+    toks.unpersist()
+    buckets.unpersist()
+    (verified, Seq(verified))
   }
 
   /** Near-dup groups: every doc mapped to the smallest verified
@@ -186,8 +262,10 @@ object DedupJobs {
   def minhashDupGroups(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashCandidatePairs(docs, idCol, textCol, k, bands, shingleN, threshold)
+      threshold: Double = 0.5,
+      cacheKey: Option[String] = None): DataFrame = {
+    val pairs = minhashCandidatePairs(docs, idCol, textCol, k, bands,
+      shingleN, threshold, cacheKey = cacheKey)
     val neighbors = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
       .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
       .groupBy("doc_id").agg(min("nb").as("min_nb"), count(lit(1)).as("n_candidates"))
@@ -198,64 +276,128 @@ object DedupJobs {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
-  /** SimHash signatures with near-dup bucket counts: docs whose 64-bit
-    * simhash matches another doc within `maxHamming` bits, found via
-    * 4×16-bit block bucketing (pigeonhole: ≤3 differing bits → at least
-    * one identical 16-bit block).
-    */
-  /** @param maxBucket skew guard, same pattern as
-    *        [[minhashCandidatePairs]]: a hot 16-bit block key of m docs
-    *        would otherwise generate m²/2 pairs inside one join task
-    *        (the 16-bit keyspace has only 65k values per block — at
-    *        corpus scale EVERY bucket is hot). Buckets beyond the cap
-    *        are dropped as content-collision noise.
+  /** SimHash near-dup pairs via block-combination bucketing with an
+    * EXACT pigeonhole recall guarantee: the 64-bit signature splits
+    * into `blocks` equal blocks; each doc is keyed by every
+    * C(blocks, comboSize) concatenation of `comboSize` block values. A
+    * pair differing in h bits dirties at most h blocks, so for
+    * h ≤ blocks − comboSize at least `comboSize` blocks are clean and
+    * the pair shares the bucket keyed by those blocks — recall is exact
+    * up to `blocks − comboSize` bits (Manku et al. WWW'07 block-permute
+    * family). Defaults (4, 1) guarantee ≤ 3 bits with 16-bit keys;
+    * (8, 2) guarantees ≤ 6 bits with 16-bit keys at 28 probes/doc.
+    * `maxHamming` above the guarantee bound still returns pairs but
+    * with partial recall.
+    *
+    * @param maxBucket skew guard, same rationale as
+    *        [[minhashCandidatePairs]]: a hot block key of m docs would
+    *        otherwise generate m²/2 pairs inside one task. Buckets over
+    *        the cap emit STAR pairs around their smallest-id member
+    *        (linear cost) instead of being dropped — duplicate-dense
+    *        content (the exact case a deduper exists for) stays
+    *        connected through the hub doc, at the price of missing
+    *        hub-less pairs inside hot buckets. Within the cap the
+    *        pigeonhole guarantee is exact.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 1000,
+      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+    require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
+    require(comboSize >= 1 && comboSize < blocks,
+      s"comboSize must be in [1, blocks), got $comboSize")
+    val width = 64 / blocks
+    val mask = (1L << width) - 1
+    val combos = (0 until blocks).combinations(comboSize).toSeq
+
     val sigs = docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
       .select(col("doc_id"), simhash64Of(col("__toks")).as("simhash"))
-    // Pigeonhole bucketing: ≤3 differing bits of 64 → at least one of
-    // the 4 16-bit blocks identical. Buckets carry (id, simhash)
-    // members only; pairs are generated bucket-locally under the cap.
-    val blocks = sigs.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(i =>
-        struct(lit(i).as("blk"),
-          shiftright(col("simhash"), i * 16).bitwiseAND(0xFFFF).as("key"))): _*)).as("b"))
-    val buckets = blocks
+
+    def blockVal(b: Int): Column =
+      shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))
+    val keyStructs = combos.zipWithIndex.map { case (combo, ci) =>
+      val keyCol = combo.foldLeft(lit(0L): Column)((acc, b) =>
+        shiftleft(acc, width).bitwiseOR(blockVal(b)))
+      struct(lit(ci).as("blk"), keyCol.as("key"))
+    }
+    val keyed = sigs.select(col("doc_id"), col("simhash"),
+      explode(array(keyStructs: _*)).as("b"))
+    val buckets = keyed
       .groupBy(col("b.blk").as("blk"), col("b.key").as("key"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
+      .filter(size(col("members")) >= 2)
+
+    // Under the cap: all in-bucket pairs. Over: star pairs around the
+    // smallest-id member — linear in bucket size, keeps hot buckets
+    // represented (see maxBucket scaladoc).
+    val fullPairs = expr(
+      """filter(
+        |  flatten(transform(members, a ->
+        |    transform(members, b -> struct(a AS x, b AS y)))),
+        |  p -> p.x.doc_id < p.y.doc_id)""".stripMargin)
+    val starPairs = expr(
+      """transform(
+        |  slice(array_sort(members), 2, size(members) - 1),
+        |  m -> struct(element_at(array_sort(members), 1) AS x, m AS y))""".stripMargin)
     buckets
-      .select(explode(expr(
-        """filter(
-          |  flatten(transform(members, a ->
-          |    transform(members, b -> struct(a AS x, b AS y)))),
-          |  p -> p.x.doc_id < p.y.doc_id)""".stripMargin)).as("p"))
+      .select(explode(when(size(col("members")) <= lit(maxBucket), fullPairs)
+        .otherwise(starPairs)).as("p"))
       .select(col("p.x.doc_id").as("id_a"), col("p.y.doc_id").as("id_b"),
         hamming64(col("p.x.simhash"), col("p.y.simhash")).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Exact blocked n-gram Jaccard pairs. Output equals the naive
-    * all-pairs SQL oracle; the search itself never materializes gram
-    * strings for the corpus at large: a fused kernel reduces each doc
-    * to sorted 64-bit gram hashes, the broadcast pair loop applies two
-    * exact prefilters (length bound j ≤ min/max; hash-merge
-    * intersection, whose collisions only OVERcount — a candidate
-    * superset, never a miss), and gram strings are computed solely for
-    * candidate docs at the final exact-verification join.
+  /** Exact blocked n-gram Jaccard pairs, distributed end to end. Output
+    * equals the naive all-pairs SQL oracle; the search is the standard
+    * prefix-filtered set-similarity self-join (Bayardo et al. WWW'07;
+    * Vernica et al. SIGMOD'10 for the MapReduce shape):
+    *
+    *  1. a fused kernel reduces each doc to its sorted distinct 64-bit
+    *     gram hashes (gram STRINGS never flow through the search)
+    *  2. prefix filter: under a global rare-first gram order, any pair
+    *     with J ≥ τ shares a gram inside both docs' first
+    *     (len − ⌈τ·len⌉ + 1) grams — proof: a pair with J ≥ τ has
+    *     |A∩B| ≥ ⌈τ·|A|⌉, so A's prefix contains a common gram; the
+    *     smallest common gram then sits inside BOTH prefixes. The
+    *     inverted-index self-join on (block, prefix gram) therefore
+    *     finds every qualifying pair — exact, no all-pairs product,
+    *     nothing through the driver (the round-2 design streamed every
+    *     corpus byte through a driver-side broadcast loop)
+    *  3. per-pair exact prefilters: length bound (j ≤ min/max) in the
+    *     join condition, then a sorted-hash merge-intersection whose
+    *     collisions only OVERcount — a candidate superset, never a miss
+    *  4. gram-string verification only for surviving candidates
+    *
+    * The rare-first order demotes the `commonGramCap` globally most
+    * frequent grams (one cheap agg, broadcast as a hash set) to the end
+    * of every doc's order, keeping stop-gram inverted lists out of the
+    * prefixes — the frequency ordering that makes prefix filtering
+    * effective at corpus scale.
+    *
+    * Built once per (session, input, parameters) via
+    * [[graft.SessionCache]]; the verified pairs persist for the session.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       blockCols: Seq[String], n: Int, threshold: Double,
-      broadcastBlockSize: Int = 1 << 20): DataFrame = {
+      commonGramCap: Int = 1024,
+      cacheKey: Option[String] = None): DataFrame = {
+    val ident = cacheKey.getOrElse(
+      "sem=" + docs.queryExecution.analyzed.semanticHash())
+    val key = s"ngram|$ident|$idCol|$textCol|n=$n|t=$threshold|" +
+      s"blk=${blockCols.mkString(",")}|cap=$commonGramCap"
+    SessionCache.getOrBuild(docs.sparkSession, key) {
+      buildNgramPairs(docs, idCol, textCol, blockCols, n, threshold, commonGramCap)
+    }
+  }
+
+  private def buildNgramPairs(docs: DataFrame, idCol: String, textCol: String,
+      blockCols: Seq[String], n: Int, threshold: Double,
+      commonGramCap: Int): (DataFrame, Seq[DataFrame]) = {
     val spark = docs.sparkSession
-    import spark.implicits._
 
     // Fused tokens→gram-hash kernel: only (id, block, sorted 64-bit
-    // gram hashes) flow through the plan — gram STRINGS are computed
-    // solely for candidate pairs at the exact-verification step.
+    // gram hashes) flow through the search.
     val hashGramsUdf = udf { toks: Seq[String] =>
       val arr = toks.toArray
       val upper = math.max(arr.length - n, 0)
@@ -279,89 +421,87 @@ object DedupJobs {
       while (it.hasNext) { out(i) = it.next(); i += 1 }
       out
     }
-    val prepped = docs
-      .repartition(spark.sparkContext.defaultParallelism)
+    // The cached prep frame carries BOTH the gram hashes (candidate
+    // search) and the token arrays (exact verification) -- one
+    // tokenization pass, no later re-read of the corpus.
+    val prepped = spread(docs)
       .select(
         col(idCol).cast("long").as("doc_id"),
         concat_ws("\u0001", blockCols.map(col): _*).as("blk"),
         tokens(col(textCol)).as("__toks"))
       .filter(size(col("__toks")) > 0)
-      .select(col("doc_id"), col("blk"), hashGramsUdf(col("__toks")).as("gh"))
+      .select(col("doc_id"), col("blk"), col("__toks"),
+        hashGramsUdf(col("__toks")).as("gh"))
+      .persist()
 
-    // Candidate search over the broadcast hash arrays with two exact
-    // prefilters (the deliberate imperative kernel for the O(n²)
-    // baseline, same rationale as cosineNearDupPairs):
-    //  1. length bound: j ≤ min/max of distinct-gram counts
-    //  2. sorted-hash merge-intersection — collisions can only MERGE
-    //     distinct grams (overcount), so this admits a candidate
-    //     superset and never drops a true pair
-    // At corpus scale the broadcast side is blocked, or MinHash-LSH
-    // (minhashCandidatePairs) replaces 1–2 as the prefilter.
-    def mergeIntersect(a: Array[Long], b: Array[Long]): Int = {
+    // Global rare-first gram order = (is-common, hash): the top
+    // commonGramCap grams by document frequency sort last. Any total
+    // order preserves prefix-filter correctness; this one keeps hot
+    // inverted lists out of prefixes. This aggregation doubles as the
+    // eager job that fills the prep cache.
+    val common =
+      if (commonGramCap <= 0) { prepped.count(); Set.empty[Long] }
+      else prepped.select(explode(col("gh")).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("g"))
+        .limit(commonGramCap)
+        .collect().map(_.getLong(0)).toSet
+    val bcCommon = spark.sparkContext.broadcast(common)
+    val prefixUdf = udf { gh: Seq[Long] =>
+      val len = gh.length
+      val p = math.min(len, len - math.ceil(threshold * len).toInt + 1)
+      val cs = bcCommon.value
+      val (rare, freq) = gh.partition(g => !cs.contains(g)) // gh sorted; partition is stable
+      (rare ++ freq).take(p).toArray
+    }
+    val inv = prepped.select(col("doc_id"), col("blk"),
+      size(col("gh")).as("len"), explode(prefixUdf(col("gh"))).as("g"))
+
+    // Inverted-index self-join on (block, prefix gram) with the exact
+    // length bound in the join condition.
+    val cand = inv.alias("a").join(inv.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.g") === col("b.g") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        least(col("a.len"), col("b.len")).cast("double") >=
+          lit(threshold) * greatest(col("a.len"), col("b.len")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // Hash merge-intersection prefilter (overcount-only superset).
+    val hashJaccardUdf = udf { (a: Seq[Long], b: Seq[Long]) =>
+      val aa = a.toArray
+      val bb = b.toArray
       var i = 0; var j = 0; var c = 0
-      while (i < a.length && j < b.length) {
-        if (a(i) == b(j)) { c += 1; i += 1; j += 1 }
-        else if (a(i) < b(j)) i += 1
+      while (i < aa.length && j < bb.length) {
+        if (aa(i) == bb(j)) { c += 1; i += 1; j += 1 }
+        else if (aa(i) < bb(j)) i += 1
         else j += 1
       }
-      c
+      c.toDouble / (aa.length + bb.length - c)
     }
-    // Blocks stream through the driver via toLocalIterator — the full
-    // corpus never sits in driver heap; each block goes straight to the
-    // (disk-backed) broadcast manager. Corpora beyond executor memory
-    // stream block by block; per-block candidate sets union.
-    import scala.jdk.CollectionConverters._
-    val localBlocks = prepped.toLocalIterator().asScala.map { r =>
-      (r.getLong(0), r.getString(1), r.getSeq[Long](2).toArray)
-    }.grouped(broadcastBlockSize)
-
-    val candidates = localBlocks.map { blockSeq =>
-      val bc = spark.sparkContext.broadcast(blockSeq.toArray)
-      prepped
-        .flatMap { r =>
-          val idA = r.getLong(0)
-          val blkA = r.getString(1)
-          val hashA = r.getSeq[Long](2).toArray
-          val la = hashA.length
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          val all = bc.value
-          var j = 0
-          while (j < all.length) {
-            val (idB, blkB, hashB) = all(j)
-            val lb = hashB.length
-            if (idB > idA && blkB == blkA &&
-              math.min(la, lb) >= threshold * math.max(la, lb)) {
-              val hInter = mergeIntersect(hashA, hashB)
-              if (hInter.toDouble / (la + lb - hInter) >= threshold)
-                out += ((idA, idB))
-            }
-            j += 1
-          }
-          out
-        }
-        .toDF("id_a", "id_b")
-    }.toSeq
-    val candidatesAll = (candidates :+ Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
-      .reduce(_ unionByName _)
-
-    // exact string-set verification, shingles computed only for docs in
-    // candidate pairs
-    val candidateIds = candidatesAll.select(col("id_a").as("cid"))
-      .unionByName(candidatesAll.select(col("id_b").as("cid")))
-      .distinct()
-    val shOf = docs
-      .select(col(idCol).cast("long").as("cid"),
-        tokens(col(textCol)).as("__toks"))
-      .join(candidateIds, Seq("cid"), "left_semi")
-      .select(col("cid"), shinglesOf(col("__toks"), n).as("sh"))
-    candidatesAll
-      .join(shOf.withColumnRenamed("cid", "id_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(shOf.withColumnRenamed("cid", "id_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+    // One join per side attaches gram hashes AND tokens from the prep
+    // cache; the hash merge-intersection prefilter rejects false
+    // candidates BEFORE any gram string exists, and shingles are
+    // projected only for the filter's survivors (the projection sits
+    // after the filter, so Catalyst computes them post-reject). No
+    // driver round-trip, no extra semi-join chain -- the flattest
+    // exact plan.
+    val verified = cand
+      .join(prepped.select(col("doc_id").as("id_a"),
+        col("gh").as("gh_a"), col("__toks").as("tk_a")), Seq("id_a"))
+      .join(prepped.select(col("doc_id").as("id_b"),
+        col("gh").as("gh_b"), col("__toks").as("tk_b")), Seq("id_b"))
+      .filter(hashJaccardUdf(col("gh_a"), col("gh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        shinglesOf(col("tk_a"), n).as("sh_a"),
+        shinglesOf(col("tk_b"), n).as("sh_b"))
       .withColumn("jaccard_raw", jaccardUdf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("id_a"), col("id_b"),
         round(col("jaccard_raw"), 4).as("jaccard"))
+      .persist()
+    verified.count()
+    prepped.unpersist()
+    (verified, Seq(verified))
   }
 }

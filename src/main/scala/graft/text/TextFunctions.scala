@@ -195,6 +195,40 @@ object TextFunctions {
     f(toks)
   }
 
+  /** Naive reference winnowing (audit path): recomputes the selection
+    * by rescanning EVERY winnow-window from scratch — O(n·winnow),
+    * rightmost minimum per window — an independent implementation of
+    * the Schleimer et al. selection rule used to audit the incremental
+    * kernel in [[winnowFingerprints]] (q_text_winnow_sound asserts the
+    * two selections are identical on every document).
+    */
+  def winnowFingerprintsNaive(toks: Column, window: Int = 4, winnow: Int = 4): Column = {
+    val f = udf { tokens: Seq[String] =>
+      val th = tokens.map(hash64).toArray
+      val n = th.length
+      if (n == 0) Array.empty[Long]
+      else {
+        val grams =
+          if (n < window) Array(th.foldLeft(1125899906842597L)((a, b) => mix64(a ^ b)))
+          else (0 to n - window).map { i =>
+            (i until i + window).foldLeft(1125899906842597L)((a, j) => mix64(a ^ th(j)))
+          }.toArray
+        val nw = math.min(winnow, grams.length)
+        val selected = scala.collection.mutable.SortedSet.empty[Long]
+        var i = 0
+        while (i + nw <= grams.length) {
+          var minPos = i
+          var j = i
+          while (j < i + nw) { if (grams(j) <= grams(minPos)) minPos = j; j += 1 }
+          selected += grams(minPos)
+          i += 1
+        }
+        selected.toArray
+      }
+    }
+    f(toks)
+  }
+
   /** Language marker lexicons (tiny, high-frequency function words) for
     * space-delimited languages. Heuristic n-gram/stopword language ID —
     * public-knowledge approach (cf. Cavnar & Trenkle '94 n-gram

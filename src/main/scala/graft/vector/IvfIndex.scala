@@ -129,12 +129,14 @@ object IvfIndex {
       iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
     val normed = vectors.withColumn("__nvec",
       normalizeUdf(col(vecCol).cast("array<double>")))
-    // Deterministic sample: first sampleN ids (any fixed rule works —
-    // the quantizer needs coverage, not randomness; id order is as
-    // arbitrary w.r.t. vector geometry as a hash order).
+    // Deterministic but id-DECORRELATED sample: order by a hash of the
+    // id, not the id itself. On real corpora id order tracks ingest
+    // time/source (topic drift, appended batches), so a first-N sample
+    // can cover one region of the space and silently cost recall; hash
+    // order is reproducible yet geometry-blind.
     val sample = normed
       .select(col(idCol), col("__nvec"))
-      .orderBy(col(idCol))
+      .orderBy(xxhash64(col(idCol)), col(idCol))
       .limit(sampleN)
       .collect()
       .map(_.getSeq[Double](1).toArray)
@@ -148,22 +150,22 @@ object IvfIndex {
     (assigned, centroids)
   }
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    String, (DataFrame, Array[Array[Double]])]()
-
   /** Build-once/read-many index handle: fitted and persisted on first
     * use per (session, dataset, k) and shared by every subsequent query
     * — locally what the partitioned-by-cell parquet layout does on a
-    * cluster.
+    * cluster. Entries live in [[graft.SessionCache]], which holds the
+    * session weakly and sweeps stopped/collected sessions — the
+    * previous identity-hash-keyed map outlived sessions and could
+    * collide.
     */
   def assignCached(vectors: DataFrame, idCol: String, vecCol: String,
-      k: Int, datasetKey: String): (DataFrame, Array[Array[Double]]) = {
-    val key = s"${System.identityHashCode(vectors.sparkSession)}|$datasetKey|$k"
-    cache.computeIfAbsent(key, _ => {
+      k: Int, datasetKey: String): (DataFrame, Array[Array[Double]]) =
+    graft.SessionCache.getOrBuild(vectors.sparkSession,
+      s"ivf|$datasetKey|$idCol|$vecCol|k=$k") {
       val (assigned, centroids) = assign(vectors, idCol, vecCol, k)
-      (assigned.persist(), centroids)
-    })
-  }
+      val persisted = assigned.persist()
+      ((persisted, centroids), Seq(persisted))
+    }
 
   /** Top-k cosine restricted to the `nprobe` cells nearest the query
     * under the assignment metric (L2 in normalized space: rank by

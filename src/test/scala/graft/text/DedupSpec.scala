@@ -61,29 +61,80 @@ class DedupSpec extends AnyFunSuite {
 
   test("simhash degenerate block stays bounded under maxBucket cap") {
     import spark.implicits._
-    // All-identical texts: every doc lands in the same 4 block buckets.
-    // Uncapped this is m²/2 pairs from one bucket — the cap must bound
-    // the output (cap exceeded → bucket dropped entirely), and a
-    // permissive cap must return exactly the all-pairs set.
+    // All-identical texts: every doc lands in the same block buckets.
+    // Uncapped this is m²/2 pairs from one bucket — over the cap the
+    // bucket must degrade to linear STAR pairs around the min-id member
+    // (hot duplicate-dense buckets stay connected, never silently
+    // vanish), and a permissive cap must return exactly the all-pairs
+    // set.
     val same = (0L until 20L).map(i => (i, "identical text repeated here"))
       .toDF("doc_id", "text")
     val capped = DedupJobs.simhashNearDups(same, "doc_id", "text",
-      maxHamming = 3, maxBucket = 5).count()
-    assert(capped == 0L, "over-cap degenerate buckets must be dropped")
+      maxHamming = 3, maxBucket = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == (1L until 20L).map(i => (0L, i)).toSet,
+      s"over-cap bucket must emit star pairs around doc 0; got $capped")
     val open = DedupJobs.simhashNearDups(same, "doc_id", "text",
       maxHamming = 3, maxBucket = 1000).count()
     assert(open == 190L, s"20 identical docs → C(20,2)=190 pairs, got $open")
   }
 
-  test("ngram jaccard with tiny broadcast blocks equals single-block result") {
+  test("simhash block-combination guarantee holds vs brute force") {
     import spark.implicits._
-    val blocked = docs().withColumn("lang", lit("en"))
-    def run(blockSize: Int) = DedupJobs.ngramJaccardPairs(blocked, "doc_id",
-      "text", Seq("lang"), n = 2, threshold = 0.5,
-      broadcastBlockSize = blockSize)
+    // Perturbed copies of one base text: many pairs land in the 1..6
+    // bit Hamming band. The (8, 2) combination scheme guarantees exact
+    // recall to 6 bits — blocked results must equal brute force.
+    val base = ("w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 " +
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa").split(" ")
+    val variants = (0 until 30).map { i =>
+      val repl = base.zipWithIndex.map { case (w, j) =>
+        if (j % 7 == i % 7 && i % 3 != 0) w + "x" else w
+      }
+      (i.toLong, repl.mkString(" "))
+    }
+    val df = variants.toDF("doc_id", "text")
+    val blocked = DedupJobs.simhashNearDups(df, "doc_id", "text",
+      maxHamming = 6, blocks = 8, comboSize = 2)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = df.select(col("doc_id"),
+      graft.text.TextFunctions.simhash64(col("text")).as("sh"))
+    val brute = sigs.alias("x").join(sigs.alias("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .filter(graft.text.TextFunctions.hamming64(col("x.sh"), col("y.sh")) <= 6)
+      .select(col("x.doc_id"), col("y.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(blocked == brute,
+      s"missing=${brute -- blocked} extra=${blocked -- brute}")
+  }
+
+  test("ngram jaccard prefix-filter join equals brute force all-pairs") {
+    import spark.implicits._
+    // Docs with overlapping token runs so several pairs straddle the
+    // τ=0.5 boundary; the prefix-filtered candidate join + verification
+    // must reproduce the brute-force all-pairs result exactly, both
+    // with the common-gram demotion active (cap 3) and disabled (cap 0).
+    val words = Seq("red", "blue", "green", "gold", "iron", "clay",
+      "moss", "rain", "dust", "wind", "salt", "pine")
+    val ds = (0 until 12).map { i =>
+      val toks = (0 until 10).map(j => words((i * 3 + j) % words.size))
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val sh = graft.text.TextFunctions.shingles(col("text"), 2)
+    val withSh = ds.select(col("doc_id"), sh.as("sh"))
+    val brute = withSh.alias("a").join(withSh.alias("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .withColumn("j", graft.text.TextFunctions.jaccard(col("a.sh"), col("b.sh")))
+      .filter(col("j") >= 0.5)
+      .select(col("a.doc_id"), col("b.doc_id"), round(col("j"), 4))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(run(2) == run(1000))
-    assert(run(2).nonEmpty)
+    for (cap <- Seq(0, 3)) {
+      val got = DedupJobs.ngramJaccardPairs(ds, "doc_id", "text",
+        Seq("lang"), n = 2, threshold = 0.5, commonGramCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute,
+        s"cap=$cap missing=${brute -- got} extra=${got -- brute}")
+    }
   }
 
   test("cosine near-dup with tiny broadcast blocks equals single-block result") {
