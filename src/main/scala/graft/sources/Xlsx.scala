@@ -24,9 +24,12 @@ import scala.jdk.CollectionConverters._
   * overhead.
   *
   * Supported: shared strings, inline strings, numbers, booleans, the
-  * first worksheet, missing-cell gaps (by cell reference). Not
-  * supported (not needed by the reference's data files): date
-  * serial-number decoding, formulas (cached values are read), styles.
+  * first worksheet, missing-cell gaps (by cell reference), and date
+  * serial decoding — numeric cells whose style resolves to a date
+  * number format (styles.xml) arrive as ISO date / datetime strings,
+  * matching what `pd.read_excel` hands the reference's ETL
+  * (ref: core/etl.py:39-40). Not supported (not needed by the
+  * reference's data files): formulas (cached values are read).
   */
 object Xlsx {
 
@@ -59,6 +62,89 @@ object Xlsx {
       n = (n - 1) / 26
     }
     sb.toString
+  }
+
+  /** Style indices (cellXfs order) whose number format is a date/time
+    * format — builtin ids 14–22, 27–36, 45–47 plus custom formats whose
+    * code contains a date token (y/m/d/h/s) outside quoted literals,
+    * backslash escapes, and bracket sections (the same heuristic
+    * mainstream readers use; ECMA-376 §18.8.30 for the builtin table).
+    */
+  private def readDateStyles(in: InputStream): Set[Int] = {
+    val builtinDate: Set[Int] = ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+    def isDateCode(code: String): Boolean = {
+      val sb = new StringBuilder
+      var i = 0
+      var inQuote = false
+      var inBracket = false
+      while (i < code.length) {
+        val c = code.charAt(i)
+        if (inQuote) { if (c == '"') inQuote = false }
+        else if (inBracket) { if (c == ']') inBracket = false }
+        else c match {
+          case '"' => inQuote = true
+          case '[' => inBracket = true
+          case '\\' => i += 1 // escaped literal char
+          case _ => sb.append(c)
+        }
+        i += 1
+      }
+      val bare = sb.toString.toLowerCase
+      // presence of a bare date token letter; numeric masks (#/0/E/%/@)
+      // never contain these outside literals
+      "ymdhs".exists(bare.contains(_))
+    }
+    val customDate = scala.collection.mutable.Set.empty[Int]
+    val dateStyles = scala.collection.mutable.Set.empty[Int]
+    var inCellXfs = false
+    var xfIdx = 0
+    val r = factory.createXMLStreamReader(in)
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "numFmt" =>
+              for {
+                id <- Option(r.getAttributeValue(null, "numFmtId"))
+                code <- Option(r.getAttributeValue(null, "formatCode"))
+                if isDateCode(code)
+              } customDate += id.trim.toInt
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.trim.toInt).getOrElse(0)
+              if (builtinDate(fmt) || customDate(fmt)) dateStyles += xfIdx
+              xfIdx += 1
+            case _ =>
+          }
+        case XMLStreamConstants.END_ELEMENT =>
+          if (r.getLocalName == "cellXfs") inCellXfs = false
+        case _ =>
+      }
+    }
+    r.close()
+    dateStyles.toSet
+  }
+
+  /** Excel 1900-system serial → ISO string. Epoch 1899-12-30 with the
+    * Lotus leap-year quirk: serials 1–59 shift one day (so 1 →
+    * 1900-01-01), the phantom 1900-02-29 (serial 60) lands on 02-28,
+    * and 61+ are exact — the openpyxl/pandas mapping. A fractional part
+    * is a time of day; out-of-range serials fall back to the raw text.
+    */
+  private[sources] def decodeSerial(raw: String): String = {
+    val d = raw.trim.toDouble
+    if (d < 0 || d > 2958465.999999) return raw // 9999-12-31 bound
+    val days = math.floor(d).toLong
+    val adjusted = if (days < 60) days + 1 else days
+    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(adjusted)
+    val secs = math.round((d - days) * 86400)
+    if (secs == 0) date.toString
+    else if (secs >= 86400) date.plusDays(1).toString + " 00:00:00"
+    else {
+      val t = java.time.LocalTime.ofSecondOfDay(secs)
+      s"$date ${"%02d:%02d:%02d".format(t.getHour, t.getMinute, t.getSecond)}"
+    }
   }
 
   /** Shared-strings table: one entry per <si>, concatenating its <t>
@@ -96,14 +182,18 @@ object Xlsx {
     out.result()
   }
 
-  /** One worksheet → rows of Option[String] cells, gaps preserved. */
-  private def readSheet(in: InputStream, shared: Vector[String])
-      : ArrayBuffer[ArrayBuffer[Option[String]]] = {
+  /** One worksheet → rows of Option[String] cells, gaps preserved.
+    * Numeric cells whose style index is in `dateStyles` decode their
+    * serial to an ISO date/datetime string.
+    */
+  private def readSheet(in: InputStream, shared: Vector[String],
+      dateStyles: Set[Int]): ArrayBuffer[ArrayBuffer[Option[String]]] = {
     val rows = ArrayBuffer.empty[ArrayBuffer[Option[String]]]
     val r = factory.createXMLStreamReader(in)
     var row: ArrayBuffer[Option[String]] = null
     var cellCol = 0
     var cellType = ""
+    var cellStyle = -1
     var inV = false
     var inIsT = false
     val text = new StringBuilder
@@ -112,6 +202,8 @@ object Xlsx {
       val value = cellType match {
         case "s" => shared.lift(raw.trim.toInt).getOrElse("")
         case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
+        case "" | "n" if dateStyles(cellStyle) =>
+          try decodeSerial(raw) catch { case _: NumberFormatException => raw }
         case _ => raw
       }
       while (row.length <= cellCol) row += None
@@ -126,6 +218,8 @@ object Xlsx {
               val ref = Option(r.getAttributeValue(null, "r"))
               cellCol = ref.map(colIndex).getOrElse(row.length)
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellStyle = Option(r.getAttributeValue(null, "s"))
+                .map(_.trim.toInt).getOrElse(-1)
               text.clear()
             case "v" => inV = true
             case "t" if cellType == "inlineStr" => inIsT = true
@@ -196,10 +290,13 @@ object Xlsx {
       val shared = Option(zip.getEntry("xl/sharedStrings.xml"))
         .map(e => readSharedStrings(zip.getInputStream(e)))
         .getOrElse(Vector.empty)
+      val dateStyles = Option(zip.getEntry("xl/styles.xml"))
+        .map(e => readDateStyles(zip.getInputStream(e)))
+        .getOrElse(Set.empty)
       val sheetEntry = Option(zip.getEntry(firstSheetPath(zip)))
         .getOrElse(throw new IllegalArgumentException(
           s"$path: no worksheet found"))
-      val rows = readSheet(zip.getInputStream(sheetEntry), shared)
+      val rows = readSheet(zip.getInputStream(sheetEntry), shared, dateStyles)
       require(rows.nonEmpty, s"$path: empty sheet")
       val header = rows.head.map(_.getOrElse(""))
       val width = math.max(header.length, if (rows.length > 1) rows.tail.map(_.length).max else 0)

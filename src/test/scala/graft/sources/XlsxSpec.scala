@@ -77,6 +77,90 @@ class XlsxSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq(("rich", "TRUE", "42"), ("id", null, "7.5")))
   }
 
+  test("serial decoding maps the 1900 epoch with the Lotus leap quirk") {
+    assert(Xlsx.decodeSerial("1") == "1900-01-01")
+    assert(Xlsx.decodeSerial("59") == "1900-02-28")
+    assert(Xlsx.decodeSerial("60") == "1900-02-28") // phantom 1900-02-29
+    assert(Xlsx.decodeSerial("61") == "1900-03-01")
+    assert(Xlsx.decodeSerial("45292") == "2024-01-01")
+    assert(Xlsx.decodeSerial("45297.5") == "2024-01-06 12:00:00")
+    assert(Xlsx.decodeSerial("-3") == "-3") // out of range → raw passthrough
+  }
+
+  test("date-styled numeric cells decode to ISO strings, others stay raw") {
+    // hand-built workbook with styles.xml: builtin date (14), datetime
+    // (22), a custom Korean date format, a custom plain-decimal format,
+    // and the default general style — only date-styled cells decode.
+    val path = Files.createTempDirectory("xlsx").resolve("d.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>d14</t></si><si><t>d164</t></si><si><t>plain</t></si><si><t>gen</t></si><si><t>dt22</t></si></sst>""")
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="2">
+        |<numFmt numFmtId="164" formatCode="yyyy&quot;년&quot; m&quot;월&quot; d&quot;일&quot;"/>
+        |<numFmt numFmtId="165" formatCode="#,##0.00"/>
+        |</numFmts>
+        |<cellXfs count="5">
+        |<xf numFmtId="0"/>
+        |<xf numFmtId="14" applyNumberFormat="1"/>
+        |<xf numFmtId="164" applyNumberFormat="1"/>
+        |<xf numFmtId="165" applyNumberFormat="1"/>
+        |<xf numFmtId="22" applyNumberFormat="1"/>
+        |</cellXfs>
+        |</styleSheet>""".stripMargin)
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>3</v></c><c r="E1" t="s"><v>4</v></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45297</v></c><c r="B2" s="2"><v>45297</v></c><c r="C2" s="3"><v>45297</v></c><c r="D2" s="0"><v>45297</v></c><c r="E2" s="4"><v>45297.5</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val back = Xlsx.read(spark, path)
+    val r = back.collect()(0)
+    assert(r.getString(0) == "2024-01-06")          // builtin date
+    assert(r.getString(1) == "2024-01-06")          // custom date format
+    assert(r.getString(2) == "45297")               // custom decimal stays raw
+    assert(r.getString(3) == "45297")               // general stays raw
+    assert(r.getString(4) == "2024-01-06 12:00:00") // builtin datetime
+  }
+
+  test("serial-dated upload canonicalizes to a real date through ClaimsEtl") {
+    import org.apache.spark.sql.functions.col
+    // An Excel-authored claims sheet delivers 접수일 as a date-styled
+    // serial; after decode it must parse through canonicalize54's
+    // multi-format date path rather than nulling out.
+    val path = Files.createTempDirectory("xlsx").resolve("ds.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>""")
+    put("xl/sharedStrings.xml",
+      """<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>상담번호</t></si><si><t>접수일</t></si><si><t>C777</t></si></sst>""")
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>
+        |<row r="2"><c r="A2" t="s"><v>2</v></c><c r="B2" s="1"><v>45297</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val canon = ClaimsEtl.canonicalize54(ClaimsEtl.loadExcel(spark, path))
+    val got = canon.select(col("상담번호"), col("접수일").cast("string")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got == Seq(("C777", "2024-01-06")))
+  }
+
   test("xlsx upload flows through the ClaimsEtl seam into canonicalize54") {
     import spark.implicits._
     val path = Files.createTempDirectory("xlsx").resolve("claims.xlsx").toString
