@@ -27,22 +27,46 @@ object MlQueries extends QueryModule {
     * Forecast/CI arrays are exploded to one scalar row per (key, step)
     * so the driver's tabular compare can hash the output.
     */
-  private def fleetForecast(s: SparkSession, d: String): DataFrame = {
-    val monthly = Tables.orders(s, d)
-      .groupBy(col("o_orderpriority"),
-        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
-      .agg(count(lit(1)).as("n"))
-    FleetTrainer.trainAll(monthly, Seq("o_orderpriority"),
-      steps = 3, nTrials = 5)
-      .select(col("o_orderpriority"), col("champion"), col("test_rmse"),
-        posexplode(arrays_zip(col("forecast"), col("ci_lower"), col("ci_upper"))))
-      .select(col("o_orderpriority"), col("champion"), col("test_rmse"),
-        (col("pos") + 1).as("step"),
-        round(col("col.forecast"), 2).as("forecast"),
-        round(col("col.ci_lower"), 2).as("ci_lower"),
-        round(col("col.ci_upper"), 2).as("ci_upper"))
+  private def fleetForecast(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"fleet|$d") {
+      val monthly = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("n"))
+      val out = FleetTrainer.trainAll(monthly, Seq("o_orderpriority"),
+        steps = 3, nTrials = 5)
+        .select(col("o_orderpriority"), col("champion"), col("test_rmse"),
+          posexplode(arrays_zip(col("forecast"), col("ci_lower"), col("ci_upper"))))
+        .select(col("o_orderpriority"), col("champion"), col("test_rmse"),
+          (col("pos") + 1).as("step"),
+          round(col("col.forecast"), 2).as("forecast"),
+          round(col("col.ci_lower"), 2).as("ci_lower"),
+          round(col("col.ci_upper"), 2).as("ci_upper"))
+        .orderBy("o_orderpriority", "step")
+        .persist()
+      out.count() // train once per (session, dataset); audit reads the cache
+      (out, Seq(out))
+    }
+
+  /** Structural soundness audit for the forecast surface (M8 contract):
+    * CI lower bound floored at 0 and ≤ upper, point forecast ≤ upper
+    * (the point is NOT floored — reference parity, it can go negative
+    * while the floored lower bound sits at 0), step within horizon,
+    * champion from the registered model set, non-negative test RMSE.
+    * Violations emitted; the oracle asserts the set is EMPTY.
+    */
+  private def fleetForecastSound(s: SparkSession, d: String): DataFrame =
+    fleetForecast(s, d)
+      .filter(not(
+        col("ci_lower") >= 0 && col("ci_lower") <= col("ci_upper") &&
+        col("forecast") <= col("ci_upper") &&
+        col("step").between(1, 3) &&
+        col("champion").isin("SARIMAX", "CatBoost", "LSTM") &&
+        col("test_rmse") >= 0))
+      .select(col("o_orderpriority"), col("champion"),
+        col("step").cast("long").as("step"), col("forecast"),
+        col("ci_lower"), col("ci_upper"))
       .orderBy("o_orderpriority", "step")
-  }
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pivot_subtotals", pivotSubtotals, Some {
@@ -64,6 +88,11 @@ object MlQueries extends QueryModule {
          |  CAST(total AS BIGINT) AS "Total"
          |FROM r ORDER BY 1, 2""".stripMargin
     }),
-    QueryDef("q_fleet_forecast", fleetForecast, None)
+    QueryDef("q_fleet_forecast", fleetForecast, None),
+    QueryDef("q_fleet_forecast_sound", fleetForecastSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS o_orderpriority,
+        |  CAST(NULL AS VARCHAR) AS champion, CAST(NULL AS BIGINT) AS step,
+        |  CAST(NULL AS DOUBLE) AS forecast, CAST(NULL AS DOUBLE) AS ci_lower,
+        |  CAST(NULL AS DOUBLE) AS ci_upper WHERE FALSE""".stripMargin))
   )
 }
