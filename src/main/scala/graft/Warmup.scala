@@ -16,6 +16,7 @@ object Warmup {
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/orders.parquet").count()
+      spark.read.parquet(s"$sfDir/lineitem.parquet").count()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
         .limit(64).cache()
       docs.count()
