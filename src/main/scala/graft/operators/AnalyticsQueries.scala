@@ -62,11 +62,34 @@ object AnalyticsQueries extends QueryModule {
     * per-key parallelism path; requires the nanos-aware session).
     */
   private def riskScanEvents(s: SparkSession, d: String): DataFrame =
-    RiskScanJob.scan(Tables.events(s, d),
-      keyCols = Seq("user_id", "event_type"),
-      dateCol = "ts",
-      gradeCol = None,
-      asOf = asOf)
+    graft.SessionCache.getOrBuild(s, s"riskscanev|$d") {
+      val out = RiskScanJob.scan(Tables.events(s, d),
+        keyCols = Seq("user_id", "event_type"),
+        dateCol = "ts",
+        gradeCol = None,
+        asOf = asOf).persist()
+      out.count()
+      (out, Seq(out))
+    }
+
+  /** Same contract audit as [[riskScanSound]], over the
+    * higher-cardinality events scan (750 keys at sf0.1 — the audit
+    * must hold across the whole key population, not just the 15
+    * orders keys).
+    */
+  private def riskScanEventsSound(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    riskScanEvents(s, d)
+      .filter(not(
+        col("score").between(0, 100) &&
+        (col("status").isin("🔴", "🟡", "⚪") ||
+          (col("status") === "" && col("cur_n") === 0)) &&
+        col("cur_n") >= 0 &&
+        col("trend").endsWith(col("cur_n").cast("string"))))
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("score").cast("long").as("score"), col("status"))
+      .orderBy("user_id", "event_type")
+  }
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_risk_scan", riskScan, None),
@@ -75,6 +98,11 @@ object AnalyticsQueries extends QueryModule {
         |  CAST(NULL AS VARCHAR) AS o_orderstatus,
         |  CAST(NULL AS BIGINT) AS score,
         |  CAST(NULL AS VARCHAR) AS status WHERE FALSE""".stripMargin)),
-    QueryDef("q_risk_scan_events", riskScanEvents, None)
+    QueryDef("q_risk_scan_events", riskScanEvents, None),
+    QueryDef("q_risk_scan_events_sound", riskScanEventsSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS user_id,
+        |  CAST(NULL AS VARCHAR) AS event_type,
+        |  CAST(NULL AS BIGINT) AS score,
+        |  CAST(NULL AS VARCHAR) AS status WHERE FALSE""".stripMargin))
   )
 }

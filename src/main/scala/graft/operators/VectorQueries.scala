@@ -84,6 +84,58 @@ object VectorQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Structural soundness audit for the multimodal pipeline: with the
+    * payload being the UTF-8 text bytes, `byte_len` must equal the
+    * text's octet length (a genuinely independent re-derivation), the
+    * stub metadata must sit in its documented ranges, the sampled-frame
+    * count must equal the stride arithmetic, and the resize must fit
+    * the 512 box without upscaling. Violations emitted; the oracle
+    * asserts the set is EMPTY.
+    */
+  private def multimodalSound(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        encode(col("text"), "UTF-8").as("payload"))
+    val staged = MultimodalOps.resize(
+      MultimodalOps.sampleFrames(
+        MultimodalOps.decodeMetadata(withPayload, "payload"),
+        stride = 10, maxFrames = 8),
+      maxDim = 512)
+    val expectedSamples = least(lit(8),
+      (floor((col("media_meta.n_frames") - 1) / lit(10.0)) + 1).cast("int"))
+    staged
+      .filter(not(
+        col("media_meta.width").between(16, 1935) &&
+        col("media_meta.height").between(16, 1095) &&
+        col("media_meta.n_frames").between(1, 300) &&
+        col("media_meta.format").isin("jpeg", "png", "webm", "wav") &&
+        col("media_meta.byte_len") === octet_length(col("text")).cast("long") &&
+        size(col("sampled_frames")) === expectedSamples &&
+        greatest(col("resized.width"), col("resized.height")) <= 512 &&
+        col("resized.width") <= col("media_meta.width") &&
+        col("resized.height") <= col("media_meta.height") &&
+        col("resized.width") >= 1 && col("resized.height") >= 1))
+      .select(col("doc_id"),
+        col("media_meta.byte_len").as("byte_len"),
+        octet_length(col("text")).cast("long").as("expected_bytes"))
+      .orderBy("doc_id")
+  }
+
+  /** Soundness audit for the stub feature extractor: 16-dim vectors
+    * with every component in [-1, 1). Violations emitted; the oracle
+    * asserts EMPTY.
+    */
+  private def multimodalFeaturesSound(s: SparkSession, d: String): DataFrame = {
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    MultimodalOps.extractFeatures(withPayload, "payload", dim = 16)
+      .filter(not(
+        size(col("features")) === 16 &&
+        forall(col("features"), f => f >= -1.0f && f < 1.0f)))
+      .select(col("doc_id"), size(col("features")).as("dim"))
+      .orderBy("doc_id")
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (τ=0.9). */
   private def cosineNearDups(s: SparkSession, d: String): DataFrame =
     VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -207,6 +259,13 @@ object VectorQueries extends QueryModule {
         |  count(*) AS dims
         |FROM m GROUP BY 1 ORDER BY label""".stripMargin)),
     QueryDef("q_multimodal_pipeline", multimodalPipeline, None),
-    QueryDef("q_multimodal_features", multimodalFeatures, None)
+    QueryDef("q_multimodal_sound", multimodalSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS BIGINT) AS byte_len,
+        |  CAST(NULL AS BIGINT) AS expected_bytes WHERE FALSE""".stripMargin)),
+    QueryDef("q_multimodal_features", multimodalFeatures, None),
+    QueryDef("q_multimodal_features_sound", multimodalFeaturesSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS INTEGER) AS dim WHERE FALSE""".stripMargin))
   )
 }
