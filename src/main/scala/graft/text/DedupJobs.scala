@@ -130,19 +130,26 @@ object DedupJobs {
     val bandsUdf = udf { toks: Seq[String] =>
       val sig = Array.fill(k)(Long.MaxValue)
       if (toks.nonEmpty) {
+        // Each token hashed ONCE; a shingle's base hash is the mix64
+        // chain over its token hashes (position-sensitive). This
+        // avoids building and re-hashing a shingle string per position
+        // (O(shingle bytes) allocation+hash work per gram) for the
+        // same LSH quality -- strings exist only in the exact
+        // verification stage.
         val arr = toks.toArray
+        val th = Array.ofDim[Long](arr.length)
+        var t = 0
+        while (t < arr.length) { th(t) = TextFunctions.hash64(arr(t)); t += 1 }
         val upper = math.max(arr.length - shingleN, 0)
         var p = 0
         while (p <= upper) {
-          val sb = new java.lang.StringBuilder()
+          var base = 1125899906842597L
           var q = p
           val end = math.min(p + shingleN, arr.length) - 1
           while (q <= end) {
-            if (q > p) sb.append(' ')
-            sb.append(arr(q))
+            base = TextFunctions.mix64(base ^ th(q))
             q += 1
           }
-          val base = TextFunctions.hash64(sb.toString)
           var i = 0
           while (i < k) {
             val h = TextFunctions.mix64(base + i)
@@ -399,20 +406,26 @@ object DedupJobs {
     // Fused tokens→gram-hash kernel: only (id, block, sorted 64-bit
     // gram hashes) flow through the search.
     val hashGramsUdf = udf { toks: Seq[String] =>
+      // Token hashes computed once; gram hash = position-sensitive
+      // mix64 chain (no gram strings in the search -- see bandsUdf).
+      // Collisions only MERGE distinct grams, and every consumer of
+      // these hashes treats intersection counts as an upper bound.
       val arr = toks.toArray
+      val th = Array.ofDim[Long](arr.length)
+      var t = 0
+      while (t < arr.length) { th(t) = TextFunctions.hash64(arr(t)); t += 1 }
       val upper = math.max(arr.length - n, 0)
       val set = new java.util.TreeSet[java.lang.Long]()
       var p = 0
       while (p <= upper) {
-        val sb = new java.lang.StringBuilder()
+        var h = 1125899906842597L
         var q = p
         val end = math.min(p + n, arr.length) - 1
         while (q <= end) {
-          if (q > p) sb.append(' ')
-          sb.append(arr(q))
+          h = TextFunctions.mix64(h ^ th(q))
           q += 1
         }
-        set.add(TextFunctions.hash64(sb.toString))
+        set.add(h)
         p += 1
       }
       val out = Array.ofDim[Long](set.size)
