@@ -110,12 +110,17 @@ object RelationalQueries extends QueryModule {
         round(stddev_samp(col("l_quantity")), 2).as("std_qty"))
       .orderBy("l_returnflag")
 
-  /** A5 — top-2 categories with share-of-total (ref: app.py:40-64). */
+  /** A5 — top-2 categories with share-of-total (ref: app.py:40-64).
+    * The grand total joins in as a broadcast 1-row aggregate rather
+    * than a global (single-partition) window over the counts frame —
+    * same result, no partition-less WindowExec in the plan.
+    */
   private def aggTopShare(s: SparkSession, d: String): DataFrame = {
     val cnt = Tables.part(s, d).groupBy(col("p_type")).agg(count(lit(1)).as("n"))
     cnt
-      .withColumn("pct",
-        round(lit(100.0) * col("n") / sum(col("n")).over(Window.partitionBy()), 2))
+      .crossJoin(broadcast(cnt.agg(sum(col("n")).as("__total"))))
+      .withColumn("pct", round(lit(100.0) * col("n") / col("__total"), 2))
+      .drop("__total")
       .orderBy(desc("n"), col("p_type"))
       .limit(2)
   }
