@@ -25,7 +25,7 @@ object Warmup {
       text.DedupJobs.ngramJaccardPairs(docs, "doc_id", "text",
         Seq("lang"), 2, 0.8, cacheKey = Some("__warm_ngram")).count()
       text.DedupJobs.simhashNearDups(docs, "doc_id", "text",
-        maxHamming = 6, blocks = 8, comboSize = 2).count()
+        maxHamming = 3).count()
       docs.unpersist()
     } catch {
       // The only expected failure is a missing/foreign sfDir

@@ -48,8 +48,10 @@ object SeasonalAllocation {
     val monthsWithHistory = sameMonth.select("접수월").distinct()
       .withColumn("__has_hist", lit(true))
 
-    val withHist = broadcast(fdf)
-      .join(monthsWithHistory, Seq("접수월"), "left")
+    // broadcast the BUILD side: a left-outer join cannot build its
+    // preserved (left) side, so hinting fdf was a no-op warning
+    val withHist = fdf
+      .join(broadcast(monthsWithHistory), Seq("접수월"), "left")
       .na.fill(false, Seq("__has_hist"))
 
     val fromMonth = withHist.filter(col("__has_hist"))

