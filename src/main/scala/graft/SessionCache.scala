@@ -5,9 +5,10 @@ import java.lang.ref.WeakReference
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo for expensive shared artifacts — IVF cell
-  * assignments, MinHash verified pairs, n-gram candidate pairs — that
-  * several driver entries consume (build-once/read-many: the local
-  * analog of a materialized index layout on a cluster).
+  * assignments, MinHash verified pairs, n-gram candidate pairs, scored
+  * risk frames — that several driver entries consume
+  * (build-once/read-many: the local analog of a materialized index
+  * layout on a cluster).
   *
   * Lifetime contract: an entry lives as long as its owning SparkSession.
   * Sessions are held by IDENTITY through a [[WeakReference]] and every
@@ -21,13 +22,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `unpersist` them when the owning session is still alive (identity
   * collision replacement) — when the session is already stopped its
   * block manager is gone and dropping the reference suffices.
+  *
+  * Concurrency: the registry lock covers only map access; each entry
+  * builds inside its own cell, so two sessions (or two keys) never
+  * serialize on each other's multi-second index builds, while
+  * concurrent callers of the SAME key block on one build instead of
+  * duplicating it.
   */
 object SessionCache {
 
+  /** One memoized build: first `force` runs it, later callers read. */
+  private final class Cell(build: () => (Any, Seq[DataFrame])) {
+    @volatile private var done: Option[(Any, Seq[DataFrame])] = None
+    def force(): Any = this.synchronized {
+      done match {
+        case Some((v, _)) => v
+        case None =>
+          val r = build()
+          done = Some(r)
+          r._1
+      }
+    }
+    def pinned: Seq[DataFrame] = done.map(_._2).getOrElse(Nil)
+  }
+
   private final case class Entry(
       session: WeakReference[SparkSession],
-      value: Any,
-      pinned: Seq[DataFrame])
+      cell: Cell)
 
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[String, Entry]
@@ -35,7 +56,7 @@ object SessionCache {
   private def release(e: Entry): Unit = {
     val s = e.session.get
     if (s != null && !s.sparkContext.isStopped)
-      e.pinned.foreach(df =>
+      e.cell.pinned.foreach(df =>
         try df.unpersist() catch { case _: Exception => () })
   }
 
@@ -49,24 +70,24 @@ object SessionCache {
 
   /** Return the cached value for (session, key), building and caching it
     * on miss. `build` returns the value plus the persisted frames it
-    * pinned (so eviction can release them). Builds run under the cache
-    * lock — concurrent callers of the same key block rather than
-    * duplicating a multi-second index build, matching
-    * `ConcurrentHashMap.computeIfAbsent` semantics.
+    * pinned (so eviction can release them).
     */
   def getOrBuild[T](spark: SparkSession, key: String)(
-      build: => (T, Seq[DataFrame])): T = synchronized {
-    sweep()
-    val full = s"${System.identityHashCode(spark)}|$key"
-    entries.get(full) match {
-      case Some(e) if e.session.get != null && (e.session.get eq spark) =>
-        e.value.asInstanceOf[T]
-      case stale =>
-        stale.foreach(release) // identity-hash collision from a live session
-        val (v, pinned) = build
-        entries(full) = Entry(new WeakReference(spark), v, pinned)
-        v
+      build: => (T, Seq[DataFrame])): T = {
+    val cell = synchronized {
+      sweep()
+      val full = s"${System.identityHashCode(spark)}|$key"
+      entries.get(full) match {
+        case Some(e) if e.session.get != null && (e.session.get eq spark) =>
+          e.cell
+        case stale =>
+          stale.foreach(release) // identity-hash collision from a live session
+          val c = new Cell(() => build)
+          entries(full) = Entry(new WeakReference(spark), c)
+          c
+      }
     }
+    cell.force().asInstanceOf[T]
   }
 
   /** Evict everything (test hygiene). */
