@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale rehearsal for the text-dedup family (the ClaimsScaleSpec
+  * analog): a 20k-doc corpus with planted duplicate structure — exact
+  * clones, single-word near-dups, and unrelated filler — must dedup
+  * correctly through the exact, MinHash, and SimHash kernels without
+  * the pair search degenerating (hot buckets, driver funnels, or
+  * quadratic explode were each regressions caught late in earlier
+  * rounds at exactly this corpus shape).
+  */
+class TextScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+
+  private val words = Seq("alpha", "beta", "gamma", "delta", "epsilon",
+    "zeta", "eta", "theta", "iota", "kappa", "lumen", "merit", "nadir",
+    "oriel", "pivot", "quark", "rhymes", "sigil", "tenor", "umbra")
+
+  /** 20k docs: 2k base texts × (1 original + 4 exact clones +
+    * 4 one-word variants) + 2k singletons.
+    */
+  private lazy val docs = {
+    import spark.implicits._
+    val rows = (0 until 2000).flatMap { b =>
+      // token 0 is group-unique so base texts cannot collide across
+      // groups; the variant changes one of the 29 shared-pattern tokens
+      val toks = ("g" + b) +:
+        (1 until 30).map(j => words((b * 7 + j * 3) % words.size) + "x" + b)
+      val base = toks.mkString(" ")
+      val variant = toks.updated(1 + (b % 29), "changed" + b).mkString(" ")
+      val group = (0 until 5).map(c => (b * 10L + c, base)) ++
+        (5 until 9).map(c => (b * 10L + c, variant))
+      group :+ (b * 10L + 9, s"singleton text number $b with unique content ${b * 31}")
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds every planted clone group at 20k docs") {
+    val g = DedupJobs.exactDupGroups(docs, "doc_id", "text")
+      .filter(col("n_docs") > 1)
+    // 2000 groups of 5 exact clones + 2000 groups of 4 variants
+    assert(g.count() == 4000)
+    assert(g.agg(sum(col("n_docs"))).collect()(0).getLong(0) == 2000L * 9)
+  }
+
+  test("minhash links clones and one-word variants, not singletons") {
+    val groups = DedupJobs.minhashDupGroups(docs, "doc_id", "text",
+      cacheKey = Some("textscale"))
+    val linked = groups.filter(col("dup_group") === (col("doc_id") - pmod(col("doc_id"), lit(10))))
+    // exact clones (ids ..1-..4) share the base's SIGNATURE, so their
+    // bucketing is identical and linkage is deterministic
+    val clonesLinked = linked.filter(pmod(col("doc_id"), lit(10)).between(1, 4)).count()
+    assert(clonesLinked == 2000L * 4,
+      s"every exact clone must map to its base; got $clonesLinked")
+    // one-word variants sit at shingle-J ≈ 0.82, where the (k=32, b=8,
+    // r=4) S-curve gives ~99% per-pair recall — assert a 97% floor,
+    // not exactness (LSH recall below τ=1 is statistical by design)
+    val variantsLinked = linked.filter(pmod(col("doc_id"), lit(10)).between(5, 8)).count()
+    assert(variantsLinked >= (2000L * 4 * 0.97).toLong,
+      s"variant linkage below the LSH recall floor: $variantsLinked / 8000")
+    val singletons = groups.filter(pmod(col("doc_id"), lit(10)) === 9)
+    assert(singletons.filter(col("n_candidates") > 0).count() == 0,
+      "singleton docs must have no verified near-dup candidates")
+  }
+
+  test("simhash pair search stays bounded and finds the exact clones") {
+    val sigs = docs
+      .select(col("doc_id"), TextFunctions.simhash64(col("text")).as("simhash"))
+    val pairs = DedupJobs.simhashNearDupsOf(sigs,
+      maxHamming = 3, maxBucket = 200, blocks = 4, comboSize = 1)
+    // identical texts have hamming 0; each clone group of 5 yields
+    // C(5,2) = 10 pairs (under the cap or via star degradation ≥ 4)
+    val zeroDist = pairs.filter(col("hamming") === 0).count()
+    assert(zeroDist >= 2000L * 4, s"clone pairs missing: $zeroDist")
+  }
+}
