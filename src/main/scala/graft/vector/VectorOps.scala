@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** Σ aᵢ·bᵢ for two numeric arrays (double out). */
+  /** Σ aᵢ·bᵢ for two numeric arrays (double out) — the native codegen
+    * expression; the `aggregate(zip_with(...))` formulation evaluated
+    * an interpreted lambda per element per row.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorExpressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
