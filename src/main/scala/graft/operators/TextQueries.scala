@@ -102,6 +102,38 @@ object TextQueries extends QueryModule {
         col("id_b").cast("long").as("id_b"), col("jaccard_check"))
       .orderBy("id_a", "id_b")
 
+  /** Completeness audit for the MinHash-LSH path: documents with
+    * IDENTICAL text have identical signatures, land in identical band
+    * buckets, and verify at J = 1 — so every exact-duplicate pair MUST
+    * appear in the candidate output. This is deterministic (not the
+    * statistical S-curve recall) as long as the containing buckets are
+    * under the skew cap; the audit therefore restricts to digest
+    * groups far below it. Emits exact-dup pairs the LSH search missed;
+    * the oracle asserts EMPTY.
+    */
+  private def dedupMinhashComplete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val groups = docs
+      .select(col("doc_id"), md5(col("text")).as("digest"))
+      .groupBy("digest")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, 50))
+    val exactPairs = groups
+      .select(explode(expr(
+        """filter(
+          |  flatten(transform(ids, a ->
+          |    transform(ids, b -> struct(a AS id_a, b AS id_b)))),
+          |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val found = DedupJobs.minhashCandidatePairs(docs, "doc_id", "text",
+      cacheKey = Some(s"documents|$d"))
+      .select("id_a", "id_b")
+    exactPairs.join(found, Seq("id_a", "id_b"), "left_anti")
+      .select(col("id_a").cast("long").as("id_a"),
+        col("id_b").cast("long").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Completeness audit for the SimHash pigeonhole blocking, at the
     * SAME guarantee bound the main entry runs: on a bounded id-slice
     * the blocked candidate join at maxHamming=3 must equal brute-force
@@ -206,6 +238,9 @@ object TextQueries extends QueryModule {
     QueryDef("q_dedup_minhash_sound", dedupMinhashSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |  CAST(NULL AS DOUBLE) AS jaccard_check WHERE FALSE""".stripMargin)),
+    QueryDef("q_dedup_minhash_complete", dedupMinhashComplete, Some(
+      """SELECT CAST(NULL AS BIGINT) AS id_a,
+        |  CAST(NULL AS BIGINT) AS id_b WHERE FALSE""".stripMargin)),
     QueryDef("q_dedup_simhash", dedupSimhash, None),
     QueryDef("q_dedup_simhash_sound", dedupSimhashSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
