@@ -4,9 +4,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Column-level text primitives for the training-data pipeline
-  * operators (dedup, quality, language-ID, fingerprinting). Everything
-  * here composes built-in codegen'd functions — no UDFs — so the whole
-  * path stays inside WholeStageCodegen at 100 TB scan scale.
+  * operators (dedup, quality, language-ID, fingerprinting). The scan
+  * paths compose built-in codegen'd functions wherever one fits; the
+  * exceptions are the tight-loop signature kernels (minhash, simhash,
+  * winnowing), where the higher-order-function formulation is
+  * interpreted per element and each UDF carries its measured
+  * justification.
   */
 object TextFunctions {
 
@@ -94,8 +97,6 @@ object TextFunctions {
 
   /** 64-bit SimHash over the token multiset: for each bit, sum +1/-1
     * weighted by token occurrences, take the sign. Charikar '02.
-    * Computed with codegen'd array ops: per token a 64-bit xxhash, then
-    * per bit position the signed vote aggregate.
     */
   def simhash64(text: Column): Column = simhash64Of(tokens(text))
 
