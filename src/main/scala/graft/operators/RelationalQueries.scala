@@ -55,18 +55,23 @@ object RelationalQueries extends QueryModule {
 
   /** P4 — keyed dedup keep-last with an explicit order column (the
     * rebuild's ingest-sequence design; ref: core/etl.py:203-209,
-    * core/storage.py:119-125 `keep='last'`).
+    * core/storage.py:119-125 `keep='last'`). Implemented as
+    * `max(struct(order cols))` — lexicographic struct max equals the
+    * row_number()=1 row under the same descending order, but the
+    * aggregate gets a MAP-SIDE partial combine: the shuffle carries one
+    * pre-reduced struct per (partition, key) instead of every fact row
+    * into a per-key sort. At 100 TB that is the difference between
+    * shuffling the table and shuffling the key space.
     */
-  private def dedupKeepLast(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_linenumber").desc, col("l_quantity").desc)
+  private def dedupKeepLast(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
+      .groupBy(col("l_orderkey"))
+      .agg(max(struct(col("l_linenumber"), col("l_quantity"))).as("m"))
+      .select(col("l_orderkey"),
+        col("m.l_linenumber").as("l_linenumber"),
+        col("m.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey")
-  }
 
   /** P9 — cascade filter options: distinct values of B after filtering A
     * (ref: pages/3_플랜트_분석.py:144-160).
@@ -294,13 +299,15 @@ object RelationalQueries extends QueryModule {
     * (ref: pages/2_매출수량_관리.py:81-85).
     */
   private def joinLatestPerKey(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_custkey")
-      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    // max(struct(date, key)) ≡ the row_number()=1 row under
+    // (date DESC, key DESC), with map-side partial aggregation — the
+    // shuffle carries one struct per (partition, custkey), not every
+    // order row into a per-key sort (see dedupKeepLast).
     val latest = Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
-        to_date(col("o_orderdate")).as("latest_date"))
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+      .select(col("o_custkey"), col("m.o_orderkey").as("latest_orderkey"),
+        to_date(col("m.o_orderdate")).as("latest_date"))
     Tables.customer(s, d)
       .join(latest, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("latest_orderkey"), col("latest_date"))
