@@ -60,18 +60,22 @@ object HubStore {
 
   /** The pure merge (ref: core/storage.py:107-125): old hub gets batch 0,
     * incoming batch 1; keep-last = max (batch, ingest-seq) per key.
-    * Single shuffle on the claim key.
+    * Single shuffle on the claim key, with MAP-SIDE combine: `max_by`
+    * pre-reduces each partition to one surviving row per key before the
+    * exchange, where the previous window form shuffled every version of
+    * every claim into a per-key sort. (batch, ingest-seq) is unique per
+    * row, so the winner is deterministic.
     */
   def merge(existing: DataFrame, incoming: DataFrame): DataFrame = {
     val old = ClaimsEtl.withIngestSeq(existing).withColumn(batchCol, lit(0))
     val neu = ClaimsEtl.withIngestSeq(incoming).withColumn(batchCol, lit(1))
     val unioned = old.unionByName(neu, allowMissingColumns = true)
-    val w = Window.partitionBy(keyCol)
-      .orderBy(col(batchCol).desc, col(ingestSeqCol).desc)
+    val allCols = unioned.columns
     unioned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(allCols.map(col): _*),
+        struct(col(batchCol), col(ingestSeqCol))).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** S5 — read with optional partition filters; Catalyst prunes the
