@@ -48,11 +48,11 @@ object SalesStore {
     * with no sales row are created with 매출수량 = 0.
     */
   def syncWithClaims(claimKeys: DataFrame, sales: DataFrame): DataFrame = {
+    // max_by ≡ the row_number()=1 row, with map-side combine (see
+    // HubStore.merge)
     val latestIds = sales
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("플랜트").orderBy(col("년").desc, col("월").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("플랜트"), col("ID"))
+      .groupBy(col("플랜트"))
+      .agg(max_by(col("ID"), struct(col("년"), col("월"))).as("ID"))
     val keys = claimKeys
       .withColumnRenamed("접수년", "년")
       .withColumnRenamed("접수월", "월")
@@ -78,10 +78,8 @@ object SalesStore {
     val withYm = sales.withColumn("년월",
       concat(col("년").cast("string"), lit("-"), lpad(col("월").cast("string"), 2, "0")))
     val latestId = withYm
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy("플랜트").orderBy(col("년월").desc)))
-      .filter(col("__rn") === 1)
-      .select(col("플랜트"), col("ID"))
+      .groupBy(col("플랜트"))
+      .agg(max_by(col("ID"), col("년월")).as("ID"))
     withYm.groupBy("플랜트").pivot("년월").sum("매출수량")
       .na.fill(0.0)
       .join(broadcast(latestId), Seq("플랜트"), "left")
