@@ -142,11 +142,15 @@ object ClaimsEtl {
     val keyed = df
       .filter(col(keyCol).isNotNull)
       .withColumn(keyCol, trim(col(keyCol)))
-    val w = Window.partitionBy(keyCol).orderBy(col(ingestSeqCol).desc)
+    // max_by on the unique ingest sequence == keep-last, with map-side
+    // combine: the claim-key shuffle carries one pre-reduced row per
+    // (partition, key) instead of every raw upload row (see
+    // HubStore.merge)
+    val allCols = keyed.columns
     val deduped = keyed
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      .groupBy(col(keyCol))
+      .agg(max_by(struct(allCols.map(col): _*), col(ingestSeqCol)).as("__row"))
+      .select(col("__row.*"))
 
     // 3: 접수일자 from parts — every part must parse numeric
     val y = expr(s"try_cast(`접수년` AS INT)")
