@@ -1,0 +1,70 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the session-scoped build-once memo: one build per
+  * (session, key), per-key isolation, sequential re-reads, and clear()
+  * releasing pinned frames.
+  */
+class SessionCacheSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("builds once per key and returns the same value") {
+    val builds = new AtomicInteger(0)
+    def get() = SessionCache.getOrBuild(spark, "sc-spec-a") {
+      builds.incrementAndGet()
+      (java.util.UUID.randomUUID().toString, Nil)
+    }
+    val first = get()
+    assert(get() == first)
+    assert(get() == first)
+    assert(builds.get() == 1)
+  }
+
+  test("distinct keys build independently") {
+    val b = SessionCache.getOrBuild(spark, "sc-spec-b") { ("b", Nil) }
+    val c = SessionCache.getOrBuild(spark, "sc-spec-c") { ("c", Nil) }
+    assert(b == "b" && c == "c")
+  }
+
+  test("concurrent same-key callers share one build") {
+    val builds = new AtomicInteger(0)
+    val results = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val threads = (0 until 8).map(_ => new Thread(() =>
+      results.add(SessionCache.getOrBuild(spark, "sc-spec-d") {
+        builds.incrementAndGet()
+        Thread.sleep(50)
+        ("d" + builds.get(), Nil)
+      })))
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(results.size == 1, s"divergent values: $results")
+    assert(builds.get() == 1, s"built ${builds.get()} times")
+  }
+
+  test("clear releases pinned frames and forces a rebuild") {
+    import spark.implicits._
+    val builds = new AtomicInteger(0)
+    def get() = SessionCache.getOrBuild(spark, "sc-spec-e") {
+      builds.incrementAndGet()
+      val df = Seq(1, 2, 3).toDF("x").persist()
+      df.count()
+      (df, Seq(df))
+    }
+    val df = get()
+    assert(df.storageLevel.useMemory, "frame should be persisted")
+    SessionCache.clear()
+    assert(!df.storageLevel.useMemory, "clear() must unpersist pinned frames")
+    get()
+    assert(builds.get() == 2, "cleared entries rebuild")
+    SessionCache.clear()
+  }
+}
