@@ -24,7 +24,10 @@ object Verify {
     // Session warmup so the first query's timing doesn't absorb
     // codegen/file-listing startup.
     Warmup.run(spark, sfDir)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Sorted like Bench so the per-entry timings are stable across
+    // rounds (map order would arbitrarily reassign which entry of a
+    // cache-sharing family pays the shared build).
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()
       // repartition(1), NOT coalesce(1): coalesce merges the final
