@@ -172,18 +172,18 @@ object Dashboard {
     else oldWide.join(recentWide, keyCols, "full_outer")
   }
 
-  /** A5 — top-N category share (ref: app.py:40-64). Grand total via a
-    * broadcast 1-row aggregate, not a global window (see
+  /** A5 — top-N category share (ref: app.py:40-64). Global window over
+    * the aggregated counts frame — bounded by category cardinality;
+    * the broadcast-total alternative would scan the hub twice (see
     * RelationalQueries.aggTopShare).
     */
   def topShare(hub: DataFrame, catCol: String, n: Int = 2): DataFrame = {
     val counts = hub.filter(col(catCol).isNotNull)
       .groupBy(col(catCol)).agg(count(lit(1)).as("건수"))
     counts
-      .crossJoin(broadcast(counts.agg(sum(col("건수")).as("__total"))))
       .withColumn("점유율",
-        round(lit(100.0) * col("건수") / col("__total"), 1))
-      .drop("__total")
+        round(lit(100.0) * col("건수") /
+          sum(col("건수")).over(Window.partitionBy()), 1))
       .orderBy(col("건수").desc, col(catCol))
       .limit(n)
   }

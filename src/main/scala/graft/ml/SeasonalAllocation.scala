@@ -35,15 +35,15 @@ object SeasonalAllocation {
           org.apache.spark.sql.expressions.Window.partitionBy("접수월")))
 
     // fallback: overall sum share (used for future months with no
-    // history); grand total joined as a broadcast 1-row aggregate, not
-    // a global single-partition window
-    val overallCounts = history
+    // history); global window over the aggregated per-category sums —
+    // bounded input, and a broadcast-total branch would recompute the
+    // aggregation (see RelationalQueries.aggTopShare)
+    val overall = history
       .groupBy(col("소분류"))
       .agg(sum(col("건수")).as("s건수"))
-    val overall = overallCounts
-      .crossJoin(broadcast(overallCounts.agg(sum(col("s건수")).as("__total"))))
-      .withColumn("점유율_fb", col("s건수") / col("__total"))
-      .drop("__total")
+      .withColumn("점유율_fb",
+        col("s건수") / sum(col("s건수")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
 
     val monthsWithHistory = sameMonth.select("접수월").distinct()
       .withColumn("__has_hist", lit(true))

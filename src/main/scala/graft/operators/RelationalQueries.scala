@@ -116,16 +116,20 @@ object RelationalQueries extends QueryModule {
       .orderBy("l_returnflag")
 
   /** A5 — top-2 categories with share-of-total (ref: app.py:40-64).
-    * The grand total joins in as a broadcast 1-row aggregate rather
-    * than a global (single-partition) window over the counts frame —
-    * same result, no partition-less WindowExec in the plan.
+    * The global window runs over the ALREADY-AGGREGATED counts frame —
+    * bounded by category cardinality, so the single-partition pass is
+    * O(categories), not O(rows). The tempting broadcast-total
+    * alternative (cross-join a 1-row sum) is WORSE at scale: the two
+    * plan branches each recompute the counts aggregation from the
+    * source scan (ReuseExchange does not collapse them — verified in
+    * the physical plan), doubling the fact-table read to avoid a
+    * trivial window.
     */
   private def aggTopShare(s: SparkSession, d: String): DataFrame = {
     val cnt = Tables.part(s, d).groupBy(col("p_type")).agg(count(lit(1)).as("n"))
     cnt
-      .crossJoin(broadcast(cnt.agg(sum(col("n")).as("__total"))))
-      .withColumn("pct", round(lit(100.0) * col("n") / col("__total"), 2))
-      .drop("__total")
+      .withColumn("pct",
+        round(lit(100.0) * col("n") / sum(col("n")).over(Window.partitionBy()), 2))
       .orderBy(desc("n"), col("p_type"))
       .limit(2)
   }
