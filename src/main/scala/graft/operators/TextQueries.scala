@@ -45,10 +45,11 @@ object TextQueries extends QueryModule {
       // Signatures computed ONCE: the output column and the near-dup
       // search both read this cached frame (each used to run its own
       // corpus tokenize+signature pass).
+      // fills under the pairs job below — the search is its only
+      // consumer until `out`, so there is no branch race to pre-empt
       val sigs = Tables.documents(s, d)
         .select(col("doc_id"), simhash64(col("text")).as("simhash"))
         .persist()
-      sigs.count()
       // maxBucket = 200: SimHash sign bits correlate heavily across a
       // same-domain corpus, so a few 16-bit block keys go hot with
       // docs that mostly FAIL the hamming filter — enumerating a
