@@ -10,12 +10,14 @@ import org.apache.spark.sql.functions._
   * → statistical risk score per key → scored report
   * (ref: app.py:262-324 `load_and_scan_risks`; SURVEY.md §3.2).
   *
-  * Execution shape: ONE shuffle (groupBy key+month partial-agg), then a
-  * second small shuffle on key to assemble the bounded per-key series
-  * (`collect_list` of ≤ a few hundred month structs), scored inside a
-  * codegen-compatible UDF. Embarrassingly parallel across keys — the
-  * 100 TB scan reduces to (#keys × #months) rows before any per-series
-  * work happens, so executors never hold more than a series at a time.
+  * Execution shape: one column-pruned bounds scan (no shuffle), then
+  * one fact scan feeding two post-aggregation shuffles — (key, month)
+  * partial counts, then per-key month→count maps of ≤ a few hundred
+  * entries, densified against the broadcast-literal month spine and
+  * scored inside a codegen-compatible UDF. Embarrassingly parallel
+  * across keys — the 100 TB scan reduces to (#keys × #months) rows
+  * before any per-series work happens, so executors never hold more
+  * than a series at a time.
   */
 object RiskScanJob {
 
@@ -59,22 +61,48 @@ object RiskScanJob {
     * Output: key columns + score/status/reason + last-6-month trend
     * string (ref: app.py:306-307) + current-month count, sorted by
     * score descending (ref: app.py:322).
+    *
+    * Two jobs over the fact table, by design: a column-pruned min/max
+    * over the date column (1-row partial agg, no shuffle — the global
+    * month spine must be known before any per-key series can densify),
+    * then ONE scan + ONE shuffle building per-key month→count maps,
+    * zero-filled against the driver-built spine inside a `transform`.
+    * The round-3 shape instead re-derived the counts aggregate four
+    * times (spine bounds, key list, fill join, target month) — four
+    * fact scans and three extra exchanges that a 100 TB hub cannot
+    * afford.
     */
   def scan(df: DataFrame, keyCols: Seq[String], dateCol: String,
       gradeCol: Option[String], asOf: LocalDate): DataFrame = {
-    val counts = monthlyCounts(df, keyCols, dateCol)
-    val filled = zeroFill(counts, keyCols)
-    val target = counts.agg(max(col("ym")).as("target_ym"))
+    val ymOf = date_format(col(dateCol), "yyyy-MM")
+    val bounds = df.agg(min(ymOf).as("lo"), max(ymOf).as("hi")).head()
+    val months: Seq[String] =
+      if (bounds.isNullAt(0)) Nil
+      else {
+        val lo = YearMonth.parse(bounds.getString(0))
+        val hi = YearMonth.parse(bounds.getString(1))
+        Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
+          .map(_.toString).toSeq
+      }
+    // Max month with any row = the spine's upper bound (counts ≥ 1).
+    val targetYm = if (bounds.isNullAt(1)) "0001-01" else bounds.getString(1)
+    val spine =
+      if (months.isEmpty) array().cast("array<string>")
+      else array(months.map(lit): _*)
 
     val gradeExpr: Column =
       gradeCol.map(col).getOrElse(lit("")).cast("string")
 
-    val series = filled
+    // Spine months are generated ascending, so the transform yields the
+    // sorted dense series directly — no sort_array, no fill join.
+    val series = monthlyCounts(df, keyCols, dateCol)
       .groupBy(keyCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("ym"), col("n")))).as("series"))
+      .agg(map_from_entries(collect_list(struct(col("ym"), col("n")))).as("__m"))
+      .withColumn("series", transform(spine, ym =>
+        struct(ym.as("ym"), coalesce(element_at(col("__m"), ym), lit(0L)).as("n"))))
 
     val scored = series
-      .crossJoin(broadcast(target))
+      .withColumn("target_ym", lit(targetYm))
       .withColumn("risk",
         scoreUdf(col("series"), gradeExpr, col("target_ym"), lit(asOf.toString)))
       .withColumn("trend",

@@ -58,13 +58,16 @@ object TextQueries extends QueryModule {
       // per-bucket work at 20k structs; hotter buckets degrade to
       // linear star pairs. The 200-doc audit slice stays under the cap,
       // so the exactness check is unaffected.
-      // The degree union consumes `pairs` twice; materialized once so
-      // the blocked search runs once (the two union branches otherwise
-      // each re-evaluate it — exchange reuse does not collapse them).
+      // The degree union consumes `pairs` twice and the output join
+      // reads `sigs` again; both persist LAZILY and fill under the one
+      // eager `out.count()` — concurrent branches hitting an unfilled
+      // cached partition serialize on the block manager's write lock,
+      // so the signature pass and the blocked search each still run
+      // once, without per-barrier AQE job chains (three actions here
+      // measured ~0.5 s of pure job-scheduling slices at local scale).
       val pairs = DedupJobs.simhashNearDupsOf(sigs,
         maxHamming = 3, maxBucket = 200, blocks = 4, comboSize = 1)
         .persist()
-      pairs.count()
       val degree = pairs.select(col("id_a").as("doc_id"))
         .unionByName(pairs.select(col("id_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("n_near"))

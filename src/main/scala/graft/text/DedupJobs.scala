@@ -204,16 +204,6 @@ object DedupJobs {
       .agg(collect_list(col("doc_id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
       .persist()
-    // ONE eager job runs the whole expensive kernel exactly once:
-    // tokenize (fills the toks cache; single consumer here, so no
-    // branch race) -> signatures -> bucket agg. Every downstream
-    // branch -- pair generation, the candidate broadcast, the shingle
-    // attach -- reads these two caches; nothing recomputes the search.
-    // (Round 2 instead persisted the PAIRS frame behind an eager
-    // count() barrier: it serialized the search into its own job
-    // chain, double-tokenized, and still let the verification branches
-    // race.)
-    buckets.count()
 
     val pairs = buckets
       .select(explode(expr(
@@ -254,7 +244,13 @@ object DedupJobs {
       .persist()
     // ONE eager job: everything above — tokenize, signature, buckets,
     // pair generation, verification — lands in this count; consumers
-    // read the small verified frame from cache.
+    // read the small verified frame from cache. `toks` and `buckets`
+    // persist LAZILY under this same action (no separate barrier jobs:
+    // each barrier cost its own AQE job chain, ~0.3 s of 30–90 ms
+    // scheduling slices at local scale). Concurrent branches hitting an
+    // unfilled cached partition serialize on the block manager's write
+    // lock — one computes, the rest read — so the search still runs
+    // once.
     verified.count()
     toks.unpersist()
     buckets.unpersist()
@@ -352,17 +348,25 @@ object DedupJobs {
         |  flatten(transform(members, a ->
         |    transform(members, b -> struct(a AS x, b AS y)))),
         |  p -> p.x.doc_id < p.y.doc_id)""".stripMargin)
+    // `members` sorted once into a fresh column; hub = first element.
     val starPairs = expr(
       """transform(
-        |  slice(array_sort(members), 2, size(members) - 1),
-        |  m -> struct(element_at(array_sort(members), 1) AS x, m AS y))""".stripMargin)
+        |  slice(sorted, 2, size(sorted) - 1),
+        |  m -> struct(sorted[0] AS x, m AS y))""".stripMargin)
+    // The hamming filter runs BEFORE the cross-band pair dedup: most
+    // candidate pairs fail it (bucket keys collide on 16 shared bits,
+    // not 61+), so filtering first shrinks the dropDuplicates exchange
+    // from all-candidates to verified-pairs. Equivalent result — the
+    // hamming distance is a pure function of the pair, so every
+    // duplicate of a surviving pair survives identically.
     buckets
+      .withColumn("sorted", array_sort(col("members")))
       .select(explode(when(size(col("members")) <= lit(maxBucket), fullPairs)
         .otherwise(starPairs)).as("p"))
       .select(col("p.x.doc_id").as("id_a"), col("p.y.doc_id").as("id_b"),
         hamming64(col("p.x.simhash"), col("p.y.simhash")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact blocked n-gram Jaccard pairs, distributed end to end. Output
