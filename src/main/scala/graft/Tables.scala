@@ -12,8 +12,17 @@ import org.apache.spark.sql.types.LongType
   * shrink accordingly.
   */
 object Tables {
+  /** The DataFrame HANDLE (analyzed plan + resolved file index) is
+    * memoized per (session, path); execution stays lazy — every action
+    * still scans the files. Without this each query entry re-lists the
+    * directory and re-reads parquet footers for schema inference
+    * (~10–30 ms × tables × 70+ entries of pure metadata I/O; on a real
+    * cluster the same role is played by the catalog's relation cache).
+    */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    SessionCache.getOrBuild(spark, s"table|$sfDir/$name.parquet") {
+      (spark.read.parquet(s"$sfDir/$name.parquet"), Seq.empty)
+    }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
