@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, MlQueries, RelationalQueries,
-  TextQueries, VectorQueries, WindowQueries}
+import graft.operators.{AnalyticsQueries, EventQueries, MlQueries,
+  RelationalQueries, SketchQueries, TextQueries, VectorQueries,
+  WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +18,8 @@ object SparkEntry {
   private def modules: Seq[QueryModule] = Seq(
     RelationalQueries,
     WindowQueries,
+    EventQueries,
+    SketchQueries,
     AnalyticsQueries,
     TextQueries,
     VectorQueries,

@@ -1,0 +1,103 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.events.EventOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-timeline operators over the `events` table: as-of joins and
+  * gap sessionization — the single-shuffle event-pipeline shapes
+  * documented in [[graft.events.EventOps]]. Both entries are fully
+  * SQL-expressible and carry exact DuckDB oracles (the as-of oracle
+  * re-derives the merge-as-of with window functions rather than
+  * DuckDB's ASOF JOIN, whose same-timestamp tie-break is unspecified).
+  */
+object EventQueries extends QueryModule {
+
+  /** For every click, the latest purchase by the same user at-or-before
+    * the click, within a 7-day lookback; unmatched clicks keep null
+    * purchase columns.
+    */
+  private def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    EventOps.asOfJoin(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "click_ts", rightTs = "ts",
+        rightPayload = Seq("purchase_id", "purchase_value"),
+        rightTieBreak = "purchase_id",
+        tolerance = Some(expr("INTERVAL 7 DAYS")))
+      .withColumnRenamed("matched_ts", "purchase_ts")
+      .orderBy("click_id")
+  }
+
+  /** Per-user sessions at a 2-hour inactivity gap, with event counts,
+    * purchase counts, and an exact (decimal-summed) session value.
+    * Doubles sum in nondeterministic order across engines; `value` is
+    * exactly 2-decimal in the data, so summing as DECIMAL(18,2) makes
+    * the aggregate order-independent and oracle-exact.
+    */
+  private def sessionizeQ(s: SparkSession, d: String): DataFrame =
+    EventOps.sessionize(Tables.events(s, d),
+        keys = Seq("user_id"), tsCol = "ts", gap = "2 hours",
+        aggs = Seq(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value")))
+      .orderBy("user_id", "session_start")
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_asof_join", asofJoin, Some(
+      """WITH u AS (
+        |  SELECT user_id, ts AS uts, 0 AS side, event_id AS tie,
+        |         event_id AS r_id, value AS r_val, ts AS r_ts,
+        |         CAST(NULL AS BIGINT) AS click_id,
+        |         CAST(NULL AS TIMESTAMP) AS click_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 1, NULL, NULL, NULL, NULL, event_id, ts
+        |  FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER w AS m_id,
+        |    last_value(r_val IGNORE NULLS) OVER w AS m_val,
+        |    last_value(r_ts IGNORE NULLS) OVER w AS m_ts
+        |  FROM u
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY uts, side, tie
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT click_id, user_id, click_ts,
+        |  CASE WHEN ok THEN m_id END AS purchase_id,
+        |  CASE WHEN ok THEN m_val END AS purchase_value,
+        |  CASE WHEN ok THEN m_ts END AS purchase_ts
+        |FROM (SELECT *,
+        |        m_ts IS NOT NULL AND m_ts >= uts - INTERVAL 7 DAY AS ok
+        |      FROM m)
+        |WHERE side = 1 ORDER BY click_id""".stripMargin)),
+    QueryDef("q_sessionize", sessionizeQ, Some(
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM o
+        |)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_start""".stripMargin))
+  )
+}

@@ -379,6 +379,27 @@ object RelationalQueries extends QueryModule {
       .orderBy("o_orderstatus")
   }
 
+  /** Deterministic hash sampling — the reproducible-subset operator a
+    * training-data pipeline uses for eval splits and data audits. The
+    * membership predicate (first md5 hex byte of the row key ≤ 0x14,
+    * ≈ 8.2%) is engine-independent and map-side: it pushes into the
+    * scan projection with no shuffle, no RNG state, and the SAME rows
+    * selected at every scale, on every engine, on every run — unlike
+    * `TABLESAMPLE`/`df.sample`, whose seeds don't transfer across
+    * engines or partitionings. Sampled measures sum as DECIMAL so the
+    * aggregate is order-independent (prices are exact 2-decimal).
+    */
+  private def sampleHash(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(substring(md5(concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_linenumber").cast("string"))), 1, 2) <= "14")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy("l_returnflag")
+
   /** Flagship pricing-summary aggregation (TPC-H Q1 shape): the widest
     * partial-agg + codegen path in the engine.
     */
@@ -573,6 +594,13 @@ object RelationalQueries extends QueryModule {
         | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 200000
         | UNION
         | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_sample_hash", sampleHash, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE substring(md5(l_orderkey || '|' || l_linenumber), 1, 2) <= '14'
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch-based approximate aggregation — the 100 TB substitutes for
+  * exact distinct counts and exact quantiles. Both are MERGEABLE
+  * map-side sketches: each task reduces its partition to a few KB of
+  * sketch state and only sketches shuffle, so the aggregate never
+  * moves the raw column — the exact versions shuffle every distinct
+  * value (A6) or sort whole groups (A3). At local test scale the exact
+  * paths win; past the point where a group's values exceed executor
+  * memory, the sketch is the only shape that completes.
+  *
+  * Approximation without a contract is just a wrong answer, so each
+  * sketch ships as a `_sound` audit entry: the sketch result is
+  * compared row-by-row against the exact aggregate computed in the
+  * same query, and rows violating the sketch's accuracy bound are
+  * emitted — the DuckDB oracle asserts the violation set is EMPTY.
+  */
+object SketchQueries extends QueryModule {
+
+  /** HLL++ distinct-count audit: per-group `approx_count_distinct` at
+    * rsd = 2% vs the exact distinct count. rsd is the sketch's standard
+    * error, not a hard bound, so the audit allows 5σ (relative error
+    * 10%) — far beyond any plausible HLL++ excursion at these
+    * cardinalities, while still catching a broken sketch outright.
+    */
+  private def approxDistinctSound(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_n"),
+        countDistinct(col("l_orderkey")).as("exact_n"))
+      .withColumn("rel_err",
+        abs(col("approx_n") - col("exact_n")).cast("double") / col("exact_n"))
+      .filter(col("rel_err") > 0.10)
+      .select(col("l_returnflag"), col("approx_n"), col("exact_n"),
+        round(col("rel_err"), 4).as("rel_err"))
+      .orderBy("l_returnflag")
+
+  /** Greenwald–Khanna quantile audit: per-group approx median at
+    * accuracy = 1000 (ε = 1/1000 relative RANK error — this one IS a
+    * deterministic guarantee of the sketch, not a confidence bound).
+    * The returned value's rank in its group must lie within ε·n (+1
+    * row of floor/ceil slack) of the median rank; the tiny approx
+    * frame broadcasts back onto the fact scan to count ranks in one
+    * pass.
+    */
+  private def approxQuantileSound(s: SparkSession, d: String): DataFrame = {
+    val acc = 1000
+    val eps = 1.0 / acc
+    val li = Tables.lineitem(s, d)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(acc))
+        .as("apx"))
+    li.join(broadcast(approx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        first(col("apx")).as("apx"),
+        count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("apx"), 1L).otherwise(0L))
+          .as("rank_lt"),
+        sum(when(col("l_extendedprice") <= col("apx"), 1L).otherwise(0L))
+          .as("rank_le"))
+      .filter(
+        col("rank_lt") > (lit(0.5) + eps) * col("n") + 1 ||
+        col("rank_le") < (lit(0.5) - eps) * col("n") - 1)
+      .select(col("l_returnflag"), col("apx"), col("n"),
+        col("rank_lt"), col("rank_le"))
+      .orderBy("l_returnflag")
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_approx_distinct_sound", approxDistinctSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS BIGINT) AS approx_n, CAST(NULL AS BIGINT) AS exact_n,
+        |  CAST(NULL AS DOUBLE) AS rel_err WHERE FALSE""".stripMargin)),
+    QueryDef("q_approx_quantile_sound", approxQuantileSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS DOUBLE) AS apx, CAST(NULL AS BIGINT) AS n,
+        |  CAST(NULL AS BIGINT) AS rank_lt, CAST(NULL AS BIGINT) AS rank_le
+        |  WHERE FALSE""".stripMargin))
+  )
+}
