@@ -51,6 +51,58 @@ object EventQueries extends QueryModule {
             .as("total_value")))
       .orderBy("user_id", "session_start")
 
+  /** Event-time windowed aggregation executed as a STRUCTURED STREAM —
+    * the same daily counts/sums the batch engine computes, but via
+    * `readStream` → watermark → window → `writeStream`, run to
+    * completion with `Trigger.AvailableNow` and then hash-checked
+    * against the batch DuckDB oracle. This pins the streaming operator
+    * surface to the same correctness gate as every batch entry: the
+    * stream's final state must EQUAL the batch group-by.
+    *
+    * Complete output mode + memory sink are the bounded check harness
+    * (5 event types × 30 daily windows); the production shape for an
+    * unbounded key space is append mode into a file/Kafka sink, where
+    * the same watermark actually evicts state — that path (and
+    * `flatMapGroupsWithState`) is exercised in StreamingIngestSpec.
+    * Session-cached: the stream runs once per (session, dataset).
+    */
+  private def streamWindow(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.LongType
+      val rawSchema = Tables.table(s, d, "events").schema
+      val name = "stream_window_" + java.lang.Integer.toHexString(d.hashCode)
+      // The file stream source needs a DIRECTORY; the glob filter
+      // narrows it to the events table (a landing dir in production).
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      // Watermarks require TIMESTAMP (not NTZ); under the UTC session
+      // the wall-clock values are identical, and the output window
+      // bound converts back to NTZ for the naive-timestamp oracle.
+      val ev =
+        if (src.schema("ts").dataType == LongType)
+          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else src.withColumn("ts", col("ts").cast("timestamp"))
+      val agg = ev
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val out = s.table(name)
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("window_start", "event_type")
+      (out, Seq.empty)
+    }
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", asofJoin, Some(
       """WITH u AS (
@@ -98,6 +150,11 @@ object EventQueries extends QueryModule {
         |    AS BIGINT) AS n_purchases,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin))
+        |ORDER BY user_id, session_start""".stripMargin)),
+    QueryDef("q_stream_window", streamWindow, Some(
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

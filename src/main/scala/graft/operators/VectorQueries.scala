@@ -142,6 +142,46 @@ object VectorQueries extends QueryModule {
       "vec_id", "embedding", threshold = 0.9)
       .orderBy("id_a", "id_b")
 
+  /** LSH-bucketed near-dup pairs at the same τ=0.9 as the exact entry —
+    * the corpus-scale substitute for the O(n²) sweep (id-only buckets,
+    * exact cosine verification; [[VectorOps.lshNearDupPairs]]). Built
+    * once per (session, dataset); the precision audit reads the same
+    * cached pairs. On the synthetic corpus the result is empty (max
+    * pairwise cosine ≈ 0.6) exactly like the exact entry; planted-dup
+    * recall/precision are covered in DedupSpec.
+    */
+  private def nearDupLshPairs(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"vlshpairs|$d") {
+      val out = VectorOps.lshNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.9, dim = DIM).persist()
+      out.count()
+      (out, Seq(out))
+    }
+
+  private def nearDupLsh(s: SparkSession, d: String): DataFrame =
+    nearDupLshPairs(s, d).orderBy("id_a", "id_b")
+
+  /** Precision audit for the LSH near-dup path: every emitted pair's
+    * cosine is recomputed by the INDEPENDENT interpreted
+    * `aggregate(zip_with(...))` formulation (a different code path than
+    * the kernel's codegen `vec_dot`) and violations of the τ=0.9 floor
+    * are emitted; the oracle asserts EMPTY.
+    */
+  private def nearDupLshSound(s: SparkSession, d: String): DataFrame = {
+    def sumprod(a: String, b: String) =
+      expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, z) -> acc + z)")
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    nearDupLshPairs(s, d)
+      .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos_check",
+        sumprod("va", "vb") / (sqrt(sumprod("va", "va")) * sqrt(sumprod("vb", "vb"))))
+      .filter(col("cos_check") < 0.9)
+      .select(col("id_a"), col("id_b"), round(col("cos_check"), 4).as("cos_check"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** IVF-bucketed ANN top-10 (k-means cells, probe 6 of 16). The index
     * is built once per (session, dataset) and cached — every IVF query
     * in the session reads the same persisted assignment, the local
@@ -238,6 +278,10 @@ object VectorQueries extends QueryModule {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("q_vector_near_dup_lsh", nearDupLsh, None),
+    QueryDef("q_vector_near_dup_lsh_sound", nearDupLshSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS cos_check WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_ivf", topkIvf, None),
     QueryDef("q_skew_salted_agg", saltedSkewAgg, Some(
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value

@@ -180,6 +180,58 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
   }
 
+  /** LSH-bucketed embedding near-duplicate pairs — the scale path for
+    * [[cosineNearDupPairs]]: instead of the exact O(n²) sweep, vectors
+    * are keyed by `tables` independent hyperplane signatures and only
+    * same-bucket pairs are ever scored. The index shuffles
+    * (id, table, bucket) triples — never vectors; vectors re-attach by
+    * join only for the candidate pairs (the minhash id-only-bucket
+    * shape from [[graft.text.DedupJobs]]). Every emitted pair is
+    * verified by an exact cosine, so output precision is exact and
+    * output ⊆ the exact all-pairs result; recall is the standard
+    * 1−(1−pᵖˡᵃⁿᵉˢ)ᵗᵃᵇˡᵉˢ S-curve (deterministic here — fixed
+    * hyperplanes), and IDENTICAL vectors are always found (equal
+    * signatures in every table).
+    *
+    * @param maxBucket skew guard: buckets over the cap degrade to
+    *        linear STAR pairs around the smallest-id member (the
+    *        simhash treatment) — duplicate-dense buckets stay
+    *        connected through the hub instead of exploding m²/2
+    *        structs in one task.
+    */
+  def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, dim: Int, planes: Int = 12, tables: Int = 8,
+      maxBucket: Int = 1000): DataFrame = {
+    val prepped = vectors.select(col(idCol).cast("long").as("vid"),
+      col(vecCol).cast("array<double>").as("v"))
+    val buckets = prepped
+      .select(col("vid"), posexplode(lshBuckets(col("v"), dim, planes, tables))
+        .as(Seq("tbl", "bucket")))
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(sort_array(collect_list(col("vid"))).as("members"))
+      .filter(size(col("members")) >= 2)
+    val fullPairs = expr(
+      """filter(
+        |  flatten(transform(members, a ->
+        |    transform(members, b -> struct(a AS id_a, b AS id_b)))),
+        |  p -> p.id_a < p.id_b)""".stripMargin)
+    val starPairs = expr(
+      """transform(
+        |  slice(members, 2, size(members) - 1),
+        |  m -> struct(members[0] AS id_a, m AS id_b))""".stripMargin)
+    val cand = buckets
+      .select(explode(when(size(col("members")) <= lit(maxBucket), fullPairs)
+        .otherwise(starPairs)).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(prepped.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(prepped.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_raw"))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+  }
+
   /** ANN top-k via multi-table LSH (the standard L-tables construction:
     * a candidate is any vector sharing at least one table's bucket with
     * the query — recall grows as 1−(1−pᵐ)ᴸ while each table's index

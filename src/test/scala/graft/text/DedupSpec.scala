@@ -152,6 +152,44 @@ class DedupSpec extends AnyFunSuite {
     assert(run(2) == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("LSH near-dup finds planted duplicates, equals exact pairs here") {
+    import spark.implicits._
+    // 8-dim so the fixed hyperplanes split the space meaningfully;
+    // identical vectors (0,1) MUST collide in every table, the
+    // near-identical pair (2,3) shares a bucket with overwhelming
+    // (and, with fixed hyperplanes, deterministic) probability, and
+    // orthogonal vectors must never verify.
+    val base = Array(0.6f, 0.2f, -0.4f, 0.1f, 0.9f, -0.3f, 0.2f, 0.5f)
+    val near = base.clone(); near(1) = 0.21f
+    val vecs = Seq(
+      (0L, base), (1L, base.clone()), (2L, base.clone()), (3L, near),
+      (4L, Array(-0.6f, 0.2f, 0.4f, 0.1f, -0.9f, -0.3f, -0.2f, 0.5f)),
+      (5L, Array(0.1f, -0.8f, 0.0f, 0.7f, 0.0f, 0.4f, -0.5f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val lsh = graft.vector.VectorOps.lshNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.vector.VectorOps.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((0L, 1L)) && exact.contains((2L, 3L)))
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("LSH near-dup star-pair degrade keeps hot buckets connected") {
+    import spark.implicits._
+    // 600 identical vectors: every bucket is one hot 600-member bucket
+    // in all 8 tables — over maxBucket=1000? No: set cap low (8) to
+    // force the star branch; all must still connect to the hub id 0.
+    val v = Array(0.3f, -0.7f, 0.5f, 0.2f)
+    val vecs = (0L until 40L).map(i => (i, v.clone())).toDF("vec_id", "embedding")
+    val pairs = graft.vector.VectorOps.lshNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9, dim = 4, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((1L until 40L).forall(i => pairs.contains((0L, i))),
+      s"star pairs must connect every dup to the hub; got ${pairs.size} pairs")
+  }
+
   test("ngram jaccard pairs verify blocked near-dups") {
     import spark.implicits._
     val blocked = docs().withColumn("lang", lit("en"))
