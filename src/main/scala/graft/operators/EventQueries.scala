@@ -51,6 +51,38 @@ object EventQueries extends QueryModule {
             .as("total_value")))
       .orderBy("user_id", "session_start")
 
+  /** Interval/range join as a BUCKETIZED EQUI-JOIN — conversion
+    * attribution: every non-signup event within 3 days at-or-after a
+    * signup by the same user. The naive formulation is a range
+    * predicate (`e.ts ∈ [s.ts, s.ts + 3d)`) on a key equi-join, which
+    * at skewed scale degrades to per-key quadratic work inside the
+    * sort-merge residual — and without the key it would be a
+    * broadcast-nested-loop. Bucketizing maps BOTH sides onto covering
+    * day buckets (the left explodes to its ≤ 4 covered days, the right
+    * to its one day), turning the range condition into a pure
+    * (user, day) equi-join followed by the exact residual filter —
+    * the standard interval-join shape (Flink's interval join, DuckDB's
+    * IEJoin literature) with shuffle keys that AQE can split.
+    */
+  private def rangeJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"),
+        col("ts").as("sts"))
+      .withColumn("day", explode(expr(
+        "sequence(to_date(sts), date_add(to_date(sts), 3))")))
+    val others = ev.filter(col("event_type") =!= "signup")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("day", to_date(col("ts")))
+    signups.join(others, Seq("user_id", "day"))
+      .filter(col("ts") >= col("sts") &&
+        col("ts") < col("sts") + expr("INTERVAL 3 DAYS"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("signup_id")).as("n_signups"))
+      .orderBy("event_type")
+  }
+
   /** Event-time windowed aggregation executed as a STRUCTURED STREAM —
     * the same daily counts/sums the batch engine computes, but via
     * `readStream` → watermark → window → `writeStream`, run to
@@ -151,6 +183,14 @@ object EventQueries extends QueryModule {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sess
         |ORDER BY user_id, session_start""".stripMargin)),
+    QueryDef("q_range_join_bucketed", rangeJoinBucketed, Some(
+      """SELECT e.event_type, count(*) AS n_pairs,
+        |  count(DISTINCT s.event_id) AS n_signups
+        |FROM events s JOIN events e
+        |  ON e.user_id = s.user_id
+        | AND s.event_type = 'signup' AND e.event_type <> 'signup'
+        | AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 3 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_stream_window", streamWindow, Some(
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n,

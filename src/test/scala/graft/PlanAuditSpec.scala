@@ -53,6 +53,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("as-of join plans one key exchange, no product join") {
+    val plan = SparkEntry.queries("q_asof_join")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"as-of join regressed to a product join:\n${plan.take(600)}")
+    assert(plan.contains("Window"), "as-of join lost its window form")
+  }
+
+  test("bucketized range join stays an equi-join (no nested loop)") {
+    val plan = SparkEntry.queries("q_range_join_bucketed")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"range join regressed to a product join:\n${plan.take(600)}")
+  }
+
   test("column pruning reaches the scan for the pruned query") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString
