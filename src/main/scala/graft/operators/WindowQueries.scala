@@ -77,6 +77,23 @@ object WindowQueries extends QueryModule {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** Top-k PER GROUP via rank filter — written as the window form
+    * because Spark rewrites `rank ≤ k` into WindowGroupLimit: each map
+    * task keeps only its local top-k per key BEFORE the exchange, so
+    * the shuffle carries ≤ k·keys·tasks rows instead of the whole fact
+    * table (the per-group analog of TakeOrdered; plan-pinned in
+    * PlanAuditSpec). Fully deterministic order: (price desc, key).
+    */
+  private def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("o_orderpriority"), col("rk"))
+  }
+
   /** F12 — trend string of the last 6 months "a → b → c"
     * (ref: app.py:306-307; array ops: collect_list/array_sort/transform).
     */
@@ -214,6 +231,13 @@ object WindowQueries extends QueryModule {
     QueryDef("q_topk_orders", topkOrders, Some(
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+    QueryDef("q_topk_per_group", topkPerGroup, Some(
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin)),
     QueryDef("q_trend_string", trendString, Some(
       s"""$monthlyCte,
          |t AS (SELECT p, ym, n, row_number() OVER (PARTITION BY p ORDER BY ym DESC) AS rn FROM m)

@@ -70,6 +70,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"range join regressed to a product join:\n${plan.take(600)}")
   }
 
+  test("top-k per group keeps the WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("q_topk_per_group")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k no longer pushes a group limit below the exchange:\n${plan.take(600)}")
+  }
+
   test("column pruning reaches the scan for the pruned query") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString
