@@ -110,6 +110,66 @@ class EventOpsSpec extends AnyFunSuite {
     assert(out.length == 1 && out(0).getAs[Long]("n_events") == 2)
   }
 
+  test("as-of join equals brute force on 600 random timeline rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // ~20 keys, colliding timestamps on purpose (nextInt(500) over 300
+    // rows/side forces same-second ties both within and across sides)
+    val lrows = (0 until 300).map { i =>
+      (rnd.nextInt(20).toLong, 1700000000L + rnd.nextInt(500), i.toLong) }
+    val rrows = (0 until 300).map { i =>
+      (rnd.nextInt(20).toLong, 1700000000L + rnd.nextInt(500), (1000 + i).toLong) }
+    val left = lrows.toDF("k", "sec", "lid")
+      .withColumn("lts", timestamp_seconds(col("sec")))
+    val right = rrows.toDF("k", "rsec", "rid")
+      .withColumn("rts", timestamp_seconds(col("rsec")))
+    val out = EventOps.asOfJoin(left, right, Seq("k"), "lts", "rts",
+        rightPayload = Seq("rid"), rightTieBreak = "rid")
+      .collect()
+      .map(r => r.getAs[Long]("lid") ->
+        Option(r.getAs[java.lang.Long]("rid")).map(_.toLong))
+      .toMap
+    val rByK = rrows.groupBy(_._1)
+    lrows.foreach { case (k, sec, lid) =>
+      val expected = rByK.getOrElse(k, Nil)
+        .filter(_._2 <= sec)
+        .sortBy(r => (r._2, r._3))
+        .lastOption.map(_._3)
+      assert(out(lid) == expected,
+        s"lid=$lid k=$k sec=$sec: got ${out(lid)}, want $expected")
+    }
+  }
+
+  test("sessionize equals brute-force gap splitting on random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      (rnd.nextInt(10).toLong, 1700000000L + rnd.nextInt(20000).toLong) }
+    val ev = rows.toDF("user_id", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val gapSec = 600L
+    val got = EventOps.sessionize(ev, Seq("user_id"), "ts", "10 minutes", Nil)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime / 1000,
+        r.getAs[java.sql.Timestamp]("session_end").getTime / 1000,
+        r.getAs[Long]("n_events")))
+      .toSet
+    // brute force: sort each user's seconds, split where gap EXCEEDS 600
+    val expected = rows.groupBy(_._1).flatMap { case (u, rs) =>
+      val secs = rs.map(_._2).sorted
+      val sessions = secs.tail.foldLeft(List(List(secs.head))) {
+        case (acc @ cur :: rest, s) =>
+          if (s - cur.head > gapSec) List(s) :: acc
+          else (s :: cur) :: rest
+        case (Nil, s) => List(List(s))
+      }
+      sessions.map(ss => (u, ss.min, ss.max, ss.size.toLong))
+    }.toSet
+    assert(got == expected,
+      s"diff: got-only=${got -- expected}, want-only=${expected -- got}")
+  }
+
   test("as-of join plans one exchange on the key (no range-join blowup)") {
     val plan = EventOps.asOfJoin(trades(), quotes(), Seq("k"), "tts", "qts",
       Seq("quote_id"), "quote_id").queryExecution.executedPlan.toString
