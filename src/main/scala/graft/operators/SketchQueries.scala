@@ -78,7 +78,35 @@ object SketchQueries extends QueryModule {
       .orderBy("l_returnflag")
   }
 
+  /** Misra–Gries heavy-hitters audit (`df.stat.freqItems`, the
+    * streaming-mergeable frequent-items sketch): the sketch may emit
+    * false POSITIVES but never misses a true heavy hitter — every item
+    * with frequency > support·n must appear in the sketch output.
+    * That guarantee is deterministic, so the audit emits true heavy
+    * hitters (exact groupBy count over the same scan) that the sketch
+    * missed; the oracle asserts EMPTY. The sketch side is a single
+    * map-side pass with constant state (1/support counters per task) —
+    * the 100 TB shape for "top offending keys" diagnostics where an
+    * exact groupBy of a high-cardinality column would shuffle it all.
+    */
+  private def heavyHittersSound(s: SparkSession, d: String): DataFrame = {
+    val support = 0.05
+    val li = Tables.lineitem(s, d)
+    val sketched = li.stat.freqItems(Seq("l_returnflag"), support)
+      .select(explode(col("l_returnflag_freqItems")).as("l_returnflag"))
+    val counts = li.groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .filter(col("n") > lit(support) * col("total"))
+      .join(broadcast(sketched), Seq("l_returnflag"), "left_anti")
+      .select(col("l_returnflag"), col("n"))
+      .orderBy("l_returnflag")
+  }
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_heavy_hitters_sound", heavyHittersSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
+        |  CAST(NULL AS BIGINT) AS n WHERE FALSE""".stripMargin)),
     QueryDef("q_approx_distinct_sound", approxDistinctSound, Some(
       """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
         |  CAST(NULL AS BIGINT) AS approx_n, CAST(NULL AS BIGINT) AS exact_n,
