@@ -90,6 +90,20 @@ object TextQueries extends QueryModule {
       cacheKey = Some(s"documents|$d"))
       .orderBy("id_a", "id_b")
 
+  /** TRUE transitive dup groups over the exact n-gram near-dup graph:
+    * iterative min-label connected components (a~b, b~c ⇒ one group,
+    * even when a~c itself misses the threshold) — the canonical
+    * dedup-pipeline grouping step. Reads the SAME session-cached pair
+    * search as [[ngramJaccard]]; the oracle re-derives the components
+    * with a recursive CTE over the identical pair SQL.
+    */
+  private def ngramCcGroups(s: SparkSession, d: String): DataFrame =
+    DedupJobs.connectedComponents(
+      DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        blockCols = Seq("lang"), n = 2, threshold = 0.8,
+        cacheKey = Some(s"documents|$d")))
+      .orderBy("doc_id")
+
   /** Soundness audit for the MinHash-LSH path, DuckDB-checkable even
     * though the LSH search itself is not SQL-expressible: every emitted
     * pair is re-verified with the INDEPENDENT plan-side set-Jaccard
@@ -262,6 +276,28 @@ object TextQueries extends QueryModule {
          |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
          |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("q_dedup_cc_groups", ngramCcGroups, Some(
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(range(1, len($toksSql)),
+         |      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS grams
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+         |sym AS (
+         |  SELECT id_a AS src, id_b AS dst FROM p
+         |  UNION SELECT id_b, id_a FROM p
+         |  UNION SELECT id_a, id_a FROM p
+         |  UNION SELECT id_b, id_b FROM p),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM sym
+         |  UNION
+         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
+         |SELECT src AS doc_id, min(dst) AS component
+         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_text_langid", langIdQuery, Some {
       val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>
         val pat = words.mkString("\\b(", "|", ")\\b")

@@ -279,6 +279,60 @@ object DedupJobs {
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
+  /** Connected components over a near-dup pair graph — true transitive
+    * dup groups (a~b, b~c ⇒ {a,b,c} share one group), upgrading the
+    * one-pass min-neighbor mapping of [[minhashDupGroups]] which only
+    * links immediate neighbors. Min-label propagation: every node
+    * starts as its own component and repeatedly takes the minimum
+    * label over itself and its neighbors until a fixpoint — converges
+    * in O(graph diameter) joins, each a key-partitioned shuffle with
+    * an early-exit change count. Near-dup graphs are overwhelmingly
+    * tiny cliques/short paths (diameter 2–4), so the loop is short;
+    * a corpus with adversarially long chains would want the
+    * large-star/small-star contraction (Kiveris et al., SOCC'14) that
+    * halves diameter per round — noted here as the upgrade path, not
+    * needed for dedup-shaped graphs.
+    *
+    * @param pairs undirected edges as (id_a, id_b) columns
+    * @return (doc_id, component) for every endpoint; component =
+    *         smallest reachable id
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // Iterations materialize through eager localCheckpoint: lineage is
+    // TRUNCATED each round (a persist chain would re-plan the whole
+    // history every iteration and need manual release bookkeeping;
+    // checkpointed iterations are reclaimed by the ContextCleaner when
+    // they fall out of scope). Locally-held checkpoints trade executor-
+    // loss resilience for speed — a cluster run of a LONG iteration
+    // would use reliable checkpointing; dedup graphs converge in 2–4
+    // rounds.
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = sym
+        .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
+        .withColumnRenamed("src", "id")
+      val stepped = labels.withColumnRenamed("comp", "old")
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"),
+          col("old"))
+        .localCheckpoint()
+      changed = stepped.filter(col("comp") =!= col("old")).count()
+      labels = stepped.select(col("id"), col("comp"))
+      i += 1
+    }
+    sym.unpersist()
+    labels.select(col("id").as("doc_id"), col("comp").as("component"))
+  }
+
   /** SimHash near-dup pairs via block-combination bucketing with an
     * EXACT pigeonhole recall guarantee: the 64-bit signature splits
     * into `blocks` equal blocks; each doc is keyed by every

@@ -152,6 +152,18 @@ class DedupSpec extends AnyFunSuite {
     assert(run(2) == Set((0L, 1L), (2L, 3L)))
   }
 
+  test("connected components closes transitive chains") {
+    import spark.implicits._
+    // chain 7-3-2-1 (diameter 3: needs real iteration, not one-pass
+    // min-neighbor) plus a separate pair and an untouched node space
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L))
+      .toDF("id_a", "id_b")
+    val cc = DedupJobs.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L), s"got $cc")
+  }
+
   test("LSH near-dup finds planted duplicates, equals exact pairs here") {
     import spark.implicits._
     // 8-dim so the fixed hyperplanes split the space meaningfully;
