@@ -16,18 +16,30 @@ object Bench {
     // Warm the JVM/codegen/file-listing paths so the first timed query
     // doesn't absorb session startup.
     Warmup.run(spark, sfDir)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headline = every entry except the *_sound/*_complete correctness
+    // audits (those are oracle-gate artifacts, still run under Verify;
+    // timing them here would double-count the cached searches they
+    // share with their base entries AND push the one-line JSON past the
+    // 2000-char tail window the driver captures).
+    val headline = SparkEntry.queries.toSeq.sortBy(_._1).filterNot { case (n, _) =>
+      n.endsWith("_sound") || n.endsWith("_complete") }
+    val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop write materializes every output row AND column; count()
+      // would let the optimizer prune the computed columns and time a
+      // bare row count instead of the operator.
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    // 3-decimal values keep the one-line JSON compact enough for
-    // tail-window captures (full precision tripled the line size for
-    // no informational gain at ±1 ms noise).
+    }
+    // 3-decimal values + short sf tag keep the one-line JSON inside the
+    // driver's 2000-char tail capture (full precision tripled the line
+    // size for no informational gain at ±1 ms noise).
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val sfTag = sfDir.split('/').last
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
     spark.stop()
   }
 }

@@ -257,10 +257,11 @@ object DedupJobs {
     (verified, Seq(verified))
   }
 
-  /** Near-dup groups: every doc mapped to the smallest verified
-    * neighbor id (one min-neighbor pass — cheap transitive-lite
-    * grouping; full connected components would iterate this join to a
-    * fixpoint, unnecessary for reporting survivors).
+  /** Near-dup groups: every doc mapped to its TRANSITIVE dup group
+    * (smallest id reachable through verified pairs, via
+    * [[connectedComponents]] — a~b, b~c land in one group even when
+    * a~c itself misses the threshold), plus the doc's verified-neighbor
+    * degree. Docs with no verified neighbor are their own group.
     */
   def minhashDupGroups(
       docs: DataFrame, idCol: String, textCol: String,
@@ -269,13 +270,16 @@ object DedupJobs {
       cacheKey: Option[String] = None): DataFrame = {
     val pairs = minhashCandidatePairs(docs, idCol, textCol, k, bands,
       shingleN, threshold, cacheKey = cacheKey)
-    val neighbors = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
+    val degree = pairs.select(col("id_a").as("doc_id"), col("id_b").as("nb"))
       .unionByName(pairs.select(col("id_b").as("doc_id"), col("id_a").as("nb")))
-      .groupBy("doc_id").agg(min("nb").as("min_nb"), count(lit(1)).as("n_candidates"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_candidates"))
+    val comps = connectedComponents(pairs)
+      .withColumnRenamed("component", "comp")
     docs.select(col(idCol).as("doc_id"))
-      .join(neighbors, Seq("doc_id"), "left")
+      .join(degree, Seq("doc_id"), "left")
+      .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        least(col("doc_id"), coalesce(col("min_nb"), col("doc_id"))).as("dup_group"),
+        coalesce(col("comp"), col("doc_id")).as("dup_group"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"))
   }
 
