@@ -304,7 +304,19 @@ object DedupJobs {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+    // One self-loop per node folds the node's OWN label into the same
+    // min-aggregation that merges neighbor labels: each round is ONE
+    // join + ONE groupBy (the least()/left-join reconciliation step of
+    // the textbook formulation disappears), and the self-loop row
+    // doubles as the carrier of the previous label for the convergence
+    // count — no extra old-vs-new join.
+    val withSelf = sym.unionByName(
+      sym.select(col("src"), col("src").as("dst")).distinct()).persist()
+    // Round 0 needs no label join at all: every label starts as its own
+    // id, so the propagated min is just min(dst) over self-looped edges.
+    var labels = withSelf.groupBy("src").agg(min("dst").as("comp"))
+      .withColumnRenamed("src", "id")
+      .localCheckpoint()
     // Iterations materialize through eager localCheckpoint: lineage is
     // TRUNCATED each round (a persist chain would re-plan the whole
     // history every iteration and need manual release bookkeeping;
@@ -313,27 +325,21 @@ object DedupJobs {
     // loss resilience for speed — a cluster run of a LONG iteration
     // would use reliable checkpointing; dedup graphs converge in 2–4
     // rounds.
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val prop = sym
+      val stepped = withSelf
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("comp")).as("nbr"))
-        .withColumnRenamed("src", "id")
-      val stepped = labels.withColumnRenamed("comp", "old")
-        .join(prop, Seq("id"), "left")
-        .select(col("id"),
-          least(col("old"), coalesce(col("nbr"), col("old"))).as("comp"),
-          col("old"))
+        .groupBy("src").agg(
+          min("comp").as("comp"),
+          // exactly one self-loop per node → its comp IS the old label
+          max(when(col("src") === col("dst"), col("comp"))).as("old"))
         .localCheckpoint()
       changed = stepped.filter(col("comp") =!= col("old")).count()
-      labels = stepped.select(col("id"), col("comp"))
+      labels = stepped.select(col("src").as("id"), col("comp"))
       i += 1
     }
-    sym.unpersist()
+    withSelf.unpersist()
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 

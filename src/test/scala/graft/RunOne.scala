@@ -11,6 +11,7 @@ object RunOne {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Warmup.run(spark, sfDir)
     for (name <- args.drop(1)) {
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
