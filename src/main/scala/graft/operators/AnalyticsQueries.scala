@@ -55,7 +55,6 @@ object AnalyticsQueries extends QueryModule {
         col("trend").endsWith(col("cur_n").cast("string"))))
       .select(col("o_orderpriority"), col("o_orderstatus"),
         col("score").cast("long").as("score"), col("status"))
-      .orderBy("o_orderpriority", "o_orderstatus")
   }
 
   /** Same scan over the higher-cardinality events keys (exercises the
@@ -88,7 +87,6 @@ object AnalyticsQueries extends QueryModule {
         col("trend").endsWith(col("cur_n").cast("string"))))
       .select(col("user_id").cast("long").as("user_id"), col("event_type"),
         col("score").cast("long").as("score"), col("status"))
-      .orderBy("user_id", "event_type")
   }
 
   override val defs: Seq[QueryDef] = Seq(

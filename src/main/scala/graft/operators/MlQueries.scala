@@ -42,7 +42,6 @@ object MlQueries extends QueryModule {
           round(col("col.forecast"), 2).as("forecast"),
           round(col("col.ci_lower"), 2).as("ci_lower"),
           round(col("col.ci_upper"), 2).as("ci_upper"))
-        .orderBy("o_orderpriority", "step")
         .persist()
       out.count() // train once per (session, dataset); audit reads the cache
       (out, Seq(out))
@@ -66,7 +65,6 @@ object MlQueries extends QueryModule {
       .select(col("o_orderpriority"), col("champion"),
         col("step").cast("long").as("step"), col("forecast"),
         col("ci_lower"), col("ci_upper"))
-      .orderBy("o_orderpriority", "step")
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_pivot_subtotals", pivotSubtotals, Some {

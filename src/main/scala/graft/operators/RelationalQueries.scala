@@ -28,7 +28,6 @@ object RelationalQueries extends QueryModule {
         col("l_quantity") > 25)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         to_date(col("l_shipdate")).as("ship_date"))
-      .orderBy("l_orderkey", "l_linenumber")
 
   /** S6 — partition catalog listing with row counts, newest first
     * (ref: core/storage.py:202-271).
@@ -51,7 +50,6 @@ object RelationalQueries extends QueryModule {
     Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_linestatus"))
       .dropDuplicates()
-      .orderBy("l_returnflag", "l_linestatus")
 
   /** P4 — keyed dedup keep-last with an explicit order column (the
     * rebuild's ingest-sequence design; ref: core/etl.py:203-209,
@@ -71,7 +69,6 @@ object RelationalQueries extends QueryModule {
       .select(col("l_orderkey"),
         col("m.l_linenumber").as("l_linenumber"),
         col("m.l_quantity").as("l_quantity"))
-      .orderBy("l_orderkey")
 
   /** P9 — cascade filter options: distinct values of B after filtering A
     * (ref: pages/3_플랜트_분석.py:144-160).
@@ -81,7 +78,6 @@ object RelationalQueries extends QueryModule {
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderpriority"))
       .distinct()
-      .orderBy("o_orderpriority")
 
   /** A1 — monthly group counts (ref: app.py:281, core/storage.py:559). */
   private def aggGroupCount(s: SparkSession, d: String): DataFrame =
@@ -89,7 +85,6 @@ object RelationalQueries extends QueryModule {
       .groupBy(col("o_orderpriority"),
         date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
       .agg(count(lit(1)).as("n"))
-      .orderBy("o_orderpriority", "ym")
 
   /** A2 — multi-agg per group: last date + count (ref: app.py:467-470). */
   private def aggMulti(s: SparkSession, d: String): DataFrame =
@@ -97,7 +92,6 @@ object RelationalQueries extends QueryModule {
       .groupBy(col("l_partkey"))
       .agg(to_date(max(col("l_shipdate"))).as("last_ship"),
         count(lit(1)).as("n"))
-      .orderBy("l_partkey")
 
   /** A3 — lag-stats pack: count/mean/median/min/max/sample-stddev
     * (ref: core/analytics.py:391-408; pandas .std() is ddof=1 ⇒
@@ -113,7 +107,6 @@ object RelationalQueries extends QueryModule {
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         round(stddev_samp(col("l_quantity")), 2).as("std_qty"))
-      .orderBy("l_returnflag")
 
   /** A5 — top-2 categories with share-of-total (ref: app.py:40-64).
     * The global window runs over the ALREADY-AGGREGATED counts frame —
@@ -160,7 +153,6 @@ object RelationalQueries extends QueryModule {
       .join(counts, Seq("ym", "o_orderpriority"), "left")
       .na.fill(0L, Seq("n"))
       .select(col("o_orderpriority"), col("ym"), col("n"))
-      .orderBy("o_orderpriority", "ym")
   }
 
   /** A8 — pivot months → columns, zero-filled via explicit pivot values
@@ -175,7 +167,7 @@ object RelationalQueries extends QueryModule {
     val renamed = (1 to 12).foldLeft(p) { (df, i) =>
       df.withColumnRenamed(i.toString, f"m$i%02d")
     }
-    renamed.orderBy("o_orderpriority")
+    renamed
   }
 
   /** A9 — pivot with sum values (ref: pages/2_매출수량_관리.py:112). */
@@ -185,7 +177,6 @@ object RelationalQueries extends QueryModule {
       .groupBy(col("c_nationkey"))
       .pivot(col("c_mktsegment"), segs)
       .agg(round(sum(col("c_acctbal")), 2))
-      .orderBy("c_nationkey")
   }
 
   /** A10 — unpivot wide → long then re-aggregate
@@ -199,7 +190,6 @@ object RelationalQueries extends QueryModule {
         "measure", "val")
       .groupBy(col("measure"))
       .agg(round(sum(col("val")), 2).as("total"))
-      .orderBy("measure")
 
   /** A11 — rollup with subtotal / grand-total label rows
     * (ref: pages/3_플랜트_분석.py:270-317 `create_pivot_with_subtotals`).
@@ -217,7 +207,6 @@ object RelationalQueries extends QueryModule {
           .when(col("g_priority") === 1, lit("SUBTOTAL"))
           .otherwise(col("o_orderpriority")).as("priority"),
         col("n"))
-      .orderBy("status", "priority")
 
   /** A12 — hybrid view year render "{sum}({avg})" over monthly counts
     * (ref: pages/3_플랜트_분석.py:334-371).
@@ -231,7 +220,6 @@ object RelationalQueries extends QueryModule {
       .groupBy(col("p"), col("y"))
       .agg(concat(sum(col("n")).cast("string"), lit("("),
         round(avg(col("n")), 1).cast("string"), lit(")")).as("render"))
-      .orderBy("p", "y")
 
   /** A13/W8 — deterministic mode (most frequent value, ties → smallest)
     * (ref: app.py:493-508 `.mode().iloc[0]`).
@@ -245,7 +233,6 @@ object RelationalQueries extends QueryModule {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"))
-      .orderBy("o_orderstatus")
   }
 
   /** A14 — KPI with MoM delta: current-month-to-date vs previous-month
@@ -297,7 +284,6 @@ object RelationalQueries extends QueryModule {
       .groupBy(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_price"))
-      .orderBy("r_name", "n_name")
 
   /** J1/W8 — latest-per-key then left join back to the dimension
     * (ref: pages/2_매출수량_관리.py:81-85).
@@ -315,7 +301,6 @@ object RelationalQueries extends QueryModule {
     Tables.customer(s, d)
       .join(latest, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"), col("latest_orderkey"), col("latest_date"))
-      .orderBy("c_custkey")
   }
 
   /** J2 — left join with zero-fill of the missing measure
@@ -327,7 +312,6 @@ object RelationalQueries extends QueryModule {
     Tables.customer(s, d)
       .join(counts, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
-      .orderBy("c_custkey")
   }
 
   /** J3 — PPM-style ratio join: monthly counts ⋈ monthly volume,
@@ -344,7 +328,6 @@ object RelationalQueries extends QueryModule {
     c.join(q, Seq("ym"), "left")
       .select(col("ym"), col("n"),
         when(col("qty") > 0, round(col("n") / col("qty") * 1e6, 2)).as("ppm"))
-      .orderBy("ym")
   }
 
   /** Semi join — EXISTS (Spark left_semi; §2.3 has no semi join in the
@@ -357,7 +340,6 @@ object RelationalQueries extends QueryModule {
           .select(col("l_suppkey")),
         col("s_suppkey") === col("l_suppkey"), "left_semi")
       .select(col("s_suppkey"), col("s_name"))
-      .orderBy("s_suppkey")
 
   /** Anti join — NOT EXISTS. */
   private def joinAnti(s: SparkSession, d: String): DataFrame =
@@ -365,7 +347,6 @@ object RelationalQueries extends QueryModule {
       .join(Tables.orders(s, d).select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
-      .orderBy("c_custkey")
 
   /** O3/O4 — union + dedup (ref: core/storage.py:119 unionByName merge). */
   private def unionDedup(s: SparkSession, d: String): DataFrame = {
@@ -376,7 +357,6 @@ object RelationalQueries extends QueryModule {
       .select(col("o_orderkey"), col("o_orderstatus"))
     a.unionByName(b).distinct()
       .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
-      .orderBy("o_orderstatus")
   }
 
   /** Deterministic hash sampling — the reproducible-subset operator a
@@ -398,7 +378,6 @@ object RelationalQueries extends QueryModule {
       .agg(count(lit(1)).as("n"),
         sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
           .as("sum_price"))
-      .orderBy("l_returnflag")
 
   /** Flagship pricing-summary aggregation (TPC-H Q1 shape): the widest
     * partial-agg + codegen path in the engine.
@@ -415,7 +394,6 @@ object RelationalQueries extends QueryModule {
         round(avg(col("l_extendedprice")), 2).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q1_agg", q1Agg, Some(

@@ -44,7 +44,6 @@ object SketchQueries extends QueryModule {
       .filter(col("rel_err") > 0.10)
       .select(col("l_returnflag"), col("approx_n"), col("exact_n"),
         round(col("rel_err"), 4).as("rel_err"))
-      .orderBy("l_returnflag")
 
   /** Greenwald–Khanna quantile audit: per-group approx median at
     * accuracy = 1000 (ε = 1/1000 relative RANK error — this one IS a
@@ -75,7 +74,6 @@ object SketchQueries extends QueryModule {
         col("rank_le") < (lit(0.5) - eps) * col("n") - 1)
       .select(col("l_returnflag"), col("apx"), col("n"),
         col("rank_lt"), col("rank_le"))
-      .orderBy("l_returnflag")
   }
 
   /** Misra–Gries heavy-hitters audit (`df.stat.freqItems`, the
@@ -100,7 +98,6 @@ object SketchQueries extends QueryModule {
       .filter(col("n") > lit(support) * col("total"))
       .join(broadcast(sketched), Seq("l_returnflag"), "left_anti")
       .select(col("l_returnflag"), col("n"))
-      .orderBy("l_returnflag")
   }
 
   override val defs: Seq[QueryDef] = Seq(

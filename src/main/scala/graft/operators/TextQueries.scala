@@ -19,7 +19,6 @@ object TextQueries extends QueryModule {
   /** Exact dedup groups by content digest. */
   private def dedupExact(s: SparkSession, d: String): DataFrame =
     DedupJobs.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
-      .orderBy("digest")
 
   /** MinHash-LSH near-dup groups (per-doc survivor mapping). The
     * candidate search is session-cached per dataset dir — this entry
@@ -28,7 +27,6 @@ object TextQueries extends QueryModule {
   private def dedupMinhash(s: SparkSession, d: String): DataFrame =
     DedupJobs.minhashDupGroups(Tables.documents(s, d), "doc_id", "text",
       cacheKey = Some(s"documents|$d"))
-      .orderBy("doc_id")
 
   /** SimHash signatures + near-dup degree per doc, at Manku et al.'s
     * canonical web-scale setting for 64-bit fingerprints: hamming ≤ 3,
@@ -73,7 +71,6 @@ object TextQueries extends QueryModule {
         .groupBy("doc_id").agg(count(lit(1)).as("n_near"))
       val out = sigs.join(degree, Seq("doc_id"), "left")
         .na.fill(0L, Seq("n_near"))
-        .orderBy("doc_id")
         .persist()
       out.count()
       sigs.unpersist()
@@ -88,7 +85,6 @@ object TextQueries extends QueryModule {
     DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       blockCols = Seq("lang"), n = 2, threshold = 0.8,
       cacheKey = Some(s"documents|$d"))
-      .orderBy("id_a", "id_b")
 
   /** TRUE transitive dup groups over the exact n-gram near-dup graph:
     * iterative min-label connected components (a~b, b~c ⇒ one group,
@@ -102,7 +98,6 @@ object TextQueries extends QueryModule {
       DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         blockCols = Seq("lang"), n = 2, threshold = 0.8,
         cacheKey = Some(s"documents|$d")))
-      .orderBy("doc_id")
 
   /** Soundness audit for the MinHash-LSH path, DuckDB-checkable even
     * though the LSH search itself is not SQL-expressible: every emitted
@@ -118,7 +113,6 @@ object TextQueries extends QueryModule {
       .filter(col("jaccard_check") < 0.5)
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"), col("jaccard_check"))
-      .orderBy("id_a", "id_b")
 
   /** Completeness audit for the MinHash-LSH path: documents with
     * IDENTICAL text have identical signatures, land in identical band
@@ -149,7 +143,6 @@ object TextQueries extends QueryModule {
     exactPairs.join(found, Seq("id_a", "id_b"), "left_anti")
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"))
-      .orderBy("id_a", "id_b")
   }
 
   /** Completeness audit for the SimHash pigeonhole blocking, at the
@@ -173,7 +166,6 @@ object TextQueries extends QueryModule {
       .unionByName(brute.exceptAll(blocked).withColumn("side", lit("brute_only")))
       .select(col("id_a").cast("long").as("id_a"),
         col("id_b").cast("long").as("id_b"), col("side"))
-      .orderBy("id_a", "id_b", "side")
   }
 
   /** Heuristic language ID vs the labeled lang column. */
@@ -181,7 +173,6 @@ object TextQueries extends QueryModule {
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), langId(col("text")).as("pred_lang"))
       .withColumn("match", col("pred_lang") === col("lang"))
-      .orderBy("doc_id")
 
   /** Quality components + composite score. */
   private def qualityQuery(s: SparkSession, d: String): DataFrame =
@@ -193,7 +184,6 @@ object TextQueries extends QueryModule {
         col("q.punct_ratio").as("punct_ratio"),
         col("q.stopword_ratio").as("stopword_ratio"),
         col("q.quality_score").as("quality_score"))
-      .orderBy("doc_id")
 
   /** Whitespace + BPE-ish regex token counts. */
   private def tokenCountQuery(s: SparkSession, d: String): DataFrame =
@@ -201,13 +191,11 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), tokenCounts(col("text")).as("t"))
       .select(col("doc_id"), col("t.ws_tokens").as("ws_tokens"),
         col("t.re_tokens").as("re_tokens"))
-      .orderBy("doc_id")
 
   /** Canonical content fingerprint (md5 of sorted distinct tokens). */
   private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
 
   /** Winnowing fingerprints: per-doc selected rolling-hash count plus
     * cross-doc shared-fingerprint degree (docs sharing any winnowed
@@ -226,7 +214,6 @@ object TextQueries extends QueryModule {
     fp.select(col("doc_id"), size(col("fps")).as("n_fingerprints"))
       .join(shared, Seq("doc_id"), "left")
       .na.fill(0L, Seq("n_shared"))
-      .orderBy("doc_id")
   }
 
   /** Soundness audit for the winnowing kernel: the incremental
@@ -243,7 +230,6 @@ object TextQueries extends QueryModule {
       .filter(not(col("fast") === col("naive")))
       .select(col("doc_id"), size(col("fast")).as("n_fast"),
         size(col("naive")).as("n_naive"))
-      .orderBy("doc_id")
 
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"

@@ -45,7 +45,6 @@ object VectorQueries extends QueryModule {
       .groupBy(col("label"))
       .agg(round(sqrt(sum(col("v") * col("v"))), 4).as("centroid_norm"),
         count(lit(1)).as("dims"))
-      .orderBy("label")
   }
 
   /** Multimodal pipeline: text → binary payload → stubbed decode →
@@ -68,7 +67,6 @@ object VectorQueries extends QueryModule {
         size(col("sampled_frames")).as("n_sampled"),
         col("resized.width").as("resized_w"),
         col("resized.height").as("resized_h"))
-      .orderBy("doc_id")
   }
 
   /** Multimodal feature extraction (stub encoder): binary → fixed-dim
@@ -81,7 +79,6 @@ object VectorQueries extends QueryModule {
       .select(col("doc_id"),
         round(VectorOps.norm(col("features").cast("array<double>")), 4)
           .as("feature_norm"))
-      .orderBy("doc_id")
   }
 
   /** Structural soundness audit for the multimodal pipeline: with the
@@ -118,7 +115,6 @@ object VectorQueries extends QueryModule {
       .select(col("doc_id"),
         col("media_meta.byte_len").as("byte_len"),
         octet_length(col("text")).cast("long").as("expected_bytes"))
-      .orderBy("doc_id")
   }
 
   /** Soundness audit for the stub feature extractor: 16-dim vectors
@@ -133,14 +129,12 @@ object VectorQueries extends QueryModule {
         size(col("features")) === 16 &&
         forall(col("features"), f => f >= -1.0f && f < 1.0f)))
       .select(col("doc_id"), size(col("features")).as("dim"))
-      .orderBy("doc_id")
   }
 
   /** Exact embedding-cosine near-duplicate pairs (τ=0.9). */
   private def cosineNearDups(s: SparkSession, d: String): DataFrame =
     VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
       "vec_id", "embedding", threshold = 0.9)
-      .orderBy("id_a", "id_b")
 
   /** LSH-bucketed near-dup pairs at the same τ=0.9 as the exact entry —
     * the corpus-scale substitute for the O(n²) sweep (id-only buckets,
@@ -159,7 +153,7 @@ object VectorQueries extends QueryModule {
     }
 
   private def nearDupLsh(s: SparkSession, d: String): DataFrame =
-    nearDupLshPairs(s, d).orderBy("id_a", "id_b")
+    nearDupLshPairs(s, d)
 
   /** Precision audit for the LSH near-dup path: every emitted pair's
     * cosine is recomputed by the INDEPENDENT interpreted
@@ -179,7 +173,6 @@ object VectorQueries extends QueryModule {
         sumprod("va", "vb") / (sqrt(sumprod("va", "va")) * sqrt(sumprod("vb", "vb"))))
       .filter(col("cos_check") < 0.9)
       .select(col("id_a"), col("id_b"), round(col("cos_check"), 4).as("cos_check"))
-      .orderBy("id_a", "id_b")
   }
 
   /** IVF-bucketed ANN top-10 (k-means cells, probe 6 of 16). The index
@@ -206,7 +199,6 @@ object VectorQueries extends QueryModule {
       .agg(count(lit(1)).as("pc"), sum(col("value")).as("ps"))
       .groupBy(col("event_type"))
       .agg(sum(col("pc")).as("n"), round(sum(col("ps")), 2).as("total_value"))
-      .orderBy("event_type")
 
   /** Recall of the approximate searchers vs the exact brute-force
     * top-10 — the metric that justifies an ANN path at scale
@@ -240,7 +232,7 @@ object VectorQueries extends QueryModule {
         exact.join(approx, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) / 10.0).as("recall_at_10"))
           .select(lit(name).as("method"), round(col("recall_at_10"), 2).as("recall_at_10"))
-      recallOf("lsh", lsh).unionByName(recallOf("ivf", ivf)).orderBy("method")
+      recallOf("lsh", lsh).unionByName(recallOf("ivf", ivf))
         .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
         .toDF("method", "recall_at_10")
     } finally exact.unpersist()
@@ -263,7 +255,6 @@ object VectorQueries extends QueryModule {
       .join(floorDf, Seq("method"))
       .filter(col("recall_at_10") < col("floor"))
       .select(col("method"), col("recall_at_10"), col("floor"))
-      .orderBy("method")
   }
 
   override val defs: Seq[QueryDef] = Seq(

@@ -34,14 +34,12 @@ object WindowQueries extends QueryModule {
         lag("n", 1).over(wAsc).as("lag1"),
         lag("n", 2).over(wAsc).as("lag2"),
         lag("n", 3).over(wAsc).as("lag3"))
-      .orderBy("p", "ym")
 
   /** W2 — first difference (ref: core/analytics.py:205-209). */
   private def diffSeries(s: SparkSession, d: String): DataFrame =
     monthly(s, d)
       .select(col("p"), col("ym"), col("n"),
         (col("n") - lag("n", 1).over(wAsc)).as("diff1"))
-      .orderBy("p", "ym")
 
   /** W3 — trailing-3 mean, frame [-3,-1] (the sales estimation backfill
     * window, ref: core/storage.py:419-449).
@@ -50,14 +48,12 @@ object WindowQueries extends QueryModule {
     monthly(s, d)
       .select(col("p"), col("ym"), col("n"),
         round(avg("n").over(wAsc.rowsBetween(-3, -1)), 2).as("trail3"))
-      .orderBy("p", "ym")
 
   /** Running cumulative sum (generic frame coverage). */
   private def runningSum(s: SparkSession, d: String): DataFrame =
     monthly(s, d)
       .select(col("p"), col("ym"), col("n"),
         sum("n").over(wAsc.rowsBetween(Window.unboundedPreceding, 0)).as("cum_n"))
-      .orderBy("p", "ym")
 
   /** W9 — trailing-3 least-squares slope; for 3 equispaced points the
     * closed form is (y₃−y₁)/2 (ref: core/storage.py:491-500 polyfit).
@@ -68,7 +64,6 @@ object WindowQueries extends QueryModule {
       .withColumn("rn", row_number().over(Window.partitionBy("p").orderBy(col("ym").desc)))
       .filter(col("rn") === 1)
       .select(col("p"), round((col("n") - col("n2")) / 2.0, 2).as("slope"))
-      .orderBy("p")
 
   /** O1/O2 — multi-column sort + top-k (ref: app.py:322, 472). */
   private def topkOrders(s: SparkSession, d: String): DataFrame =
@@ -110,7 +105,6 @@ object WindowQueries extends QueryModule {
             .otherwise(slice(col("series"), -6, 6)),
           x => x.getField("n").cast("string")),
           " → ").as("trend"))
-      .orderBy("p")
 
   /** F2–F6 — date part/arithmetic functions
     * (ref: core/etl.py:217-227, app.py:277, 346-349, 406-407).
@@ -126,7 +120,6 @@ object WindowQueries extends QueryModule {
         add_months(col("o_orderdate"), 3).as("plus3m"),
         datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"),
         dayofmonth(last_day(col("o_orderdate"))).as("days_in_month"))
-      .orderBy("o_orderkey")
 
   /** F1 — multi-format date parse with priority and null-on-failure
     * (ref: core/etl.py:149-178).
@@ -146,7 +139,6 @@ object WindowQueries extends QueryModule {
           try_to_timestamp(col("s"), lit("yyyy/MM/dd")).cast("date"),
           try_to_timestamp(col("s"), lit("yyyy-MM-dd")).cast("date"),
           try_to_timestamp(col("s"), lit("yyyy.MM.dd")).cast("date")).as("parsed"))
-      .orderBy("o_orderkey")
   }
 
   /** F9 — to_numeric(errors='coerce') ≡ try_cast → null
@@ -160,7 +152,6 @@ object WindowQueries extends QueryModule {
           .when(col("o_orderkey") % 3 === 1, col("o_orderkey").cast("string"))
           .otherwise(lit("abc")).as("s"))
       .select(col("o_orderkey"), col("s"), expr("try_cast(s AS DOUBLE)").as("v"))
-      .orderBy("o_orderkey")
 
   /** F10 — epoch-milliseconds heuristic date clean
     * (ref: app.py:449-458 `> 1e12 → epoch ms`).
@@ -173,7 +164,6 @@ object WindowQueries extends QueryModule {
       .select(col("o_orderkey"), col("ms"),
         to_date(timestamp_millis(col("ms"))).as("roundtrip"),
         (col("ms") > 1000000000000L).as("is_big"))
-      .orderBy("o_orderkey")
 
   /** F7/F8 — trim / lpad / concat_ws / regex contains / regexp_replace
     * (ref: core/etl.py:206, 241; core/storage.py:465-469).
@@ -187,7 +177,6 @@ object WindowQueries extends QueryModule {
         col("p_name").rlike("[0-9]").as("has_digit"),
         regexp_replace(col("p_name"), "[aeiou]", "").as("novowels"),
         upper(substring(col("p_name"), 1, 5)).as("prefix5"))
-      .orderBy("p_partkey")
 
   /** F11/F13 — conditional bucketing + rounding (ref: app.py:498-506). */
   private def conditionalBuckets(s: SparkSession, d: String): DataFrame =
@@ -199,7 +188,6 @@ object WindowQueries extends QueryModule {
         col("o_totalprice"))
       .groupBy(col("band"))
       .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
-      .orderBy("band")
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_window_lag_features", lagFeatures, Some(

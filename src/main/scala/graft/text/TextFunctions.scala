@@ -289,8 +289,11 @@ object TextFunctions {
     val toks = tokens(text)
     val nChars = length(text).cast("double")
     val nToks = size(toks).cast("double")
+    // Σ token lengths as length(concat_ws("", toks)): codegen'd single
+    // pass; an aggregate() lambda is interpreted per element (the
+    // HOF-lambda trap — measured dominant in this scan).
     val meanTokLen = when(nToks > 0,
-      aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nToks)
+      length(concat_ws("", toks)).cast("double") / nToks)
       .otherwise(lit(0.0))
     val punct = regexp_count(text, lit("[\\p{Punct}]")).cast("double")
     val punctRatio = when(nChars > 0, punct / nChars).otherwise(lit(0.0))
