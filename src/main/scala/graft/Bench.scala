@@ -22,7 +22,7 @@ object Bench {
     // share with their base entries AND push the one-line JSON past the
     // 2000-char tail window the driver captures).
     val headline = SparkEntry.queries.toSeq.sortBy(_._1).filterNot { case (n, _) =>
-      n.endsWith("_sound") || n.endsWith("_complete") }
+      n.endsWith("_sound") || n.endsWith("_complete") || n.endsWith("_floor") }
     val results = headline.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output row AND column; count()

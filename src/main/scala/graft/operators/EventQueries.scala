@@ -32,7 +32,6 @@ object EventQueries extends QueryModule {
         rightTieBreak = "purchase_id",
         tolerance = Some(expr("INTERVAL 7 DAYS")))
       .withColumnRenamed("matched_ts", "purchase_ts")
-      .orderBy("click_id")
   }
 
   /** Per-user sessions at a 2-hour inactivity gap, with event counts,
@@ -49,7 +48,6 @@ object EventQueries extends QueryModule {
             .as("n_purchases"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value")))
-      .orderBy("user_id", "session_start")
 
   /** Interval/range join as a BUCKETIZED EQUI-JOIN — conversion
     * attribution: every non-signup event within 3 days at-or-after a
@@ -80,7 +78,6 @@ object EventQueries extends QueryModule {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("signup_id")).as("n_signups"))
-      .orderBy("event_type")
   }
 
   /** Event-time windowed aggregation executed as a STRUCTURED STREAM —
@@ -121,17 +118,30 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value"))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // State-store partition count is frozen from shuffle.partitions at
+      // first start. The stateful key space here is (day-window ×
+      // event_type) — dozens of keys — so 32 partitions would spin 32
+      // HDFS-backed store instances (init + per-batch commit each) to
+      // hold a handful of rows apiece. Size state to the key space, not
+      // the CPU count; on a real cluster this knob is set per-stream the
+      // same way.
+      // (Restored only after termination: the first micro-batch plans
+      // asynchronously after start(), and that planning is what reads
+      // the conf.)
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = agg.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       val out = s.table(name)
         .select(col("w.start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
-        .orderBy("window_start", "event_type")
       (out, Seq.empty)
     }
 

@@ -231,8 +231,66 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), size(col("fast")).as("n_fast"),
         size(col("naive")).as("n_naive"))
 
+  /** Stratified deterministic sampling — the class-rebalancing sampler
+    * of a training-data pipeline (downsample the dominant language,
+    * keep the tail). Per-stratum rates live in a tiny broadcast
+    * dimension as 4-hex-digit md5-prefix caps (rate ≈ cap/65536;
+    * 'zzzz' sorts above every hex digit = keep-all); membership is
+    * md5(doc_id) < cap — a pure map-side filter that depends only on
+    * the row's id, so the SAME rows survive on any engine, any
+    * partitioning, any scale, with no RNG state to coordinate across
+    * executors. Unlisted strata default to keep-all.
+    */
+  private def sampleStratified(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rates = Seq(("en", "1999"), ("de", "8000"), ("es", "8000"),
+      ("fr", "8000"), ("zh", "zzzz")).toDF("lang", "hex_cap")
+    Tables.documents(s, d)
+      .join(broadcast(rates), Seq("lang"), "left")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) <
+        coalesce(col("hex_cap"), lit("zzzz")))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** Curation funnel: the canonical training-data filter chain —
+    * language-ID gate → quality gate → exact dedup — as ONE pass over
+    * the corpus: per-doc flags from the library kernels ([[langId]],
+    * [[qualityComponents]], content digest), a single aggregate
+    * (running count_if conjunctions; distinct digests for the dedup
+    * survivors — the Expand the mixed countDistinct plans runs over
+    * the 3-column flags frame, not the corpus), unpivoted via stack()
+    * to (stage, n_docs) rows. The oracle re-derives every gate in SQL.
+    */
+  private def curationFunnel(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(md5(col("text")).as("digest"),
+        (langId(col("text")) =!= "und").as("p_lang"),
+        (qualityComponents(col("text")).getField("quality_score") >= 0.9)
+          .as("p_q"))
+      .agg(count(lit(1)).as("n0"),
+        count(when(col("p_lang"), 1)).as("n1"),
+        count(when(col("p_lang") && col("p_q"), 1)).as("n2"),
+        countDistinct(when(col("p_lang") && col("p_q"), col("digest")))
+          .as("n3"))
+      .select(expr(
+        """stack(4, '1_ingest', n0, '2_lang_known', n1,
+          |  '3_quality', n2, '4_exact_dedup', n3) AS (stage, n_docs)"""
+          .stripMargin))
+
   private val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
+
+  /** Lang-score SQL fragment shared by the langid and funnel oracles. */
+  private def langScoresSql: String =
+    TextFunctions.langMarkers.map { case (lang, words) =>
+      val pat = words.mkString("\\b(", "|", ")\\b")
+      s"len(regexp_extract_all(lower(text), '$pat', 0)) AS $lang"
+    }.mkString(",\n    ") +
+      ",\n    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS zh"
+
+  /** Stopword-hit SQL pattern (all markers), as in the quality oracle. */
+  private def stopPatSql: String =
+    TextFunctions.langMarkers.flatMap(_._2).mkString("\\b(", "|", ")\\b")
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(
@@ -285,13 +343,8 @@ object TextQueries extends QueryModule {
          |SELECT src AS doc_id, min(dst) AS component
          |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_text_langid", langIdQuery, Some {
-      val scoreExprs = TextFunctions.langMarkers.map { case (lang, words) =>
-        val pat = words.mkString("\\b(", "|", ")\\b")
-        s"len(regexp_extract_all(lower(text), '$pat', 0)) AS $lang"
-      }.mkString(",\n    ") +
-        ",\n    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]', 0)) AS zh"
       s"""WITH h AS (SELECT doc_id, lang AS lbl,
-         |    $scoreExprs
+         |    $langScoresSql
          |  FROM documents)
          |SELECT doc_id, lbl AS lang,
          |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und'
@@ -347,6 +400,51 @@ object TextQueries extends QueryModule {
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
-         |FROM documents ORDER BY doc_id""".stripMargin))
+         |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_sample_stratified", sampleStratified, Some(
+      """WITH r(lang, hex_cap) AS (VALUES
+        |  ('en','1999'), ('de','8000'), ('es','8000'),
+        |  ('fr','8000'), ('zh','zzzz'))
+        |SELECT d.doc_id, d.lang
+        |FROM documents d LEFT JOIN r ON d.lang = r.lang
+        |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < coalesce(r.hex_cap, 'zzzz')""".stripMargin)),
+    QueryDef("q_curation_funnel", curationFunnel, Some(
+      s"""WITH h AS (
+         |  SELECT doc_id, md5(text) AS digest, text, $toksSql AS toks,
+         |    $langScoresSql
+         |  FROM documents),
+         |c AS (
+         |  SELECT digest,
+         |    NOT (greatest(en, de, es, fr, zh) = 0) AS p_lang,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    CAST(len(text) AS BIGINT) AS n_chars,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+         |      ELSE 0.0 END AS mtl,
+         |    CASE WHEN len(text) > 0 THEN
+         |      len(regexp_extract_all(text, '[[:punct:]]', 0))::DOUBLE / len(text)
+         |      ELSE 0.0 END AS pr,
+         |    CASE WHEN len(toks) > 0 THEN
+         |      len(regexp_extract_all(lower(text), '$stopPatSql', 0))::DOUBLE
+         |        / len(toks) ELSE 0.0 END AS sr
+         |  FROM h),
+         |f AS (
+         |  SELECT digest, p_lang,
+         |    ((CASE WHEN n_tokens >= 10 AND n_chars >= 50 THEN 1.0 ELSE 0.0 END) +
+         |     (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END) +
+         |     (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |     (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0 >= 0.9 AS p_q
+         |  FROM c),
+         |a AS (
+         |  SELECT count(*) AS n0,
+         |    count(CASE WHEN p_lang THEN 1 END) AS n1,
+         |    count(CASE WHEN p_lang AND p_q THEN 1 END) AS n2,
+         |    count(DISTINCT CASE WHEN p_lang AND p_q THEN digest END) AS n3
+         |  FROM f)
+         |SELECT '1_ingest' AS stage, n0 AS n_docs FROM a
+         |UNION ALL SELECT '2_lang_known', n1 FROM a
+         |UNION ALL SELECT '3_quality', n2 FROM a
+         |UNION ALL SELECT '4_exact_dedup', n3 FROM a""".stripMargin))
   )
 }
