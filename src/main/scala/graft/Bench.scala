@@ -32,10 +32,11 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 3-decimal values + short sf tag keep the one-line JSON inside the
-    // driver's 2000-char tail capture (full precision tripled the line
-    // size for no informational gain at ±1 ms noise).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // 2-decimal values + short sf tag keep the one-line JSON inside the
+    // driver's 2000-char tail capture WITH ~100 chars of headroom for
+    // sbt's epilogue and slow-entry digit growth (10 ms resolution is
+    // below run-to-run noise at these scales).
+    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
