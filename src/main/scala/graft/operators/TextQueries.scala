@@ -252,6 +252,57 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Deterministic per-stratum reservoir: EXACTLY k docs per language,
+    * chosen as the k smallest md5(doc_id) — the fixed-size counterpart
+    * of [[sampleStratified]]'s rate-based caps (a class-balanced
+    * training subset needs exact counts, not expected counts). The
+    * hash order is engine- and partitioning-independent, so the same k
+    * rows win everywhere; the rank filter compiles to Spark's
+    * WindowGroupLimit, which takes the per-key top-k locally BEFORE
+    * the exchange — the shuffle carries k rows per stratum, not the
+    * corpus (same pushdown PlanAuditSpec pins for q_topk_per_group).
+    */
+  private def sampleReservoir(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("lang"))
+  }
+
+  /** TF-IDF top-5 terms per document — the classic corpus-statistics
+    * keyword extractor, as three aggregations and a group-limited
+    * window: term counts per doc (tf), document frequency per term
+    * (df, an aggregation over the tf frame — no second corpus scan),
+    * corpus size N as a 1-row cross join (plan-side; no driver
+    * action), score = tf·ln(N/df). Ranking orders by round(score, 6)
+    * then term: within one engine equal-(tf, df) terms tie exactly and
+    * break on term; the rounding keeps the order stable cross-engine
+    * where libm and Math.log differ in the last ulp. The rank filter
+    * compiles to WindowGroupLimit (top-5 taken locally before the
+    * exchange). At corpus scale both groupBys shuffle on their keys
+    * and the df side stays skew-free (stopwords cap at df = N).
+    */
+  private def textTfidf(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n").cast("double") / col("df")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"))
+  }
+
   /** Curation funnel: the canonical training-data filter chain —
     * language-ID gate → quality gate → exact dedup — as ONE pass over
     * the corpus: per-doc flags from the library kernels ([[langId]],
@@ -409,6 +460,27 @@ object TextQueries extends QueryModule {
         |FROM documents d LEFT JOIN r ON d.lang = r.lang
         |WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
         |      < coalesce(r.hex_cap, 'zzzz')""".stripMargin)),
+    QueryDef("q_sample_reservoir", (s, d) => sampleReservoir(s, d), Some(
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20""".stripMargin)),
+    QueryDef("q_text_tfidf", textTfidf, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |sc AS (
+         |  SELECT doc_id, term, tf * ln(n.n::DOUBLE / df) AS score
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, score, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rk
+         |  FROM sc)
+         |SELECT doc_id, term, round(score, 4) AS score
+         |FROM r WHERE rk <= 5""".stripMargin)),
     QueryDef("q_curation_funnel", curationFunnel, Some(
       s"""WITH h AS (
          |  SELECT doc_id, md5(text) AS digest, text, $toksSql AS toks,

@@ -77,6 +77,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank<=k no longer pushes a group limit below the exchange:\n${plan.take(600)}")
   }
 
+  test("reservoir sample keeps the WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("q_sample_reservoir")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-stratum reservoir shuffles the corpus instead of k rows:\n${plan.take(600)}")
+  }
+
+  test("tf-idf top-5 keeps the WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("q_text_tfidf")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"tf-idf rank filter shuffles all (doc,term) scores:\n${plan.take(600)}")
+  }
+
   test("column pruning reaches the scan for the pruned query") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString
