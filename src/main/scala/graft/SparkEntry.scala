@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, EventQueries, MlQueries,
-  RelationalQueries, SketchQueries, TextQueries, VectorQueries,
+import graft.operators.{AnalyticsQueries, CurationQueries, EventQueries,
+  MlQueries, RelationalQueries, SketchQueries, TextQueries, VectorQueries,
   WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -22,6 +22,7 @@ object SparkEntry {
     SketchQueries,
     AnalyticsQueries,
     TextQueries,
+    CurationQueries,
     VectorQueries,
     MlQueries
   )

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import graft.text.CurationOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Corpus-curation entries over the `documents` table — the
+  * between-kernels steps of a training-data pipeline: repetition
+  * quality gates, benchmark decontamination, and temperature mixture
+  * re-weighting. All three are SQL-expressible and carry full DuckDB
+  * oracles.
+  */
+object CurationQueries extends QueryModule {
+
+  import TextQueries.toksSql
+
+  /** Gopher-style repetition gate at word-bigram granularity. */
+  private def repetition(s: SparkSession, d: String): DataFrame =
+    CurationOps.repetitionMetrics(Tables.documents(s, d), "doc_id", "text")
+
+  /** Benchmark decontamination: docs 0–24 stand in for the held-out
+    * eval suite; every other document is scored for trigram overlap
+    * against the suite's union gram set.
+    */
+  private def decontaminate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    CurationOps.contamination(
+      corpus = docs.filter(col("doc_id") >= 25),
+      benchmark = docs.filter(col("doc_id") < 25),
+      idCol = "doc_id", textCol = "text")
+  }
+
+  /** mT5-style temperature mix over the `source` column, alpha=0.5. */
+  private def mixTemperature(s: SparkSession, d: String): DataFrame =
+    CurationOps.temperatureMix(Tables.documents(s, d), "source")
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_repetition", repetition, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+         |  FROM t WHERE len(toks) >= 2),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+         |a AS (
+         |  SELECT doc_id, sum(cnt) AS n_grams, max(cnt) AS top_cnt,
+         |    sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup_cnt
+         |  FROM c GROUP BY 1),
+         |f AS (
+         |  SELECT d.doc_id,
+         |    CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+         |    round(CASE WHEN coalesce(a.n_grams, 0) > 0
+         |      THEN a.top_cnt / a.n_grams::DOUBLE ELSE 0.0 END, 4)
+         |      AS top_gram_frac,
+         |    round(CASE WHEN coalesce(a.n_grams, 0) > 0
+         |      THEN a.dup_cnt / a.n_grams::DOUBLE ELSE 0.0 END, 4)
+         |      AS dup_gram_frac
+         |  FROM documents d LEFT JOIN a USING (doc_id))
+         |SELECT doc_id, n_grams, top_gram_frac, dup_gram_frac,
+         |  (top_gram_frac <= 0.2 AND dup_gram_frac <= 0.6) AS pass_repetition
+         |FROM f""".stripMargin)),
+    QueryDef("q_decontaminate", decontaminate, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END
+         |      AS grams
+         |  FROM t),
+         |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 25),
+         |e AS (SELECT doc_id, grams FROM g WHERE doc_id >= 25),
+         |x AS (
+         |  SELECT doc_id, count(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM e) u
+         |  JOIN b USING (gram) GROUP BY 1),
+         |f AS (
+         |  SELECT e.doc_id, CAST(len(e.grams) AS BIGINT) AS n_grams,
+         |    CAST(coalesce(x.n_hits, 0) AS BIGINT) AS n_hits
+         |  FROM e LEFT JOIN x USING (doc_id))
+         |SELECT doc_id, n_grams, n_hits,
+         |  round(n_hits / n_grams::DOUBLE, 4) AS contamination,
+         |  round(n_hits / n_grams::DOUBLE, 4) >= 0.5 AS contaminated
+         |FROM f""".stripMargin)),
+    QueryDef("q_mix_temperature", mixTemperature, Some(
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |n AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    sum(sqrt(n_docs::DOUBLE)) AS z
+        |  FROM s)
+        |SELECT source, n_docs,
+        |  round(n_docs / n_total::DOUBLE, 4) AS p,
+        |  round(sqrt(n_docs::DOUBLE) / z, 4) AS weight,
+        |  round(sqrt(n_docs::DOUBLE) / z * n_total / n_docs, 4)
+        |    AS sampling_rate
+        |FROM s CROSS JOIN n""".stripMargin))
+  )
+}

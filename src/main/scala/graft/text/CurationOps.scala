@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators beyond per-document kernels: repetition
+  * quality filters, benchmark decontamination, and mixture
+  * re-weighting — the steps between "documents scored" and "training
+  * set assembled" in a large-scale data pipeline.
+  *
+  * All three are declarative DataFrame plans: repetition shuffles
+  * (doc, gram) with map-side combine; decontamination broadcasts the
+  * (small) benchmark gram set so the corpus never shuffles for the
+  * membership test; mixing aggregates to one row per stratum.
+  */
+object CurationOps {
+
+  import TextFunctions.{gramsOf, shinglesOf, tokens}
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — adapted to word n-grams):
+    * the fraction of n-gram occurrences taken by the single most
+    * frequent n-gram (`top_gram_frac`) and the fraction belonging to
+    * any n-gram occurring more than once (`dup_gram_frac`). Boilerplate
+    * and degenerate machine text score high on both; the pass flag
+    * applies the thresholds.
+    *
+    * Shape: explode to (doc, gram), count per (doc, gram), re-aggregate
+    * per doc — both aggregations partial-aggregate map-side, and the
+    * shuffle key (doc_id, gram) is near-unique so no hot keys exist at
+    * corpus scale. Documents shorter than n tokens have no n-grams and
+    * pass trivially (left join back onto the corpus spine, zero fill).
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, topFracMax: Double = 0.2,
+      dupFracMax: Double = 0.6): DataFrame = {
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(gramsOf(col("__toks"), n)).as("gram"))
+    val perGram = grams.groupBy(idCol, "gram").agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy(idCol).agg(
+      sum(col("cnt")).as("n_grams"),
+      max(col("cnt")).as("top_cnt"),
+      sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_grams", "top_cnt", "dup_cnt"))
+      .select(col(idCol), col("n_grams"),
+        round(when(col("n_grams") > 0,
+          col("top_cnt") / col("n_grams").cast("double")).otherwise(0.0), 4)
+          .as("top_gram_frac"),
+        round(when(col("n_grams") > 0,
+          col("dup_cnt") / col("n_grams").cast("double")).otherwise(0.0), 4)
+          .as("dup_gram_frac"))
+      .withColumn("pass_repetition",
+        col("top_gram_frac") <= topFracMax && col("dup_gram_frac") <= dupFracMax)
+  }
+
+  /** Benchmark decontamination: for every corpus document, the overlap
+    * of its distinct word n-grams with the union of the benchmark's
+    * n-grams (the standard eval-leakage check — e.g. GPT-3 appendix C /
+    * PaLM's 13-gram variant, shortened here to fit short documents).
+    * Emits per-doc distinct-gram count, hit count, contamination
+    * fraction, and a flag at `threshold`.
+    *
+    * Scale shape: the benchmark side is tiny relative to the corpus
+    * (eval suites, not training data), so its distinct gram set is
+    * BROADCAST and the membership test is a map-side semi join — the
+    * corpus is never shuffled for matching, only the per-doc hit count
+    * aggregates on doc_id.
+    */
+  def contamination(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesOf(col("__toks"), n).as("grams"))
+    val benchGrams = grams(benchmark)
+      .select(explode(col("grams")).as("gram")).distinct()
+    val corpusGrams = grams(corpus)
+    val hits = corpusGrams
+      .select(col(idCol), explode(col("grams")).as("gram"))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_hits"))
+    corpusGrams
+      .select(col(idCol), size(col("grams")).cast("long").as("n_grams"))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .withColumn("contamination",
+        round(col("n_hits") / col("n_grams").cast("double"), 4))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
+  /** Temperature-based mixture re-weighting over a stratum column (the
+    * multilingual/multi-source mixing rule of mT5/XLM-R: sample
+    * proportional to p^alpha, alpha < 1 flattens the distribution so
+    * tail strata are up-weighted). Since w_i = p_i^a / sum p_j^a =
+    * n_i^a / sum n_j^a, the weights need only the per-stratum counts.
+    * `sampling_rate` = w_i * N / n_i is the per-document acceptance
+    * (or replication, when > 1) rate realizing the mix at unchanged
+    * corpus size. One stratum-count aggregation, then a broadcast of
+    * the one-row normalizer — nothing corpus-sized moves.
+    */
+  def temperatureMix(docs: DataFrame, byCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    // alpha = 0.5 (the common default) goes through sqrt, not pow: IEEE
+    // sqrt is correctly rounded on every platform, while pow(x, 0.5) is
+    // only 1-ulp-accurate and may disagree in the last bit between
+    // libm implementations — an oracle run on a different engine must
+    // reproduce the doubles exactly.
+    def powA(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double"))
+      else pow(c.cast("double"), alpha)
+    val bySrc = docs.groupBy(byCol).agg(count(lit(1)).as("n_docs"))
+    val norm = bySrc.agg(
+      sum(col("n_docs")).as("n_total"),
+      sum(powA(col("n_docs"))).as("z"))
+    bySrc.crossJoin(broadcast(norm))
+      .select(col(byCol), col("n_docs"),
+        round(col("n_docs") / col("n_total").cast("double"), 4).as("p"),
+        round(powA(col("n_docs")) / col("z"), 4).as("weight"),
+        round(powA(col("n_docs")) / col("z") *
+          col("n_total") / col("n_docs"), 4).as("sampling_rate"))
+  }
+}

@@ -38,6 +38,18 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = shinglesOf(tokens(text), n)
 
+  /** Word n-grams WITH multiplicity (no distinct, no short-input
+    * fallback — fewer than n tokens yields an empty array): the
+    * repetition statistics need occurrence counts, which the
+    * set-semantic [[shinglesOf]] erases. Same materialized-tokens
+    * contract as `shinglesOf`.
+    */
+  def gramsOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
   /** 64-bit string hash for the signature kernels (two 32-bit murmurs
     * combined — LSH-quality, not cryptographic).
     */
