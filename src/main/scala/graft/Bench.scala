@@ -32,15 +32,25 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // 2-decimal values + short sf tag keep the one-line JSON inside the
-    // driver's 2000-char tail capture WITH ~100 chars of headroom for
-    // sbt's epilogue and slow-entry digit growth (10 ms resolution is
-    // below run-to-run noise at these scales).
-    val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of output, and sbt's
+    // "[success] Total time ..." epilogue (~80 chars) lands after this
+    // line — so the line itself must stay under ~1900 chars or the JSON
+    // head gets cut and the round's bench is unparseable (BENCH_r01-03
+    // all carry parsed:null scars from this). `value` always totals
+    // EVERY entry; the per-query map lists entries slowest-first until
+    // the budget is spent, dropping the least-informative (fastest)
+    // tail when the surface grows past what 2000 chars can carry.
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfTag"}""")
+    val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val suffix = s"""},"sf":"$sfTag"}"""
+    val budget = 1900 - prefix.length - suffix.length
+    val parts = results.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => f""""$k":$v%.2f""" }
+    val kept = parts
+      .scanLeft(0)((acc, p) => acc + p.length + 1)
+      .tail.zip(parts).takeWhile(_._1 <= budget).map(_._2)
+    println(prefix + kept.mkString(",") + suffix)
     spark.stop()
   }
 }
