@@ -131,11 +131,12 @@ object TextQueries extends QueryModule {
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 50))
     val exactPairs = groups
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """filter(
           |  flatten(transform(ids, a ->
           |    transform(ids, b -> struct(a AS id_a, b AS id_b)))),
           |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
     val found = DedupJobs.minhashCandidatePairs(docs, "doc_id", "text",
       cacheKey = Some(s"documents|$d"))
@@ -205,7 +206,10 @@ object TextQueries extends QueryModule {
     val fp = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
       .select(col("doc_id"), winnowFingerprints(col("__toks")).as("fps"))
-    val exploded = fp.select(col("doc_id"), explode(col("fps")).as("h"))
+    // outer + isNotNull: inner explode infers a size()>0 filter that
+    // re-runs the winnow kernel a second time per row.
+    val exploded = fp.select(col("doc_id"), explode_outer(col("fps")).as("h"))
+      .filter(col("h").isNotNull)
     val shared = exploded.groupBy("h")
       .agg(collect_set(col("doc_id")).as("docs"))
       .filter(size(col("docs")) > 1)
@@ -288,7 +292,8 @@ object TextQueries extends QueryModule {
     */
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
@@ -328,7 +333,7 @@ object TextQueries extends QueryModule {
           |  '3_quality', n2, '4_exact_dedup', n3) AS (stage, n_docs)"""
           .stripMargin))
 
-  private val toksSql =
+  private[operators] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
 
   /** Lang-score SQL fragment shared by the langid and funnel oracles. */

@@ -39,7 +39,8 @@ object VectorQueries extends QueryModule {
     */
   private def labelCentroids(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
-      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .select(col("label"), posexplode_outer(col("embedding").cast("array<double>")))
+      .filter(col("pos").isNotNull)
     e.groupBy(col("label"), col("pos"))
       .agg(avg(col("col")).as("v"))
       .groupBy(col("label"))

@@ -179,9 +179,16 @@ object DedupJobs {
       .filter(size(col("__toks")) > 0)
       .persist()
 
+    // posexplode_OUTER + isNotNull, not posexplode: the inner form
+    // triggers InferFiltersFromGenerate, which duplicates the generator
+    // argument — the FULL minhash signature kernel — into a
+    // Filter(size(bandsUdf(..)) > 0) below the Generate, doubling the
+    // most expensive stage of the search. bandsUdf always returns
+    // `bands` buckets, so the outer form emits no null rows to drop.
     val exploded = toks
-      .select(col("doc_id"), posexplode(bandsUdf(col("__toks"))))
+      .select(col("doc_id"), posexplode_outer(bandsUdf(col("__toks"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      .filter(col("bucket").isNotNull)
 
     // Buckets carry doc IDS ONLY — never the shingle arrays. A hot
     // bucket of m docs would otherwise materialize m²/2 pair structs
@@ -205,12 +212,15 @@ object DedupJobs {
       .filter(size(col("members")).between(2, maxBucket))
       .persist()
 
+    // outer + isNotNull so the O(m²) pair enumeration isn't duplicated
+    // into an inferred size()>0 pre-filter (InferFiltersFromGenerate).
     val pairs = buckets
-      .select(explode(expr(
+      .select(explode_outer(expr(
         """filter(
           |  flatten(transform(members, a ->
           |    transform(members, b -> struct(a AS id_a, b AS id_b)))),
           |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
 
     // Exact-Jaccard verification shingles are computed ONLY for docs
@@ -425,8 +435,11 @@ object DedupJobs {
     // duplicate of a surviving pair survives identically.
     buckets
       .withColumn("sorted", array_sort(col("members")))
-      .select(explode(when(size(col("members")) <= lit(maxBucket), fullPairs)
+      // outer + isNotNull: keeps InferFiltersFromGenerate from cloning
+      // the pair-enumeration expression into a pre-filter.
+      .select(explode_outer(when(size(col("members")) <= lit(maxBucket), fullPairs)
         .otherwise(starPairs)).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.x.doc_id").as("id_a"), col("p.y.doc_id").as("id_b"),
         hamming64(col("p.x.simhash"), col("p.y.simhash")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
@@ -545,8 +558,11 @@ object DedupJobs {
       val (rare, freq) = gh.partition(g => !cs.contains(g)) // gh sorted; partition is stable
       (rare ++ freq).take(p).toArray
     }
+    // outer + isNotNull: avoids evaluating prefixUdf twice per row via
+    // the inferred size()>0 filter (InferFiltersFromGenerate).
     val inv = prepped.select(col("doc_id"), col("blk"),
-      size(col("gh")).as("len"), explode(prefixUdf(col("gh"))).as("g"))
+      size(col("gh")).as("len"), explode_outer(prefixUdf(col("gh"))).as("g"))
+      .filter(col("g").isNotNull)
 
     // Inverted-index self-join on (block, prefix gram) with the exact
     // length bound in the join condition.

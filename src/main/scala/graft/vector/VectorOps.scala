@@ -204,9 +204,13 @@ object VectorOps {
       maxBucket: Int = 1000): DataFrame = {
     val prepped = vectors.select(col(idCol).cast("long").as("vid"),
       col(vecCol).cast("array<double>").as("v"))
+    // outer + isNotNull at every computed-array explode: the inner form
+    // lets InferFiltersFromGenerate clone the LSH hashing UDF into a
+    // size()>0 pre-filter, doubling the bucketing stage.
     val buckets = prepped
-      .select(col("vid"), posexplode(lshBuckets(col("v"), dim, planes, tables))
+      .select(col("vid"), posexplode_outer(lshBuckets(col("v"), dim, planes, tables))
         .as(Seq("tbl", "bucket")))
+      .filter(col("bucket").isNotNull)
       .groupBy(col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(col("vid"))).as("members"))
       .filter(size(col("members")) >= 2)
@@ -220,8 +224,9 @@ object VectorOps {
         |  slice(members, 2, size(members) - 1),
         |  m -> struct(members[0] AS id_a, m AS id_b))""".stripMargin)
     val cand = buckets
-      .select(explode(when(size(col("members")) <= lit(maxBucket), fullPairs)
+      .select(explode_outer(when(size(col("members")) <= lit(maxBucket), fullPairs)
         .otherwise(starPairs)).as("p"))
+      .filter(col("p").isNotNull)
       .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
@@ -243,11 +248,13 @@ object VectorOps {
       idCol: String, vecCol: String, k: Int, dim: Int,
       planes: Int = 8, tables: Int = 8): DataFrame = {
     val bucketed = vectors.select(col(idCol), col(vecCol),
-      posexplode(lshBuckets(col(vecCol), dim, planes, tables))
+      posexplode_outer(lshBuckets(col(vecCol), dim, planes, tables))
         .as(Seq("tbl", "bucket")))
+      .filter(col("bucket").isNotNull)
     val qb = query.select(col("qvec"),
-      posexplode(lshBuckets(col("qvec"), dim, planes, tables))
+      posexplode_outer(lshBuckets(col("qvec"), dim, planes, tables))
         .as(Seq("tbl", "qbucket")))
+      .filter(col("qbucket").isNotNull)
     bucketed
       .join(broadcast(qb), col("bucket") === col("qbucket") && bucketed("tbl") === qb("tbl"))
       .select(col(idCol),

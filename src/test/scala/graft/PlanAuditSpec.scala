@@ -97,4 +97,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"),
       s"scan not pruned:\n${plan.take(500)}")
   }
+
+  test("decontamination broadcasts the benchmark gram set (one corpus pass)") {
+    val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The corpus-side membership test must be a broadcast join — a
+    // shuffled join here would move every corpus gram at 100 TB scale.
+    assert(plan.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      "corpus grams shuffled for the membership test")
+  }
 }
