@@ -308,10 +308,48 @@ object DedupJobs {
     * needed for dedup-shaped graphs.
     *
     * @param pairs undirected edges as (id_a, id_b) columns
+    * @param driverEdgeLimit edge count up to which a driver-side
+    *        union-find replaces the join loop (see in-code rationale)
     * @return (doc_id, component) for every endpoint; component =
     *         smallest reachable id
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverEdgeLimit: Long = 2000000L): DataFrame = {
+    // Hybrid execution: the edge set of a near-dup graph is orders of
+    // magnitude smaller than the corpus (it's the OUTPUT of dedup
+    // detection, not the input), so up to `driverEdgeLimit` edges
+    // (~32 MB of long pairs) union-find on the driver beats the
+    // iterative join loop by the loop's whole fixed cost — each
+    // distributed round is a join + groupBy + checkpoint regardless of
+    // size, seconds of scheduling for kilobytes of edges. This is the
+    // standard production split; the distributed min-label loop below
+    // remains the unbounded-scale path and the two agree exactly
+    // (DedupSpec drives both).
+    val nEdges = pairs.count()
+    if (nEdges <= driverEdgeLimit) {
+      val spark = pairs.sparkSession
+      val edges = pairs
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN label so every root is its component's minimum —
+        // the distributed loop's fixpoint, with no relabeling pass
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      import spark.implicits._
+      return parent.keys.toSeq.map(id => (id, find(id)))
+        .toDF("doc_id", "component")
+    }
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     // One self-loop per node folds the node's OWN label into the same

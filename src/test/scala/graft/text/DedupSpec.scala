@@ -158,10 +158,16 @@ class DedupSpec extends AnyFunSuite {
     // min-neighbor) plus a separate pair and an untouched node space
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (7L, 3L))
       .toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      5L -> 5L, 6L -> 5L)
+    // driver union-find path (default limit)
     val cc = DedupJobs.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
-      5L -> 5L, 6L -> 5L), s"got $cc")
+    assert(cc == expected, s"got $cc")
+    // distributed min-label loop (limit forced to 0) must agree
+    val ccDist = DedupJobs.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDist == expected, s"got $ccDist")
   }
 
   test("LSH near-dup finds planted duplicates, equals exact pairs here") {
