@@ -3,7 +3,7 @@ package graft.operators
 import graft.{QueryDef, QueryModule, Tables}
 import graft.text.CurationOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions._
 
 /** Corpus-curation entries over the `documents` table — the
   * between-kernels steps of a training-data pipeline: repetition
@@ -34,6 +34,56 @@ object CurationQueries extends QueryModule {
   /** mT5-style temperature mix over the `source` column, alpha=0.5. */
   private def mixTemperature(s: SparkSession, d: String): DataFrame =
     CurationOps.temperatureMix(Tables.documents(s, d), "source")
+
+  /** PII/number redaction over documents ([[CurationOps.scrub]]). The
+    * synthetic corpus is digit- and email-free, so on testdata the
+    * counts are 0 and the fingerprint equals md5(text) — CurationSpec
+    * drives the interesting cases; the oracle still hash-checks the
+    * full per-document output.
+    */
+  private def textScrub(s: SparkSession, d: String): DataFrame =
+    CurationOps.scrub(Tables.documents(s, d), "doc_id", "text")
+
+  /** Exactly-once DEDUP executed as a structured stream — documents
+    * arrive as a file stream, `dropDuplicates` on (lang, digest) keeps
+    * the first occurrence of each content digest in state, and the
+    * deduped stream lands append-mode in the check sink; the final
+    * per-language unique count must EQUAL the batch distinct — the
+    * streaming counterpart of q_dedup_exact, behind the same oracle
+    * gate as the batch entries (same harness shape as q_stream_window).
+    * Unbounded corpora would bound the state with
+    * `dropDuplicatesWithinWatermark` on an arrival-time column; the
+    * check sink is memory-append at test scale.
+    */
+  private def streamDedup(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamdedup|$d") {
+      import org.apache.spark.sql.streaming.Trigger
+      val rawSchema = Tables.table(s, d, "documents").schema
+      val name = "stream_dedup_" + java.lang.Integer.toHexString(d.hashCode)
+      val deduped = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(d)
+        .select(col("lang"), md5(col("text")).as("digest"))
+        .dropDuplicates("lang", "digest")
+      // State-store partitions sized to the key space, not the CPU
+      // count (see q_stream_window's rationale); restored only after
+      // termination because the first micro-batch plans asynchronously.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = deduped.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(name)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val out = s.table(name)
+        .groupBy("lang").agg(count(lit(1)).as("n_unique"))
+        .persist()
+      out.count()
+      (out, Seq(out))
+    }
 
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_text_repetition", repetition, Some(
@@ -95,6 +145,20 @@ object CurationQueries extends QueryModule {
         |  round(sqrt(n_docs::DOUBLE) / z, 4) AS weight,
         |  round(sqrt(n_docs::DOUBLE) / z * n_total / n_docs, 4)
         |    AS sampling_rate
-        |FROM s CROSS JOIN n""".stripMargin))
+        |FROM s CROSS JOIN n""".stripMargin)),
+    QueryDef("q_text_scrub", textScrub, Some(
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
+        |    AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)
+        |    AS n_numbers,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '[0-9]+', '<NUM>', 'g')) AS redacted_fp
+        |FROM documents""".stripMargin)),
+    QueryDef("q_stream_dedup", streamDedup, Some(
+      """SELECT lang, count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY 1""".stripMargin))
   )
 }

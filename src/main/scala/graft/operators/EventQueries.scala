@@ -205,6 +205,32 @@ object EventQueries extends QueryModule {
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q_json_extract", jsonExtract, Some(
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  round(CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS DOUBLE) / count(CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin))
   )
+
+  /** Semi-structured extraction: the `props` JSON column parsed
+    * map-side (`get_json_object` path expression — no schema
+    * inference, no UDF) and aggregated per event type. The mean is
+    * spelled sum/count over exact longs rather than avg(): both
+    * engines then divide the SAME two exact integers, where a native
+    * running-double mean would expose accumulation-order rounding.
+    */
+  private def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        round(sum(col("k")).cast("double") / count(col("k")), 4).as("avg_k"))
+  }
 }

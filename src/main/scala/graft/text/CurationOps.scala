@@ -107,6 +107,24 @@ object CurationOps {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  // Portable across Java regex and RE2: explicit classes only (no \d /
+  // \w shorthand, no lookaround), so a DuckDB/other-engine oracle can
+  // run the identical pattern.
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val numberPattern = "[0-9]+"
+
+  /** PII/number scrub — the redaction pass before training: per-doc
+    * match counts plus the fingerprint of the redacted text (emails →
+    * <EMAIL> first, then digit runs → <NUM>). Pure map-side codegen'd
+    * regex work; no shuffle at any scale.
+    */
+  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      regexp_count(col(textCol), lit(emailPattern)).cast("long").as("n_emails"),
+      regexp_count(col(textCol), lit(numberPattern)).cast("long").as("n_numbers"),
+      md5(regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
+        numberPattern, "<NUM>")).as("redacted_fp"))
+
   /** Temperature-based mixture re-weighting over a stratum column (the
     * multilingual/multi-source mixing rule of mT5/XLM-R: sample
     * proportional to p^alpha, alpha < 1 flattens the distribution so

@@ -59,6 +59,27 @@ class CurationSpec extends AnyFunSuite {
     assert(c(0L).getAs[Long]("n_hits") == 4L)
   }
 
+  test("scrub counts and redacts emails and digit runs") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "contact alice.smith+dev@example.co.uk or bob@test.org now"),
+      (1L, "order 12345 shipped 2024 items 7"),
+      (2L, "no sensitive content here")
+    ).toDF("doc_id", "text")
+    val m = CurationOps.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Long]("n_emails") == 2L)
+    assert(m(1L).getAs[Long]("n_numbers") == 3L)
+    assert(m(2L).getAs[Long]("n_emails") == 0L &&
+      m(2L).getAs[Long]("n_numbers") == 0L)
+    // redacted fingerprints: doc 1 must hash the <NUM>-substituted text,
+    // doc 2 the original
+    val expected1 = java.security.MessageDigest.getInstance("MD5")
+      .digest("order <NUM> shipped <NUM> items <NUM>".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(m(1L).getAs[String]("redacted_fp") == expected1)
+  }
+
   test("temperature mix flattens toward the tail and conserves mass") {
     import spark.implicits._
     val docs = (0 until 90).map(i => (i.toLong, "x", "big")) ++
