@@ -44,6 +44,45 @@ object CurationQueries extends QueryModule {
   private def textScrub(s: SparkSession, d: String): DataFrame =
     CurationOps.scrub(Tables.documents(s, d), "doc_id", "text")
 
+  /** Deterministic train/val/test assignment — the split step of a
+    * training pipeline as a pure map-side hash-range rule (≈ 90/5/5 by
+    * the first 4 md5 hex digits of the id: engine-, partition- and
+    * scale-independent, so the same document lands in the same split
+    * on every run of every engine — no RNG state, no seed coordination
+    * across executors). Emits per-(lang, split) counts.
+    */
+  private def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(h < "e666", "train").when(h < "f333", "val")
+          .otherwise("test").as("split"))
+      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Sequence packing — GPT-style concat-and-chunk assembly planned as
+    * a cumulative token sum: per language, documents in id order fill a
+    * fixed token budget; a document belongs to the bin where it STARTS
+    * (floor(preceding-tokens / budget)), matching concatenation with
+    * spillover. One running-sum window per language partition plus a
+    * tiny aggregate — the shuffle carries (lang, doc tokens), nothing
+    * corpus-sized. Emits per-(lang, bin) doc and token counts.
+    */
+  private def packSequences(s: SparkSession, d: String,
+      budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+  }
+
   /** Exactly-once DEDUP executed as a structured stream — documents
     * arrive as a file stream, `dropDuplicates` on (lang, digest) keeps
     * the first occurrence of each content digest in state, and the
@@ -159,6 +198,28 @@ object CurationQueries extends QueryModule {
         |FROM documents""".stripMargin)),
     QueryDef("q_stream_dedup", streamDedup, Some(
       """SELECT lang, count(DISTINCT md5(text)) AS n_unique
-        |FROM documents GROUP BY 1""".stripMargin))
+        |FROM documents GROUP BY 1""".stripMargin)),
+    QueryDef("q_split_assign", splitAssign, Some(
+      """SELECT lang,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1, 2""".stripMargin)),
+    QueryDef("q_pack_sequences", (s, d) => packSequences(s, d), Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT lang, n_tokens,
+         |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |      1 PRECEDING), 0) / 2048.0) AS BIGINT) AS bin
+         |  FROM t)
+         |SELECT lang, bin, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+         |FROM b GROUP BY 1, 2""".stripMargin))
   )
 }
