@@ -44,44 +44,13 @@ object CurationQueries extends QueryModule {
   private def textScrub(s: SparkSession, d: String): DataFrame =
     CurationOps.scrub(Tables.documents(s, d), "doc_id", "text")
 
-  /** Deterministic train/val/test assignment — the split step of a
-    * training pipeline as a pure map-side hash-range rule (≈ 90/5/5 by
-    * the first 4 md5 hex digits of the id: engine-, partition- and
-    * scale-independent, so the same document lands in the same split
-    * on every run of every engine — no RNG state, no seed coordination
-    * across executors). Emits per-(lang, split) counts.
-    */
-  private def splitAssign(s: SparkSession, d: String): DataFrame = {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 4)
-    Tables.documents(s, d)
-      .select(col("lang"),
-        when(h < "e666", "train").when(h < "f333", "val")
-          .otherwise("test").as("split"))
-      .groupBy("lang", "split").agg(count(lit(1)).as("n_docs"))
-  }
+  /** Train/val/test assignment over documents ([[CurationOps.splitAssign]]). */
+  private def splitAssign(s: SparkSession, d: String): DataFrame =
+    CurationOps.splitAssign(Tables.documents(s, d), "doc_id", "lang")
 
-  /** Sequence packing — GPT-style concat-and-chunk assembly planned as
-    * a cumulative token sum: per language, documents in id order fill a
-    * fixed token budget; a document belongs to the bin where it STARTS
-    * (floor(preceding-tokens / budget)), matching concatenation with
-    * spillover. One running-sum window per language partition plus a
-    * tiny aggregate — the shuffle carries (lang, doc tokens), nothing
-    * corpus-sized. Emits per-(lang, bin) doc and token counts.
-    */
-  private def packSequences(s: SparkSession, d: String,
-      budget: Int = 2048): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
-          .as("n_tokens"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
-      .groupBy("lang", "bin")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
-  }
+  /** Sequence packing over documents ([[CurationOps.packSequences]]). */
+  private def packSequences(s: SparkSession, d: String): DataFrame =
+    CurationOps.packSequences(Tables.documents(s, d), "doc_id", "lang", "text")
 
   /** Exactly-once DEDUP executed as a structured stream — documents
     * arrive as a file stream, `dropDuplicates` on (lang, digest) keeps

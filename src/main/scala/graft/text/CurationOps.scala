@@ -125,6 +125,43 @@ object CurationOps {
       md5(regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
         numberPattern, "<NUM>")).as("redacted_fp"))
 
+  /** Deterministic train/val/test assignment — the split step of a
+    * training pipeline as a pure map-side hash-range rule (≈ 90/5/5 by
+    * the first 4 md5 hex digits of the id: engine-, partition- and
+    * scale-independent, so the same document lands in the same split
+    * on every run of every engine — no RNG state, no seed coordination
+    * across executors). Emits per-(stratum, split) counts.
+    */
+  def splitAssign(docs: DataFrame, idCol: String,
+      byCol: String): DataFrame = {
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    docs.select(col(byCol),
+        when(h < "e666", "train").when(h < "f333", "val")
+          .otherwise("test").as("split"))
+      .groupBy(byCol, "split").agg(count(lit(1)).as("n_docs"))
+  }
+
+  /** Sequence packing — GPT-style concat-and-chunk assembly planned as
+    * a cumulative token sum: per stratum, documents in id order fill a
+    * fixed token budget; a document belongs to the bin where it STARTS
+    * (floor(preceding-tokens / budget)), matching concatenation with
+    * spillover. One running-sum window per stratum partition plus a
+    * tiny aggregate — the shuffle carries (stratum, doc tokens),
+    * nothing corpus-sized. Emits per-(stratum, bin) doc/token counts.
+    */
+  def packSequences(docs: DataFrame, idCol: String, byCol: String,
+      textCol: String, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(byCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col(idCol), col(byCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bin",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+      .groupBy(byCol, "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+  }
+
   /** Temperature-based mixture re-weighting over a stratum column (the
     * multilingual/multi-source mixing rule of mT5/XLM-R: sample
     * proportional to p^alpha, alpha < 1 flattens the distribution so

@@ -80,6 +80,70 @@ class CurationSpec extends AnyFunSuite {
     assert(m(1L).getAs[String]("redacted_fp") == expected1)
   }
 
+  test("packing and splits conserve docs and tokens per stratum (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 400).map { i =>
+      val lang = Seq("en", "de", "zh")(rnd.nextInt(3))
+      val n = 1 + rnd.nextInt(900) // docs bigger than the budget included
+      (i.toLong, lang, Seq.fill(n)("tok").mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "lang", "text")
+    val expDocs = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val expToks = rows.groupBy(_._2).view
+      .mapValues(_.map(_._3.split(" ").length.toLong).sum).toMap
+
+    val packed = CurationOps
+      .packSequences(docs, "doc_id", "lang", "text", budget = 512).collect()
+    assert(packed.forall(_.getAs[Long]("bin") >= 0L))
+    val packDocs = packed.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    val packToks = packed.groupBy(_.getAs[String]("lang")).view
+      .mapValues(_.map(_.getAs[Long]("tokens")).sum).toMap
+    assert(packDocs == expDocs, s"docs not conserved: $packDocs vs $expDocs")
+    assert(packToks == expToks, s"tokens not conserved: $packToks vs $expToks")
+
+    val split = CurationOps.splitAssign(docs, "doc_id", "lang").collect()
+    assert(split.map(_.getAs[Long]("n_docs")).sum == 400L)
+    assert(split.forall(r =>
+      Set("train", "val", "test")(r.getAs[String]("split"))))
+  }
+
+  test("scrub counts match Java regex and redaction is idempotent (randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val words = Seq("alpha", "beta", "x9y", "12", "a@b.co", "n0pe",
+      "user.name@mail-host.org", "7seas", "plain")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size)))
+        .mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val out = CurationOps.scrub(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val email = java.util.regex.Pattern.compile(CurationOps.emailPattern)
+    val num = java.util.regex.Pattern.compile(CurationOps.numberPattern)
+    def countOf(p: java.util.regex.Pattern, s: String): Long = {
+      val m = p.matcher(s); var c = 0L; while (m.find()) c += 1; c
+    }
+    val redactedRows = rows.map { case (id, text) =>
+      assert(out(id).getAs[Long]("n_emails") == countOf(email, text))
+      assert(out(id).getAs[Long]("n_numbers") == countOf(num, text))
+      (id, num.matcher(email.matcher(text).replaceAll("<EMAIL>"))
+        .replaceAll("<NUM>"))
+    }
+    // scrubbing already-redacted text is a no-op: zero matches, stable fp
+    val again = CurationOps.scrub(redactedRows.toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    redactedRows.foreach { case (id, red) =>
+      assert(again(id).getAs[Long]("n_emails") == 0L)
+      assert(again(id).getAs[Long]("n_numbers") == 0L)
+      assert(again(id).getAs[String]("redacted_fp") ==
+        out(id).getAs[String]("redacted_fp"))
+    }
+  }
+
   test("temperature mix flattens toward the tail and conserves mass") {
     import spark.implicits._
     val docs = (0 until 90).map(i => (i.toLong, "x", "big")) ++
