@@ -258,7 +258,42 @@ object VectorQueries extends QueryModule {
       .select(col("method"), col("recall_at_10"), col("floor"))
   }
 
+  /** Per-vector int8 dequantization error ([[VectorOps.quantizeError]]);
+    * the oracle recomputes the whole quantizer in SQL — per-dim ranges
+    * via DuckDB's lock-step parallel unnest, identical arithmetic order
+    * so the doubles match bit-for-bit before the 6-dp round.
+    */
+  private def vectorQuantize(s: SparkSession, d: String): DataFrame =
+    VectorOps.quantizeError(Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("vec_id"), col("max_err"))
+
+  /** Soundness audit: nearest-level rounding can miss by at most half a
+    * quantization step, so any vector whose error EXCEEDS halfstep + ε
+    * is a bound violation. Oracle asserts the violation set is empty.
+    */
+  private def vectorQuantizeSound(s: SparkSession, d: String): DataFrame =
+    VectorOps.quantizeError(Tables.embeddings(s, d), "vec_id", "embedding")
+      .filter(col("excess") > 1e-9)
+      .select(col("vec_id").cast("long").as("vec_id"), col("max_err"))
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_vector_quantize", vectorQuantize, Some(
+      """WITH t AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+        |    unnest(range(1, len(embedding) + 1)) AS pos
+        |  FROM embeddings),
+        |r AS (SELECT pos, min(v) AS lo, max(v) AS hi FROM t GROUP BY 1),
+        |e AS (
+        |  SELECT t.vec_id,
+        |    CASE WHEN hi = lo THEN 0.0
+        |    ELSE abs(v - (lo + round((v - lo) * 255.0 / (hi - lo)) *
+        |      (hi - lo) / 255.0)) END AS err
+        |  FROM t JOIN r USING (pos))
+        |SELECT vec_id, round(max(err), 6) AS max_err
+        |FROM e GROUP BY 1""".stripMargin)),
+    QueryDef("q_vector_quantize_sound", vectorQuantizeSound, Some(
+      """SELECT CAST(NULL AS BIGINT) AS vec_id,
+        |  CAST(NULL AS DOUBLE) AS max_err WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_ann_recall", annRecall, None),
     QueryDef("q_vector_ann_floor", annRecallFloor, Some(
       """SELECT CAST(NULL AS VARCHAR) AS method,

@@ -244,6 +244,47 @@ object VectorOps {
     * id) and only same-bucket vectors are ever scored — at corpus scale
     * the index shuffles (id, table, bucket) triples, never vectors.
     */
+  /** Scalar int8 quantization error analysis — the embedding
+    * compression step of a corpus-scale vector pipeline (4× storage
+    * cut; FAISS's SQ8 recipe): per-dimension [lo, hi] ranges over the
+    * corpus, each component mapped to its nearest of 256 levels, and
+    * the per-vector max |x − dequant(x)| reported. The ranges are a
+    * dim-bounded driver collect (64 doubles, the quantizer CODEBOOK —
+    * same posture as the IVF centroids and LSH planes); the
+    * quantize/dequantize pass itself is map-side arithmetic over a
+    * broadcast codebook, nothing corpus-sized moves. Constant
+    * dimensions (hi = lo) quantize exactly (error 0).
+    *
+    * Returns (id, max_err, excess) where excess = max over dims of
+    * err − halfstep: ≤ ~0 by construction (nearest-level rounding can
+    * miss by at most half a step), so `excess > ε` rows are the
+    * BOUND-VIOLATION set for the paired soundness audit.
+    */
+  def quantizeError(vectors: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val v = vectors.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+    val ranges = v
+      .select(posexplode_outer(col("v"))).filter(col("pos").isNotNull)
+      .groupBy("pos").agg(min("col").as("lo"), max("col").as("hi"))
+      .orderBy("pos").collect()
+    val los = typedlit(ranges.map(_.getDouble(1)).toSeq)
+    val his = typedlit(ranges.map(_.getDouble(2)).toSeq)
+    def err(x: Column, i: Column): Column = {
+      val lo = element_at(los, i + 1)
+      val hi = element_at(his, i + 1)
+      when(hi === lo, lit(0.0)).otherwise(
+        abs(x - (lo + round((x - lo) * lit(255.0) / (hi - lo)) *
+          (hi - lo) / lit(255.0))))
+    }
+    def halfstep(i: Column): Column =
+      (element_at(his, i + 1) - element_at(los, i + 1)) / lit(510.0)
+    v.select(col(idCol),
+      round(array_max(transform(col("v"), (x, i) => err(x, i))), 6)
+        .as("max_err"),
+      array_max(transform(col("v"), (x, i) => err(x, i) - halfstep(i)))
+        .as("excess"))
+  }
+
   def annTopKCosine(vectors: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       planes: Int = 8, tables: Int = 8): DataFrame = {
