@@ -308,6 +308,36 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  /** Unigram language-model scoring — the perplexity-style quality
+    * signal of a curation pipeline (KenLM-filter shape, reduced to the
+    * corpus's own unigram model): every token scores ln(count/total)
+    * against the corpus unigram frequencies, and a document reports its
+    * mean token log-probability (low = improbable/garbled text). The
+    * per-doc sum folds over a SORTED log array so the addition order is
+    * engine-independent — an unordered SQL aggregate would expose
+    * floating-point reassociation to the oracle compare. Two shuffles
+    * (term frequencies, per-doc regroup); the frequency join is a plain
+    * shuffle join because a real corpus vocabulary need not fit a
+    * broadcast.
+    */
+  private def unigramLp(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val freq = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    toks.join(freq, Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        log(col("c").cast("double") / col("total")).as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(array_sort(collect_list(col("lp"))), lit(0.0),
+          (acc, x) => acc + x).as("sum_lp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_lp") / col("n_tokens"), 4).as("mean_lp"))
+  }
+
   /** Curation funnel: the canonical training-data filter chain —
     * language-ID gate → quality gate → exact dedup — as ONE pass over
     * the corpus: per-doc flags from the library kernels ([[langId]],
@@ -486,6 +516,17 @@ object TextQueries extends QueryModule {
          |  FROM sc)
          |SELECT doc_id, term, round(score, 4) AS score
          |FROM r WHERE rk <= 5""".stripMargin)),
+    QueryDef("q_text_unigram_lp", unigramLp, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |f AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+         |n AS (SELECT count(*) AS total FROM toks),
+         |s AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    list_sum(list_sort(list(ln(c::DOUBLE / total)))) AS sum_lp
+         |  FROM toks JOIN f USING (term) CROSS JOIN n GROUP BY 1)
+         |SELECT doc_id, n_tokens, round(sum_lp / n_tokens, 4) AS mean_lp
+         |FROM s""".stripMargin)),
     QueryDef("q_curation_funnel", curationFunnel, Some(
       s"""WITH h AS (
          |  SELECT doc_id, md5(text) AS digest, text, $toksSql AS toks,

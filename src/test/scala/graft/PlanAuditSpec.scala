@@ -98,6 +98,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan not pruned:\n${plan.take(500)}")
   }
 
+  test("quantization error pass is shuffle-free (codebook is driver-side)") {
+    val plan = SparkEntry.queries("q_vector_quantize")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // The quantize/dequantize arithmetic must stay map-side: the only
+    // aggregation is the dim-bounded codebook collect, which happens
+    // at build time, not in the returned plan.
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(600)}")
+  }
+
   test("decontamination broadcasts the benchmark gram set (one corpus pass)") {
     val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
