@@ -44,6 +44,41 @@ object CurationQueries extends QueryModule {
   private def textScrub(s: SparkSession, d: String): DataFrame =
     CurationOps.scrub(Tables.documents(s, d), "doc_id", "text")
 
+  /** Corpus length statistics per language — the distribution summary
+    * every curation report opens with: doc counts, EXACT median and p90
+    * token counts (Spark's `percentile`, not the approximate sketch —
+    * the GK-sketch path with its ε-rank contract is q_approx_quantile_
+    * sound; this is the exact counterpart), and mean tokens spelled
+    * sum/count over exact longs. Exact percentiles buffer each group's
+    * values — fine for a per-language rollup (bounded groups), not for
+    * per-document keys; both engines use the (n−1)·p linear
+    * interpolation so the doubles agree.
+    */
+  private def corpusStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        round(expr("percentile(n_tokens, 0.5)"), 4).as("median_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
+        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
+          .as("mean_tokens"))
+
+  /** Duplication-rate report per source — the dedup yield metric
+    * (exact digests; countDistinct shuffles 16-byte digests, not
+    * documents).
+    */
+  private def dupRate(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("digest"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("digest")).as("n_unique"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 4))
+
   /** Train/val/test assignment over documents ([[CurationOps.splitAssign]]). */
   private def splitAssign(s: SparkSession, d: String): DataFrame =
     CurationOps.splitAssign(Tables.documents(s, d), "doc_id", "lang")
@@ -177,6 +212,21 @@ object CurationQueries extends QueryModule {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin)),
+    QueryDef("q_corpus_stats", corpusStats, Some(
+      s"""WITH t AS (
+         |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT lang, count(*) AS n_docs,
+         |  round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
+         |  round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,
+         |  round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS mean_tokens
+         |FROM t GROUP BY 1""".stripMargin)),
+    QueryDef("q_dup_rate", dupRate, Some(
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_unique,
+        |  round(1.0 - count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4)
+        |    AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin)),
     QueryDef("q_pack_sequences", (s, d) => packSequences(s, d), Some(
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
