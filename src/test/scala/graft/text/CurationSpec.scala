@@ -109,6 +109,58 @@ class CurationSpec extends AnyFunSuite {
       Set("train", "val", "test")(r.getAs[String]("split"))))
   }
 
+  test("repetition metrics equal a local reference on random texts") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val vocab = Seq("a", "b", "c", "dd", "ee")
+    val rows = (0 until 120).map { i =>
+      (i.toLong,
+        Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val out = CurationOps
+      .repetitionMetrics(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    rows.foreach { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val grams = toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = grams.size.toLong
+      val top = if (n == 0) 0.0 else counts.values.max.toDouble / n
+      val dup = if (n == 0) 0.0
+        else counts.values.filter(_ > 1).sum.toDouble / n
+      assert(out(id).getAs[Long]("n_grams") == n, s"doc $id n_grams")
+      assert(out(id).getAs[Double]("top_gram_frac") ==
+        math.rint(top * 1e4) / 1e4, s"doc $id top")
+      assert(out(id).getAs[Double]("dup_gram_frac") ==
+        math.rint(dup * 1e4) / 1e4, s"doc $id dup")
+    }
+  }
+
+  test("contamination equals brute-force set overlap on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val vocab = Seq("w1", "w2", "w3", "w4", "w5", "w6")
+    def txt() = Seq.fill(3 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val bench = (100 until 110).map(i => (i.toLong, txt()))
+    val corpus = (0 until 80).map(i => (i.toLong, txt()))
+    def grams(s: String): Set[String] = {
+      val t = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 3) Set(t.mkString(" "))
+      else t.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val benchSet = bench.flatMap(b => grams(b._2)).toSet
+    val out = CurationOps.contamination(corpus.toDF("doc_id", "text"),
+        bench.toDF("doc_id", "text"), "doc_id", "text", n = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    corpus.foreach { case (id, text) =>
+      val g = grams(text)
+      assert(out(id).getAs[Long]("n_grams") == g.size.toLong, s"doc $id n")
+      assert(out(id).getAs[Long]("n_hits") ==
+        g.count(benchSet.contains).toLong, s"doc $id hits")
+    }
+  }
+
   test("scrub counts match Java regex and redaction is idempotent (randomized)") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
