@@ -64,7 +64,13 @@ object Warmup {
       .getOrElse(return)
     var failed = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, small.getAbsolutePath).count()
+      // noop write, NOT count(): count() lets the optimizer prune the
+      // computed columns, so map-only entries (scrub, fingerprint,
+      // quantize...) would warm a bare row count and their regex/hash
+      // codegen would still compile cold inside the first TIMED entry —
+      // the same materialization-honesty rule Bench.scala documents.
+      try fn(spark, small.getAbsolutePath)
+        .write.mode("overwrite").format("noop").save()
       catch { case scala.util.control.NonFatal(_) => failed += 1 }
     }
     if (failed > 0)

@@ -27,22 +27,6 @@ object RiskScanJob {
         date_format(col(dateCol), "yyyy-MM").as("ym")): _*)
       .agg(count(lit(1)).as("n"))
 
-  /** A7/J4 — densify to the global min→max month spine, absent → 0
-    * (ref: core/storage.py:472-483). Spine and key list are broadcast.
-    */
-  def zeroFill(counts: DataFrame, keyCols: Seq[String]): DataFrame = {
-    val spark = counts.sparkSession
-    val bounds = counts.agg(min(col("ym")).as("lo"), max(col("ym")).as("hi"))
-    val months = bounds.select(explode(sequence(
-      to_date(col("lo"), "yyyy-MM"), to_date(col("hi"), "yyyy-MM"),
-      expr("interval 1 month"))).as("md"))
-      .select(date_format(col("md"), "yyyy-MM").as("ym"))
-    val keys = counts.select(keyCols.map(col): _*).distinct()
-    broadcast(months).crossJoin(keys)
-      .join(counts, keyCols :+ "ym", "left")
-      .na.fill(0L, Seq("n"))
-  }
-
   private val scoreUdf = udf {
     (series: Seq[Row], grade: String, targetYm: String, asOfIso: String) =>
       val parsed = series.map(r =>
@@ -95,7 +79,13 @@ object RiskScanJob {
 
     // Spine months are generated ascending, so the transform yields the
     // sorted dense series directly — no sort_array, no fill join.
+    // Null dates group to a null ym, which map_from_entries rejects
+    // (NULL_MAP_KEY, not ANSI-gated) — drop them here, matching the
+    // reference's parse-failure convention (unparseable dates fall out
+    // of the scan) and the pre-round-4 fill join, which never matched
+    // a null month against the spine.
     val series = monthlyCounts(df, keyCols, dateCol)
+      .filter(col("ym").isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(map_from_entries(collect_list(struct(col("ym"), col("n")))).as("__m"))
       .withColumn("series", transform(spine, ym =>

@@ -31,10 +31,14 @@ object EwmaAggregator {
       def merge(b1: List[In], b2: List[In]): List[In] = b1 ::: b2
       def finish(b: List[In]): Double = b.sortBy(_._1) match {
         case Nil => Double.NaN
-        case (_, v0, _) :: rest =>
-          val alpha = b.head._3
+        // alpha from the SORTED head — "first value wins" must mean
+        // first by ord, not first by partition arrival, or a
+        // non-constant alpha column would make the result depend on
+        // shuffle order (the exact nondeterminism the sort exists to
+        // prevent).
+        case (_, v0, a0) :: rest =>
           rest.foldLeft(v0) { case (e, (_, x, _)) =>
-            (1 - alpha) * e + alpha * x
+            (1 - a0) * e + a0 * x
           }
       }
       // array-of-struct buffer column; bounded by the group's row count

@@ -100,28 +100,14 @@ object CurationQueries extends QueryModule {
     */
   private def streamDedup(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamdedup|$d") {
-      import org.apache.spark.sql.streaming.Trigger
       val rawSchema = Tables.table(s, d, "documents").schema
       val name = "stream_dedup_" + java.lang.Integer.toHexString(d.hashCode)
       val deduped = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .select(col("lang"), md5(col("text")).as("digest"))
         .dropDuplicates("lang", "digest")
-      // State-store partitions sized to the key space, not the CPU
-      // count (see q_stream_window's rationale); restored only after
-      // termination because the first micro-batch plans asynchronously.
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = deduped.writeStream
-          .outputMode("append")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val out = s.table(name)
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, deduped, name, outputMode = "append")
         .groupBy("lang").agg(count(lit(1)).as("n_unique"))
         .persist()
       out.count()

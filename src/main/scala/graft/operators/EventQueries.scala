@@ -118,28 +118,8 @@ object EventQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double")
             .as("total_value"))
-      // State-store partition count is frozen from shuffle.partitions at
-      // first start. The stateful key space here is (day-window ×
-      // event_type) — dozens of keys — so 32 partitions would spin 32
-      // HDFS-backed store instances (init + per-batch commit each) to
-      // hold a handful of rows apiece. Size state to the key space, not
-      // the CPU count; on a real cluster this knob is set per-stream the
-      // same way.
-      // (Restored only after termination: the first micro-batch plans
-      // asynchronously after start(), and that planning is what reads
-      // the conf.)
-      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
-      try {
-        val q = agg.writeStream
-          .outputMode("complete")
-          .format("memory")
-          .queryName(name)
-          .trigger(Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      val out = s.table(name)
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, agg, name, outputMode = "complete")
         .select(col("w.start").cast("timestamp_ntz").as("window_start"),
           col("event_type"), col("n"), col("total_value"))
       (out, Seq.empty)

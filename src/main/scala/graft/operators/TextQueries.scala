@@ -131,13 +131,10 @@ object TextQueries extends QueryModule {
       .agg(collect_list(col("doc_id")).as("ids"))
       .filter(size(col("ids")).between(2, 50))
     val exactPairs = groups
-      .select(explode_outer(expr(
-        """filter(
-          |  flatten(transform(ids, a ->
-          |    transform(ids, b -> struct(a AS id_a, b AS id_b)))),
-          |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
+      .select(explode_outer(
+        graft.text.BucketPairs.fullPairs("ids", "p.x < p.y")).as("p"))
       .filter(col("p").isNotNull)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"))
     val found = DedupJobs.minhashCandidatePairs(docs, "doc_id", "text",
       cacheKey = Some(s"documents|$d"))
       .select("id_a", "id_b")

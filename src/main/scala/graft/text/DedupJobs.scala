@@ -215,13 +215,10 @@ object DedupJobs {
     // outer + isNotNull so the O(m²) pair enumeration isn't duplicated
     // into an inferred size()>0 pre-filter (InferFiltersFromGenerate).
     val pairs = buckets
-      .select(explode_outer(expr(
-        """filter(
-          |  flatten(transform(members, a ->
-          |    transform(members, b -> struct(a AS id_a, b AS id_b)))),
-          |  p -> p.id_a < p.id_b)""".stripMargin)).as("p"))
+      .select(explode_outer(
+        BucketPairs.fullPairs("members", "p.x < p.y")).as("p"))
       .filter(col("p").isNotNull)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"))
 
     // Exact-Jaccard verification shingles are computed ONLY for docs
     // that appear in some surviving bucket (semi-join pushback) — the
@@ -388,6 +385,13 @@ object DedupJobs {
       i += 1
     }
     withSelf.unpersist()
+    // A silent non-converged return would hand back stale non-minimal
+    // labels as if correct; graphs with diameter > maxIter (adversarial
+    // chains) must fail loudly so the caller raises maxIter or switches
+    // to star-contraction.
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing); raise maxIter")
     labels.select(col("id").as("doc_id"), col("comp").as("component"))
   }
 
@@ -454,17 +458,10 @@ object DedupJobs {
 
     // Under the cap: all in-bucket pairs. Over: star pairs around the
     // smallest-id member — linear in bucket size, keeps hot buckets
-    // represented (see maxBucket scaladoc).
-    val fullPairs = expr(
-      """filter(
-        |  flatten(transform(members, a ->
-        |    transform(members, b -> struct(a AS x, b AS y)))),
-        |  p -> p.x.doc_id < p.y.doc_id)""".stripMargin)
+    // represented (see maxBucket scaladoc). Shared exprs: BucketPairs.
     // `members` sorted once into a fresh column; hub = first element.
-    val starPairs = expr(
-      """transform(
-        |  slice(sorted, 2, size(sorted) - 1),
-        |  m -> struct(sorted[0] AS x, m AS y))""".stripMargin)
+    val fullPairs = BucketPairs.fullPairs("members", "p.x.doc_id < p.y.doc_id")
+    val starPairs = BucketPairs.starPairs("sorted")
     // The hamming filter runs BEFORE the cross-band pair dedup: most
     // candidate pairs fail it (bucket keys collide on 16 shared bits,
     // not 61+), so filtering first shrinks the dropDuplicates exchange

@@ -214,20 +214,15 @@ object VectorOps {
       .groupBy(col("tbl"), col("bucket"))
       .agg(sort_array(collect_list(col("vid"))).as("members"))
       .filter(size(col("members")) >= 2)
-    val fullPairs = expr(
-      """filter(
-        |  flatten(transform(members, a ->
-        |    transform(members, b -> struct(a AS id_a, b AS id_b)))),
-        |  p -> p.id_a < p.id_b)""".stripMargin)
-    val starPairs = expr(
-      """transform(
-        |  slice(members, 2, size(members) - 1),
-        |  m -> struct(members[0] AS id_a, m AS id_b))""".stripMargin)
+    // Shared cap-degrade exprs (BucketPairs); `members` arrives sorted
+    // from the aggregation, so the star hub is the smallest id.
+    val fullPairs = graft.text.BucketPairs.fullPairs("members", "p.x < p.y")
+    val starPairs = graft.text.BucketPairs.starPairs("members")
     val cand = buckets
       .select(explode_outer(when(size(col("members")) <= lit(maxBucket), fullPairs)
         .otherwise(starPairs)).as("p"))
       .filter(col("p").isNotNull)
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .select(col("p.x").as("id_a"), col("p.y").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
       .join(prepped.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
@@ -278,11 +273,16 @@ object VectorOps {
     }
     def halfstep(i: Column): Column =
       (element_at(his, i + 1) - element_at(los, i + 1)) / lit(510.0)
-    v.select(col(idCol),
-      round(array_max(transform(col("v"), (x, i) => err(x, i))), 6)
-        .as("max_err"),
-      array_max(transform(col("v"), (x, i) => err(x, i) - halfstep(i)))
-        .as("excess"))
+    // The err array is projected ONCE and both outputs derive from it —
+    // two inline transforms would run the whole dequant arithmetic
+    // twice per vector (HOF lambdas sit outside common-subexpression
+    // elimination; the multiple references also stop CollapseProject
+    // from re-inlining the projection).
+    v.select(col(idCol), transform(col("v"), (x, i) => err(x, i)).as("__err"))
+      .select(col(idCol),
+        round(array_max(col("__err")), 6).as("max_err"),
+        array_max(transform(col("__err"), (e, i) => e - halfstep(i)))
+          .as("excess"))
   }
 
   def annTopKCosine(vectors: DataFrame, query: DataFrame,
