@@ -79,6 +79,31 @@ object CurationQueries extends QueryModule {
       .withColumn("dup_rate",
         round(lit(1.0) - col("n_unique") / col("n_docs").cast("double"), 4))
 
+  /** Document chunking — the embedding-prep step: fixed-width token
+    * windows (width 128, stride 64, 50% overlap) per document, each
+    * chunk fingerprinted. Pure map-side: window starts come from a
+    * `sequence` per row and the slices never leave the row until the
+    * explode (outer + isNotNull, as everywhere). At corpus scale this
+    * is the stage that feeds the embedding model — no shuffle, chunk
+    * rows stream straight to the next stage.
+    */
+  private def textChunk(s: SparkSession, d: String,
+      width: Int = 128, stride: Int = 64): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("__toks"))
+    val starts = when(size(col("__toks")) === 0, array().cast("array<int>"))
+      .otherwise(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
+    toks
+      .select(col("doc_id"), explode_outer(transform(starts, st =>
+        struct(st.as("start"),
+          slice(col("__toks"), st + 1, lit(width)).as("chunk")))).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("doc_id"),
+        col("c.start").cast("long").as("chunk_start"),
+        size(col("c.chunk")).as("n_tokens"),
+        md5(concat_ws(" ", col("c.chunk"))).as("chunk_fp"))
+  }
+
   /** Train/val/test assignment over documents ([[CurationOps.splitAssign]]). */
   private def splitAssign(s: SparkSession, d: String): DataFrame =
     CurationOps.splitAssign(Tables.documents(s, d), "doc_id", "lang")
@@ -198,6 +223,18 @@ object CurationQueries extends QueryModule {
         |       ELSE 'test' END AS split,
         |  count(*) AS n_docs
         |FROM documents GROUP BY 1, 2""".stripMargin)),
+    QueryDef("q_text_chunk", (s, d) => textChunk(s, d), Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |c AS (
+         |  SELECT doc_id, toks,
+         |    unnest(range(0, len(toks), 64)) AS start
+         |  FROM t WHERE len(toks) > 0)
+         |SELECT doc_id, start AS chunk_start,
+         |  CAST(len(list_slice(toks, start + 1,
+         |    least(start + 128, len(toks)))) AS INTEGER) AS n_tokens,
+         |  md5(array_to_string(list_slice(toks, start + 1,
+         |    least(start + 128, len(toks))), ' ')) AS chunk_fp
+         |FROM c""".stripMargin)),
     QueryDef("q_corpus_stats", corpusStats, Some(
       s"""WITH t AS (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
