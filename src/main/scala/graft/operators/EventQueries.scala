@@ -95,6 +95,37 @@ object EventQueries extends QueryModule {
     * `flatMapGroupsWithState`) is exercised in StreamingIngestSpec.
     * Session-cached: the stream runs once per (session, dataset).
     */
+  /** Ordered conversion funnel — signup → first click AFTER signup →
+    * first purchase AFTER that click, per user, reported as per-stage
+    * user counts (the canonical product-analytics sequence query).
+    * ONE shuffle: three chained `min(...) over (partition by user)`
+    * windows share the same partitioning, so Catalyst plans a single
+    * exchange with in-partition sorts; timestamps compare exactly (no
+    * float drift for the oracle). The final distinct collapses the
+    * per-event rows to one (user, t1, t2, t3) before the tiny count
+    * aggregate.
+    */
+  private def eventFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(w))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"))
+      .distinct()
+      .agg(count(col("t1")).as("n1"), count(col("t2")).as("n2"),
+        count(col("t3")).as("n3"))
+      .select(expr(
+        """stack(3, '1_signup', n1, '2_click_after', n2,
+          |  '3_purchase_after', n3) AS (stage, n_users)""".stripMargin))
+  }
+
   private def streamWindow(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
       import org.apache.spark.sql.streaming.Trigger
@@ -186,6 +217,27 @@ object EventQueries extends QueryModule {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q_event_funnel", eventFunnel, Some(
+      """WITH e1 AS (
+        |  SELECT user_id, event_type, ts,
+        |    min(CASE WHEN event_type = 'signup' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t1
+        |  FROM events),
+        |e2 AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'click' AND ts > t1 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t2
+        |  FROM e1),
+        |e3 AS (
+        |  SELECT *,
+        |    min(CASE WHEN event_type = 'purchase' AND ts > t2 THEN ts END)
+        |      OVER (PARTITION BY user_id) AS t3
+        |  FROM e2),
+        |u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM e3),
+        |a AS (SELECT count(t1) AS n1, count(t2) AS n2, count(t3) AS n3 FROM u)
+        |SELECT '1_signup' AS stage, n1 AS n_users FROM a
+        |UNION ALL SELECT '2_click_after', n2 FROM a
+        |UNION ALL SELECT '3_purchase_after', n3 FROM a""".stripMargin)),
     QueryDef("q_json_extract", jsonExtract, Some(
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
