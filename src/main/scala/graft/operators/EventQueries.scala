@@ -126,6 +126,29 @@ object EventQueries extends QueryModule {
           |  '3_purchase_after', n3) AS (stage, n_users)""".stripMargin))
   }
 
+  /** Weekly cohort retention — users grouped by signup week, distinct
+    * active users counted per week-offset since signup (the standard
+    * retention triangle). Day arithmetic runs on DATE-truncated values
+    * on both engines so the offsets agree exactly. Two shuffles: the
+    * per-user signup aggregate, then the (cohort, offset) distinct
+    * count; the signup side joins back broadcast-eligible (one row per
+    * user, far smaller than the event log).
+    */
+  private def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val signup = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    ev.join(signup, Seq("user_id"))
+      .filter(col("ts") >= col("t0"))
+      .select(
+        date_trunc("week", col("t0")).cast("date").as("cohort_week"),
+        floor(datediff(col("ts").cast("date"), col("t0").cast("date")) / 7)
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   private def streamWindow(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
       import org.apache.spark.sql.streaming.Trigger
@@ -238,6 +261,20 @@ object EventQueries extends QueryModule {
         |SELECT '1_signup' AS stage, n1 AS n_users FROM a
         |UNION ALL SELECT '2_click_after', n2 FROM a
         |UNION ALL SELECT '3_purchase_after', n3 FROM a""".stripMargin)),
+    QueryDef("q_cohort_retention", cohortRetention, Some(
+      """WITH s AS (
+        |  SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT CAST(date_trunc('week', s.t0) AS DATE) AS cohort_week,
+        |    CAST(floor(date_diff('day', CAST(s.t0 AS DATE),
+        |      CAST(e.ts AS DATE)) / 7.0) AS BIGINT) AS week_offset,
+        |    e.user_id
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.ts >= s.t0)
+        |SELECT cohort_week, week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM a GROUP BY 1, 2""".stripMargin)),
     QueryDef("q_json_extract", jsonExtract, Some(
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
