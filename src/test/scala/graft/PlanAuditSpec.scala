@@ -107,6 +107,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(600)}")
   }
 
+  test("funnel's three chained windows share one exchange") {
+    val plan = SparkEntry.queries("q_event_funnel")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // All three min-over-user windows are partitioned identically —
+    // more than one pre-aggregate exchange means Catalyst stopped
+    // reusing the partitioning and the funnel re-shuffles the log.
+    val exchanges = plan.split("Exchange hashpartitioning\\(user_id").length - 1
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+  }
+
   test("decontamination broadcasts the benchmark gram set (one corpus pass)") {
     val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
