@@ -95,6 +95,37 @@ object EventQueries extends QueryModule {
     * `flatMapGroupsWithState`) is exercised in StreamingIngestSpec.
     * Session-cached: the stream runs once per (session, dataset).
     */
+  /** SLIDING event-time windows as a structured stream — 2-day windows
+    * every 1 day, so each event lands in exactly two overlapping
+    * windows (semantics a tumbling window cannot express; the moving
+    * 48-hour health counter). Same bounded harness and oracle gate as
+    * q_stream_window; the oracle materializes the overlap by
+    * unnesting each event's two covering window starts. Spark's
+    * windows align to the epoch, which under the UTC session equals
+    * the oracle's day-truncation.
+    */
+  private def streamSliding(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamslide|$d") {
+      import org.apache.spark.sql.types.LongType
+      val rawSchema = Tables.table(s, d, "events").schema
+      val name = "stream_sliding_" + java.lang.Integer.toHexString(d.hashCode)
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev =
+        if (src.schema("ts").dataType == LongType)
+          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else src.withColumn("ts", col("ts").cast("timestamp"))
+      val agg = ev
+        .withWatermark("ts", "2 days")
+        .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+        .agg(count(lit(1)).as("n"))
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, agg, name, outputMode = "complete")
+        .select(col("w.start").cast("timestamp_ntz").as("window_start"),
+          col("n"))
+      (out, Seq.empty)
+    }
+
   /** Ordered conversion funnel — signup → first click AFTER signup →
     * first purchase AFTER that click, per user, reported as per-stage
     * user counts (the canonical product-analytics sequence query).
@@ -240,6 +271,13 @@ object EventQueries extends QueryModule {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q_stream_sliding", streamSliding, Some(
+      """WITH w AS (
+        |  SELECT unnest([date_trunc('day', ts),
+        |    date_trunc('day', ts) - INTERVAL 1 DAY]) AS window_start
+        |  FROM events)
+        |SELECT window_start, count(*) AS n
+        |FROM w GROUP BY 1""".stripMargin)),
     QueryDef("q_event_funnel", eventFunnel, Some(
       """WITH e1 AS (
         |  SELECT user_id, event_type, ts,
