@@ -43,14 +43,17 @@ object Bench {
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
-    val suffix = s"""},"sf":"$sfTag"}"""
-    val budget = 1900 - prefix.length - suffix.length
+    // An explicit "dropped":N marker distinguishes budget truncation
+    // from a removed/renamed query in cross-round diffs (its ~14 chars
+    // are reserved out of the budget up front).
+    def suffix(dropped: Int) = s"""},"dropped":$dropped,"sf":"$sfTag"}"""
+    val budget = 1900 - prefix.length - suffix(999).length
     val parts = results.sortBy { case (k, v) => (-v, k) }
       .map { case (k, v) => f""""$k":$v%.2f""" }
     val kept = parts
       .scanLeft(0)((acc, p) => acc + p.length + 1)
       .tail.zip(parts).takeWhile(_._1 <= budget).map(_._2)
-    println(prefix + kept.mkString(",") + suffix)
+    println(prefix + kept.mkString(",") + suffix(parts.length - kept.length))
     spark.stop()
   }
 }

@@ -29,7 +29,11 @@ object EwmaAggregator {
       def zero: List[In] = Nil
       def reduce(b: List[In], a: In): List[In] = a :: b
       def merge(b1: List[In], b2: List[In]): List[In] = b1 ::: b2
-      def finish(b: List[In]): Double = b.sortBy(_._1) match {
+      // Full-tuple sort: sorting by ord alone would leave rows with
+      // DUPLICATE ord values in partition-arrival order, making the
+      // result (and the chosen alpha) nondeterministic under shuffle —
+      // the exact nondeterminism the sort exists to prevent.
+      def finish(b: List[In]): Double = b.sorted match {
         case Nil => Double.NaN
         // alpha from the SORTED head — "first value wins" must mean
         // first by ord, not first by partition arrival, or a

@@ -322,12 +322,18 @@ object DedupJobs {
     // standard production split; the distributed min-label loop below
     // remains the unbounded-scale path and the two agree exactly
     // (DedupSpec drives both).
-    val nEdges = pairs.count()
-    if (nEdges <= driverEdgeLimit) {
+    // ONE bounded fetch decides the path AND supplies the edges: a
+    // count()-then-collect() pair would execute the upstream search
+    // plan twice for callers that pass an unpersisted frame. limit+1
+    // rows distinguish "fits" from "overflows" without a full count.
+    val lim = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+    val fetched = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .limit(lim + 1)
+      .collect()
+    if (fetched.length <= lim) {
       val spark = pairs.sparkSession
-      val edges = pairs
-        .select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val edges = fetched.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x

@@ -3,8 +3,10 @@ import org.apache.spark.sql.SparkSession
 object RunOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val reps = sys.env.getOrElse("GRAFT_RUNONE_REPS", "1").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ansi.enabled", "false")
@@ -12,12 +14,11 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Warmup.run(spark, sfDir)
-    for (name <- args.drop(1)) {
+    for (name <- args.drop(1); rep <- 1 to reps) {
       val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val rows = df.collect()
-      println(f"$name: ${rows.length} rows in ${(System.nanoTime()-t0)/1e9}%.2f s")
-      rows.take(5).foreach(r => println("  " + r))
+      // noop write = the same materialization Bench times.
+      SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      println(f"$name rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
