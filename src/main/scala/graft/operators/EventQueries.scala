@@ -180,6 +180,51 @@ object EventQueries extends QueryModule {
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
 
+  /** STREAM-STREAM inner join as a structured stream — signup→click
+    * attribution within 3 days, the streaming form of
+    * [[rangeJoinBucketed]]'s conversion query. Both sides carry
+    * watermarks AND the join condition bounds click time relative to
+    * signup time in both directions, which is exactly what lets Spark
+    * evict join state as the watermark advances — the unbounded-corpus
+    * contract (without the bounds, both sides' state grows forever).
+    * Inner-join matches emit eagerly in append mode (no window
+    * finalization to wait for), so the completed stream must EQUAL the
+    * batch range join — the DuckDB oracle.
+    */
+  private def streamJoin(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamjoin|$d") {
+      import org.apache.spark.sql.types.LongType
+      val rawSchema = Tables.table(s, d, "events").schema
+      val name = "stream_join_" + java.lang.Integer.toHexString(d.hashCode)
+      // Two independent file-stream sources over the same landing dir —
+      // the production shape where each side tails its own topic/path.
+      def src(): DataFrame = {
+        val r = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(d)
+        if (r.schema("ts").dataType == LongType)
+          r.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else r.withColumn("ts", col("ts").cast("timestamp"))
+      }
+      val signups = src().filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("sts"))
+        .withWatermark("sts", "1 day")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "1 day")
+      val joined = signups.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("cts") >= col("sts") &&
+          col("cts") < col("sts") + expr("INTERVAL 3 DAYS"))
+        .select(col("signup_id"), col("click_id"), col("user_id"),
+          col("sts").cast("timestamp_ntz").as("signup_ts"),
+          col("cts").cast("timestamp_ntz").as("click_ts"))
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, joined, name, outputMode = "append")
+      (out, Seq.empty)
+    }
+
   private def streamWindow(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
       import org.apache.spark.sql.streaming.Trigger
@@ -271,6 +316,13 @@ object EventQueries extends QueryModule {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q_stream_join", streamJoin, Some(
+      """SELECT s.event_id AS signup_id, c.event_id AS click_id,
+        |  s.user_id, s.ts AS signup_ts, c.ts AS click_ts
+        |FROM events s JOIN events c ON c.user_id = s.user_id
+        |WHERE s.event_type = 'signup' AND c.event_type = 'click'
+        |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 3 DAY
+        |ORDER BY signup_id, click_id""".stripMargin)),
     QueryDef("q_stream_sliding", streamSliding, Some(
       """WITH w AS (
         |  SELECT unnest([date_trunc('day', ts),

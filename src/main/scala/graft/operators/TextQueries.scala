@@ -305,6 +305,46 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"))
   }
 
+  /** Okapi BM25 top-5 terms per document (k1=1.2, b=0.75, Lucene-style
+    * +1-floored idf so scores stay positive) — the ranking-function
+    * counterpart of [[textTfidf]], adding document-length
+    * normalization. Every input to the score is an EXACT integer
+    * aggregate (tf, df, dl, N, Σdl), so both engines evaluate the
+    * identical double expression tree and only ln() is
+    * implementation-defined — absorbed, as in tfidf, by ranking on
+    * round(score, 6) with a term tie-break and rounding the display
+    * value to 4. Doc length dl comes from the tf frame (sum of term
+    * counts), not a second corpus scan; the corpus stats (N, Σdl) ride
+    * in as a broadcast 1-row cross join. The rank filter compiles to
+    * WindowGroupLimit — top-5 taken locally before the exchange.
+    */
+  private def textBm25(s: SparkSession, d: String): DataFrame = {
+    val (k1, b) = (1.2, 0.75)
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
+      .filter(col("term").isNotNull)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(
+        (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+      // Literals spelled exactly as the oracle spells them (2.2, 0.25)
+      // rather than computed (k1+1, 1-b): the score must come from the
+      // IDENTICAL double expression tree on both engines.
+      .withColumn("score", col("idf") * col("tf") * lit(2.2) /
+        (col("tf") + lit(k1) * (lit(0.25) +
+          lit(b) * col("dl") * col("n") / col("sum_dl"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(round(col("score"), 6).desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"))
+  }
+
   /** Unigram language-model scoring — the perplexity-style quality
     * signal of a curation pipeline (KenLM-filter shape, reduced to the
     * corpus's own unigram model): every token scores ln(count/total)
@@ -507,6 +547,25 @@ object TextQueries extends QueryModule {
          |sc AS (
          |  SELECT doc_id, term, tf * ln(n.n::DOUBLE / df) AS score
          |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+         |r AS (
+         |  SELECT doc_id, term, score, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rk
+         |  FROM sc)
+         |SELECT doc_id, term, round(score, 4) AS score
+         |FROM r WHERE rk <= 5""".stripMargin)),
+    QueryDef("q_text_bm25", textBm25, Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |sc AS (
+         |  SELECT doc_id, term,
+         |    ln((n - df + 0.5) / (df + 0.5) + 1.0) * tf * 2.2 /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl * n / sum_dl)) AS score
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+         |  CROSS JOIN st),
          |r AS (
          |  SELECT doc_id, term, score, row_number() OVER
          |    (PARTITION BY doc_id ORDER BY round(score, 6) DESC, term) AS rk

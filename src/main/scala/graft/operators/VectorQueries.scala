@@ -188,6 +188,42 @@ object VectorQueries extends QueryModule {
       "vec_id", "embedding", k = 10, nprobe = 6)
   }
 
+  /** Exact 1-NN label accuracy per label — the standard embedding-QA
+    * eval (kNN classification purity: does a vector's nearest neighbor
+    * share its label?). Executed as a BROADCAST nested join + map-side
+    * partial max: the corpus streams once against the broadcast
+    * neighbor table, the per-vector argmax folds into
+    * `max(struct(cos, -id, label))` whose partial aggregation collapses
+    * each scan partition to one candidate row per vector BEFORE the
+    * exchange — the shuffle carries one row per (vector, partition),
+    * never the 25M scored pairs. Ranking compares round(cos, 6) with a
+    * smallest-id tie-break (via the negated id inside the max struct),
+    * the same cross-engine ordering guard as q_text_tfidf. Exact
+    * all-pairs is the right shape for an EVAL SAMPLE (the broadcast
+    * side is the eval set); a full-corpus kNN sweep would route
+    * through the IVF cell index instead ([[IvfIndex]]).
+    */
+  private def knnAccuracy(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val nb = broadcast(e.select(col("vec_id").as("nb_id"),
+      col("label").as("nb_label"), col("v").as("nb_v")))
+    e.join(nb, col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("label"),
+        struct(
+          round(VectorOps.cosine(col("v"), col("nb_v")), 6).as("cs"),
+          (-col("nb_id")).as("neg_id"),
+          col("nb_label").as("nb_label")).as("cand"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(col("cand")).as("best"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("best.nb_label") === col("label"), 1)).as("n_correct"))
+      .withColumn("acc",
+        round(col("n_correct").cast("double") / col("n"), 4))
+  }
+
   /** Skew-safe two-stage aggregation: salt the hot keys, partial-agg
     * per (key, salt), then combine — identical result to the direct
     * groupBy (the oracle), twice the exchanges but bounded partition
@@ -313,6 +349,21 @@ object VectorQueries extends QueryModule {
     QueryDef("q_skew_salted_agg", saltedSkewAgg, Some(
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_vector_knn_acc", knnAccuracy, Some(
+      """WITH p AS (
+        |  SELECT a.vec_id, a.label AS la, b.vec_id AS vb, b.label AS lb,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 6) AS cs
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT vec_id, la, lb, row_number() OVER
+        |    (PARTITION BY vec_id ORDER BY cs DESC, vb) AS rk
+        |  FROM p)
+        |SELECT la AS label, count(*) AS n,
+        |  count(CASE WHEN lb = la THEN 1 END) AS n_correct,
+        |  round(count(CASE WHEN lb = la THEN 1 END)::DOUBLE / count(*), 4)
+        |    AS acc
+        |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_vector_topk", topkBrute, Some(
       """WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
