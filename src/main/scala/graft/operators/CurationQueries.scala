@@ -31,6 +31,19 @@ object CurationQueries extends QueryModule {
       idCol = "doc_id", textCol = "text")
   }
 
+  /** Bloom-prefiltered decontamination over the same benchmark split —
+    * emits only docs with ≥ 1 exact hit; bloom's no-false-negative
+    * guarantee makes the output EQUAL the exact path, so the entry is
+    * fully oracle-checked despite the sketch in the pipeline.
+    */
+  private def decontaminateBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    CurationOps.contaminationBloom(
+      corpus = docs.filter(col("doc_id") >= 25),
+      benchmark = docs.filter(col("doc_id") < 25),
+      idCol = "doc_id", textCol = "text")
+  }
+
   /** mT5-style temperature mix over the `source` column, alpha=0.5. */
   private def mixTemperature(s: SparkSession, d: String): DataFrame =
     CurationOps.temperatureMix(Tables.documents(s, d), "source")
@@ -188,6 +201,29 @@ object CurationQueries extends QueryModule {
          |  round(n_hits / n_grams::DOUBLE, 4) AS contamination,
          |  round(n_hits / n_grams::DOUBLE, 4) >= 0.5 AS contaminated
          |FROM f""".stripMargin)),
+    QueryDef("q_decontaminate_bloom", decontaminateBloom, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END
+         |      AS grams
+         |  FROM t),
+         |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 25),
+         |e AS (SELECT doc_id, grams FROM g WHERE doc_id >= 25),
+         |x AS (
+         |  SELECT doc_id, count(*) AS n_hits
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM e) u
+         |  JOIN b USING (gram) GROUP BY 1),
+         |f AS (
+         |  SELECT e.doc_id, CAST(len(e.grams) AS BIGINT) AS n_grams,
+         |    CAST(coalesce(x.n_hits, 0) AS BIGINT) AS n_hits
+         |  FROM e LEFT JOIN x USING (doc_id))
+         |SELECT doc_id, n_grams, n_hits,
+         |  round(n_hits / n_grams::DOUBLE, 4) AS contamination,
+         |  round(n_hits / n_grams::DOUBLE, 4) >= 0.5 AS contaminated
+         |FROM f WHERE n_hits > 0""".stripMargin)),
     QueryDef("q_mix_temperature", mixTemperature, Some(
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |n AS (

@@ -107,6 +107,58 @@ object CurationOps {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** Bloom-prefiltered decontamination — the corpus-scale variant of
+    * [[contamination]]. Pass 1 streams the corpus grams through a
+    * BLOOM FILTER of the benchmark gram set (a few MB regardless of
+    * corpus size; pure map-side test, no join, no shuffle of corpus
+    * bytes): documents with zero bloom hits — the overwhelming
+    * majority of a clean corpus — are eliminated before any join
+    * exists. Pass 2 re-scores ONLY the surviving candidates with the
+    * exact broadcast-membership join of [[contamination]]. Bloom
+    * filters have NO false negatives, so candidates ⊇ {docs with any
+    * true hit} and the emitted report (docs with ≥ 1 exact hit,
+    * exact counts) EQUALS the exact computation — a false positive
+    * costs one re-check, never a wrong row. This is the 100 TB shape:
+    * the exact path touches only the contaminated sliver, and the
+    * filter stays small even when the benchmark gram set outgrows a
+    * broadcast hash set.
+    *
+    * The benchmark side is tokenized twice (bloom build + exact join
+    * table) — it is the EVAL suite, orders of magnitude smaller than
+    * the corpus; a persist would cost more bookkeeping than the
+    * recompute.
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
+      expectedGrams: Long = 1L << 20, fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame) = df
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), shinglesOf(col("__toks"), n).as("grams"))
+    def benchGrams = grams(benchmark)
+      .select(explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull).distinct()
+    val bf = benchGrams.stat.bloomFilter("gram", expectedGrams, fpp)
+    val bcBf = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightHit = udf { g: String => bcBf.value.mightContain(g) }
+    val cand = grams(corpus)
+      .select(col(idCol), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .filter(mightHit(col("gram")))
+      .select(col(idCol)).distinct()
+    grams(corpus)
+      .join(broadcast(cand), Seq(idCol), "left_semi")
+      .select(col(idCol), explode_outer(col("grams")).as("gram"))
+      .filter(col("gram").isNotNull)
+      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")
+      .groupBy(idCol).agg(
+        count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_hits"))
+      .filter(col("n_hits") > 0)
+      .withColumn("contamination",
+        round(col("n_hits") / col("n_grams").cast("double"), 4))
+      .withColumn("contaminated", col("contamination") >= threshold)
+  }
+
   // Portable across Java regex and RE2: explicit classes only (no \d /
   // \w shorthand, no lookaround), so a DuckDB/other-engine oracle can
   // run the identical pattern.

@@ -59,6 +59,26 @@ class CurationSpec extends AnyFunSuite {
     assert(c(0L).getAs[Long]("n_hits") == 4L)
   }
 
+  test("bloom-prefiltered contamination equals the exact path's hit rows") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the capital of france is paris and the seine flows through")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "trivia dump the capital of france is paris obviously"),
+      (1L, "entirely unrelated text about catalyst shuffle planning"),
+      (2L, "the capital of france is paris and the seine flows through")
+    ).toDF("doc_id", "text")
+    val exact = CurationOps.contamination(corpus, bench, "doc_id", "text", n = 3)
+      .filter(col("n_hits") > 0)
+    val bloom = CurationOps.contaminationBloom(corpus, bench, "doc_id", "text",
+      n = 3, expectedGrams = 64)
+    // No false negatives: every exact hit row appears, bit-identical.
+    assert(bloom.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(bloom).count() == 0)
+    assert(bloom.count() == 2)
+  }
+
   test("scrub counts and redacts emails and digit runs") {
     import spark.implicits._
     val docs = Seq(
