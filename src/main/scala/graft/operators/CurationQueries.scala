@@ -44,6 +44,10 @@ object CurationQueries extends QueryModule {
       idCol = "doc_id", textCol = "text")
   }
 
+  /** Exact duplicated-substring spans at 5-gram granularity. */
+  private def dedupSpans(s: SparkSession, d: String): DataFrame =
+    CurationOps.dupSpans(Tables.documents(s, d), "doc_id", "text")
+
   /** mT5-style temperature mix over the `source` column, alpha=0.5. */
   private def mixTemperature(s: SparkSession, d: String): DataFrame =
     CurationOps.temperatureMix(Tables.documents(s, d), "source")
@@ -224,6 +228,34 @@ object CurationQueries extends QueryModule {
          |  round(n_hits / n_grams::DOUBLE, 4) AS contamination,
          |  round(n_hits / n_grams::DOUBLE, 4) >= 0.5 AS contaminated
          |FROM f WHERE n_hits > 0""".stripMargin)),
+    QueryDef("q_dedup_spans", dedupSpans, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(toks) < 5 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(0, len(toks) - 4),
+         |      i -> array_to_string(toks[i+1:i+5], ' ')) END AS grams,
+         |    CAST(greatest(len(toks) - 4, 0) AS BIGINT) AS n_grams
+         |  FROM t),
+         |p AS (
+         |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+         |    SELECT doc_id, unnest(list_transform(range(0, len(grams)),
+         |      i -> {'pos': i, 'gram': grams[i+1]})) AS u FROM g)),
+         |f AS (SELECT doc_id, pos,
+         |  count(*) OVER (PARTITION BY gram) AS occ FROM p),
+         |i AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM f WHERE occ >= 2),
+         |r AS (SELECT doc_id, grp, count(*) AS run FROM i GROUP BY 1, 2),
+         |s AS (SELECT doc_id, sum(run) AS n_dup, max(run) AS max_run
+         |  FROM r GROUP BY 1)
+         |SELECT g.doc_id, g.n_grams,
+         |  CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup,
+         |  CAST(coalesce(s.max_run, 0) AS BIGINT) AS max_run,
+         |  CASE WHEN g.n_grams = 0 THEN 0.0
+         |    ELSE round(coalesce(s.n_dup, 0) / g.n_grams::DOUBLE, 4) END
+         |    AS dup_frac
+         |FROM g LEFT JOIN s USING (doc_id)""".stripMargin)),
     QueryDef("q_mix_temperature", mixTemperature, Some(
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |n AS (

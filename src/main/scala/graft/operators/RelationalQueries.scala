@@ -16,6 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries extends QueryModule {
 
+  /** Global total-order ranking without a global-order window — the
+    * distributed `ORDER BY`/`row_number()` shape. A naive
+    * `row_number() OVER (ORDER BY …)` plans a SINGLE-partition window:
+    * every row funnels through one task, a non-starter at corpus
+    * scale. Instead, rank in two levels: (1) a window PARTITIONED by
+    * the sort key ranks rows within each key group (fully parallel,
+    * one hash shuffle on the key); (2) the exclusive prefix count of
+    * rows in strictly-greater key groups — computed on the tiny
+    * per-key histogram (|distinct keys| rows, the only frame that
+    * crosses a single-partition window) — is broadcast back as each
+    * group's offset. `rank = offset + within-group rank` reproduces
+    * the exact global row_number as long as the tie-break makes the
+    * full ordering total (here `doc_id`, unique). At 100 TB the same
+    * scheme holds with a coarser bucket expression (e.g. a range bin
+    * of the key) whenever the key's distinct count outgrows the
+    * histogram — only the histogram must stay small, never the data.
+    */
+  private def globalRank(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("__cnt"))
+    val offsets = hist
+      .withColumn("__off", coalesce(
+        sum("__cnt").over(Window.orderBy(col("n_chars").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    docs
+      .withColumn("__rk",
+        row_number().over(Window.partitionBy("n_chars").orderBy("doc_id")))
+      .join(broadcast(offsets), Seq("n_chars"))
+      .select(col("doc_id"), col("n_chars"),
+        (col("__off") + col("__rk")).as("rank"))
+  }
+
   /** S5/P5/P6 — predicate + date-range filtered scan with column pruning
     * (ref: core/storage.py:133-199, pages/3:82-86). Filters and the
     * 4-column projection both reach the parquet reader.
@@ -573,6 +606,11 @@ object RelationalQueries extends QueryModule {
         | UNION
         | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') t
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_global_rank", globalRank, Some(
+      """SELECT doc_id, n_chars,
+        |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
+        |    AS rank
+        |FROM documents""".stripMargin)),
     QueryDef("q_sample_hash", sampleHash, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -190,6 +190,27 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("t.ws_tokens").as("ws_tokens"),
         col("t.re_tokens").as("re_tokens"))
 
+  /** Incremental ingest dedup — the production shape of exact dedup:
+    * an incoming batch (doc_id % 10 ≥ 8 stands in for today's crawl)
+    * is deduplicated against the already-ingested corpus (% 10 < 8)
+    * and within itself, keyed on the canonical set-level fingerprint
+    * ([[TextFunctions.fingerprint]]). Anti-join then min-per-key:
+    * both shuffles carry only (fingerprint, id) — 32-byte digests,
+    * never text — and the aggregation combines map-side, so at 100 TB
+    * the corpus side costs one digest-column scan + digest shuffle
+    * regardless of document size. Emits the surviving batch docs.
+    */
+  private def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        (col("doc_id") % 10).as("__m"))
+    val corpus = fps.filter(col("__m") < 8).select("fp")
+    fps.filter(col("__m") >= 8)
+      .join(corpus, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), col("fp"))
+  }
+
   /** Canonical content fingerprint (md5 of sorted distinct tokens). */
   private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -520,6 +541,13 @@ object TextQueries extends QueryModule {
     QueryDef("q_text_winnow_sound", winnowSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS n_fast,
         |  CAST(NULL AS INTEGER) AS n_naive WHERE FALSE""".stripMargin)),
+    QueryDef("q_dedup_incremental", dedupIncremental, Some(
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents)
+         |SELECT min(doc_id) AS doc_id, fp FROM t
+         |WHERE m >= 8 AND fp NOT IN (SELECT fp FROM t WHERE m < 8)
+         |GROUP BY fp""".stripMargin)),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

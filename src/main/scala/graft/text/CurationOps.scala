@@ -159,6 +159,61 @@ object CurationOps {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** Exact duplicated-substring span report (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr, re-expressed at word-`n`-gram granularity instead of
+    * suffix arrays). A position-`i` `n`-gram is DUPLICATED when the
+    * identical token run occurs anywhere else in the corpus (another
+    * doc, or the same doc again); consecutive duplicated positions
+    * merge into spans. Per doc: total gram positions, duplicated
+    * positions, the longest duplicated run, and the duplicated
+    * fraction — the inputs to span-level cut/keep decisions.
+    *
+    * Shape: positional grams (map-side `transform`/`slice`, no join),
+    * ONE shuffle on the gram string for the global occurrence count
+    * (window `count over (partition by gram)` — partial-agg-free but
+    * key-unique enough that no hot key exists; a 100 TB run would
+    * shuffle `xxhash64(gram)` plus a verify pass instead of the raw
+    * bytes), then per-doc islands (`pos − row_number`) on the
+    * duplicated sliver only. Docs shorter than `n` tokens emit zero
+    * gram positions.
+    */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    val grams = toks
+      .select(col(idCol),
+        when(size(col("__toks")) < n, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("__toks")) - n),
+            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
+          .as("__grams"))
+      .select(col(idCol), posexplode_outer(col("__grams")))
+      .toDF(idCol, "pos", "gram")
+      .filter(col("gram").isNotNull)
+    val dup = grams
+      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("gram")))
+      .filter(col("__occ") >= 2)
+      .withColumn("__grp", col("pos") -
+        row_number().over(Window.partitionBy(col(idCol)).orderBy("pos")))
+    val runs = dup.groupBy(col(idCol), col("__grp"))
+      .agg(count(lit(1)).as("__run"))
+    val stats = runs.groupBy(idCol)
+      .agg(sum("__run").as("__n_dup"), max("__run").as("__max_run"))
+    toks
+      .select(col(idCol),
+        greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long")
+          .as("n_grams"))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("__max_run"), lit(0L)).as("max_run"),
+        when(col("n_grams") === 0, lit(0.0))
+          .otherwise(round(
+            coalesce(col("__n_dup"), lit(0L)) / col("n_grams").cast("double"),
+            4)).as("dup_frac"))
+  }
+
   // Portable across Java regex and RE2: explicit classes only (no \d /
   // \w shorthand, no lookaround), so a DuckDB/other-engine oracle can
   // run the identical pattern.

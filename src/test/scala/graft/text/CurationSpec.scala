@@ -79,6 +79,33 @@ class CurationSpec extends AnyFunSuite {
     assert(bloom.count() == 2)
   }
 
+  test("dupSpans finds planted shared runs, merges islands, skips short docs") {
+    import spark.implicits._
+    // Docs 0 and 1 share an 8-token run -> 4 consecutive dup 5-gram
+    // positions each; doc 2 is unrelated; doc 3 is under 5 tokens.
+    val shared = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, s"unique0 prefix0 $shared suffix0"),
+      (1L, s"other1 lead1 mid1 $shared"),
+      (2L, "nothing here matches anything else at all today"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val m = CurationOps.dupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: 11 tokens -> 7 positions; dup = positions 2..5 (4-run).
+    assert(m(0L).getAs[Long]("n_grams") == 7L)
+    assert(m(0L).getAs[Long]("n_dup") == 4L)
+    assert(m(0L).getAs[Long]("max_run") == 4L)
+    assert(m(0L).getAs[Double]("dup_frac") == math.rint(4.0 / 7 * 1e4) / 1e4)
+    // doc 1: 11 tokens -> 7 positions; dup = last 4 positions.
+    assert(m(1L).getAs[Long]("n_dup") == 4L)
+    assert(m(1L).getAs[Long]("max_run") == 4L)
+    assert(m(2L).getAs[Long]("n_dup") == 0L)
+    assert(m(2L).getAs[Double]("dup_frac") == 0.0)
+    assert(m(3L).getAs[Long]("n_grams") == 0L)
+    assert(m(3L).getAs[Double]("dup_frac") == 0.0)
+  }
+
   test("scrub counts and redacts emails and digit runs") {
     import spark.implicits._
     val docs = Seq(
