@@ -44,6 +44,12 @@ object CurationQueries extends QueryModule {
       idCol = "doc_id", textCol = "text")
   }
 
+  /** Per-source language-mix entropy report (see
+    * [[CurationOps.sourceMix]] for the shape and parity story).
+    */
+  private def sourceMix(s: SparkSession, d: String): DataFrame =
+    CurationOps.sourceMix(Tables.documents(s, d), "source", "lang")
+
   /** Exact duplicated-substring spans at 5-gram granularity. */
   private def dedupSpans(s: SparkSession, d: String): DataFrame =
     CurationOps.dupSpans(Tables.documents(s, d), "doc_id", "text")
@@ -228,6 +234,19 @@ object CurationQueries extends QueryModule {
          |  round(n_hits / n_grams::DOUBLE, 4) AS contamination,
          |  round(n_hits / n_grams::DOUBLE, 4) >= 0.5 AS contaminated
          |FROM f WHERE n_hits > 0""".stripMargin)),
+    QueryDef("q_source_mix", sourceMix, Some(
+      """WITH c AS (SELECT source, lang, count(*) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    count(*) AS n_langs,
+        |    list({'lang': lang, 'n': n} ORDER BY lang) AS xs
+        |  FROM c GROUP BY 1)
+        |SELECT source, n_docs, n_langs,
+        |  round(list_reduce(
+        |    list_prepend(0.0, list_transform(xs,
+        |      x -> -(x.n / n_docs) * ln(x.n / n_docs))),
+        |    (a, b) -> a + b), 6) AS entropy
+        |FROM g""".stripMargin)),
     QueryDef("q_dedup_spans", dedupSpans, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (

@@ -49,6 +49,19 @@ object RelationalQueries extends QueryModule {
         (col("__off") + col("__rk")).as("rank"))
   }
 
+  /** CUBE grouping-sets aggregate — all four (year, priority) margins
+    * in one pass (the rollup entry covers the hierarchy subset). Plans
+    * one `Expand` (4× row replication of the 2-column projection, not
+    * of the table) feeding a single partial-agg shuffle; the exact
+    * distinct count rides the same grouping. At scale the Expand
+    * multiplies only the grouping keys — the scan is still one pass.
+    */
+  private def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(year(col("o_orderdate")).as("y"), col("o_orderpriority").as("p"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+
   /** S5/P5/P6 — predicate + date-range filtered scan with column pruning
     * (ref: core/storage.py:133-199, pages/3:82-86). Filters and the
     * 4-column projection both reach the parquet reader.
@@ -606,6 +619,11 @@ object RelationalQueries extends QueryModule {
         | UNION
         | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') t
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_cube_agg", cubeAgg, Some(
+      """SELECT year(o_orderdate) AS y, o_orderpriority AS p,
+        |  count(*) AS n_orders, count(DISTINCT o_custkey) AS n_cust
+        |FROM orders
+        |GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin)),
     QueryDef("q_global_rank", globalRank, Some(
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)

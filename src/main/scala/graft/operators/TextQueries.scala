@@ -211,6 +211,23 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** Exact vocabulary heavy hitters — the top-20 corpus tokens by
+    * total frequency (deterministic (count desc, token asc) order).
+    * The exact counterpart of the `q_heavy_hitters_sound` sketch
+    * audit. Plan shape: explode → hash aggregate with MAP-SIDE partial
+    * combine (the per-partition partial map collapses each token to
+    * one row before the exchange, so the shuffle carries ≤
+    * |vocab| × partitions rows regardless of corpus size) →
+    * `TakeOrderedAndProject` (per-partition top-20, then a 20-row
+    * merge on the driver — never a global sort).
+    */
+  private def vocabTopk(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("tok")).limit(20)
+
   /** Canonical content fingerprint (md5 of sorted distinct tokens). */
   private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -548,6 +565,10 @@ object TextQueries extends QueryModule {
          |SELECT min(doc_id) AS doc_id, fp FROM t
          |WHERE m >= 8 AND fp NOT IN (SELECT fp FROM t WHERE m < 8)
          |GROUP BY fp""".stripMargin)),
+    QueryDef("q_vocab_topk", vocabTopk, Some(
+      s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents)
+         |SELECT tok, count(*) AS n FROM t GROUP BY 1
+         |ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

@@ -159,6 +159,29 @@ object CurationOps {
       .withColumn("contaminated", col("contamination") >= threshold)
   }
 
+  /** Corpus mix report: per-stratum class-distribution entropy (nats)
+    * plus doc/class counts — the diagnostic read before choosing
+    * [[temperatureMix]] weights. Two partial-agg shuffles, both tiny
+    * after the map-side combine. Floating determinism: the entropy
+    * terms fold over a class-SORTED array with a 0.0 seed (group-order
+    * summation would be nondeterministic across runs and engines), and
+    * `round(…, 6)` absorbs ln()'s last-ulp slack (the BM25 entry's
+    * convention).
+    */
+  def sourceMix(docs: DataFrame, stratumCol: String,
+      classCol: String): DataFrame =
+    docs
+      .groupBy(stratumCol, classCol).agg(count(lit(1)).as("n"))
+      .groupBy(stratumCol).agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        array_sort(collect_list(struct(col(classCol), col("n"))))
+          .as("__xs"))
+      .select(col(stratumCol), col("n_docs"), col("n_langs"),
+        round(aggregate(col("__xs"), lit(0.0), (acc, x) =>
+          acc - (x.getField("n") / col("n_docs")) *
+            log(x.getField("n") / col("n_docs"))), 6).as("entropy"))
+
   /** Exact duplicated-substring span report (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * ExactSubstr, re-expressed at word-`n`-gram granularity instead of

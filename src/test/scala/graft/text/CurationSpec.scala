@@ -106,6 +106,20 @@ class CurationSpec extends AnyFunSuite {
     assert(m(3L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("source-mix entropy: ln(2) for a 50/50 source, 0 for single-lang") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "x", "en", "a"), (1L, "x", "de", "a"),
+      (2L, "x", "en", "b"), (3L, "x", "en", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+    val m = CurationOps.sourceMix(docs, "source", "lang")
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_langs"),
+          r.getAs[Double]("entropy"))).toMap
+    assert(m("a") == ((2L, 2L, math.rint(math.log(2) * 1e6) / 1e6)))
+    assert(m("b") == ((2L, 1L, 0.0)))
+  }
+
   test("scrub counts and redacts emails and digit runs") {
     import spark.implicits._
     val docs = Seq(
