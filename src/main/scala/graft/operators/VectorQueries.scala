@@ -198,10 +198,11 @@ object VectorQueries extends QueryModule {
     * exchange — the shuffle carries one row per (vector, partition),
     * never the 25M scored pairs. Ranking compares round(cos, 6) with a
     * smallest-id tie-break (via the negated id inside the max struct),
-    * the same cross-engine ordering guard as q_text_tfidf. Exact
-    * all-pairs is the right shape for an EVAL SAMPLE (the broadcast
-    * side is the eval set); a full-corpus kNN sweep would route
-    * through the IVF cell index instead ([[IvfIndex]]).
+    * the same cross-engine ordering guard as q_text_tfidf. The
+    * STREAMED side is a 20% eval split (every 5th vector); the
+    * broadcast side is the full neighbor corpus — exact eval×corpus
+    * is the right shape for an EVAL SAMPLE; a full-corpus kNN sweep
+    * would route through the IVF cell index instead ([[IvfIndex]]).
     */
   private def knnAccuracy(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -209,7 +210,11 @@ object VectorQueries extends QueryModule {
         col("embedding").cast("array<double>").as("v"))
     val nb = broadcast(e.select(col("vec_id").as("nb_id"),
       col("label").as("nb_label"), col("v").as("nb_v")))
-    e.join(nb, col("vec_id") =!= col("nb_id"))
+    // Eval split: every 5th vector queries; neighbors stay the FULL
+    // corpus. Purity over a held-out sample is the standard eval (and
+    // keeps the scored-pair count at |eval|×N, not N²).
+    e.filter(col("vec_id") % 5 === 0)
+      .join(nb, col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("label"),
         struct(
           round(VectorOps.cosine(col("v"), col("nb_v")), 6).as("cs"),
@@ -354,7 +359,8 @@ object VectorQueries extends QueryModule {
         |  SELECT a.vec_id, a.label AS la, b.vec_id AS vb, b.label AS lb,
         |    round(list_cosine_similarity(a.embedding::DOUBLE[],
         |      b.embedding::DOUBLE[]), 6) AS cs
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        |  WHERE a.vec_id % 5 = 0),
         |r AS (
         |  SELECT vec_id, la, lb, row_number() OVER
         |    (PARTITION BY vec_id ORDER BY cs DESC, vb) AS rk
