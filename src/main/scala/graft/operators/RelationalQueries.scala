@@ -49,6 +49,23 @@ object RelationalQueries extends QueryModule {
         (col("__off") + col("__rk")).as("rank"))
   }
 
+  /** INTERSECT / EXCEPT distinct set semantics (O-family complement to
+    * union): customers with an urgent order vs a high-value order.
+    * Both branches plan as aggregate-then-join on the key — distinct
+    * collapses map-side, so the exchanges carry unique keys only.
+    */
+  private def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val high = o.filter(col("o_totalprice") > 150000).select("o_custkey")
+    urgent.intersect(high).agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect"))
+      .unionByName(urgent.except(high).agg(count(lit(1)).as("n"))
+        .withColumn("op", lit("except")))
+      .select("op", "n")
+  }
+
   /** CUBE grouping-sets aggregate — all four (year, priority) margins
     * in one pass (the rollup entry covers the hierarchy subset). Plans
     * one `Expand` (4× row replication of the 2-column projection, not
@@ -619,6 +636,16 @@ object RelationalQueries extends QueryModule {
         | UNION
         | SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT') t
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_set_ops", setOps, Some(
+      """SELECT 'intersect' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000) t
+        |UNION ALL
+        |SELECT 'except' AS op, count(*) AS n FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000) t""".stripMargin)),
     QueryDef("q_cube_agg", cubeAgg, Some(
       """SELECT year(o_orderdate) AS y, o_orderpriority AS p,
         |  count(*) AS n_orders, count(DISTINCT o_custkey) AS n_cust

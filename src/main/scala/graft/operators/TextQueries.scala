@@ -190,6 +190,12 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("t.ws_tokens").as("ws_tokens"),
         col("t.re_tokens").as("re_tokens"))
 
+  /** Sorted-neighborhood fuzzy dedup over 32-char headers, w=10, τ=8
+    * (see [[DedupJobs.sortedNeighborPairs]]).
+    */
+  private def dedupSnm(s: SparkSession, d: String): DataFrame =
+    DedupJobs.sortedNeighborPairs(Tables.documents(s, d), "doc_id", "text")
+
   /** Incremental ingest dedup — the production shape of exact dedup:
     * an incoming batch (doc_id % 10 ≥ 8 stands in for today's crawl)
     * is deduplicated against the already-ingested corpus (% 10 < 8)
@@ -558,6 +564,16 @@ object TextQueries extends QueryModule {
     QueryDef("q_text_winnow_sound", winnowSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS n_fast,
         |  CAST(NULL AS INTEGER) AS n_naive WHERE FALSE""".stripMargin)),
+    QueryDef("q_dedup_snm", dedupSnm, Some(
+      """WITH t AS (SELECT doc_id, substr(lower(text), 1, 32) AS hdr
+        |  FROM documents),
+        |r AS (SELECT doc_id, hdr,
+        |  row_number() OVER (ORDER BY hdr, doc_id) AS rn FROM t)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(levenshtein(a.hdr, b.hdr) AS INTEGER) AS dist
+        |FROM r a JOIN r b
+        |  ON b.rn > a.rn AND b.rn <= a.rn + 10
+        |WHERE levenshtein(a.hdr, b.hdr) <= 8""".stripMargin)),
     QueryDef("q_dedup_incremental", dedupIncremental, Some(
       s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

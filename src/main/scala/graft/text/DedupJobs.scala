@@ -652,4 +652,59 @@ object DedupJobs {
     prepped.unpersist()
     (verified, Seq(verified))
   }
+
+  /** Sorted-neighborhood fuzzy dedup (Hernández & Stolfo '95, the
+    * classic entity-resolution merge/purge method): sort the corpus by
+    * a clustering key — here the `hdrLen`-char lowercased header — and
+    * compare each record only against the `w` records that FOLLOW it
+    * in sort order, flagging pairs whose header edit distance is ≤
+    * `tau`. The semantics are exactly "pairs within `w` positions of
+    * the global (header, id) order", so the result is deterministic
+    * and oracle-checkable even though it is (by design) a
+    * partial-recall heuristic — near-dups whose headers sort far apart
+    * are out of contract, as in the original method.
+    *
+    * Scale shape: the global row number comes from the two-level rank
+    * (rank within a 2-char header-prefix bucket + broadcast bucket
+    * offsets — the high-cardinality-key variant of
+    * `RelationalQueries.globalRank`, histogram ≤ |alphabet|²); the
+    * windowed self-join is an equi-join on `floor(rn/w)` with each
+    * left row exploded into its own and the next block (the
+    * q_range_join_bucketed trick), so no position-range theta-join or
+    * cartesian ever plans. Edit distance runs on the `n·w` surviving
+    * pairs only, never n².
+    */
+  def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
+      hdrLen: Int = 32, w: Int = 10, tau: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hdrs = docs.select(col(idCol),
+      substring(lower(col(textCol)), 1, hdrLen).as("hdr"))
+    val keyed = hdrs.withColumn("__bkt", substring(col("hdr"), 1, 2))
+    val offsets = keyed.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum("__cnt").over(Window.orderBy("__bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__cnt")
+    val ranked = keyed
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("__bkt").orderBy(col("hdr"), col(idCol))))
+      .join(broadcast(offsets), Seq("__bkt"))
+      .select(col(idCol), col("hdr"), (col("__off") + col("__rk")).as("rn"))
+    val lhs = ranked
+      .select(col(idCol).as("id_a"), col("hdr").as("hdr_a"),
+        col("rn").as("rn_a"),
+        explode(array(floor(col("rn") / w),
+          floor(col("rn") / w) + 1)).as("__blk"))
+    val rhs = ranked
+      .select(col(idCol).as("id_b"), col("hdr").as("hdr_b"),
+        col("rn").as("rn_b"),
+        floor(col("rn") / w).as("__blk"))
+    // No dedup needed: each right row's block is unique, so a pair can
+    // match through exactly one of the left row's two block copies.
+    lhs.join(rhs, Seq("__blk"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + w)
+      .filter(levenshtein(col("hdr_a"), col("hdr_b")) <= tau)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("hdr_a"), col("hdr_b")).as("dist"))
+  }
 }

@@ -36,6 +36,21 @@ class RankDedupSpec extends AnyFunSuite {
       s"global-rank window lost its key partitioning:\n${plan.take(600)}")
   }
 
+  test("q_dedup_snm equals the naive global-window neighborhood join") {
+    val got = SparkEntry.queries("q_dedup_snm")(spark, sf)
+    val hdrs = Tables.documents(spark, sf)
+      .select(col("doc_id"), substring(lower(col("text")), 1, 32).as("hdr"))
+    val r = hdrs.withColumn("rn",
+      row_number().over(Window.orderBy(col("hdr"), col("doc_id"))))
+    val naive = r.as("a").join(r.as("b"),
+        col("b.rn") > col("a.rn") && col("b.rn") <= col("a.rn") + 10)
+      .filter(levenshtein(col("a.hdr"), col("b.hdr")) <= 8)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        levenshtein(col("a.hdr"), col("b.hdr")).as("dist"))
+    assert(got.exceptAll(naive).count() == 0 &&
+      naive.exceptAll(got).count() == 0)
+  }
+
   test("q_dedup_incremental equals driver-side set logic") {
     val got = SparkEntry.queries("q_dedup_incremental")(spark, sf)
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("fp")))
