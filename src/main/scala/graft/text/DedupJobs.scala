@@ -672,7 +672,12 @@ object DedupJobs {
     * left row exploded into its own and the next block (the
     * q_range_join_bucketed trick), so no position-range theta-join or
     * cartesian ever plans. Edit distance runs on the `n·w` surviving
-    * pairs only, never n².
+    * pairs only, never n². Plan note: the self-join's two sides each
+    * re-execute the ranking subtree (Catalyst only reuses bit-identical
+    * exchanges, and the per-side aliases differ) — a long-lived
+    * production pipeline would persist/checkpoint the ranked frame
+    * between passes; left unpersisted here so the operator stays
+    * side-effect-free for arbitrary inputs.
     */
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       hdrLen: Int = 32, w: Int = 10, tau: Int = 8): DataFrame = {
