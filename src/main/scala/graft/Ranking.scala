@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed total-order ranking without a single-partition window
+  * over data — the two-level scheme shared by the global-rank,
+  * sorted-neighborhood, and training-order operators.
+  *
+  * Level 1 ranks rows WITHIN each `bucketCol` group (a window keyed by
+  * `partCols :+ bucketCol` — fully parallel, one hash shuffle). Level 2
+  * computes each bucket's exclusive prefix count on the per-bucket
+  * histogram — the only frame that crosses a single-partition window,
+  * sized |buckets| (per partition), never |rows| — and broadcasts it
+  * back. `out = offset + within-bucket rank` equals the exact global
+  * `row_number() OVER (PARTITION BY partCols ORDER BY …)` provided:
+  *
+  *  - bucket ordering is CONSISTENT with the row ordering (the bucket
+  *    is the leading sort key itself, or a prefix/coarsening of it:
+  *    all rows of a lesser bucket sort before all rows of a greater
+  *    one), and
+  *  - `tieCols` make the within-bucket ordering total (unique key).
+  *
+  * At 100 TB the same plan holds whenever the histogram stays
+  * broadcast-small — coarsen `bucketCol` (range bin, key prefix)
+  * when the key's distinct count outgrows it; only the histogram must
+  * stay small, never the data.
+  */
+object Ranking {
+
+  def twoLevelRank(df: DataFrame, partCols: Seq[String], bucketCol: String,
+      bucketAsc: Boolean, tieCols: Seq[String], out: String): DataFrame = {
+    val keyCols = partCols :+ bucketCol
+    val bktOrd: Column =
+      if (bucketAsc) col(bucketCol).asc else col(bucketCol).desc
+    val wOff = (if (partCols.isEmpty) Window.orderBy(bktOrd)
+      else Window.partitionBy(partCols.map(col): _*).orderBy(bktOrd))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum("__cnt").over(wOff), lit(0L)))
+      .drop("__cnt")
+    val wRank = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(tieCols.map(col): _*)
+    df.withColumn("__rk", row_number().over(wRank))
+      .join(broadcast(offsets), keyCols)
+      .withColumn(out, col("__off") + col("__rk"))
+      .drop("__off", "__rk")
+  }
+}

@@ -50,6 +50,28 @@ object CurationQueries extends QueryModule {
   private def sourceMix(s: SparkSession, d: String): DataFrame =
     CurationOps.sourceMix(Tables.documents(s, d), "source", "lang")
 
+  /** Deterministic per-epoch training order — the "global shuffle"
+    * step that turns a curated corpus into a training sequence: for
+    * each epoch, every document gets a position drawn from the total
+    * order of `md5(epoch | doc_id)` (a different, reproducible
+    * permutation per epoch, no RNG state, identical on every engine).
+    * The rank is [[graft.Ranking.twoLevelRank]] partitioned per epoch
+    * and bucketed by the hash's first two hex chars (histogram ≤ 256
+    * per epoch) — no single-partition window, no sort of the corpus.
+    */
+  private def trainOrder(s: SparkSession, d: String): DataFrame = {
+    val keyed = Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(1))).as("epoch"))
+      .withColumn("__key",
+        md5(concat_ws("|", col("epoch"), col("doc_id"))))
+      .withColumn("__bkt", substring(col("__key"), 1, 2))
+    graft.Ranking.twoLevelRank(keyed, partCols = Seq("epoch"),
+        bucketCol = "__bkt", bucketAsc = true,
+        tieCols = Seq("__key", "doc_id"), out = "position")
+      .select(col("epoch"), col("doc_id"), col("position"))
+  }
+
   /** Exact duplicated-substring spans at 5-gram granularity. */
   private def dedupSpans(s: SparkSession, d: String): DataFrame =
     CurationOps.dupSpans(Tables.documents(s, d), "doc_id", "text")
@@ -247,6 +269,15 @@ object CurationQueries extends QueryModule {
         |      x -> -(x.n / n_docs) * ln(x.n / n_docs))),
         |    (a, b) -> a + b), 6) AS entropy
         |FROM g""".stripMargin)),
+    QueryDef("q_train_order", trainOrder, Some(
+      """WITH e AS (SELECT doc_id, epoch
+        |  FROM documents, unnest([0, 1]) AS t(epoch)),
+        |k AS (SELECT doc_id, epoch,
+        |  md5(epoch || '|' || doc_id) AS key FROM e)
+        |SELECT epoch, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY key, doc_id)
+        |    AS BIGINT) AS position
+        |FROM k""".stripMargin)),
     QueryDef("q_dedup_spans", dedupSpans, Some(
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |g AS (

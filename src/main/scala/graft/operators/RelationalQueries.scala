@@ -20,34 +20,15 @@ object RelationalQueries extends QueryModule {
     * distributed `ORDER BY`/`row_number()` shape. A naive
     * `row_number() OVER (ORDER BY …)` plans a SINGLE-partition window:
     * every row funnels through one task, a non-starter at corpus
-    * scale. Instead, rank in two levels: (1) a window PARTITIONED by
-    * the sort key ranks rows within each key group (fully parallel,
-    * one hash shuffle on the key); (2) the exclusive prefix count of
-    * rows in strictly-greater key groups — computed on the tiny
-    * per-key histogram (|distinct keys| rows, the only frame that
-    * crosses a single-partition window) — is broadcast back as each
-    * group's offset. `rank = offset + within-group rank` reproduces
-    * the exact global row_number as long as the tie-break makes the
-    * full ordering total (here `doc_id`, unique). At 100 TB the same
-    * scheme holds with a coarser bucket expression (e.g. a range bin
-    * of the key) whenever the key's distinct count outgrows the
-    * histogram — only the histogram must stay small, never the data.
+    * scale. Delegates to [[graft.Ranking.twoLevelRank]] with the sort
+    * key itself as the bucket (ties broken by the unique `doc_id`).
     */
-  private def globalRank(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
-    val hist = docs.groupBy("n_chars").agg(count(lit(1)).as("__cnt"))
-    val offsets = hist
-      .withColumn("__off", coalesce(
-        sum("__cnt").over(Window.orderBy(col("n_chars").desc)
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__cnt")
-    docs
-      .withColumn("__rk",
-        row_number().over(Window.partitionBy("n_chars").orderBy("doc_id")))
-      .join(broadcast(offsets), Seq("n_chars"))
-      .select(col("doc_id"), col("n_chars"),
-        (col("__off") + col("__rk")).as("rank"))
-  }
+  private def globalRank(s: SparkSession, d: String): DataFrame =
+    graft.Ranking.twoLevelRank(
+      Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+      partCols = Nil, bucketCol = "n_chars", bucketAsc = false,
+      tieCols = Seq("doc_id"), out = "rank")
+      .select(col("doc_id"), col("n_chars"), col("rank"))
 
   /** INTERSECT / EXCEPT distinct set semantics (O-family complement to
     * union): customers with an urgent order vs a high-value order.

@@ -664,10 +664,10 @@ object DedupJobs {
     * partial-recall heuristic — near-dups whose headers sort far apart
     * are out of contract, as in the original method.
     *
-    * Scale shape: the global row number comes from the two-level rank
-    * (rank within a 2-char header-prefix bucket + broadcast bucket
-    * offsets — the high-cardinality-key variant of
-    * `RelationalQueries.globalRank`, histogram ≤ |alphabet|²); the
+    * Scale shape: the global row number comes from
+    * [[graft.Ranking.twoLevelRank]] bucketed by the 2-char header
+    * prefix (the high-cardinality-key coarsening — histogram ≤
+    * |alphabet|², regardless of corpus size); the
     * windowed self-join is an equi-join on `floor(rn/w)` with each
     * left row exploded into its own and the next block (the
     * q_range_join_bucketed trick), so no position-range theta-join or
@@ -681,20 +681,13 @@ object DedupJobs {
     */
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       hdrLen: Int = 32, w: Int = 10, tau: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hdrs = docs.select(col(idCol),
-      substring(lower(col(textCol)), 1, hdrLen).as("hdr"))
-    val keyed = hdrs.withColumn("__bkt", substring(col("hdr"), 1, 2))
-    val offsets = keyed.groupBy("__bkt").agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum("__cnt").over(Window.orderBy("__bkt")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .drop("__cnt")
-    val ranked = keyed
-      .withColumn("__rk", row_number().over(
-        Window.partitionBy("__bkt").orderBy(col("hdr"), col(idCol))))
-      .join(broadcast(offsets), Seq("__bkt"))
-      .select(col(idCol), col("hdr"), (col("__off") + col("__rk")).as("rn"))
+    val keyed = docs
+      .select(col(idCol), substring(lower(col(textCol)), 1, hdrLen).as("hdr"))
+      .withColumn("__bkt", substring(col("hdr"), 1, 2))
+    val ranked = graft.Ranking.twoLevelRank(keyed,
+        partCols = Nil, bucketCol = "__bkt", bucketAsc = true,
+        tieCols = Seq("hdr", idCol), out = "rn")
+      .select(col(idCol), col("hdr"), col("rn"))
     val lhs = ranked
       .select(col(idCol).as("id_a"), col("hdr").as("hdr_a"),
         col("rn").as("rn_a"),
