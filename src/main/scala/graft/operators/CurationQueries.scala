@@ -72,6 +72,12 @@ object CurationQueries extends QueryModule {
       .select(col("epoch"), col("doc_id"), col("position"))
   }
 
+  /** The composed curation pipeline as one plan
+    * ([[CurationOps.trainManifest]]).
+    */
+  private def trainManifest(s: SparkSession, d: String): DataFrame =
+    CurationOps.trainManifest(Tables.documents(s, d), "doc_id", "text")
+
   /** Exact duplicated-substring spans at 5-gram granularity. */
   private def dedupSpans(s: SparkSession, d: String): DataFrame =
     CurationOps.dupSpans(Tables.documents(s, d), "doc_id", "text")
@@ -269,6 +275,24 @@ object CurationQueries extends QueryModule {
         |      x -> -(x.n / n_docs) * ln(x.n / n_docs))),
         |    (a, b) -> a + b), 6) AS entropy
         |FROM g""".stripMargin)),
+    QueryDef("q_train_manifest", trainManifest, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |k AS (SELECT doc_id,
+         |    md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+         |  FROM t WHERE len(toks) >= 20),
+         |c AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY fp),
+         |s AS (SELECT doc_id,
+         |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+         |         THEN 'train'
+         |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+         |         THEN 'val'
+         |       ELSE 'test' END AS split FROM c),
+         |r AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY md5('0|' || doc_id), doc_id)
+         |      AS BIGINT) AS position
+         |  FROM s WHERE split = 'train')
+         |SELECT s.doc_id, s.split, r.position
+         |FROM s LEFT JOIN r USING (doc_id)""".stripMargin)),
     QueryDef("q_train_order", trainOrder, Some(
       """WITH e AS (SELECT doc_id, epoch
         |  FROM documents, unnest([0, 1]) AS t(epoch)),

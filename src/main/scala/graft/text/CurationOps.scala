@@ -182,6 +182,41 @@ object CurationOps {
           acc - (x.getField("n") / col("n_docs")) *
             log(x.getField("n") / col("n_docs"))), 6).as("entropy"))
 
+  /** End-to-end training manifest — the curation steps composed into
+    * ONE declarative plan, the artifact a training run actually
+    * consumes: (1) quality gate (≥ `minTokens` tokens), (2) exact
+    * dedup keeping the first doc per canonical fingerprint,
+    * (3) deterministic 90/5/5 hash-range split (the q_split_assign
+    * rule), (4) a reproducible training order for the train split
+    * (md5-keyed [[graft.Ranking.twoLevelRank]]; val/test rows carry a
+    * null position). Catalyst fuses the gate+fingerprint into the
+    * scan projection; the dedup and split stay digest-only shuffles;
+    * ranking adds one bucketed window plus a broadcast histogram — no
+    * stage funnels the corpus through one task.
+    */
+  def trainManifest(docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20): DataFrame = {
+    val kept = docs
+      .select(col(idCol), col(textCol),
+        size(tokens(col(textCol))).as("__ntok"))
+      .filter(col("__ntok") >= minTokens)
+      .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val canon = kept.groupBy("__fp").agg(min(col(idCol)).as(idCol))
+    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val split = canon.select(col(idCol),
+      when(h < "e666", "train").when(h < "f333", "val")
+        .otherwise("test").as("split"))
+    val train = split.filter(col("split") === "train")
+      .withColumn("__key", md5(concat_ws("|", lit(0), col(idCol))))
+      .withColumn("__bkt", substring(col("__key"), 1, 2))
+    val ranked = graft.Ranking.twoLevelRank(train, partCols = Nil,
+        bucketCol = "__bkt", bucketAsc = true,
+        tieCols = Seq("__key", idCol), out = "position")
+      .select(col(idCol), col("position"))
+    split.join(ranked, Seq(idCol), "left")
+      .select(col(idCol), col("split"), col("position"))
+  }
+
   /** Exact duplicated-substring span report (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * ExactSubstr, re-expressed at word-`n`-gram granularity instead of
