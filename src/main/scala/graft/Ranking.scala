@@ -43,9 +43,17 @@ object Ranking {
       .drop("__cnt")
     val wRank = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(tieCols.map(col): _*)
+    // Null-safe key equality: groupBy keeps a null-bucket group, and a
+    // plain equi-join would silently drop those rows from the ranking
+    // (null keys never match). Null buckets order by Spark's window
+    // null placement — FIRST ascending, LAST descending.
+    val offAliased = offsets.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__off"): _*)
+    val joinCond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _)
     df.withColumn("__rk", row_number().over(wRank))
-      .join(broadcast(offsets), keyCols)
+      .join(broadcast(offAliased), joinCond)
       .withColumn(out, col("__off") + col("__rk"))
-      .drop("__off", "__rk")
+      .drop(keyCols.map("__k_" + _) :+ "__off" :+ "__rk": _*)
   }
 }

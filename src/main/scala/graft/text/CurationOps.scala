@@ -145,18 +145,16 @@ object CurationOps {
       .filter(col("gram").isNotNull)
       .filter(mightHit(col("gram")))
       .select(col(idCol)).distinct()
-    grams(corpus)
-      .join(broadcast(cand), Seq(idCol), "left_semi")
-      .select(col(idCol), explode_outer(col("grams")).as("gram"))
-      .filter(col("gram").isNotNull)
-      .join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("gram"), "left")
-      .groupBy(idCol).agg(
-        count(lit(1)).as("n_grams"),
-        count(col("__hit")).as("n_hits"))
+    // Pass 2 delegates to the exact kernel over the surviving sliver —
+    // ONE definition of the scoring, so the bloom path cannot drift
+    // from the exact path it is documented to equal. The candidate
+    // semi-join carries no broadcast hint: cand is data-dependent
+    // (tiny for a clean corpus, corpus-sized when the benchmark shares
+    // boilerplate with it) — let the planner/AQE pick broadcast vs
+    // shuffle by size.
+    contamination(corpus.join(cand, Seq(idCol), "left_semi"),
+        benchmark, idCol, textCol, n, threshold)
       .filter(col("n_hits") > 0)
-      .withColumn("contamination",
-        round(col("n_hits") / col("n_grams").cast("double"), 4))
-      .withColumn("contaminated", col("contamination") >= threshold)
   }
 
   /** Corpus mix report: per-stratum class-distribution entropy (nats)
@@ -241,12 +239,7 @@ object CurationOps {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val grams = toks
-      .select(col(idCol),
-        when(size(col("__toks")) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("__toks")) - n),
-            i => array_join(slice(col("__toks"), i + 1, lit(n)), " ")))
-          .as("__grams"))
-      .select(col(idCol), posexplode_outer(col("__grams")))
+      .select(col(idCol), posexplode_outer(gramsOf(col("__toks"), n)))
       .toDF(idCol, "pos", "gram")
       .filter(col("gram").isNotNull)
     val dup = grams

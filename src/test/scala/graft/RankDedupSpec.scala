@@ -36,6 +36,17 @@ class RankDedupSpec extends AnyFunSuite {
       s"global-rank window lost its key partitioning:\n${plan.take(600)}")
   }
 
+  test("twoLevelRank keeps and ranks null-bucket rows (nulls first asc)") {
+    import spark.implicits._
+    val df = Seq((1L, Option("a")), (2L, Option.empty[String]),
+      (3L, Option("b"))).toDF("id", "bkt")
+    val r = Ranking.twoLevelRank(df, partCols = Nil, bucketCol = "bkt",
+      bucketAsc = true, tieCols = Seq("id"), out = "rk")
+    val m = r.collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("rk")).toMap
+    assert(m == Map(2L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
+
   test("q_dedup_snm equals the naive global-window neighborhood join") {
     val got = SparkEntry.queries("q_dedup_snm")(spark, sf)
     val hdrs = Tables.documents(spark, sf)
