@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Sum}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** Optimizer rule: rewrite a GLOBAL-order `row_number()` window —
+  * `row_number() OVER (ORDER BY …)` with no PARTITION BY — into the
+  * two-level ranking plan (see [[graft.Ranking]] for the DataFrame-API
+  * statement of the same scheme and its exactness conditions).
+  *
+  * Spark plans the original as a single-partition Window: every row of
+  * the child funnels through ONE task — the canonical scale cliff, and
+  * one Catalyst itself does not optimize. The rewrite replaces it with
+  *
+  *  1. a Window partitioned by the LEADING sort key (parallel, one
+  *     hash shuffle) ranking within each key group,
+  *  2. an Aggregate building the per-key histogram, a single-partition
+  *     Window over that histogram (|distinct keys| rows, never the
+  *     data) computing exclusive prefix counts, and
+  *  3. a broadcast join adding `offset + within-key rank`, cast back
+  *     to the original IntegerType and re-aliased under the original
+  *     exprId so parent plans resolve unchanged.
+  *
+  * Result equivalence: exact when the full ORDER BY is a total order;
+  * under ties the original row_number is itself nondeterministic
+  * (partition-arrival order) and the rewrite is nondeterministic the
+  * same way — within equal keys only. Null leading keys group and rank
+  * through the null-safe join, ordered by Spark's window null
+  * placement, identical to the original. Skipped for nondeterministic
+  * sort expressions. Disable with
+  * `spark.graft.rewriteGlobalRowNumber=false`.
+  *
+  * Registered via [[GraftExtensions]]
+  * (`.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`). The library's
+  * own entries do not depend on it — they state the two-level plan
+  * directly; the rule extends the same protection to ad-hoc user SQL.
+  */
+object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.rewriteGlobalRowNumber", "true")
+        .toBoolean) {
+      plan
+    } else plan.transformUp {
+      case Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+            WindowSpecDefinition(Nil, orderSpec, _)), _)), Nil, _, child, _)
+          if orderSpec.nonEmpty && orderSpec.forall(_.child.deterministic) =>
+        rewrite(alias, orderSpec, child)
+    }
+
+  private def rewrite(alias: Alias, orderSpec: Seq[SortOrder],
+      child: LogicalPlan): LogicalPlan = {
+    val k = orderSpec.head
+    val rowFrame =
+      SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+    // Histogram of the leading key with exclusive running offsets. The
+    // single-partition window here sees |distinct keys| rows only.
+    val bAlias = Alias(k.child, "__graft_bkt")()
+    val cntAlias =
+      Alias(Count(Literal(1)).toAggregateExpression(), "__graft_cnt")()
+    val hist = Aggregate(Seq(k.child), Seq(bAlias, cntAlias), child)
+    val bAttr = bAlias.toAttribute
+    val histOrder = Seq(SortOrder(bAttr, k.direction))
+    val sumAlias = Alias(WindowExpression(
+      Sum(cntAlias.toAttribute).toAggregateExpression(),
+      WindowSpecDefinition(Nil, histOrder,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
+      "__graft_sum")()
+    val offAlias = Alias(
+      Coalesce(Seq(sumAlias.toAttribute, Literal(0L))), "__graft_off")()
+    val offsets = Project(Seq(bAttr, offAlias),
+      Window(Seq(sumAlias), Nil, histOrder, hist, None))
+    // Within-key rank over the data, keyed by the leading sort key.
+    val tieOrder = if (orderSpec.tail.nonEmpty) orderSpec.tail else orderSpec
+    val rkAlias = Alias(WindowExpression(RowNumber(),
+      WindowSpecDefinition(Seq(k.child), tieOrder, rowFrame)),
+      "__graft_rk")()
+    val ranked = Window(Seq(rkAlias), Seq(k.child), tieOrder, child, None)
+    val joined = Join(ranked, offsets, Inner,
+      Some(EqualNullSafe(k.child, bAttr)),
+      JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+    val rankExpr = Alias(
+      Cast(Add(offAlias.toAttribute,
+        Cast(rkAlias.toAttribute, LongType)), IntegerType),
+      alias.name)(exprId = alias.exprId, qualifier = alias.qualifier,
+        explicitMetadata = alias.explicitMetadata)
+    Project(child.output :+ rankExpr, joined)
+  }
+}
+
+/** Session-extension entry point registering the library's Catalyst
+  * rules (`.withExtensions(new GraftExtensions)` or the
+  * `spark.sql.extensions` conf).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectOptimizerRule(_ => RewriteGlobalRowNumber)
+}

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rewrite must (a) fire — the optimized plan becomes a
+  * broadcast join of two keyed windows, no global-order Window over
+  * the data — and (b) be invisible in results: exact row_number values
+  * on a total order, including a null leading key; untouched when the
+  * pattern does not match or the flag is off.
+  *
+  * Runs in its OWN SparkSession (extensions bind at session build);
+  * the shared sessions other suites hold are stopped first and
+  * recreated lazily by their own `getOrCreate`.
+  */
+class RewriteGlobalRowNumberSpec extends AnyFunSuite {
+
+  private def withExtSession(f: SparkSession => Unit): Unit = {
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ansi.enabled", "false")
+      .getOrCreate()
+    try f(spark)
+    finally {
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+  }
+
+  test("global row_number rewrites to keyed windows with exact results") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = Seq((5, "a"), (3, "b"), (5, "c"), (1, "d"), (3, "e"),
+        (2, null.asInstanceOf[String])).toDF("k", "s")
+      val ranked = df.withColumn("rn",
+        row_number().over(Window.orderBy(col("k").desc, col("s"))))
+      val optimized = ranked.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("Join"), s"rewrite did not fire:\n$optimized")
+      // Expected: k desc, s asc (nulls first within equal k).
+      val got = ranked.collect()
+        .map(r => (r.getInt(0), r.getString(1)) -> r.getInt(2)).toMap
+      assert(got == Map((5, "a") -> 1, (5, "c") -> 2, (3, "b") -> 3,
+        (3, "e") -> 4, (2, null) -> 5, (1, "d") -> 6))
+    }
+  }
+
+  test("partitioned row_number and other functions are untouched") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = Seq((1, 10), (1, 20), (2, 30)).toDF("g", "v")
+      val part = df.withColumn("rn",
+        row_number().over(Window.partitionBy("g").orderBy("v")))
+      assert(!part.queryExecution.optimizedPlan.toString.contains("Join"))
+      val rank = df.withColumn("rk",
+        dense_rank().over(Window.orderBy("v")))
+      assert(!rank.queryExecution.optimizedPlan.toString.contains("Join"))
+    }
+  }
+
+  test("the flag disables the rewrite") {
+    withExtSession { spark =>
+      import spark.implicits._
+      spark.conf.set("spark.graft.rewriteGlobalRowNumber", "false")
+      try {
+        val df = Seq((1, "a"), (2, "b")).toDF("k", "s")
+        val ranked = df.withColumn("rn",
+          row_number().over(Window.orderBy("k")))
+        assert(!ranked.queryExecution.optimizedPlan.toString.contains("Join"))
+        assert(ranked.collect().map(_.getInt(2)).sorted.sameElements(Array(1, 2)))
+      } finally spark.conf.unset("spark.graft.rewriteGlobalRowNumber")
+    }
+  }
+}
