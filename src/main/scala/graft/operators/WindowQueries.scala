@@ -65,6 +65,26 @@ object WindowQueries extends QueryModule {
       .filter(col("rn") === 1)
       .select(col("p"), round((col("n") - col("n2")) / 2.0, 2).as("slope"))
 
+  /** The ranking window-function family in one keyed pass: rank,
+    * dense_rank, percent_rank, cume_dist, ntile(4) over each
+    * priority's monthly series — completing the window surface beyond
+    * row_number/lag/frames. One shuffle (the shared monthly aggregate
+    * feeds a window keyed by priority); the ordering (n desc, ym) is
+    * total, so every function is deterministic. percent_rank and
+    * cume_dist divide exact ints in one IEEE operation — bit-equal
+    * across engines without rounding.
+    */
+  private def rankStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("p").orderBy(col("n").desc, col("ym"))
+    monthly(s, d)
+      .select(col("p"), col("ym"), col("n"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+  }
+
   /** O1/O2 — multi-column sort + top-k (ref: app.py:322, 472). */
   private def topkOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -216,6 +236,16 @@ object WindowQueries extends QueryModule {
          |t AS (SELECT p, ym, n, lag(n,2) OVER (PARTITION BY p ORDER BY ym) AS n2,
          |      row_number() OVER (PARTITION BY p ORDER BY ym DESC) AS rn FROM m)
          |SELECT p, round((n - n2)/2.0, 2) AS slope FROM t WHERE rn = 1 ORDER BY p""".stripMargin)),
+    QueryDef("q_window_rank_stats", rankStats, Some(
+      s"""$monthlyCte
+         |SELECT p, ym, n,
+         | CAST(rank() OVER w AS INTEGER) AS rnk,
+         | CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+         | percent_rank() OVER w AS prnk,
+         | cume_dist() OVER w AS cdist,
+         | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+         |FROM m WINDOW w AS (PARTITION BY p ORDER BY n DESC, ym)
+         |ORDER BY p, rnk""".stripMargin)),
     QueryDef("q_topk_orders", topkOrders, Some(
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
