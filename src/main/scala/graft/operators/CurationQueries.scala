@@ -82,6 +82,12 @@ object CurationQueries extends QueryModule {
   private def dedupSpans(s: SparkSession, d: String): DataFrame =
     CurationOps.dupSpans(Tables.documents(s, d), "doc_id", "text")
 
+  /** The temperature mix APPLIED as a per-doc sampling manifest
+    * ([[CurationOps.mixApply]]).
+    */
+  private def mixApply(s: SparkSession, d: String): DataFrame =
+    CurationOps.mixApply(Tables.documents(s, d), "source", "doc_id")
+
   /** mT5-style temperature mix over the `source` column, alpha=0.5. */
   private def mixTemperature(s: SparkSession, d: String): DataFrame =
     CurationOps.temperatureMix(Tables.documents(s, d), "source")
@@ -342,6 +348,25 @@ object CurationQueries extends QueryModule {
         |  round(sqrt(n_docs::DOUBLE) / z * n_total / n_docs, 4)
         |    AS sampling_rate
         |FROM s CROSS JOIN n""".stripMargin)),
+    QueryDef("q_mix_apply", mixApply, Some(
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |n AS (
+        |  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |    sum(sqrt(n_docs::DOUBLE)) AS z
+        |  FROM s),
+        |r AS (SELECT source,
+        |    round(sqrt(n_docs::DOUBLE) / z * n_total / n_docs, 4)
+        |      AS sampling_rate
+        |  FROM s CROSS JOIN n),
+        |d AS (SELECT doc_id, source,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+        |      AS INTEGER) AS DOUBLE) / 65536.0 AS u
+        |  FROM documents)
+        |SELECT d.doc_id, d.source, r.sampling_rate,
+        |  CAST(floor(r.sampling_rate) +
+        |    (CASE WHEN d.u < r.sampling_rate - floor(r.sampling_rate)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
+        |FROM d JOIN r USING (source)""".stripMargin)),
     QueryDef("q_text_scrub", textScrub, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

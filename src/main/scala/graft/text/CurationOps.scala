@@ -157,6 +157,33 @@ object CurationOps {
       .filter(col("n_hits") > 0)
   }
 
+  /** Materialize the [[temperatureMix]] rates as a deterministic
+    * importance-sampling manifest: each document gets
+    * `n_copies = floor(rate) + [u < frac(rate)]`, where `u` is a
+    * 16-bit md5-uniform of the doc id — E[n_copies] = the stratum's
+    * sampling rate, with no RNG state, identical on every engine and
+    * at every scale (downsampled strata drop docs, upsampled strata
+    * repeat them — the epoch-repetition semantics of temperature
+    * mixing). Map-side after a broadcast of the per-stratum rates; the
+    * training set materializes downstream as an explode on n_copies.
+    */
+  def mixApply(docs: DataFrame, byCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val rates = temperatureMix(docs, byCol, alpha)
+      .select(col(byCol), col("sampling_rate"))
+    // 4 hex chars -> [0, 1) in steps of 2^-16; division by a power of
+    // two is exact, so u is bit-identical across engines.
+    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("int") / 65536.0
+    docs.select(col(idCol), col(byCol))
+      .join(broadcast(rates), Seq(byCol))
+      .withColumn("n_copies",
+        (floor(col("sampling_rate")) +
+          when(u < col("sampling_rate") - floor(col("sampling_rate")), 1)
+            .otherwise(0)).cast("long"))
+      .select(col(idCol), col(byCol), col("sampling_rate"), col("n_copies"))
+  }
+
   /** Corpus mix report: per-stratum class-distribution entropy (nats)
     * plus doc/class counts — the diagnostic read before choosing
     * [[temperatureMix]] weights. Two partial-agg shuffles, both tiny

@@ -120,6 +120,25 @@ class CurationSpec extends AnyFunSuite {
     assert(m("b") == ((2L, 1L, 0.0)))
   }
 
+  test("mix apply bounds copies by floor/ceil of each stratum's rate") {
+    import spark.implicits._
+    val docs = ((0L to 15L).map(i => (i, s"doc $i", "big")) :+
+      ((16L, "rare doc", "small"))).toDF("doc_id", "text", "source")
+    val rates = CurationOps.temperatureMix(docs, "source")
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("sampling_rate")).toMap
+    // alpha=0.5 upsamples the rare stratum, downsamples the big one.
+    assert(rates("small") > 1.0 && rates("big") < 1.0)
+    val m = CurationOps.mixApply(docs, "source", "doc_id").collect()
+    m.foreach { r =>
+      val rate = rates(r.getAs[String]("source"))
+      val c = r.getAs[Long]("n_copies")
+      assert(c == math.floor(rate).toLong || c == math.ceil(rate).toLong,
+        s"copies $c outside [floor, ceil] of rate $rate")
+    }
+    assert(m.length == 17)
+  }
+
   test("scrub counts and redacts emails and digit runs") {
     import spark.implicits._
     val docs = Seq(
