@@ -366,7 +366,7 @@ object CurationQueries extends QueryModule {
         |  CAST(floor(r.sampling_rate) +
         |    (CASE WHEN d.u < r.sampling_rate - floor(r.sampling_rate)
         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_copies
-        |FROM d JOIN r USING (source)""".stripMargin)),
+        |FROM d JOIN r ON d.source IS NOT DISTINCT FROM r.source""".stripMargin)),
     QueryDef("q_text_scrub", textScrub, Some(
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text,

@@ -30,10 +30,19 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * under ties the original row_number is itself nondeterministic
   * (partition-arrival order) and the rewrite is nondeterministic the
   * same way — within equal keys only. Null leading keys group and rank
-  * through the null-safe join, ordered by Spark's window null
-  * placement, identical to the original. Skipped for nondeterministic
-  * sort expressions. Disable with
+  * through the null-safe join, with the original's explicit NULLS
+  * FIRST/LAST placement preserved in the histogram order. Skipped for
+  * nondeterministic sort expressions. Disable with
   * `spark.graft.rewriteGlobalRowNumber=false`.
+  *
+  * Cost caveats, deliberate: the child subtree appears under both the
+  * ranked window and the histogram aggregate, so an expensive child
+  * computes twice unless physical planning reuses the exchange — the
+  * same trade the library's own self-join operators document; and for
+  * a near-UNIQUE leading key the histogram approaches the data size,
+  * where neither this shape nor the original single-partition window
+  * is good (that query needs a coarser sort key or range partitioning;
+  * the conf flag opts out).
   *
   * Registered via [[GraftExtensions]]
   * (`.withExtensions(new GraftExtensions)` or
@@ -66,7 +75,11 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
       Alias(Count(Literal(1)).toAggregateExpression(), "__graft_cnt")()
     val hist = Aggregate(Seq(k.child), Seq(bAlias, cntAlias), child)
     val bAttr = bAlias.toAttribute
-    val histOrder = Seq(SortOrder(bAttr, k.direction))
+    // Propagate the leading key's explicit null placement — building
+    // SortOrder from the direction alone would silently reset
+    // NULLS FIRST/LAST to the direction default and mis-rank every
+    // bucket at or after the nulls.
+    val histOrder = Seq(SortOrder(bAttr, k.direction, k.nullOrdering, Seq.empty))
     val sumAlias = Alias(WindowExpression(
       Sum(cntAlias.toAttribute).toAggregateExpression(),
       WindowSpecDefinition(Nil, histOrder,
@@ -82,9 +95,12 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
       WindowSpecDefinition(Seq(k.child), tieOrder, rowFrame)),
       "__graft_rk")()
     val ranked = Window(Seq(rkAlias), Seq(k.child), tieOrder, child, None)
+    // No broadcast hint: the histogram's size is data-dependent (one
+    // row per distinct leading key — tiny for grouped keys, data-sized
+    // for near-unique ones). Let the planner/AQE pick broadcast vs
+    // shuffle from its size estimate rather than forcing the broadcast.
     val joined = Join(ranked, offsets, Inner,
-      Some(EqualNullSafe(k.child, bAttr)),
-      JoinHint(None, Some(HintInfo(Some(BROADCAST)))))
+      Some(EqualNullSafe(k.child, bAttr)), JoinHint.NONE)
     val rankExpr = Alias(
       Cast(Add(offAlias.toAttribute,
         Cast(rkAlias.toAttribute, LongType)), IntegerType),

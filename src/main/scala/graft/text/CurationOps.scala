@@ -17,6 +17,14 @@ object CurationOps {
 
   import TextFunctions.{gramsOf, shinglesOf, tokens}
 
+  /** First 4 hex chars of md5(id) — the shared determinism-critical
+    * hashing idiom behind split assignment, manifest splits, and
+    * sampling uniforms. One definition so the cast and bounds can
+    * never drift between the engines' parity-checked call sites.
+    */
+  private def idHash4(idCol: String): Column =
+    substring(md5(col(idCol).cast("string")), 1, 4)
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021,
     * "Scaling Language Models", Table A1 — adapted to word n-grams):
     * the fraction of n-gram occurrences taken by the single most
@@ -169,14 +177,16 @@ object CurationOps {
     */
   def mixApply(docs: DataFrame, byCol: String, idCol: String,
       alpha: Double = 0.5): DataFrame = {
+    // Null-safe stratum join: temperatureMix emits a rate row for a
+    // null stratum, and a plain equi-join would silently drop those
+    // docs from the manifest (the twoLevelRank null-key lesson).
     val rates = temperatureMix(docs, byCol, alpha)
-      .select(col(byCol), col("sampling_rate"))
+      .select(col(byCol).as("__mx_by"), col("sampling_rate"))
     // 4 hex chars -> [0, 1) in steps of 2^-16; division by a power of
     // two is exact, so u is bit-identical across engines.
-    val u = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
-      .cast("int") / 65536.0
+    val u = conv(idHash4(idCol), 16, 10).cast("int") / 65536.0
     docs.select(col(idCol), col(byCol))
-      .join(broadcast(rates), Seq(byCol))
+      .join(broadcast(rates), col(byCol) <=> col("__mx_by"))
       .withColumn("n_copies",
         (floor(col("sampling_rate")) +
           when(u < col("sampling_rate") - floor(col("sampling_rate")), 1)
@@ -227,7 +237,7 @@ object CurationOps {
       .filter(col("__ntok") >= minTokens)
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
     val canon = kept.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val h = idHash4(idCol)
     val split = canon.select(col(idCol),
       when(h < "e666", "train").when(h < "f333", "val")
         .otherwise("test").as("split"))
@@ -319,7 +329,7 @@ object CurationOps {
     */
   def splitAssign(docs: DataFrame, idCol: String,
       byCol: String): DataFrame = {
-    val h = substring(md5(col(idCol).cast("string")), 1, 4)
+    val h = idHash4(idCol)
     docs.select(col(byCol),
         when(h < "e666", "train").when(h < "f333", "val")
           .otherwise("test").as("split"))

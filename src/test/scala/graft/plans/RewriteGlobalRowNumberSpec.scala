@@ -53,6 +53,19 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
     }
   }
 
+  test("explicit NULLS LAST placement is preserved through the rewrite") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = Seq(Option(1), Option(2), Option.empty[Int]).toDF("k")
+      val ranked = df.withColumn("rn",
+        row_number().over(Window.orderBy(asc_nulls_last("k"))))
+      assert(ranked.queryExecution.optimizedPlan.toString.contains("Join"))
+      val got = ranked.collect()
+        .map(r => Option(r.get(0)) -> r.getInt(1)).toMap
+      assert(got == Map(Some(1) -> 1, Some(2) -> 2, None -> 3))
+    }
+  }
+
   test("partitioned row_number and other functions are untouched") {
     withExtSession { spark =>
       import spark.implicits._
