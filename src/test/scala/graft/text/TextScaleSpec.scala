@@ -82,4 +82,25 @@ class TextScaleSpec extends AnyFunSuite {
     val zeroDist = pairs.filter(col("hamming") === 0).count()
     assert(zeroDist >= 2000L * 4, s"clone pairs missing: $zeroDist")
   }
+
+  test("sorted-neighborhood finds every planted clone pair at 20k docs") {
+    // Clones share the full text, hence the 32-char header; identical
+    // headers sort contiguously with doc_id tie-break, so all C(5,2)
+    // pairs of each clone group sit within the w=10 window at dist 0.
+    val pairs = DedupJobs.sortedNeighborPairs(docs, "doc_id", "text")
+    val intraClone = pairs.filter(col("dist") === 0 &&
+      floor(col("id_a") / 10) === floor(col("id_b") / 10) &&
+      col("id_a") % 10 < 5 && col("id_b") % 10 < 5)
+    assert(intraClone.count() == 2000L * 10)
+  }
+
+  test("duplicated spans at 20k docs: clones fully covered, singletons clean") {
+    val spans = CurationOps.dupSpans(docs, "doc_id", "text")
+    // Singleton texts embed a group-unique token in every 5-gram.
+    assert(spans.filter(col("doc_id") % 10 === 9 &&
+      col("n_dup") =!= 0).count() == 0)
+    // Exact clones (5 copies) are duplicated at every gram position.
+    assert(spans.filter(col("doc_id") % 10 < 5 &&
+      col("n_dup") =!= col("n_grams")).count() == 0)
+  }
 }
