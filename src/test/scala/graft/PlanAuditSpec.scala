@@ -70,6 +70,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"range join regressed to a product join:\n${plan.take(600)}")
   }
 
+  test("vocab heavy hitters plan TakeOrdered, never a global sort") {
+    val plan = SparkEntry.queries("q_vocab_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 tokens regressed to a global sort:\n${plan.take(600)}")
+  }
+
+  test("mix manifest broadcasts the per-stratum rates") {
+    val plan = SparkEntry.queries("q_mix_apply")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rate join lost its broadcast (null-safe equi-key):\n${plan.take(600)}")
+  }
+
   test("top-k per group keeps the WindowGroupLimit pushdown") {
     val plan = SparkEntry.queries("q_topk_per_group")(spark, sf)
       .queryExecution.executedPlan.toString
