@@ -8,10 +8,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-/** Optimizer rule: rewrite a GLOBAL-order `row_number()` window —
-  * `row_number() OVER (ORDER BY …)` with no PARTITION BY — into the
-  * two-level ranking plan (see [[graft.Ranking]] for the DataFrame-API
-  * statement of the same scheme and its exactness conditions).
+/** Optimizer rule: rewrite a GLOBAL-order ranking window —
+  * `row_number() | rank() | dense_rank() OVER (ORDER BY …)` with no
+  * PARTITION BY — into the two-level ranking plan (see
+  * [[graft.Ranking]] for the DataFrame-API statement of the same
+  * scheme and its exactness conditions).
   *
   * Spark plans the original as a single-partition Window: every row of
   * the child funnels through ONE task — the canonical scale cliff, and
@@ -21,19 +22,40 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *     hash shuffle) ranking within each key group,
   *  2. an Aggregate building the per-key histogram, a single-partition
   *     Window over that histogram (|distinct keys| rows, never the
-  *     data) computing exclusive prefix counts, and
+  *     data) computing exclusive prefix offsets, and
   *  3. a broadcast join adding `offset + within-key rank`, cast back
   *     to the original IntegerType and re-aliased under the original
   *     exprId so parent plans resolve unchanged.
   *
+  * Per function: `row_number`/`rank` offsets are per-bucket ROW counts
+  * (a tie never crosses buckets — tied rows are equal on the full
+  * order key, hence on its leading key, hence same bucket — so
+  * `offset + within-bucket rank` is the global rank); `dense_rank`
+  * offsets count DISTINCT full order keys per bucket (via a struct, so
+  * null-bearing keys count as values the way dense_rank treats them,
+  * unlike bare COUNT(DISTINCT) which would drop them).
+  *
   * Result equivalence: exact when the full ORDER BY is a total order;
   * under ties the original row_number is itself nondeterministic
   * (partition-arrival order) and the rewrite is nondeterministic the
-  * same way — within equal keys only. Null leading keys group and rank
+  * same way — within equal keys only (rank/dense_rank are
+  * tie-deterministic and stay exact). Null leading keys group and rank
   * through the null-safe join, with the original's explicit NULLS
-  * FIRST/LAST placement preserved in the histogram order. Skipped for
-  * nondeterministic sort expressions. Disable with
-  * `spark.graft.rewriteGlobalRowNumber=false`.
+  * FIRST/LAST placement preserved in the histogram order. Skipped
+  * unless the ENTIRE child subtree is deterministic — checking the
+  * orderSpec alone is not enough, because by optimizer time
+  * ExtractWindowExpressions has rewritten sort expressions into child
+  * Project attributes, so `ORDER BY rand()` reaches this rule as a
+  * deterministic-looking attribute whose producing Project is not;
+  * duplicating such a child under both join sides would corrupt the
+  * join. Disable with `spark.graft.rewriteGlobalRowNumber=false`.
+  *
+  * OUTPUT ORDER CHANGES: the original single-partition Window emits
+  * rows physically sorted by the full ORDER BY; the rewrite's join
+  * output order is arbitrary. Row-order-sensitive consumers (display,
+  * limit-without-sort, streaming to an order-sensitive sink) must add
+  * an explicit ORDER BY — which was always the only contractual way to
+  * get ordered output.
   *
   * Cost caveats, deliberate: the child subtree appears under both the
   * ranked window and the histogram aggregate, so an expensive child
@@ -57,22 +79,45 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
         .toBoolean) {
       plan
     } else plan.transformUp {
-      case Window(Seq(alias @ Alias(WindowExpression(_: RowNumber,
+      case Window(Seq(alias @ Alias(WindowExpression(fn,
             WindowSpecDefinition(Nil, orderSpec, _)), _)), Nil, _, child, _)
-          if orderSpec.nonEmpty && orderSpec.forall(_.child.deterministic) =>
-        rewrite(alias, orderSpec, child)
+          if supported(fn) && orderSpec.nonEmpty &&
+            orderSpec.forall(_.child.deterministic) &&
+            subtreeDeterministic(child) =>
+        rewrite(alias, fn, orderSpec, child)
     }
 
-  private def rewrite(alias: Alias, orderSpec: Seq[SortOrder],
-      child: LogicalPlan): LogicalPlan = {
+  private def supported(fn: Expression): Boolean = fn match {
+    case _: RowNumber | _: Rank | _: DenseRank => true
+    case _ => false
+  }
+
+  // The child subtree is duplicated under the ranked Window and the
+  // histogram Aggregate; any nondeterministic expression anywhere in it
+  // evaluates differently on each side and the key join silently drops
+  // or mis-ranks rows. orderSpec determinism alone cannot see this —
+  // the sort expression is an attribute by optimizer time.
+  private def subtreeDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(_.exists(!_.deterministic)))
+
+  private def rewrite(alias: Alias, fn: Expression,
+      orderSpec: Seq[SortOrder], child: LogicalPlan): LogicalPlan = {
     val k = orderSpec.head
     val rowFrame =
       SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
     // Histogram of the leading key with exclusive running offsets. The
     // single-partition window here sees |distinct keys| rows only.
+    // row_number/rank offset by preceding ROW counts; dense_rank by
+    // preceding DISTINCT full-order-key counts (struct-wrapped so keys
+    // containing nulls still count as distinct values).
     val bAlias = Alias(k.child, "__graft_bkt")()
-    val cntAlias =
-      Alias(Count(Literal(1)).toAggregateExpression(), "__graft_cnt")()
+    val cntAgg = fn match {
+      case _: DenseRank =>
+        Count(Seq(CreateStruct(orderSpec.map(_.child))))
+          .toAggregateExpression(isDistinct = true)
+      case _ => Count(Literal(1)).toAggregateExpression()
+    }
+    val cntAlias = Alias(cntAgg, "__graft_cnt")()
     val hist = Aggregate(Seq(k.child), Seq(bAlias, cntAlias), child)
     val bAttr = bAlias.toAttribute
     // Propagate the leading key's explicit null placement — building
@@ -90,8 +135,16 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
     val offsets = Project(Seq(bAttr, offAlias),
       Window(Seq(sumAlias), Nil, histOrder, hist, None))
     // Within-key rank over the data, keyed by the leading sort key.
+    // The same function runs within buckets (rank/dense_rank need
+    // their order children rebuilt to the tie order — physical
+    // WindowExec reads frame-boundary changes off them).
     val tieOrder = if (orderSpec.tail.nonEmpty) orderSpec.tail else orderSpec
-    val rkAlias = Alias(WindowExpression(RowNumber(),
+    val innerFn: Expression = fn match {
+      case _: RowNumber => RowNumber()
+      case _: Rank => Rank(tieOrder.map(_.child))
+      case _: DenseRank => DenseRank(tieOrder.map(_.child))
+    }
+    val rkAlias = Alias(WindowExpression(innerFn,
       WindowSpecDefinition(Seq(k.child), tieOrder, rowFrame)),
       "__graft_rk")()
     val ranked = Window(Seq(rkAlias), Seq(k.child), tieOrder, child, None)

@@ -66,16 +66,81 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
     }
   }
 
-  test("partitioned row_number and other functions are untouched") {
+  test("partitioned row_number and non-ranking functions are untouched") {
     withExtSession { spark =>
       import spark.implicits._
       val df = Seq((1, 10), (1, 20), (2, 30)).toDF("g", "v")
       val part = df.withColumn("rn",
         row_number().over(Window.partitionBy("g").orderBy("v")))
       assert(!part.queryExecution.optimizedPlan.toString.contains("Join"))
-      val rank = df.withColumn("rk",
-        dense_rank().over(Window.orderBy("v")))
-      assert(!rank.queryExecution.optimizedPlan.toString.contains("Join"))
+      val cume = df.withColumn("nt",
+        ntile(2).over(Window.orderBy("v")))
+      assert(!cume.queryExecution.optimizedPlan.toString.contains("Join"))
+    }
+  }
+
+  test("global rank and dense_rank rewrite; ties and nulls stay exact") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // Ties on the full key (5,"a"), (3,"b") and a REPEATED null tie
+      // (2,null) — rank must repeat-and-gap, dense_rank must count the
+      // null-bearing key as one distinct value (the struct-distinct
+      // histogram path; bare COUNT(DISTINCT) would drop it).
+      val df = Seq((5, "a"), (3, "b"), (5, "a"), (1, "d"), (3, "e"),
+        (3, "b"), (2, null.asInstanceOf[String]),
+        (2, null.asInstanceOf[String])).toDF("k", "s")
+      for (dense <- Seq(false, true)) {
+        val fn = if (dense) dense_rank() else rank()
+        val w = Window.orderBy(col("k").desc, asc_nulls_last("s"))
+        val q = df.withColumn("rk", fn.over(w))
+        assert(q.queryExecution.optimizedPlan.toString.contains("Join"),
+          s"dense=$dense did not rewrite")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getInt(0), String.valueOf(r.getString(1)), r.getInt(2))
+        val got = q.collect().map(key).sorted.toSeq
+        spark.conf.set("spark.graft.rewriteGlobalRowNumber", "false")
+        val exp = try {
+          val p = df.withColumn("rk", fn.over(w))
+          assert(!p.queryExecution.optimizedPlan.toString.contains("Join"))
+          p.collect().map(key).sorted.toSeq
+        } finally spark.conf.unset("spark.graft.rewriteGlobalRowNumber")
+        assert(got == exp, s"dense=$dense: $got != $exp")
+      }
+    }
+  }
+
+  test("NULLS LAST leading key is preserved for rank and dense_rank") {
+    withExtSession { spark =>
+      import spark.implicits._
+      val df = Seq(Option(1), Option(2), Option(2), Option.empty[Int],
+        Option.empty[Int]).toDF("k")
+      val rk = df.withColumn("r", rank().over(Window.orderBy(asc_nulls_last("k"))))
+      assert(rk.queryExecution.optimizedPlan.toString.contains("Join"))
+      val gotR = rk.collect().map(r => Option(r.get(0)) -> r.getInt(1)).toSet
+      assert(gotR == Set(Some(1) -> 1, Some(2) -> 2, None -> 4))
+      val dr = df.withColumn("r",
+        dense_rank().over(Window.orderBy(asc_nulls_last("k"))))
+      assert(dr.queryExecution.optimizedPlan.toString.contains("Join"))
+      val gotD = dr.collect().map(r => Option(r.get(0)) -> r.getInt(1)).toSet
+      assert(gotD == Set(Some(1) -> 1, Some(2) -> 2, None -> 3))
+    }
+  }
+
+  test("nondeterministic child subtree is not rewritten") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // ORDER BY rand(): by optimizer time the sort expression is a
+      // deterministic-looking attribute over a Project containing
+      // rand() — the subtree guard must catch it (duplicating that
+      // child under both join sides would corrupt the result). The
+      // child must NOT be a LocalRelation: ConvertToLocalRelation
+      // eagerly evaluates rand() into literal rows, after which the
+      // subtree genuinely is deterministic and the rewrite is sound.
+      val q = spark.range(16).toDF("v").withColumn("r", rand(7))
+        .withColumn("rn", row_number().over(Window.orderBy("r")))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Join"),
+        "rewrite fired on a nondeterministic child")
+      assert(q.collect().map(_.getInt(2)).sorted.toSeq == (1 to 16).toSeq)
     }
   }
 
