@@ -56,4 +56,43 @@ object Ranking {
       .withColumn(out, col("__off") + col("__rk"))
       .drop(keyCols.map("__k_" + _) :+ "__off" :+ "__rk": _*)
   }
+
+  /** The same two-level scheme generalized from counts to sums: the
+    * EXCLUSIVE running sum of `valCol` in (`partCols`, bucket,
+    * `tieCols`) order — `out` = sum of `valCol` over all strictly
+    * preceding rows. Level 1 sums within each bucket (parallel window
+    * keyed by `partCols :+ bucketCol`); level 2 prefix-sums the
+    * per-bucket totals on the histogram frame (|buckets| rows, never
+    * |rows|) and broadcasts the exclusive bucket offsets back. Equals
+    * the single-partition `sum() OVER (ORDER BY … ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING)` under the same two contract clauses as
+    * [[twoLevelRank]]: bucket ordering consistent with row ordering,
+    * and `tieCols` total. Null `valCol` rows contribute nothing, as in
+    * the window form.
+    */
+  def twoLevelPrefixSum(df: DataFrame, partCols: Seq[String],
+      bucketCol: String, bucketAsc: Boolean, tieCols: Seq[String],
+      valCol: String, out: String): DataFrame = {
+    val keyCols = partCols :+ bucketCol
+    val bktOrd: Column =
+      if (bucketAsc) col(bucketCol).asc else col(bucketCol).desc
+    val wOff = (if (partCols.isEmpty) Window.orderBy(bktOrd)
+      else Window.partitionBy(partCols.map(col): _*).orderBy(bktOrd))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = df.groupBy(keyCols.map(col): _*)
+      .agg(sum(col(valCol)).as("__sum"))
+      .withColumn("__off", coalesce(sum("__sum").over(wOff), lit(0L)))
+      .drop("__sum")
+    val wCum = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(tieCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offAliased = offsets.select(
+      keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__off"): _*)
+    val joinCond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce(_ && _)
+    df.withColumn("__cum", coalesce(sum(col(valCol)).over(wCum), lit(0L)))
+      .join(broadcast(offAliased), joinCond)
+      .withColumn(out, col("__off") + col("__cum"))
+      .drop(keyCols.map("__k_" + _) :+ "__off" :+ "__cum": _*)
+  }
 }

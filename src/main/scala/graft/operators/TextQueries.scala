@@ -566,7 +566,7 @@ object TextQueries extends QueryModule {
         |  CAST(NULL AS INTEGER) AS n_naive WHERE FALSE""".stripMargin)),
     QueryDef("q_dedup_snm", dedupSnm, Some(
       """WITH t AS (SELECT doc_id, substr(lower(text), 1, 32) AS hdr
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |r AS (SELECT doc_id, hdr,
         |  row_number() OVER (ORDER BY hdr, doc_id) AS rn FROM t)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -578,9 +578,10 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents)
-         |SELECT min(doc_id) AS doc_id, fp FROM t
-         |WHERE m >= 8 AND fp NOT IN (SELECT fp FROM t WHERE m < 8)
-         |GROUP BY fp""".stripMargin)),
+         |SELECT min(o.doc_id) AS doc_id, o.fp FROM t o
+         |WHERE o.m >= 8 AND NOT EXISTS (
+         |  SELECT 1 FROM t WHERE t.m < 8 AND t.fp = o.fp)
+         |GROUP BY o.fp""".stripMargin)),
     QueryDef("q_vocab_topk", vocabTopk, Some(
       s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents)
          |SELECT tok, count(*) AS n FROM t GROUP BY 1

@@ -263,13 +263,18 @@ object CurationOps {
     * fraction — the inputs to span-level cut/keep decisions.
     *
     * Shape: positional grams (map-side `transform`/`slice`, no join),
-    * ONE shuffle on the gram string for the global occurrence count
-    * (window `count over (partition by gram)` — partial-agg-free but
-    * key-unique enough that no hot key exists; a 100 TB run would
-    * shuffle `xxhash64(gram)` plus a verify pass instead of the raw
-    * bytes), then per-doc islands (`pos − row_number`) on the
-    * duplicated sliver only. Docs shorter than `n` tokens emit zero
-    * gram positions.
+    * reduced map-side to a 128-bit gram key (two seeded `xxhash64`
+    * runs — birthday-safe past 10¹¹ distinct grams) so the positional
+    * frame shuffles 16 bytes per row instead of the raw token run.
+    * The global occurrence count is a `groupBy(key).count()` — partial
+    * aggregation combines a hot boilerplate gram map-side, so the
+    * reduce side sees one pre-combined row per upstream partition, not
+    * one task holding every occurrence (the Zipfian cliff a
+    * `count over (partition by gram)` window would hit; a window
+    * partition cannot be skew-split, a join can — AQE
+    * OptimizeSkewedJoin handles the join-back). Then per-doc islands
+    * (`pos − row_number`) on the duplicated sliver only. Docs shorter
+    * than `n` tokens emit zero gram positions.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
@@ -279,9 +284,14 @@ object CurationOps {
       .select(col(idCol), posexplode_outer(gramsOf(col("__toks"), n)))
       .toDF(idCol, "pos", "gram")
       .filter(col("gram").isNotNull)
-    val dup = grams
-      .withColumn("__occ", count(lit(1)).over(Window.partitionBy("gram")))
+      .select(col(idCol), col("pos"),
+        xxhash64(col("gram")).as("__h1"),
+        xxhash64(lit("graft.spans.h2"), col("gram")).as("__h2"))
+    val occ = grams.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
+    val dup = grams
+      .join(occ, Seq("__h1", "__h2"))
       .withColumn("__grp", col("pos") -
         row_number().over(Window.partitionBy(col(idCol)).orderBy("pos")))
     val runs = dup.groupBy(col(idCol), col("__grp"))
@@ -340,19 +350,46 @@ object CurationOps {
     * a cumulative token sum: per stratum, documents in id order fill a
     * fixed token budget; a document belongs to the bin where it STARTS
     * (floor(preceding-tokens / budget)), matching concatenation with
-    * spillover. One running-sum window per stratum partition plus a
-    * tiny aggregate — the shuffle carries (stratum, doc tokens),
-    * nothing corpus-sized. Emits per-(stratum, bin) doc/token counts.
+    * spillover. The running sum is the two-level scheme
+    * ([[graft.Ranking.twoLevelPrefixSum]]): docs bucket by an
+    * order-consistent coarsening of the id (256 equi-width range bins
+    * for numeric ids — one bounded 1-row min/max agg — or the 2-char
+    * prefix for strings), per-(stratum, bucket) token sums prefix-sum
+    * on the histogram frame only, and the broadcast exclusive offsets
+    * add to a parallel within-bucket cumsum. No per-stratum
+    * single-partition window anywhere — a 10¹¹-doc corpus with 20
+    * language strata packs without a single-task funnel. Emits
+    * per-(stratum, bin) doc/token counts.
     */
   def packSequences(docs: DataFrame, idCol: String, byCol: String,
       textCol: String, budget: Int = 2048): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(byCol)).orderBy(col(idCol))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col(idCol), col(byCol),
-        size(tokens(col(textCol))).cast("long").as("n_tokens"))
-      .withColumn("bin",
-        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+    val base = docs.select(col(idCol), col(byCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val numericId = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // Monotone id → bucket map (Ranking contract: all rows of a lesser
+    // bucket sort before all rows of a greater one). Every step of the
+    // numeric map — subtract constant, divide by positive constant,
+    // floor, clamp — is monotone under IEEE, so bucket order is exact.
+    val bucketed =
+      if (!numericId)
+        base.withColumn("__bkt", substring(col(idCol).cast("string"), 1, 2))
+      else {
+        val mm = base.agg(min(col(idCol)).cast("double"),
+          max(col(idCol)).cast("double")).head()
+        if (mm.isNullAt(0)) base.withColumn("__bkt", lit(0))
+        else {
+          val mn = mm.getDouble(0)
+          val span = math.max(mm.getDouble(1) - mn, 1.0)
+          base.withColumn("__bkt", least(
+            floor((col(idCol).cast("double") - mn) / span * 256),
+            lit(255)).cast("int"))
+        }
+      }
+    graft.Ranking.twoLevelPrefixSum(bucketed, partCols = Seq(byCol),
+        bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(idCol),
+        valCol = "n_tokens", out = "__pre")
+      .withColumn("bin", floor(col("__pre") / budget))
       .groupBy(byCol, "bin")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
   }

@@ -672,22 +672,30 @@ object DedupJobs {
     * left row exploded into its own and the next block (the
     * q_range_join_bucketed trick), so no position-range theta-join or
     * cartesian ever plans. Edit distance runs on the `n·w` surviving
-    * pairs only, never n². Plan note: the self-join's two sides each
-    * re-execute the ranking subtree (Catalyst only reuses bit-identical
-    * exchanges, and the per-side aliases differ) — a long-lived
-    * production pipeline would persist/checkpoint the ranked frame
-    * between passes; left unpersisted here so the operator stays
-    * side-effect-free for arbitrary inputs.
+    * pairs only, never n². The ranked frame is `localCheckpoint`ed so
+    * the ranking subtree (a window plus a broadcast histogram join over
+    * the whole input) executes ONCE across the self-join's two sides —
+    * Catalyst only reuses bit-identical exchanges, and the per-side
+    * aliases differ, so without the checkpoint the subtree runs twice.
+    *
+    * Null headers (null text) are dropped before ranking: a null
+    * header can never produce a pair (`levenshtein(null, ·)` is null,
+    * failing the `<= tau` filter), and dropping them keeps the rank
+    * sequence — and therefore WHICH pairs fall inside a w-window —
+    * independent of the engine's null placement (Spark sorts NULLS
+    * FIRST ascending, ANSI row_number defaults elsewhere may not).
     */
   def sortedNeighborPairs(docs: DataFrame, idCol: String, textCol: String,
       hdrLen: Int = 32, w: Int = 10, tau: Int = 8): DataFrame = {
     val keyed = docs
       .select(col(idCol), substring(lower(col(textCol)), 1, hdrLen).as("hdr"))
+      .filter(col("hdr").isNotNull)
       .withColumn("__bkt", substring(col("hdr"), 1, 2))
     val ranked = graft.Ranking.twoLevelRank(keyed,
         partCols = Nil, bucketCol = "__bkt", bucketAsc = true,
         tieCols = Seq("hdr", idCol), out = "rn")
       .select(col(idCol), col("hdr"), col("rn"))
+      .localCheckpoint()
     val lhs = ranked
       .select(col(idCol).as("id_a"), col("hdr").as("hdr_a"),
         col("rn").as("rn_a"),

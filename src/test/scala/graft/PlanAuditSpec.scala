@@ -141,4 +141,33 @@ class PlanAuditSpec extends AnyFunSuite {
       !plan.contains("ShuffledHashJoin"),
       "corpus grams shuffled for the membership test")
   }
+
+  test("snm ranking subtree executes once (checkpointed before self-join)") {
+    val plan = SparkEntry.queries("q_dedup_snm")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // sortedNeighborPairs localCheckpoint()s the ranked frame: the
+    // self-join's two sides scan the materialized RDD, so the final
+    // plan carries NO ranking window at all — it ran exactly once,
+    // eagerly, instead of twice (once per join side, the r5 defect).
+    assert(!plan.contains("Window"),
+      s"ranking window re-planned into the join:\n${plan.take(600)}")
+    assert(plan.contains("ExistingRDD"),
+      "expected scans over the checkpointed ranked frame")
+  }
+
+  test("pack_sequences has no data-sized single-partition running sum") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = SparkEntry.queries("q_pack_sequences")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the two-level running-sum windows")
+    // Every window must either be bucket-parallel (stratum + bucket
+    // key) or run over the per-bucket histogram (an Aggregate child) —
+    // never a per-stratum window over raw docs (the r5 funnel).
+    windows.foreach { w =>
+      val overHistogram = w.child.exists(_.isInstanceOf[Aggregate])
+      assert(w.partitionSpec.size >= 2 || overHistogram,
+        s"data-sized window keyed by ${w.partitionSpec}")
+    }
+  }
 }

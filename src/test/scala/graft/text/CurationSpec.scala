@@ -106,6 +106,53 @@ class CurationSpec extends AnyFunSuite {
     assert(m(3L).getAs[Double]("dup_frac") == 0.0)
   }
 
+  test("dupSpans merges OVERLAPPING runs shared with different docs") {
+    import spark.implicits._
+    // Doc 0 (12 tokens, 8 gram positions): positions 0..3 duplicate
+    // against doc 1 (= tokens 0..7) and positions 4..7 against doc 2
+    // (= tokens 4..11). The two runs touch at the position boundary —
+    // the pos − row_number island arithmetic must merge them into ONE
+    // 8-long island even though no single partner doc shares it all.
+    val w = (0 until 12).map(i => s"w$i")
+    val docs = Seq(
+      (0L, w.mkString(" ")),
+      (1L, w.take(8).mkString(" ")),
+      (2L, w.drop(4).mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = CurationOps.dupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Long]("n_grams") == 8L)
+    assert(m(0L).getAs[Long]("n_dup") == 8L)
+    assert(m(0L).getAs[Long]("max_run") == 8L)
+    assert(m(0L).getAs[Double]("dup_frac") == 1.0)
+    assert(m(1L).getAs[Long]("n_dup") == 4L &&
+      m(1L).getAs[Long]("max_run") == 4L)
+    assert(m(2L).getAs[Long]("n_dup") == 4L &&
+      m(2L).getAs[Long]("max_run") == 4L)
+  }
+
+  test("dupSpans keeps SEPARATED equal-length islands distinct (max_run tie)") {
+    import spark.implicits._
+    // Doc 0: 8 shared tokens + 5 unique gap tokens + 8 shared tokens
+    // (21 tokens, 17 positions). Grams straddling the gap contain a
+    // doc-unique token, so the islands are 0..3 and 13..16 — two
+    // separated 4-runs. max_run must stay 4 (a merge bug would report
+    // 8), n_dup must be exactly 8.
+    val a = (0 until 8).map(i => s"a$i")
+    val b = (0 until 8).map(i => s"b$i")
+    val gap = (0 until 5).map(i => s"gap0u$i")
+    val docs = Seq(
+      (0L, (a ++ gap ++ b).mkString(" ")),
+      (1L, a.mkString(" ")),
+      (2L, b.mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = CurationOps.dupSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Long]("n_grams") == 17L)
+    assert(m(0L).getAs[Long]("n_dup") == 8L)
+    assert(m(0L).getAs[Long]("max_run") == 4L)
+  }
+
   test("source-mix entropy: ln(2) for a 50/50 source, 0 for single-lang") {
     import spark.implicits._
     val docs = Seq(

@@ -103,4 +103,27 @@ class TextScaleSpec extends AnyFunSuite {
     assert(spans.filter(col("doc_id") % 10 < 5 &&
       col("n_dup") =!= col("n_grams")).count() == 0)
   }
+
+  test("duplicated spans survive one gram planted in 25% of 20k docs") {
+    import spark.implicits._
+    // The Zipfian-boilerplate rehearsal: one 5-gram occurs in 5,000 of
+    // 20k docs. Under the old count-over-window shape every occurrence
+    // of the hot gram landed in ONE task; the groupBy+join shape
+    // partial-aggregates it map-side, so this must complete without a
+    // hot-key funnel and count the planted position in every carrier.
+    val hot = "boiler plate legal footer text"
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" " + hot)))
+        .otherwise(col("text")).as("text"))
+    val spans = CurationOps.dupSpans(planted, "doc_id", "text")
+    // Every planted doc's FINAL gram position is the pure hot gram —
+    // duplicated across all 5,000 carriers.
+    val carriers = spans.filter(col("doc_id") % 4 === 0)
+    assert(carriers.count() == 5000)
+    assert(carriers.filter(col("n_dup") === 0).count() == 0,
+      "a hot-gram carrier reported zero duplicated positions")
+    // Singletons that did NOT get the hot gram stay clean.
+    assert(spans.filter(col("doc_id") % 10 === 9 &&
+      col("doc_id") % 4 =!= 0 && col("n_dup") =!= 0).count() == 0)
+  }
 }
