@@ -25,9 +25,9 @@ object VectorQueries extends QueryModule {
     VectorOps.topKCosine(Tables.embeddings(s, d), queryVec(s, d),
       "vec_id", "embedding", k = 10)
 
-  /** Multi-table LSH ANN top-10 (same query; candidates limited to
-    * vectors sharing any of the query's 8 per-table hyperplane
-    * buckets).
+  /** Multi-table multi-probe LSH ANN top-10 (same query; candidates
+    * limited to vectors whose per-table bucket lies within Hamming
+    * distance 2 of the query's — [[VectorOps.annTopKCosine]]).
     */
   private def topkAnn(s: SparkSession, d: String): DataFrame =
     VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
@@ -283,12 +283,13 @@ object VectorQueries extends QueryModule {
   /** Soundness floor for the ANN paths, DuckDB-checkable even though
     * the searches are not SQL-expressible: recall@10 of each
     * approximate method against the exact top-10 must clear a fixed
-    * floor (LSH ≥ 0.2, IVF ≥ 0.5 — well under the observed 0.3 / 0.8,
-    * both deterministic: seeded quantizer, fixed hyperplanes). Emits
-    * the violations; the oracle asserts the set is EMPTY.
+    * floor (LSH ≥ 0.6, IVF ≥ 0.5 — under the observed r=2 multi-probe
+    * LSH 0.8–1.0 and IVF 0.5–0.8 across sf0.001/0.01/0.1, both
+    * deterministic: seeded quantizer, fixed hyperplanes). Emits the
+    * violations; the oracle asserts the set is EMPTY.
     */
   private def annRecallFloor(s: SparkSession, d: String): DataFrame = {
-    val floors = Seq("lsh" -> 0.2, "ivf" -> 0.5)
+    val floors = Seq("lsh" -> 0.6, "ivf" -> 0.5)
     val floorDf = {
       import s.implicits._
       floors.toDF("method", "floor")

@@ -14,11 +14,14 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Warmup.run(spark, sfDir)
+    val show = sys.env.get("GRAFT_RUNONE_SHOW").contains("1")
     for (name <- args.drop(1); rep <- 1 to reps) {
       val t0 = System.nanoTime()
       // noop write = the same materialization Bench times.
       SparkEntry.queries(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
       println(f"$name rep$rep: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      if (show && rep == reps)
+        SparkEntry.queries(name)(spark, sfDir).show(50, false)
     }
     spark.stop()
   }
