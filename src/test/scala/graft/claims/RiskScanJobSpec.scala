@@ -5,15 +5,18 @@ import java.time.LocalDate
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-class RiskScanJobSpec extends AnyFunSuite {
+/** Parameterized like [[DashboardSpecBase]]: identical behavior with
+  * and without the optimizer extensions.
+  */
+abstract class RiskScanJobSpecBase(useExtensions: Boolean) extends AnyFunSuite
+    with org.scalatest.BeforeAndAfterAll {
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.ui.enabled", "false")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.ansi.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = ClaimsTestSessions.build(useExtensions)
+
+  override def afterAll(): Unit = {
+    if (useExtensions) ClaimsTestSessions.teardown(spark)
+    super.afterAll()
+  }
 
   test("scan survives null dates by dropping those rows (F1 parse-failure convention)") {
     import spark.implicits._
@@ -32,3 +35,6 @@ class RiskScanJobSpec extends AnyFunSuite {
     assert(k1.getAs[String]("trend").endsWith("1 → 1 → 1"))
   }
 }
+
+class RiskScanJobSpec extends RiskScanJobSpecBase(false)
+class RiskScanJobUnderExtensionsSpec extends RiskScanJobSpecBase(true)
