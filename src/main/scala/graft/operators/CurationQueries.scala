@@ -82,6 +82,28 @@ object CurationQueries extends QueryModule {
   private def dedupSpans(s: SparkSession, d: String): DataFrame =
     CurationOps.dupSpans(Tables.documents(s, d), "doc_id", "text")
 
+  /** Char-level ExactSubstr spans: duplicated runs of ≥ 30 characters
+    * ([[CurationOps.dupSpansChars]]).
+    */
+  private def dedupSpansChar(s: SparkSession, d: String): DataFrame =
+    CurationOps.dupSpansChars(Tables.documents(s, d), "doc_id", "text")
+
+  /** The span-cut APPLY step: per-doc union of characters covered by
+    * duplicated 30-char windows ([[CurationOps.spanCut]]).
+    */
+  private def dedupSpansCut(s: SparkSession, d: String): DataFrame =
+    CurationOps.spanCut(Tables.documents(s, d), "doc_id", "text")
+
+  /** Global paragraph-level keep-first dedup with per-doc reassembly
+    * fingerprint ([[CurationOps.paragraphDedup]]). The synthetic corpus
+    * has no newlines, so each document is one paragraph and the entry
+    * degenerates to document keep-first — still a real winner/
+    * reassembly path over ~9% duplicate docs; multi-paragraph docs are
+    * CurationSpec-driven.
+    */
+  private def dedupParagraph(s: SparkSession, d: String): DataFrame =
+    CurationOps.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
+
   /** The temperature mix APPLIED as a per-doc sampling manifest
     * ([[CurationOps.mixApply]]).
     */
@@ -336,6 +358,68 @@ object CurationQueries extends QueryModule {
          |    ELSE round(coalesce(s.n_dup, 0) / g.n_grams::DOUBLE, 4) END
          |    AS dup_frac
          |FROM g LEFT JOIN s USING (doc_id)""".stripMargin)),
+    QueryDef("q_dedup_spans_char", dedupSpansChar, Some(
+      """WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |p AS (SELECT doc_id, unnest(range(0, greatest(L - 29, 0))) AS pos,
+        |    text FROM b),
+        |q AS (SELECT doc_id, pos, text[pos+1:pos+30] AS gram FROM p),
+        |f AS (SELECT doc_id, pos,
+        |  count(*) OVER (PARTITION BY gram) AS occ FROM q),
+        |i AS (SELECT doc_id, pos,
+        |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM f WHERE occ >= 2),
+        |r AS (SELECT doc_id, grp, count(*) AS run FROM i GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(run) AS n_dup, max(run) AS max_run
+        |  FROM r GROUP BY 1)
+        |SELECT b.doc_id,
+        |  CAST(greatest(L - 29, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(s.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(s.max_run, 0) AS BIGINT) AS max_run,
+        |  CASE WHEN greatest(L - 29, 0) = 0 THEN 0.0
+        |    ELSE round(coalesce(s.n_dup, 0) / greatest(L - 29, 0)::DOUBLE, 4)
+        |    END AS dup_frac
+        |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
+    QueryDef("q_dedup_spans_cut", dedupSpansCut, Some(
+      """WITH b AS (SELECT doc_id, text, len(text) AS L FROM documents),
+        |p AS (SELECT doc_id, unnest(range(0, greatest(L - 29, 0))) AS pos,
+        |    text FROM b),
+        |q AS (SELECT doc_id, pos, text[pos+1:pos+30] AS gram FROM p),
+        |f AS (SELECT doc_id, pos FROM (SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY gram) AS occ FROM q)
+        |  WHERE occ >= 2),
+        |g AS (SELECT doc_id, pos,
+        |  CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |    > 30 THEN 1 ELSE 0 END AS gap FROM f),
+        |i AS (SELECT doc_id, pos, sum(gap) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl FROM g),
+        |c AS (SELECT doc_id, isl, max(pos) - min(pos) + 30 AS covered
+        |  FROM i GROUP BY 1, 2),
+        |s AS (SELECT doc_id, sum(covered) AS covered,
+        |    count(*) AS n_islands FROM c GROUP BY 1)
+        |SELECT b.doc_id, CAST(coalesce(b.L, 0) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(s.covered, 0) AS BIGINT) AS covered_chars,
+        |  CAST(coalesce(s.n_islands, 0) AS BIGINT) AS n_islands,
+        |  CASE WHEN coalesce(b.L, 0) = 0 THEN 0.0
+        |    ELSE round(coalesce(s.covered, 0) / b.L::DOUBLE, 4) END
+        |    AS cut_frac
+        |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
+    QueryDef("q_dedup_paragraph", dedupParagraph, Some(
+      """WITH p AS (SELECT doc_id, u.pos AS pos, u.para AS para FROM (
+        |  SELECT doc_id, unnest(list_transform(range(0, len(ps)),
+        |    i -> {'pos': i, 'para': ps[i+1]})) AS u
+        |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ps
+        |    FROM documents))),
+        |w AS (SELECT doc_id, pos FROM (
+        |  SELECT doc_id, pos, row_number() OVER (PARTITION BY para
+        |    ORDER BY doc_id, pos) AS rn FROM p) WHERE rn = 1),
+        |c AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY 1),
+        |k AS (SELECT p.doc_id, count(*) AS n_kept,
+        |    md5(string_agg(p.para, chr(10) ORDER BY p.pos)) AS kept_fp
+        |  FROM p JOIN w USING (doc_id, pos) GROUP BY 1)
+        |SELECT c.doc_id, CAST(c.n_paras AS BIGINT) AS n_paras,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.kept_fp, md5('')) AS kept_fp
+        |FROM c LEFT JOIN k USING (doc_id)""".stripMargin)),
     QueryDef("q_mix_temperature", mixTemperature, Some(
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |n AS (

@@ -176,6 +176,24 @@ object VectorQueries extends QueryModule {
       .select(col("id_a"), col("id_b"), round(col("cos_check"), 4).as("cos_check"))
   }
 
+  /** SemDeDup per-cell summary over the session-cached IVF assignment
+    * (same k=16 index as the ANN entries — zero extra quantizer
+    * passes). τ=0.45 sits inside the synthetic corpus's cosine range
+    * (max pairwise ≈ 0.51), so the entry exercises real drops; no
+    * DuckDB oracle because the quantizer isn't SQL-expressible — the
+    * paired empty-set audit is [[semDedupSound]].
+    */
+  private def semDedup(s: SparkSession, d: String): DataFrame =
+    graft.vector.SemDedup.summary(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 16, tau = 0.45, datasetKey = d)
+
+  /** Kept×kept τ-close pairs within a cell — must be EMPTY under the
+    * greedy keep-first rule ([[graft.vector.SemDedup]]).
+    */
+  private def semDedupSound(s: SparkSession, d: String): DataFrame =
+    graft.vector.SemDedup.soundViolations(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 16, tau = 0.45, datasetKey = d)
+
   /** IVF-bucketed ANN top-10 (k-means cells, probe 6 of 16). The index
     * is built once per (session, dataset) and cached — every IVF query
     * in the session reads the same persisted assignment, the local
@@ -352,6 +370,11 @@ object VectorQueries extends QueryModule {
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
         |  CAST(NULL AS DOUBLE) AS cos_check WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_ivf", topkIvf, None),
+    QueryDef("q_semdedup", semDedup, None),
+    QueryDef("q_semdedup_sound", semDedupSound, Some(
+      """SELECT CAST(NULL AS INTEGER) AS cell,
+        |  CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+        |  CAST(NULL AS DOUBLE) AS cos_sim WHERE FALSE""".stripMargin)),
     QueryDef("q_skew_salted_agg", saltedSkewAgg, Some(
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),

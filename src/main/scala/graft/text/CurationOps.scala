@@ -278,7 +278,6 @@ object CurationOps {
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val grams = toks
       .select(col(idCol), posexplode_outer(gramsOf(col("__toks"), n)))
@@ -287,6 +286,24 @@ object CurationOps {
       .select(col(idCol), col("pos"),
         xxhash64(col("gram")).as("__h1"),
         xxhash64(lit("graft.spans.h2"), col("gram")).as("__h2"))
+    val totals = toks.select(col(idCol),
+      greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long")
+        .as("n_grams"))
+    spanReport(grams, totals, idCol)
+  }
+
+  /** Shared island-merge kernel behind [[dupSpans]] and
+    * [[dupSpansChars]]: from a positional frame of 128-bit gram keys,
+    * count global occurrences (`groupBy` — partial aggregation absorbs
+    * hot boilerplate grams map-side; see [[dupSpans]]), keep positions
+    * whose gram occurs ≥ 2 times anywhere, and merge consecutive
+    * duplicated positions into runs via the `pos − row_number` island
+    * trick. The per-doc window is bounded by document length, never by
+    * corpus size.
+    */
+  private def spanReport(grams: DataFrame, totals: DataFrame,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
@@ -298,10 +315,7 @@ object CurationOps {
       .agg(count(lit(1)).as("__run"))
     val stats = runs.groupBy(idCol)
       .agg(sum("__run").as("__n_dup"), max("__run").as("__max_run"))
-    toks
-      .select(col(idCol),
-        greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long")
-          .as("n_grams"))
+    totals
       .join(stats, Seq(idCol), "left")
       .select(col(idCol), col("n_grams"),
         coalesce(col("__n_dup"), lit(0L)).as("n_dup"),
@@ -310,6 +324,128 @@ object CurationOps {
           .otherwise(round(
             coalesce(col("__n_dup"), lit(0L)) / col("n_grams").cast("double"),
             4)).as("dup_frac"))
+  }
+
+  /** Positional char-`k`-gram frame: one row per window start, keyed by
+    * the same 128-bit double hash as the word-gram path so the shuffle
+    * never carries substrings. The text column rides along only until
+    * the map-side hash projection.
+    */
+  private def charGrams(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = docs.select(col(idCol), col(textCol),
+      length(col(textCol)).as("__len"))
+    val starts = when(col("__len") < k || col("__len").isNull,
+        array().cast("array<int>"))
+      .otherwise(sequence(lit(0), col("__len") - k))
+    // explode_outer + isNotNull, not inner explode — see
+    // repetitionMetrics on InferFiltersFromGenerate.
+    base
+      .select(col(idCol), col(textCol), explode_outer(starts).as("pos"))
+      .filter(col("pos").isNotNull)
+      .select(col(idCol), col("pos"),
+        xxhash64(col(textCol).substr(col("pos") + 1, lit(k))).as("__h1"),
+        xxhash64(lit("graft.spans.h2"),
+          col(textCol).substr(col("pos") + 1, lit(k))).as("__h2"))
+  }
+
+  /** Char-level ExactSubstr span report (Lee et al. 2022's granularity:
+    * duplicated runs of ≥ `k` CHARACTERS, the suffix-array criterion
+    * re-expressed as rolling char-`k`-gram windows — a char position
+    * window is duplicated iff the identical `k`-char substring occurs
+    * anywhere else in the corpus, and maximal duplicated substrings of
+    * length L ≥ k show up as runs of L − k + 1 consecutive duplicated
+    * positions). Same output shape and island kernel as the word-gram
+    * [[dupSpans]]; `n_grams` counts char window positions.
+    */
+  def dupSpansChars(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 30): DataFrame = {
+    val totals = docs.select(col(idCol),
+      greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long")
+        .as("n_grams"))
+    spanReport(charGrams(docs, idCol, textCol, k), totals, idCol)
+  }
+
+  /** The APPLY step of char-level ExactSubstr dedup: per document, the
+    * union of characters covered by any duplicated `k`-char window —
+    * the exact character budget a span-cut pass would remove — plus the
+    * merged-interval count. Two duplicated windows starting at p₁ < p₂
+    * cover contiguous text iff p₂ − p₁ ≤ k, so merged islands fall out
+    * of a lag-gap flag and a running flag sum (per-doc windows, bounded
+    * by document length); each island covers `last − first + k` chars.
+    * The only corpus-scale shuffle is the same hashed-gram occurrence
+    * count as [[dupSpansChars]].
+    */
+  def spanCut(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = charGrams(docs, idCol, textCol, k)
+    val occ = grams.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val islands = grams.join(occ, Seq("__h1", "__h2"))
+      .withColumn("__gap",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1)
+          .otherwise(0))
+      .withColumn("__isl", sum(col("__gap")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("__isl"))
+      .agg((max(col("pos")) - min(col("pos")) + k).cast("long")
+        .as("__covered"))
+    val stats = islands.groupBy(idCol)
+      .agg(sum(col("__covered")).as("__covered"),
+        count(lit(1)).as("__n_islands"))
+    docs
+      .select(col(idCol),
+        coalesce(length(col(textCol)), lit(0)).cast("long").as("n_chars"))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("n_chars"),
+        coalesce(col("__covered"), lit(0L)).as("covered_chars"),
+        coalesce(col("__n_islands"), lit(0L)).as("n_islands"),
+        when(col("n_chars") === 0, lit(0.0))
+          .otherwise(round(coalesce(col("__covered"), lit(0L)) /
+            col("n_chars").cast("double"), 4)).as("cut_frac"))
+  }
+
+  /** Paragraph-level corpus dedup (the C4/RefinedWeb line-dedup step):
+    * split each document on newlines, keep only the globally FIRST
+    * occurrence of each distinct paragraph (first = least (doc, pos)),
+    * and report per document the paragraph count, surviving count, and
+    * the fingerprint of the document reassembled from its surviving
+    * paragraphs in original order.
+    *
+    * Scale shape: the winner per paragraph digest is a
+    * `groupBy(digest).agg(min(struct(doc, pos)))` — partial aggregation
+    * combines a boilerplate paragraph's 10⁸ occurrences map-side (the
+    * `row_number over (partition by digest)` form would funnel them
+    * into one task). Winners join back on the near-unique (doc, pos)
+    * key — never on the skewed digest — so no hot key reaches any
+    * shuffle. Reassembly aggregates per document (bounded by document
+    * size).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val paras = docs
+      .select(col(idCol), posexplode_outer(split(col(textCol), "\n")))
+      .toDF(idCol, "pos", "para")
+      .filter(col("para").isNotNull)
+    val winners = paras
+      .groupBy(md5(col("para")).as("__d"))
+      .agg(min(struct(col(idCol).as("i"), col("pos").as("p"))).as("__w"))
+      .select(col("__w.i").as(idCol), col("__w.p").as("pos"))
+    val kept = paras.join(winners, Seq(idCol, "pos"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("para")))),
+            x => x.getField("para")))).as("kept_fp"))
+    paras.groupBy(idCol).agg(count(lit(1)).as("n_paras"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"), md5(lit(""))).as("kept_fp"))
   }
 
   // Portable across Java regex and RE2: explicit classes only (no \d /

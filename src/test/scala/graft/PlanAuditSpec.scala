@@ -155,6 +155,35 @@ class PlanAuditSpec extends AnyFunSuite {
       "expected scans over the checkpointed ranked frame")
   }
 
+  test("paragraph dedup picks winners by aggregation, never a digest window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = SparkEntry.queries("q_dedup_paragraph")(spark, sf)
+      .queryExecution.optimizedPlan
+    // The global keep-first winner must be groupBy(digest).min(struct)
+    // — partial aggregation absorbs a boilerplate paragraph's
+    // occurrences map-side. A row_number window partitioned by the
+    // digest would funnel every occurrence of a hot paragraph into one
+    // task (the same Zipfian cliff dupSpans r5 had on grams).
+    assert(!plan.exists(_.isInstanceOf[LWindow]),
+      "expected no window in the paragraph-dedup plan")
+  }
+
+  test("char span entries shuffle hashed gram keys, not substrings") {
+    Seq("q_dedup_spans_char", "q_dedup_spans_cut").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      // The occurrence count groups on the 128-bit (__h1, __h2) double
+      // hash; if the raw substring column ever reaches an exchange the
+      // shuffle pays ~k bytes per window position instead of 16.
+      val exchanges = plan.split("Exchange hashpartitioning")
+      exchanges.drop(1).foreach { ex =>
+        val keys = ex.takeWhile(_ != ')')
+        assert(!keys.contains("substr"),
+          s"$name shuffles raw substrings: $keys")
+      }
+    }
+  }
+
   test("pack_sequences has no data-sized single-partition running sum") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     val plan = SparkEntry.queries("q_pack_sequences")(spark, sf)

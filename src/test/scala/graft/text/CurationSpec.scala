@@ -340,4 +340,97 @@ class CurationSpec extends AnyFunSuite {
     val wSum = m.values.map(_.getAs[Double]("weight")).sum
     assert(math.abs(wSum - 1.0) < 1e-9)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dupSpansChars finds planted shared char runs at window granularity") {
+    import spark.implicits._
+    // Docs 0 and 1 share a 40-char run; with k=30 the duplicated window
+    // starts are exactly those fully inside the run: 11 per doc.
+    val shared = "0123456789abcdefghijklmnopqrstuvwxyzABCD" // 40 chars
+    val docs = Seq(
+      (0L, "X" * 10 + shared + "Y" * 10), // run at [10,50), len 60
+      (1L, "P" * 7 + shared + "Q" * 13),  // run at [7,47), len 60
+      (2L, "k" * 29)                      // under k chars: no windows
+    ).toDF("doc_id", "text")
+    val m = CurationOps.dupSpansChars(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Long]("n_grams") == 31L)
+    assert(m(0L).getAs[Long]("n_dup") == 11L)
+    assert(m(0L).getAs[Long]("max_run") == 11L)
+    assert(m(1L).getAs[Long]("n_dup") == 11L)
+    assert(m(1L).getAs[Long]("max_run") == 11L)
+    assert(m(2L).getAs[Long]("n_grams") == 0L)
+    assert(m(2L).getAs[Double]("dup_frac") == 0.0)
+  }
+
+  test("spanCut unions covered chars, splits far islands, merges touching ones") {
+    import spark.implicits._
+    val runA = "0123456789abcdefghijklmnopqrstuvwxyzABCD"     // 40 chars
+    val runB = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw"     // 40 chars
+    // G has 30 distinct chars, so its rotations inside G+G are unique
+    // and only the full G window duplicates (starts 0 and 30 — exactly
+    // k apart: contiguous coverage, ONE island spanning the whole doc).
+    val g = "abcdefghijklmnopqrstuvwxyz!@#$"                  // 30 chars
+    // Gap fillers carry an embedded counter so no 30-char window inside
+    // them repeats (a single-char run of length ≥ k would self-
+    // duplicate its interior windows and bridge the islands).
+    val fill2 = (0 until 17).map(i => f"b$i%02d").mkString    // 51 chars
+    val fill3 = (0 until 16).map(i => f"e$i%02d").mkString    // 48 chars
+    val docs = Seq(
+      (0L, "X" * 10 + runA + "Y" * 10),                  // covered [10,50)
+      (1L, "P" * 7 + runA + "Q" * 13),                   // covered [7,47)
+      (2L, "A" * 5 + runA + fill2 + runB + "C" * 5),     // two far islands
+      (3L, "D" * 8 + runA + fill3 + runB + "F" * 5),     // two far islands
+      (4L, g + g),                                       // touching: merge
+      (5L, "m" * 29)                                     // no windows
+    ).toDF("doc_id", "text")
+    val m = CurationOps.spanCut(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Long]("n_chars") == 60L)
+    assert(m(0L).getAs[Long]("covered_chars") == 40L)
+    assert(m(0L).getAs[Long]("n_islands") == 1L)
+    assert(m(0L).getAs[Double]("cut_frac") == math.rint(40.0 / 60 * 1e4) / 1e4)
+    assert(m(1L).getAs[Long]("covered_chars") == 40L)
+    // doc 2: runA dup starts 5..15, runB dup starts 96..106 (gap 81 > k)
+    assert(m(2L).getAs[Long]("covered_chars") == 80L)
+    assert(m(2L).getAs[Long]("n_islands") == 2L)
+    assert(m(3L).getAs[Long]("covered_chars") == 80L)
+    assert(m(3L).getAs[Long]("n_islands") == 2L)
+    // doc 4: G occurs at starts 0 and 30 — exactly k apart, one island
+    // covering all 60 chars
+    assert(m(4L).getAs[Long]("covered_chars") == 60L)
+    assert(m(4L).getAs[Long]("n_islands") == 1L)
+    assert(m(4L).getAs[Double]("cut_frac") == 1.0)
+    assert(m(5L).getAs[Long]("covered_chars") == 0L)
+    assert(m(5L).getAs[Long]("n_islands") == 0L)
+  }
+
+  test("paragraphDedup keeps the global first occurrence and reassembles in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "common intro\nunique zero\nshared tail"),
+      (1L, "common intro\nunique one\nshared tail"),
+      (2L, "common intro\nshared tail"),      // nothing survives
+      (3L, "dup para\ndup para\ndup para"),   // in-doc dups: keep pos 0
+      (4L, "z last\ncommon intro\na first")   // survivors keep doc order
+    ).toDF("doc_id", "text")
+    val m = CurationOps.paragraphDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(0L).getAs[Long]("n_paras") == 3L)
+    assert(m(0L).getAs[Long]("n_kept") == 3L)
+    assert(m(0L).getAs[String]("kept_fp") ==
+      md5Hex("common intro\nunique zero\nshared tail"))
+    assert(m(1L).getAs[Long]("n_kept") == 1L)
+    assert(m(1L).getAs[String]("kept_fp") == md5Hex("unique one"))
+    assert(m(2L).getAs[Long]("n_kept") == 0L)
+    assert(m(2L).getAs[String]("kept_fp") == md5Hex(""))
+    assert(m(3L).getAs[Long]("n_paras") == 3L)
+    assert(m(3L).getAs[Long]("n_kept") == 1L)
+    assert(m(3L).getAs[String]("kept_fp") == md5Hex("dup para"))
+    assert(m(4L).getAs[Long]("n_kept") == 2L)
+    assert(m(4L).getAs[String]("kept_fp") == md5Hex("z last\na first"))
+  }
 }

@@ -217,4 +217,30 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 4L)))
     assert(!pairs.contains((2L, 3L)))
   }
+
+  test("SemDeDup drops all-but-first of each duplicate group, audit is empty") {
+    import spark.implicits._
+    // Two far-apart directions; exact duplicates planted in each. The
+    // quantizer must co-locate identical vectors, so the greedy rule
+    // keeps the min id of each group; the distinct directions survive
+    // (pairwise cosine 0 < tau).
+    val e1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val e2 = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val e3 = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val vecs = Seq(
+      (0L, e1), (1L, e1.clone()), (2L, e1.clone()), // group of 3: drop 2
+      (3L, e2), (4L, e2.clone()),                   // group of 2: drop 1
+      (5L, e3)                                      // singleton: kept
+    ).toDF("vec_id", "embedding")
+    val sum = graft.vector.SemDedup.summary(vecs, "vec_id", "embedding",
+        k = 2, tau = 0.95, datasetKey = "semdedup-spec")
+      .collect()
+    assert(sum.map(_.getAs[Long]("n_vecs")).sum == 6L)
+    assert(sum.map(_.getAs[Long]("n_dropped")).sum == 3L)
+    assert(sum.map(_.getAs[Long]("n_kept")).sum == 3L)
+    val violations = graft.vector.SemDedup.soundViolations(vecs,
+      "vec_id", "embedding", k = 2, tau = 0.95,
+      datasetKey = "semdedup-spec")
+    assert(violations.count() == 0L)
+  }
 }
