@@ -301,9 +301,17 @@ object CurationOps {
     * trick. The per-doc window is bounded by document length, never by
     * corpus size.
     */
-  private def spanReport(grams: DataFrame, totals: DataFrame,
+  private def spanReport(gramsIn: DataFrame, totals: DataFrame,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The positional frame feeds BOTH the occurrence count and the
+    // join-back probe; without materialization the generation subtree
+    // (tokenize/substring + hash) executes twice — once per join side
+    // (measured 1.5× the entry cost at sf0.1). localCheckpoint (the
+    // repo's SNM pattern) pins the slim 16-byte-key frame once;
+    // storage is positions × ~32 B, far below re-deriving it from
+    // text at corpus scale.
+    val grams = gramsIn.localCheckpoint()
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
@@ -379,7 +387,9 @@ object CurationOps {
   def spanCut(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = charGrams(docs, idCol, textCol, k)
+    // Same double-execution story as spanReport: one materialization,
+    // two consumers.
+    val grams = charGrams(docs, idCol, textCol, k).localCheckpoint()
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
