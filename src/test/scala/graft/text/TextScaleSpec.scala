@@ -126,4 +126,56 @@ class TextScaleSpec extends AnyFunSuite {
     assert(spans.filter(col("doc_id") % 10 === 9 &&
       col("doc_id") % 4 =!= 0 && col("n_dup") =!= 0).count() == 0)
   }
+
+  test("char spans at 20k docs: clones fully covered, hot suffix absorbed") {
+    import spark.implicits._
+    // Same Zipfian rehearsal at char granularity: a 40-char boilerplate
+    // suffix planted on every 4th doc (5,000 carriers) must
+    // partial-aggregate map-side through the hashed-gram groupBy, and
+    // exact clones must be covered at every char window.
+    val hot = " BOILERPLATE-LEGAL-FOOTER-0123456789ABC"
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(hot)))
+        .otherwise(col("text")).as("text"))
+    val spans = CurationOps.dupSpansChars(planted, "doc_id", "text")
+    val carriers = spans.filter(col("doc_id") % 4 === 0)
+    assert(carriers.count() == 5000)
+    assert(carriers.filter(col("n_dup") === 0).count() == 0,
+      "a hot-suffix carrier reported zero duplicated char windows")
+    // Non-carrier exact clones (suffix-free, ≥3 identical copies per
+    // group): every char window duplicated. Carriers can own a unique
+    // base→suffix boundary window when they are their group's only
+    // carrier, so they are asserted above via n_dup > 0 only.
+    assert(spans.filter(col("doc_id") % 10 < 5 &&
+      col("doc_id") % 4 =!= 0 &&
+      col("n_dup") =!= col("n_grams")).count() == 0)
+    // Coverage (the cut report) agrees: those clones are 100% covered.
+    val cut = CurationOps.spanCut(planted, "doc_id", "text")
+    assert(cut.filter(col("doc_id") % 10 < 5 &&
+      col("doc_id") % 4 =!= 0 &&
+      col("covered_chars") =!= col("n_chars")).count() == 0)
+  }
+
+  test("paragraph dedup at 20k docs keeps one copy per clone group") {
+    import spark.implicits._
+    // Two-paragraph docs: paragraph 1 is the (clone-group) text,
+    // paragraph 2 is a per-doc unique line. Exactly one copy of each
+    // group's paragraph survives; every unique paragraph survives.
+    val twoPara = docs.select(col("doc_id"),
+      concat(col("text"), lit("\n"), concat(lit("unique-"),
+        col("doc_id").cast("string"))).as("text"))
+    val out = CurationOps.paragraphDedup(twoPara, "doc_id", "text")
+    assert(out.count() == 20000)
+    assert(out.agg(sum(col("n_paras"))).collect()(0).getLong(0) == 40000L)
+    // Survivors: per group — 1 base para (of 5 clones) + 1 variant para
+    // (of 4) + 1 singleton para + 10 unique lines = 13 of 20 paras.
+    assert(out.agg(sum(col("n_kept"))).collect()(0).getLong(0) ==
+      2000L * 13)
+    // The min-id doc of each clone set keeps both paragraphs.
+    assert(out.filter(col("doc_id") % 10 === 0 &&
+      col("n_kept") =!= 2).count() == 0)
+    // Non-min clones keep only their unique line.
+    assert(out.filter(col("doc_id") % 10 isin (1, 2, 3, 4))
+      .filter(col("n_kept") =!= 1).count() == 0)
+  }
 }
