@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, QueryModule, Tables}
 import graft.text.{DedupJobs, TextFunctions}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the `documents` table:
@@ -85,6 +85,39 @@ object TextQueries extends QueryModule {
     DedupJobs.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
       blockCols = Seq("lang"), n = 2, threshold = 0.8,
       cacheKey = Some(s"documents|$d"))
+
+  /** Ingest-time near-dup check — the APPROXIMATE counterpart of
+    * q_dedup_incremental's exact-digest anti-join: an arriving batch
+    * (docs with id ≡ 7 mod 10 stand in for the new partition) is
+    * screened against the standing corpus for n-gram-Jaccard near-dups
+    * and each flagged batch doc reports its best corpus match. Reads
+    * the SAME session-cached pair search as [[ngramJaccard]] (the
+    * production layout: one similarity index serves both the batch
+    * screen and the offline dedup passes), then restricts to cross-set
+    * pairs and arg-maxes per batch doc via `max(struct(jaccard,
+    * −match))` — a partial-aggregating groupBy, no per-doc window. Tie
+    * on the rounded jaccard resolves to the smallest match id.
+    */
+  private def dedupIngestNear(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupJobs.ngramJaccardPairs(Tables.documents(s, d),
+      "doc_id", "text", blockCols = Seq("lang"), n = 2, threshold = 0.8,
+      cacheKey = Some(s"documents|$d"))
+    def isBatch(c: Column) = pmod(c, lit(10)) === 7
+    val oriented = pairs
+      .filter(isBatch(col("id_a")) =!= isBatch(col("id_b")))
+      .select(
+        when(isBatch(col("id_a")), col("id_a")).otherwise(col("id_b"))
+          .as("doc_id"),
+        when(isBatch(col("id_a")), col("id_b")).otherwise(col("id_a"))
+          .as("match_id"),
+        col("jaccard"))
+    oriented.groupBy(col("doc_id"))
+      .agg(max(struct(col("jaccard"), (-col("match_id")).as("nid")))
+          .as("__b"),
+        count(lit(1)).as("n_matches"))
+      .select(col("doc_id"), (-col("__b.nid")).as("match_id"),
+        col("__b.jaccard").as("jaccard"), col("n_matches"))
+  }
 
   /** TRUE transitive dup groups over the exact n-gram near-dup graph:
     * iterative min-label connected components (a~b, b~c ⇒ one group,
@@ -487,6 +520,35 @@ object TextQueries extends QueryModule {
          |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
          |      len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("q_dedup_ingest_near", dedupIngestNear, Some(
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    list_distinct(list_transform(range(1, len($toksSql)),
+         |      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS grams
+         |  FROM documents),
+         |p AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |      len(list_distinct(list_concat(a.grams, b.grams))), 4)
+         |      AS jaccard
+         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+         |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+         |    AND ((a.doc_id % 10 = 7) <> (b.doc_id % 10 = 7))),
+         |o AS (
+         |  SELECT CASE WHEN id_a % 10 = 7 THEN id_a ELSE id_b END AS doc_id,
+         |    CASE WHEN id_a % 10 = 7 THEN id_b ELSE id_a END AS match_id,
+         |    jaccard
+         |  FROM p),
+         |r AS (
+         |  SELECT doc_id, match_id, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard DESC, match_id) AS rn,
+         |    count(*) OVER (PARTITION BY doc_id) AS n_matches
+         |  FROM o)
+         |SELECT doc_id, match_id, jaccard,
+         |  CAST(n_matches AS BIGINT) AS n_matches
+         |FROM r WHERE rn = 1""".stripMargin)),
     QueryDef("q_dedup_cc_groups", ngramCcGroups, Some(
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, lang,
