@@ -104,6 +104,13 @@ object CurationQueries extends QueryModule {
   private def dedupParagraph(s: SparkSession, d: String): DataFrame =
     CurationOps.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
 
+  /** Quality-ranked token-budget fill per language
+    * ([[CurationOps.budgetFill]], budget 2,000 tokens per stratum —
+    * sized to bite at sf0.01's ~5k tokens per language).
+    */
+  private def budgetFill(s: SparkSession, d: String): DataFrame =
+    CurationOps.budgetFill(Tables.documents(s, d), "doc_id", "lang", "text")
+
   /** The temperature mix APPLIED as a per-doc sampling manifest
     * ([[CurationOps.mixApply]]).
     */
@@ -420,6 +427,39 @@ object CurationQueries extends QueryModule {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(k.kept_fp, md5('')) AS kept_fp
         |FROM c LEFT JOIN k USING (doc_id)""".stripMargin)),
+    QueryDef("q_budget_fill", budgetFill, Some(
+      s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(text) AS BIGINT) AS n_chars,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    list_sum(list_transform(toks, x -> len(x)))::DOUBLE / len(toks)
+         |    ELSE 0.0 END AS mtl,
+         |  CASE WHEN len(text) > 0 THEN
+         |    len(regexp_extract_all(text, '[[:punct:]]', 0))::DOUBLE / len(text)
+         |    ELSE 0.0 END AS pr,
+         |  CASE WHEN len(toks) > 0 THEN
+         |    len(regexp_extract_all(lower(text),
+         |      '\\b(the|and|of|to|in|is|that|for|der|die|das|und|ist|nicht|mit|ein|el|la|de|que|los|una|por|con|le|et|les|des|une|est|dans)\\b',
+         |      0))::DOUBLE / len(toks) ELSE 0.0 END AS sr
+         |  FROM t),
+         |q AS (SELECT doc_id, lang, n_tokens,
+         |  round(((CASE WHEN n_tokens >= 10 AND n_chars >= 50 THEN 1.0 ELSE 0.0 END) +
+         |         (CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.0 END) +
+         |         (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END) +
+         |         (CASE WHEN sr >= 0.05 THEN 1.0 ELSE 0.0 END)) / 4.0, 2)
+         |    AS quality
+         |  FROM c),
+         |w AS (SELECT lang, n_tokens, quality,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pre
+         |  FROM q)
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+         |  min(quality) AS cutoff_quality
+         |FROM w WHERE pre < 2000 GROUP BY 1""".stripMargin)),
     QueryDef("q_mix_temperature", mixTemperature, Some(
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
         |n AS (

@@ -252,6 +252,58 @@ object CurationOps {
       .select(col(idCol), col("split"), col("position"))
   }
 
+  /** Quality-ranked token-budget fill — the curation step that answers
+    * "which documents make the training set when we can only afford N
+    * tokens per stratum": within each stratum, documents are taken in
+    * (quality DESC, id) order until the token budget is exhausted (a
+    * document is IN when the tokens strictly preceding it fit the
+    * budget — same start-convention as [[packSequences]]). Emits the
+    * per-stratum kept count, kept tokens, and the quality cut line.
+    *
+    * The running sum is [[graft.Ranking.twoLevelPrefixSum]] — never a
+    * per-stratum single-task window. The bucket combines the quality
+    * level (quality_score sits on an exact 0.25 grid, so
+    * `(1 − q) · 4` is an exact small int ascending in DESCENDING
+    * quality) with the [[packSequences]] id coarsening, keeping the
+    * per-bucket windows at corpus/(strata · 1280) rows.
+    */
+  def budgetFill(docs: DataFrame, idCol: String, byCol: String,
+      textCol: String, budget: Long = 2000L): DataFrame = {
+    val base = docs.select(col(idCol), col(byCol),
+        TextFunctions.qualityComponents(col(textCol)).as("__q"))
+      .select(col(idCol), col(byCol),
+        col("__q.n_tokens").cast("long").as("n_tokens"),
+        col("__q.quality_score").as("quality"))
+    val level = ((lit(1.0) - col("quality")) * 4).cast("int")
+    val numericId = docs.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val bucketed =
+      if (!numericId)
+        base.withColumn("__bkt",
+          concat(level.cast("string"),
+            substring(col(idCol).cast("string"), 1, 2)))
+      else {
+        val mm = base.agg(min(col(idCol)).cast("double"),
+          max(col(idCol)).cast("double")).head()
+        if (mm.isNullAt(0)) base.withColumn("__bkt", lit(0))
+        else {
+          val mn = mm.getDouble(0)
+          val span = math.max(mm.getDouble(1) - mn, 1.0)
+          base.withColumn("__bkt", level * 256 + least(
+            floor((col(idCol).cast("double") - mn) / span * 256),
+            lit(255)).cast("int"))
+        }
+      }
+    graft.Ranking.twoLevelPrefixSum(bucketed, partCols = Seq(byCol),
+        bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(idCol),
+        valCol = "n_tokens", out = "__pre")
+      .filter(col("__pre") < budget)
+      .groupBy(col(byCol))
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("tokens_kept"),
+        min(col("quality")).as("cutoff_quality"))
+  }
+
   /** Exact duplicated-substring span report (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
     * ExactSubstr, re-expressed at word-`n`-gram granularity instead of

@@ -341,6 +341,44 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(wSum - 1.0) < 1e-9)
   }
 
+  test("budgetFill takes quality-desc then id order until the token budget") {
+    import spark.implicits._
+    val good1 = "the quick brown fox jumps over the lazy dog again and again today"
+    val good2 = "a similar clean sentence with the usual stopwords and plain words here"
+    val good3 = "the steady morning light falls over the quiet valley and the " +
+      "distant hills stay calm for another while now"
+    val docs = Seq(
+      (0L, "a", good1), (1L, "a", good2), (2L, "a", "z!"),
+      (10L, "b", "y!"), (11L, "b", good1 + " extra"), (12L, "b", good3)
+    ).toDF("doc_id", "lang", "text")
+    // Self-validating fixture: derive each doc's (quality, tokens) from
+    // the same kernel the operator uses, simulate the greedy fill
+    // locally, and compare the distributed result against it.
+    val comps = docs.select(col("doc_id"), col("lang"),
+        TextFunctions.qualityComponents(col("text")).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getStruct(2).getAs[Long]("n_tokens"),
+        r.getStruct(2).getAs[Double]("quality_score")))
+    // the fixture must exercise a real quality split in stratum b
+    assert(comps.filter(_._2 == "b").map(_._4).distinct.size > 1)
+    val budget = 25L
+    val expected = comps.groupBy(_._2).map { case (lang, rows) =>
+      val ordered = rows.sortBy(r => (-r._4, r._1))
+      val pres = ordered.scanLeft(0L)(_ + _._3)
+      val kept = ordered.zip(pres).filter(_._2 < budget).map(_._1)
+      lang -> ((kept.size.toLong, kept.map(_._3).sum, kept.map(_._4).min))
+    }
+    // something must actually be excluded for the test to mean anything
+    assert(expected.values.map(_._1).sum < comps.length)
+    val out = CurationOps.budgetFill(docs, "doc_id", "lang", "text", budget)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_kept"), r.getAs[Long]("tokens_kept"),
+          r.getAs[Double]("cutoff_quality")))).toMap
+    assert(out == expected, s"got $out expected $expected")
+    // low-quality doc 10 must lose to higher-quality, larger-id 11/12
+    assert(out("b")._3 > 0.0)
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
