@@ -28,7 +28,11 @@ object Bench {
     // r05 both recorded it), and the min of two runs is the honest
     // steady-state number — the warm rep also sheds one-time costs
     // (codegen, file listing, session caches) the first rep absorbs.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // Clamped safe parse: a malformed or non-positive override must
+    // not abort the whole artifact run (times.min on an empty range
+    // would throw past the per-entry catch).
+    val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(_.toIntOption).getOrElse(2))
     val results = headline.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -429,7 +429,7 @@ object CurationQueries extends QueryModule {
         |FROM c LEFT JOIN k USING (doc_id)""".stripMargin)),
     QueryDef("q_budget_fill", budgetFill, Some(
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |c AS (SELECT doc_id, lang,
          |  CAST(len(toks) AS BIGINT) AS n_tokens,
          |  CAST(len(text) AS BIGINT) AS n_chars,

@@ -96,9 +96,17 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
   // histogram Aggregate; any nondeterministic expression anywhere in it
   // evaluates differently on each side and the key join silently drops
   // or mis-ranks rows. orderSpec determinism alone cannot see this —
-  // the sort expression is an attribute by optimizer time.
+  // the sort expression is an attribute by optimizer time. Expression
+  // determinism alone cannot see PLAN-level nondeterminism either: a
+  // LIMIT without a defining sort or a TABLESAMPLE materializes a
+  // different row SET on each duplicated side (column pruning can give
+  // the copies non-identical shuffles, defeating ReuseExchange), so
+  // those operators veto the rewrite outright.
   private def subtreeDeterministic(p: LogicalPlan): Boolean =
-    !p.exists(_.expressions.exists(_.exists(!_.deterministic)))
+    !p.exists {
+      case _: GlobalLimit | _: LocalLimit | _: Sample => true
+      case node => node.expressions.exists(_.exists(!_.deterministic))
+    }
 
   private def rewrite(alias: Alias, fn: Expression,
       orderSpec: Seq[SortOrder], child: LogicalPlan): LogicalPlan = {

@@ -269,7 +269,12 @@ object CurationOps {
     */
   def budgetFill(docs: DataFrame, idCol: String, byCol: String,
       textCol: String, budget: Long = 2000L): DataFrame = {
-    val base = docs.select(col(idCol), col(byCol),
+    // Null text is excluded up front: it carries no tokens to spend
+    // budget on, and Spark's legacy sizeOfNull would otherwise count
+    // it as −1 tokens, silently corrupting the running sum (and
+    // diverging from a SQL engine's NULL-skipping SUM).
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(byCol),
         TextFunctions.qualityComponents(col(textCol)).as("__q"))
       .select(col(idCol), col(byCol),
         col("__q.n_tokens").cast("long").as("n_tokens"),
@@ -277,23 +282,7 @@ object CurationOps {
     val level = ((lit(1.0) - col("quality")) * 4).cast("int")
     val numericId = docs.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val bucketed =
-      if (!numericId)
-        base.withColumn("__bkt",
-          concat(level.cast("string"),
-            substring(col(idCol).cast("string"), 1, 2)))
-      else {
-        val mm = base.agg(min(col(idCol)).cast("double"),
-          max(col(idCol)).cast("double")).head()
-        if (mm.isNullAt(0)) base.withColumn("__bkt", lit(0))
-        else {
-          val mn = mm.getDouble(0)
-          val span = math.max(mm.getDouble(1) - mn, 1.0)
-          base.withColumn("__bkt", level * 256 + least(
-            floor((col(idCol).cast("double") - mn) / span * 256),
-            lit(255)).cast("int"))
-        }
-      }
+    val bucketed = idRangeBucket(base, idCol, numericId, Some(level))
     graft.Ranking.twoLevelPrefixSum(bucketed, partCols = Seq(byCol),
         bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(idCol),
         valCol = "n_tokens", out = "__pre")
@@ -329,7 +318,7 @@ object CurationOps {
     * than `n` tokens emit zero gram positions.
     */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 5): DataFrame = {
+      n: Int = 5, materialize: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     val grams = toks
       .select(col(idCol), posexplode_outer(gramsOf(col("__toks"), n)))
@@ -341,7 +330,7 @@ object CurationOps {
     val totals = toks.select(col(idCol),
       greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long")
         .as("n_grams"))
-    spanReport(grams, totals, idCol)
+    spanReport(grams, totals, idCol, materialize)
   }
 
   /** Shared island-merge kernel behind [[dupSpans]] and
@@ -354,16 +343,19 @@ object CurationOps {
     * corpus size.
     */
   private def spanReport(gramsIn: DataFrame, totals: DataFrame,
-      idCol: String): DataFrame = {
+      idCol: String, materialize: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The positional frame feeds BOTH the occurrence count and the
     // join-back probe; without materialization the generation subtree
     // (tokenize/substring + hash) executes twice — once per join side
     // (measured 1.5× the entry cost at sf0.1). localCheckpoint (the
-    // repo's SNM pattern) pins the slim 16-byte-key frame once;
-    // storage is positions × ~32 B, far below re-deriving it from
-    // text at corpus scale.
-    val grams = gramsIn.localCheckpoint()
+    // repo's SNM pattern) pins the frame once. The trade is explicit:
+    // storage is positions × ~32 B — ~5× the raw text for word grams
+    // and ~30× for char windows (one row per CHARACTER) — so at a
+    // scale where that multiple doesn't fit cluster storage, callers
+    // pass materialize = false and pay the second generation pass
+    // instead.
+    val grams = if (materialize) gramsIn.localCheckpoint() else gramsIn
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
@@ -419,11 +411,12 @@ object CurationOps {
     * [[dupSpans]]; `n_grams` counts char window positions.
     */
   def dupSpansChars(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 30): DataFrame = {
+      k: Int = 30, materialize: Boolean = true): DataFrame = {
     val totals = docs.select(col(idCol),
       greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long")
         .as("n_grams"))
-    spanReport(charGrams(docs, idCol, textCol, k), totals, idCol)
+    spanReport(charGrams(docs, idCol, textCol, k), totals, idCol,
+      materialize)
   }
 
   /** The APPLY step of char-level ExactSubstr dedup: per document, the
@@ -437,11 +430,13 @@ object CurationOps {
     * count as [[dupSpansChars]].
     */
   def spanCut(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 30): DataFrame = {
+      k: Int = 30, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Same double-execution story as spanReport: one materialization,
-    // two consumers.
-    val grams = charGrams(docs, idCol, textCol, k).localCheckpoint()
+    // Same double-execution story and storage trade as spanReport:
+    // one materialization, two consumers; materialize = false trades
+    // the second generation pass for zero checkpoint storage.
+    val gramsIn = charGrams(docs, idCol, textCol, k)
+    val grams = if (materialize) gramsIn.localCheckpoint() else gramsIn
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
@@ -559,31 +554,44 @@ object CurationOps {
     * language strata packs without a single-task funnel. Emits
     * per-(stratum, bin) doc/token counts.
     */
+  /** Monotone id → `__bkt` coarsening shared by [[packSequences]] and
+    * [[budgetFill]] (Ranking contract: all rows of a lesser bucket
+    * sort before all rows of a greater one). Numeric ids map to 256
+    * equi-width range bins (one bounded 1-row min/max agg); string ids
+    * to their 2-char prefix. Every step of the numeric map — subtract
+    * constant, divide by positive constant, floor, clamp — is monotone
+    * under IEEE, so bucket order is exact. `level`, when present, is a
+    * small-int LEADING order key (e.g. a quality band) composed in
+    * front of the id bin so bucket order follows (level, id).
+    */
+  private def idRangeBucket(base: DataFrame, idCol: String,
+      numericId: Boolean, level: Option[Column] = None): DataFrame =
+    if (!numericId) {
+      val pfx = substring(col(idCol).cast("string"), 1, 2)
+      base.withColumn("__bkt",
+        level.map(l => concat(l.cast("string"), pfx)).getOrElse(pfx))
+    } else {
+      val mm = base.agg(min(col(idCol)).cast("double"),
+        max(col(idCol)).cast("double")).head()
+      if (mm.isNullAt(0))
+        base.withColumn("__bkt", level.map(_ * 256).getOrElse(lit(0)))
+      else {
+        val mn = mm.getDouble(0)
+        val span = math.max(mm.getDouble(1) - mn, 1.0)
+        val bin = least(
+          floor((col(idCol).cast("double") - mn) / span * 256),
+          lit(255)).cast("int")
+        base.withColumn("__bkt", level.map(_ * 256 + bin).getOrElse(bin))
+      }
+    }
+
   def packSequences(docs: DataFrame, idCol: String, byCol: String,
       textCol: String, budget: Int = 2048): DataFrame = {
     val base = docs.select(col(idCol), col(byCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val numericId = docs.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    // Monotone id → bucket map (Ranking contract: all rows of a lesser
-    // bucket sort before all rows of a greater one). Every step of the
-    // numeric map — subtract constant, divide by positive constant,
-    // floor, clamp — is monotone under IEEE, so bucket order is exact.
-    val bucketed =
-      if (!numericId)
-        base.withColumn("__bkt", substring(col(idCol).cast("string"), 1, 2))
-      else {
-        val mm = base.agg(min(col(idCol)).cast("double"),
-          max(col(idCol)).cast("double")).head()
-        if (mm.isNullAt(0)) base.withColumn("__bkt", lit(0))
-        else {
-          val mn = mm.getDouble(0)
-          val span = math.max(mm.getDouble(1) - mn, 1.0)
-          base.withColumn("__bkt", least(
-            floor((col(idCol).cast("double") - mn) / span * 256),
-            lit(255)).cast("int"))
-        }
-      }
+    val bucketed = idRangeBucket(base, idCol, numericId)
     graft.Ranking.twoLevelPrefixSum(bucketed, partCols = Seq(byCol),
         bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(idCol),
         valCol = "n_tokens", out = "__pre")

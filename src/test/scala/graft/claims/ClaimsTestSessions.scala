@@ -15,11 +15,13 @@ import org.apache.spark.sql.SparkSession
 object ClaimsTestSessions {
 
   def build(useExtensions: Boolean): SparkSession = {
-    if (useExtensions) {
-      SparkSession.getActiveSession.foreach(_.stop())
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-    }
+    // BOTH variants start from a clean slate: the plain branch must not
+    // inherit an extensions-bearing session a prior (possibly aborted)
+    // suite left active, or the with/without comparison silently tests
+    // extensions against extensions.
+    SparkSession.getActiveSession.foreach(_.stop())
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val b = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

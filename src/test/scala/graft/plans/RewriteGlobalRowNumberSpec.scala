@@ -144,6 +144,22 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
     }
   }
 
+  test("a LIMIT child (plan-level nondeterminism) is not rewritten") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // LIMIT without a defining sort picks an arbitrary row SET; the
+      // duplicated child under the histogram and the ranked window
+      // could materialize two different sets (pruned copies need not
+      // hit ReuseExchange), so the guard must veto plan-level
+      // nondeterminism, not just nondeterministic expressions.
+      val q = spark.range(64).toDF("v").limit(16)
+        .withColumn("rn", row_number().over(Window.orderBy("v")))
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Join"),
+        "rewrite fired over a LIMIT child")
+      assert(q.collect().map(_.getInt(1)).sorted.toSeq == (1 to 16).toSeq)
+    }
+  }
+
   test("the flag disables the rewrite") {
     withExtSession { spark =>
       import spark.implicits._

@@ -243,4 +243,28 @@ class DedupSpec extends AnyFunSuite {
       datasetKey = "semdedup-spec")
     assert(violations.count() == 0L)
   }
+
+  test("SemDeDup greedy keeps the far end of a similarity chain") {
+    import spark.implicits._
+    // u(0°) – v(25°) – w(50°) at tau=0.9: cos(u,v)=cos(v,w)≈0.906 ≥ τ,
+    // cos(u,w)≈0.643 < τ. True greedy keep-first keeps {u, w} (v is
+    // dropped against kept u; w is checked against KEPT vectors only,
+    // and u is not τ-close). The naive "drop if any smaller id is
+    // τ-close" rule would wrongly drop w too.
+    def at(deg: Double) = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat, 0.0f, 0.0f)
+    }
+    val vecs = Seq((0L, at(0)), (1L, at(25)), (2L, at(50)))
+      .toDF("vec_id", "embedding")
+    val sum = graft.vector.SemDedup.summary(vecs, "vec_id", "embedding",
+        k = 1, tau = 0.9, datasetKey = "semdedup-chain")
+      .collect()
+    assert(sum.map(_.getAs[Long]("n_vecs")).sum == 3L)
+    assert(sum.map(_.getAs[Long]("n_kept")).sum == 2L,
+      "greedy must keep u and w, dropping only v")
+    assert(graft.vector.SemDedup.soundViolations(vecs, "vec_id",
+      "embedding", k = 1, tau = 0.9,
+      datasetKey = "semdedup-chain").count() == 0L)
+  }
 }
