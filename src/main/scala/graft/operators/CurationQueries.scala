@@ -111,6 +111,12 @@ object CurationQueries extends QueryModule {
   private def budgetFill(s: SparkSession, d: String): DataFrame =
     CurationOps.budgetFill(Tables.documents(s, d), "doc_id", "lang", "text")
 
+  /** KS distribution drift per source vs the rest of the corpus
+    * ([[CurationOps.sourceDrift]]).
+    */
+  private def sourceDrift(s: SparkSession, d: String): DataFrame =
+    CurationOps.sourceDrift(Tables.documents(s, d), "source", "text")
+
   /** The temperature mix APPLIED as a per-doc sampling manifest
     * ([[CurationOps.mixApply]]).
     */
@@ -427,6 +433,34 @@ object CurationQueries extends QueryModule {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
         |  coalesce(k.kept_fp, md5('')) AS kept_fp
         |FROM c LEFT JOIN k USING (doc_id)""".stripMargin)),
+    QueryDef("q_drift_ks", sourceDrift, Some(
+      s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v
+         |  FROM documents),
+         |h AS (SELECT source, v, count(*) AS n FROM t GROUP BY 1, 2),
+         |g AS (SELECT v, CAST(sum(n) AS BIGINT) AS gn FROM h GROUP BY 1),
+         |s AS (SELECT DISTINCT source FROM h),
+         |f AS (SELECT s.source, g.v, g.gn,
+         |    CAST(coalesce(h.n, 0) AS BIGINT) AS n
+         |  FROM s CROSS JOIN g
+         |  LEFT JOIN h ON h.source IS NOT DISTINCT FROM s.source
+         |    AND h.v = g.v),
+         |c AS (SELECT source, v, gn, n,
+         |  sum(n) OVER (PARTITION BY source ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cs,
+         |  sum(gn) OVER (PARTITION BY source ORDER BY v
+         |    ROWS UNBOUNDED PRECEDING) AS cg
+         |  FROM f),
+         |tt AS (SELECT source, CAST(sum(n) AS BIGINT) AS ts
+         |  FROM h GROUP BY 1),
+         |tgl AS (SELECT CAST(sum(gn) AS BIGINT) AS tg FROM g)
+         |SELECT c.source, tt.ts AS n_docs,
+         |  round(max(CASE WHEN tgl.tg > tt.ts THEN
+         |    abs(c.cs / tt.ts::DOUBLE -
+         |        (c.cg - c.cs) / (tgl.tg - tt.ts)::DOUBLE)
+         |    ELSE 0.0 END), 6) AS ks_stat
+         |FROM c JOIN tt ON c.source IS NOT DISTINCT FROM tt.source
+         |CROSS JOIN tgl
+         |GROUP BY 1, 2""".stripMargin)),
     QueryDef("q_budget_fill", budgetFill, Some(
       s"""WITH t AS (SELECT doc_id, lang, text, $toksSql AS toks
          |  FROM documents WHERE text IS NOT NULL),

@@ -252,6 +252,60 @@ object CurationOps {
       .select(col(idCol), col("split"), col("position"))
   }
 
+  /** Per-source distribution-drift report: the two-sample
+    * Kolmogorov–Smirnov statistic between each source's token-count
+    * distribution and the REST of the corpus — the standard
+    * data-quality gate for "did this feed change shape" (ingest
+    * monitoring, crawl-snapshot comparison). KS = max |F_s − F_rest|
+    * over the union support.
+    *
+    * Scale shape: the corpus reduces map-side to a (source, length)
+    * histogram — the only corpus-sized pass; everything after runs on
+    * the histogram, whose size is sources × distinct document lengths
+    * (bounded by max document tokens, NOT corpus rows). The per-source
+    * ECDF windows therefore sort tiny frames; rest-of-corpus counts
+    * come from the global histogram minus the source's, so no
+    * source×source pair join exists.
+    */
+  def sourceDrift(docs: DataFrame, byCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(col(byCol), size(tokens(col(textCol))).cast("long").as("v"))
+      .groupBy(col(byCol), col("v")).agg(count(lit(1)).as("n"))
+    val glob = hist.groupBy(col("v")).agg(sum(col("n")).as("gn"))
+    val sources = hist.select(col(byCol)).distinct()
+    // Full union support per source (a source missing a length still
+    // steps the OTHER distribution's ECDF there).
+    val support = sources.crossJoin(glob)
+    // Null-safe source key on both joins: a groupBy keeps a null-source
+    // group, and a plain equi-join would silently drop its histogram
+    // mass (the twoLevelRank lesson).
+    val histA = hist.select(col(byCol).as("__s"), col("v").as("__v"),
+      col("n"))
+    val filled = support
+      .join(histA, col(byCol) <=> col("__s") && col("v") === col("__v"),
+        "left")
+      .drop("__s", "__v")
+      .na.fill(0L, Seq("n"))
+    val w = Window.partitionBy(col(byCol)).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = filled
+      .withColumn("cs", sum(col("n")).over(w))
+      .withColumn("cg", sum(col("gn")).over(w))
+    val totals = hist.groupBy(col(byCol)).agg(sum(col("n")).as("ts"))
+      .select(col(byCol).as("__s"), col("ts"))
+    val tg = glob.agg(sum(col("gn")).as("tg"))
+    cum.join(totals, col(byCol) <=> col("__s")).drop("__s").crossJoin(tg)
+      .withColumn("gap", when(col("tg") > col("ts"),
+        abs(col("cs") / col("ts").cast("double") -
+          (col("cg") - col("cs")) / (col("tg") - col("ts")).cast("double")))
+        .otherwise(lit(0.0)))
+      .groupBy(col(byCol))
+      .agg(first(col("ts")).as("n_docs"),
+        round(max(col("gap")), 6).as("ks_stat"))
+  }
+
   /** Quality-ranked token-budget fill — the curation step that answers
     * "which documents make the training set when we can only afford N
     * tokens per stratum": within each stratum, documents are taken in

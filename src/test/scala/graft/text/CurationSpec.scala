@@ -341,6 +341,25 @@ class CurationSpec extends AnyFunSuite {
     assert(math.abs(wSum - 1.0) < 1e-9)
   }
 
+  test("sourceDrift computes the exact two-sample KS statistic") {
+    import spark.implicits._
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    // A: four 5-token docs; B: four 10-token docs; C: one of each.
+    // KS(A vs rest): gap at v=5 is |1 − 1/6| = 5/6; KS(B vs rest)
+    // symmetric; C matches its rest exactly (0.5/0.5 at v=5).
+    val docs = (
+      (0 until 4).map(i => (i.toLong, "A", toks(5))) ++
+      (4 until 8).map(i => (i.toLong, "B", toks(10))) ++
+      Seq((8L, "C", toks(5)), (9L, "C", toks(10)))
+    ).toDF("doc_id", "source", "text")
+    val m = CurationOps.sourceDrift(docs, "source", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Double]("ks_stat")))).toMap
+    assert(m("A") == ((4L, math.rint(5.0 / 6 * 1e6) / 1e6)))
+    assert(m("B") == ((4L, math.rint(5.0 / 6 * 1e6) / 1e6)))
+    assert(m("C") == ((2L, 0.0)))
+  }
+
   test("budgetFill takes quality-desc then id order until the token budget") {
     import spark.implicits._
     val good1 = "the quick brown fox jumps over the lazy dog again and again today"
