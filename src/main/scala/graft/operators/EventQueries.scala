@@ -225,6 +225,46 @@ object EventQueries extends QueryModule {
       (out, Seq.empty)
     }
 
+  /** Custom keyed state as a STRUCTURED STREAM under the oracle gate:
+    * `flatMapGroupsWithState` tracks one running long per user and
+    * emits a (user, milestone) row each time the cumulative event
+    * count crosses another multiple of 5 — the
+    * bounded-state/append-emission shape of SURVEY.md §2.10
+    * (sessionization alerts, quota trips). The emission SET is
+    * batch-split invariant — every multiple ≤ total is crossed exactly
+    * once no matter how the files micro-batch — so the stream's output
+    * must EQUAL the batch derivation (DuckDB: per-user count unnested
+    * to its milestone list), putting the stateful operator under the
+    * same hash gate as every batch entry. State is one long per user:
+    * eviction under an unbounded key space would use a
+    * `GroupStateTimeout`; the check harness is the memory sink.
+    */
+  private def streamStateful(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamstate|$d") {
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      import s.implicits._
+      val rawSchema = Tables.table(s, d, "events").schema
+      val name = "stream_state_" + java.lang.Integer.toHexString(d.hashCode)
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val keyed = src.select(col("user_id").cast("long").as("uid"))
+        .as[Long].groupByKey(identity)
+      val emissions = keyed.flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Long], state: GroupState[Long]) =>
+          val before = state.getOption.getOrElse(0L)
+          val after = before + rows.size
+          state.update(after)
+          ((before / 5 + 1) to (after / 5))
+            .map(k => (uid, k * 5L)).iterator
+      }.toDF("user_id", "milestone")
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, emissions, name, outputMode = "append")
+        .persist()
+      out.count()
+      (out, Seq(out))
+    }
+
   private def streamWindow(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
       import org.apache.spark.sql.streaming.Trigger
@@ -311,6 +351,12 @@ object EventQueries extends QueryModule {
         | AND s.event_type = 'signup' AND e.event_type <> 'signup'
         | AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 3 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_stream_stateful", streamStateful, Some(
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+        |SELECT user_id,
+        |  unnest(list_transform(range(1, n // 5 + 1),
+        |    k -> k * 5)) AS milestone
+        |FROM c""".stripMargin)),
     QueryDef("q_stream_window", streamWindow, Some(
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n,
