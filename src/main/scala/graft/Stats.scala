@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT order statistics without group buffering.
+  *
+  * Spark's `percentile` aggregate materializes every value of a group
+  * in one aggregation buffer — fine for bounded groups (the
+  * corpus-stats rollup), a memory cliff when one group holds 10¹⁰
+  * fact rows. This kernel computes the same linearly-interpolated
+  * exact percentile from the VALUE HISTOGRAM instead: one map-side
+  * partial-aggregating `groupBy(key, value)`, a per-key cumulative
+  * window over the histogram (sized by DISTINCT values per key — far
+  * below row counts; the `Ranking` two-level bucketing is the in-repo
+  * extension if a key's distinct-value count itself explodes), and a
+  * rank-interpolation join. Interpolation matches the standard
+  * `lower + (rank − floor(rank)) · (upper − lower)` definition both
+  * Spark's `percentile` and DuckDB's `quantile_cont` implement, so
+  * results are bit-comparable to either.
+  */
+object Stats {
+
+  /** Exact percentile `p` of `valCol` per `keyCols` → one row per key
+    * with the percentile in `out`. Nulls in `valCol` are ignored
+    * (aggregate convention); a key with no non-null values emits no
+    * row.
+    */
+  def exactPercentileByKey(df: DataFrame, keyCols: Seq[String],
+      valCol: String, p: Double, out: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(keys :+ col(valCol): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .withColumn("__prev", col("__cum") - col("__cnt"))
+    val tot = hist.groupBy(keys: _*).agg(sum(col("__cnt")).as("__n"))
+      .select(keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__n"): _*)
+    // Null-safe key join: groupBy keeps null-key groups, an equi-join
+    // would drop them.
+    val joinCond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
+      .reduce[Column](_ && _)
+    val r = (col("__n") - 1) * p
+    val iLo = floor(r)
+    val iHi = ceil(r)
+    cum.join(broadcast(tot), joinCond)
+      .groupBy(keys: _*)
+      .agg(
+        first(col("__n")).as("__n2"),
+        max(when(col("__prev") <= iLo && iLo < col("__cum"),
+          col(valCol))).as("__vlo"),
+        max(when(col("__prev") <= iHi && iHi < col("__cum"),
+          col(valCol))).as("__vhi"))
+      .withColumn(out, {
+        val r2 = (col("__n2") - 1) * p
+        col("__vlo") + (r2 - floor(r2)) * (col("__vhi") - col("__vlo"))
+      })
+      .drop("__n2", "__vlo", "__vhi")
+  }
+
+  /** Robust outlier report per key: exact median, exact MAD (median
+    * absolute deviation), and the count of rows beyond
+    * `k · 1.4826 · MAD` of the median (1.4826 = the consistency
+    * constant making MAD estimate σ under normality). Both medians run
+    * through [[exactPercentileByKey]] — no group buffering anywhere;
+    * the tiny per-key median/MAD frames broadcast back onto the fact
+    * scan.
+    */
+  def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
+      k: Double = 3.0): DataFrame = {
+    val keys = keyCols.map(col)
+    val med = exactPercentileByKey(df, keyCols, valCol, 0.5, "__med")
+      .select(keyCols.map(c => col(c).as(s"__m_$c")) :+ col("__med"): _*)
+    val medCond = keyCols.map(c => col(c) <=> col(s"__m_$c"))
+      .reduce[Column](_ && _)
+    val withMed = df.filter(col(valCol).isNotNull)
+      .join(broadcast(med), medCond)
+      .withColumn("__ad", abs(col(valCol) - col("__med")))
+    val mad = exactPercentileByKey(withMed, keyCols, "__ad", 0.5, "__mad")
+      .select(keyCols.map(c => col(c).as(s"__d_$c")) :+ col("__mad"): _*)
+    val madCond = keyCols.map(c => col(c) <=> col(s"__d_$c"))
+      .reduce[Column](_ && _)
+    withMed.join(broadcast(mad), madCond)
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"),
+        round(first(col("__med")), 4).as("median"),
+        round(first(col("__mad")), 4).as("mad"),
+        sum(when(col("__ad") > lit(k) * 1.4826 * col("__mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+  }
+}

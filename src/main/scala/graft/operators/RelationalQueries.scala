@@ -152,6 +152,45 @@ object RelationalQueries extends QueryModule {
         max(col("l_quantity")).as("max_qty"),
         round(stddev_samp(col("l_quantity")), 2).as("std_qty"))
 
+  /** MAD-based robust outlier report per return flag — the exact
+    * median and median-absolute-deviation via [[graft.Stats]]'s
+    * histogram kernel (no group buffering: Spark's `percentile` would
+    * hold a 10¹⁰-row group's values in one aggregation buffer; the
+    * histogram form shuffles (key, value) with map-side combine and
+    * windows over DISTINCT values only).
+    */
+  private def anomalyMad(s: SparkSession, d: String): DataFrame =
+    graft.Stats.madOutliers(Tables.events(s, d),
+      Seq("event_type"), "value")
+
+  /** Column-profiling report — the warehouse `DESCRIBE`-with-stats op:
+    * null count, exact distinct count, min/max per profiled numeric
+    * column, from ONE scan. The multi-column exact countDistinct
+    * plans an Expand (one row replica per profiled column) — the
+    * deliberate single-scan trade; partial aggregation collapses each
+    * replica stream map-side, and profiling N columns by N separate
+    * scans would read the fact table N times instead.
+    */
+  private def profileColumns(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))): _*)
+    val stack = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(", ")
+    agg.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stack) AS " +
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
   /** A5 — top-2 categories with share-of-total (ref: app.py:40-64).
     * The global window runs over the ALREADY-AGGREGATED counts frame —
     * bounded by category cardinality, so the single-partition pass is
@@ -478,6 +517,53 @@ object RelationalQueries extends QueryModule {
     QueryDef("q_agg_multi", aggMulti, Some(
       """SELECT l_partkey, CAST(max(l_shipdate) AS DATE) AS last_ship, count(*) AS n
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q_anomaly_mad", anomalyMad, Some(
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT e.event_type, e.value,
+        |    abs(e.value - m.med) AS ad, m.med
+        |  FROM events e JOIN m USING (event_type)
+        |  WHERE e.value IS NOT NULL),
+        |d AS (
+        |  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM a GROUP BY 1)
+        |SELECT a.event_type, count(*) AS n,
+        |  round(min(a.med), 4) AS median,
+        |  round(min(d.mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN a.ad > 3.0 * 1.4826 * d.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM a JOIN d USING (event_type)
+        |GROUP BY 1""".stripMargin)),
+    QueryDef("q_profile_columns", profileColumns, Some(
+      """WITH p AS (
+        |  SELECT 'l_quantity' AS column_name, count(*) AS n_rows,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_nulls,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    min(l_quantity) AS min_val, max(l_quantity) AS max_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT l_extendedprice),
+        |    min(l_extendedprice), max(l_extendedprice) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT l_discount),
+        |    min(l_discount), max(l_discount) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    count(DISTINCT l_tax),
+        |    min(l_tax), max(l_tax) FROM lineitem)
+        |SELECT column_name, n_rows, n_nulls, n_distinct, min_val, max_val
+        |FROM p""".stripMargin)),
     QueryDef("q_agg_stats_pack", aggStatsPack, Some(
       """SELECT l_returnflag, count(*) AS n,
         | round(avg(l_quantity),2) AS avg_qty,

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+
+  test("histogram exact percentile equals Spark's buffering percentile") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // duplicates on purpose: the histogram path must weight by count
+    val rows = (0 until 2000).map { i =>
+      (s"g${i % 3}", math.floor(rnd.nextDouble() * 50) / 2.0)
+    } ++ Seq(("gnull", 1.0), ("gnull", 2.0))
+    val df = rows.toDF("k", "v")
+    for (p <- Seq(0.0, 0.25, 0.5, 0.9, 1.0)) {
+      val ours = graft.Stats.exactPercentileByKey(df, Seq("k"), "v", p, "pv")
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("pv")).toMap
+      val ref = df.groupBy("k").agg(percentile(col("v"), lit(p)).as("pv"))
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("pv")).toMap
+      assert(ours == ref, s"p=$p: $ours vs $ref")
+    }
+  }
+
+  test("null values are ignored and null keys keep their group") {
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), None),
+      (Some("a"), Some(3.0)), (None, Some(10.0)), (None, Some(20.0)))
+      .toDF("k", "v")
+    val out = graft.Stats.exactPercentileByKey(df, Seq("k"), "v", 0.5, "pv")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Double]("pv"))
+      .toMap
+    assert(out(Some("a")) == 2.0) // nulls skipped: median of (1, 3)
+    assert(out(None) == 15.0)     // null key ranks its own group
+  }
+
+  test("madOutliers flags exactly the planted far points") {
+    import spark.implicits._
+    // 99 points at 10 +- 1, one at 1000: median 10, MAD 1 -> the far
+    // point is the single outlier at k=3.
+    val rows = (0 until 33).flatMap(i =>
+      Seq(("a", 9.0), ("a", 10.0), ("a", 11.0))) :+ ("a", 1000.0)
+    val out = graft.Stats.madOutliers(rows.toDF("k", "v"), Seq("k"), "v")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 100L)
+    assert(r.getAs[Double]("median") == 10.0)
+    assert(r.getAs[Double]("mad") == 1.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)
+  }
+}
