@@ -28,11 +28,16 @@ object Stats {
     * row.
     */
   def exactPercentileByKey(df: DataFrame, keyCols: Seq[String],
-      valCol: String, p: Double, out: String): DataFrame = {
+      valCol: String, p: Double, out: String,
+      weightCol: Option[String] = None): DataFrame = {
     val keys = keyCols.map(col)
+    // weightCol: `df` is ALREADY a (key, value, count) histogram — the
+    // one-corpus-pass shape when several statistics share the same
+    // histogram (see corpusStats).
     val hist = df.filter(col(valCol).isNotNull)
       .groupBy(keys :+ col(valCol): _*)
-      .agg(count(lit(1)).as("__cnt"))
+      .agg(weightCol.map(w => sum(col(w)))
+        .getOrElse(count(lit(1))).as("__cnt"))
     val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist

@@ -138,25 +138,45 @@ object CurationQueries extends QueryModule {
 
   /** Corpus length statistics per language — the distribution summary
     * every curation report opens with: doc counts, EXACT median and p90
-    * token counts (Spark's `percentile`, not the approximate sketch —
-    * the GK-sketch path with its ε-rank contract is q_approx_quantile_
-    * sound; this is the exact counterpart), and mean tokens spelled
-    * sum/count over exact longs. Exact percentiles buffer each group's
-    * values — fine for a per-language rollup (bounded groups), not for
-    * per-document keys; both engines use the (n−1)·p linear
+    * token counts, and mean tokens spelled sum/count over exact longs.
+    * The percentiles run through the [[graft.Stats]] histogram kernel
+    * (value histogram = distinct token counts, bounded by max document
+    * size) — a per-language group is NOT bounded at corpus scale, so
+    * the buffering `percentile` aggregate would hold one language's
+    * every row in a single buffer. Both engines use the (n−1)·p linear
     * interpolation so the doubles agree.
     */
-  private def corpusStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private def corpusStats(s: SparkSession, d: String): DataFrame = {
+    // ONE corpus pass: the (lang, n_tokens) histogram feeds counts,
+    // mean, and both percentiles (weighted kernel variant) — the
+    // tokenizer never re-runs per statistic.
+    val hist = Tables.documents(s, d)
       .select(col("lang"),
         size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
           .as("n_tokens"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        round(expr("percentile(n_tokens, 0.5)"), 4).as("median_tokens"),
-        round(expr("percentile(n_tokens, 0.9)"), 4).as("p90_tokens"),
-        round(sum(col("n_tokens")).cast("double") / count(lit(1)), 4)
-          .as("mean_tokens"))
+      .groupBy(col("lang"), col("n_tokens"))
+      .agg(count(lit(1)).as("cnt"))
+      // three consumers (med, p90, main agg) — materialize the tiny
+      // histogram (langs × distinct lengths) so the tokenizing scan
+      // underneath runs exactly once
+      .localCheckpoint()
+    val med = graft.Stats.exactPercentileByKey(hist, Seq("lang"),
+        "n_tokens", 0.5, "__med", weightCol = Some("cnt"))
+      .select(col("lang").as("__k1"), col("__med"))
+    val p90 = graft.Stats.exactPercentileByKey(hist, Seq("lang"),
+        "n_tokens", 0.9, "__p90", weightCol = Some("cnt"))
+      .select(col("lang").as("__k2"), col("__p90"))
+    hist.groupBy("lang")
+      .agg(sum(col("cnt")).as("n_docs"),
+        round(sum(col("n_tokens") * col("cnt")).cast("double") /
+          sum(col("cnt")), 4).as("mean_tokens"))
+      .join(broadcast(med), col("lang") <=> col("__k1"))
+      .join(broadcast(p90), col("lang") <=> col("__k2"))
+      .select(col("lang"), col("n_docs"),
+        round(col("__med"), 4).as("median_tokens"),
+        round(col("__p90"), 4).as("p90_tokens"),
+        col("mean_tokens"))
+  }
 
   /** Duplication-rate report per source — the dedup yield metric
     * (exact digests; countDistinct shuffles 16-byte digests, not

@@ -139,18 +139,31 @@ object RelationalQueries extends QueryModule {
 
   /** A3 — lag-stats pack: count/mean/median/min/max/sample-stddev
     * (ref: core/analytics.py:391-408; pandas .std() is ddof=1 ⇒
-    * stddev_samp; median is exact ⇒ `percentile`, not approx).
+    * stddev_samp). The exact median runs through the
+    * [[graft.Stats]] histogram kernel and broadcasts back — Spark's
+    * `percentile` aggregate would buffer every group value in one
+    * aggregation buffer, which a 3-key fact-table rollup cannot afford
+    * at corpus scale (the value histogram here is 50 distinct
+    * quantities, regardless of row count).
     */
-  private def aggStatsPack(s: SparkSession, d: String): DataFrame =
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+  private def aggStatsPack(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val med = graft.Stats
+      .exactPercentileByKey(li, Seq("l_returnflag"), "l_quantity",
+        0.5, "__med")
+      .select(col("l_returnflag").as("__k"), col("__med"))
+    li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
-        round(percentile(col("l_quantity"), lit(0.5)), 2).as("med_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         round(stddev_samp(col("l_quantity")), 2).as("std_qty"))
+      .join(broadcast(med), col("l_returnflag") <=> col("__k"))
+      .select(col("l_returnflag"), col("n"), col("avg_qty"),
+        round(col("__med"), 2).as("med_qty"),
+        col("min_qty"), col("max_qty"), col("std_qty"))
+  }
 
   /** MAD-based robust outlier report per return flag — the exact
     * median and median-absolute-deviation via [[graft.Stats]]'s
