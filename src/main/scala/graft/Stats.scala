@@ -29,6 +29,16 @@ object Stats {
     */
   def exactPercentileByKey(df: DataFrame, keyCols: Seq[String],
       valCol: String, p: Double, out: String,
+      weightCol: Option[String] = None): DataFrame =
+    exactPercentilesByKey(df, keyCols, valCol, Seq(p -> out), weightCol)
+
+  /** Several exact percentiles of the same column in ONE histogram
+    * pass — `ps` maps each p to its output column (the IQR and
+    * median+p90 shapes: the histogram, cumulative window, and
+    * rank-interpolation join are all shared).
+    */
+  def exactPercentilesByKey(df: DataFrame, keyCols: Seq[String],
+      valCol: String, ps: Seq[(Double, String)],
       weightCol: Option[String] = None): DataFrame = {
     val keys = keyCols.map(col)
     // weightCol: `df` is ALREADY a (key, value, count) histogram — the
@@ -49,22 +59,26 @@ object Stats {
     // would drop them.
     val joinCond = keyCols.map(c => col(c) <=> col(s"__k_$c"))
       .reduce[Column](_ && _)
-    val r = (col("__n") - 1) * p
-    val iLo = floor(r)
-    val iHi = ceil(r)
-    cum.join(broadcast(tot), joinCond)
+    val aggs = first(col("__n")).as("__n2") +:
+      ps.zipWithIndex.flatMap { case ((p, _), i) =>
+        val r = (col("__n") - 1) * p
+        Seq(
+          max(when(col("__prev") <= floor(r) && floor(r) < col("__cum"),
+            col(valCol))).as(s"__vlo_$i"),
+          max(when(col("__prev") <= ceil(r) && ceil(r) < col("__cum"),
+            col(valCol))).as(s"__vhi_$i"))
+      }
+    val grouped = cum.join(broadcast(tot), joinCond)
       .groupBy(keys: _*)
-      .agg(
-        first(col("__n")).as("__n2"),
-        max(when(col("__prev") <= iLo && iLo < col("__cum"),
-          col(valCol))).as("__vlo"),
-        max(when(col("__prev") <= iHi && iHi < col("__cum"),
-          col(valCol))).as("__vhi"))
-      .withColumn(out, {
+      .agg(aggs.head, aggs.tail: _*)
+    val withOuts = ps.zipWithIndex.foldLeft(grouped) {
+      case (acc, ((p, out), i)) =>
         val r2 = (col("__n2") - 1) * p
-        col("__vlo") + (r2 - floor(r2)) * (col("__vhi") - col("__vlo"))
-      })
-      .drop("__n2", "__vlo", "__vhi")
+        acc.withColumn(out, col(s"__vlo_$i") +
+          (r2 - floor(r2)) * (col(s"__vhi_$i") - col(s"__vlo_$i")))
+    }
+    withOuts.drop("__n2" +:
+      ps.indices.flatMap(i => Seq(s"__vlo_$i", s"__vhi_$i")): _*)
   }
 
   /** Robust outlier report per key: exact median, exact MAD (median

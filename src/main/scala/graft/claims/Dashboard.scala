@@ -89,16 +89,28 @@ object Dashboard {
     * core/analytics.py:391-408): count / mean / exact median / min /
     * max / sample stddev.
     */
-  def lagStats(hub: DataFrame, groupCols: Seq[String] = Seq("플랜트")): DataFrame =
-    hub.filter(col(ClaimsSchema.lagValidCol))
+  def lagStats(hub: DataFrame, groupCols: Seq[String] = Seq("플랜트")): DataFrame = {
+    // Exact median via the graft.Stats histogram kernel (lag days take
+    // a few hundred distinct values however many rows a plant has);
+    // the buffering `percentile` aggregate would hold every group row.
+    val valid = hub.filter(col(ClaimsSchema.lagValidCol))
+    val med = graft.Stats.exactPercentileByKey(valid, groupCols,
+        ClaimsSchema.lagDaysCol, 0.5, "__p50")
+      .select(groupCols.map(c => col(c).as(s"__m_$c")) :+ col("__p50"): _*)
+    val medCond = groupCols.map(c => col(c) <=> col(s"__m_$c"))
+      .reduce[Column](_ && _)
+    valid
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("count"),
         round(avg(col(ClaimsSchema.lagDaysCol)), 4).as("mean"),
-        percentile(col(ClaimsSchema.lagDaysCol), lit(0.5)).as("p50"),
         min(col(ClaimsSchema.lagDaysCol)).as("min"),
         max(col(ClaimsSchema.lagDaysCol)).as("max"),
         round(stddev_samp(col(ClaimsSchema.lagDaysCol)), 4).as("std"))
+      .join(broadcast(med), medCond)
+      .select(groupCols.map(col) ++ Seq(col("count"), col("mean"),
+        col("__p50").as("p50"), col("min"), col("max"), col("std")): _*)
+  }
 
   /** R12 — IQR outlier detection: the reference imports a function that
     * does not exist (pages/3:21 — latent ImportError, SURVEY.md §7.5
@@ -108,9 +120,9 @@ object Dashboard {
     */
   def iqrOutliers(df: DataFrame, valueCol: String,
       groupCols: Seq[String]): DataFrame = {
-    val q = df.groupBy(groupCols.map(col): _*)
-      .agg(percentile(col(valueCol), lit(0.25)).as("q1"),
-        percentile(col(valueCol), lit(0.75)).as("q3"))
+    // Q1/Q3 in one histogram pass (graft.Stats) — no group buffering.
+    val q = graft.Stats.exactPercentilesByKey(df, groupCols, valueCol,
+        Seq(0.25 -> "q1", 0.75 -> "q3"))
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
       .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))

@@ -160,18 +160,15 @@ object CurationQueries extends QueryModule {
       // histogram (langs × distinct lengths) so the tokenizing scan
       // underneath runs exactly once
       .localCheckpoint()
-    val med = graft.Stats.exactPercentileByKey(hist, Seq("lang"),
-        "n_tokens", 0.5, "__med", weightCol = Some("cnt"))
-      .select(col("lang").as("__k1"), col("__med"))
-    val p90 = graft.Stats.exactPercentileByKey(hist, Seq("lang"),
-        "n_tokens", 0.9, "__p90", weightCol = Some("cnt"))
-      .select(col("lang").as("__k2"), col("__p90"))
+    val pct = graft.Stats.exactPercentilesByKey(hist, Seq("lang"),
+        "n_tokens", Seq(0.5 -> "__med", 0.9 -> "__p90"),
+        weightCol = Some("cnt"))
+      .select(col("lang").as("__k1"), col("__med"), col("__p90"))
     hist.groupBy("lang")
       .agg(sum(col("cnt")).as("n_docs"),
         round(sum(col("n_tokens") * col("cnt")).cast("double") /
           sum(col("cnt")), 4).as("mean_tokens"))
-      .join(broadcast(med), col("lang") <=> col("__k1"))
-      .join(broadcast(p90), col("lang") <=> col("__k2"))
+      .join(broadcast(pct), col("lang") <=> col("__k1"))
       .select(col("lang"), col("n_docs"),
         round(col("__med"), 4).as("median_tokens"),
         round(col("__p90"), 4).as("p90_tokens"),
