@@ -81,34 +81,53 @@ object Stats {
       ps.indices.flatMap(i => Seq(s"__vlo_$i", s"__vhi_$i")): _*)
   }
 
+  /** Broadcast a small per-key frame back onto `df` with NULL-SAFE key
+    * equality (groupBy keeps null-key groups; an equi-join would drop
+    * them) — the kernel's standard join-back idiom, defined once.
+    * `small`'s key columns must be named like `df`'s; they are aliased
+    * away internally so only its payload columns land on `df`.
+    */
+  def joinBackByKey(df: DataFrame, keyCols: Seq[String],
+      small: DataFrame, joinType: String = "left"): DataFrame = {
+    val aliased = small.select(small.columns.map {
+      case c if keyCols.contains(c) => col(c).as(s"__jb_$c")
+      case c => col(c)
+    }.toSeq: _*)
+    val cond = keyCols.map(c => col(c) <=> col(s"__jb_$c"))
+      .reduce[Column](_ && _)
+    df.join(broadcast(aliased), cond, joinType)
+      .drop(keyCols.map(c => s"__jb_$c"): _*)
+  }
+
   /** Robust outlier report per key: exact median, exact MAD (median
     * absolute deviation), and the count of rows beyond
     * `k · 1.4826 · MAD` of the median (1.4826 = the consistency
-    * constant making MAD estimate σ under normality). Both medians run
-    * through [[exactPercentileByKey]] — no group buffering anywhere;
-    * the tiny per-key median/MAD frames broadcast back onto the fact
-    * scan.
+    * constant making MAD estimate σ under normality). ONE corpus pass:
+    * the (key, value) histogram is materialized once and every later
+    * step — median, the |v − med| histogram, MAD, the outlier count —
+    * runs on histogram rows via the weighted kernel, so the fact
+    * table is never rescanned and no group's values are ever
+    * buffered.
     */
   def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
       k: Double = 3.0): DataFrame = {
     val keys = keyCols.map(col)
-    val med = exactPercentileByKey(df, keyCols, valCol, 0.5, "__med")
-      .select(keyCols.map(c => col(c).as(s"__m_$c")) :+ col("__med"): _*)
-    val medCond = keyCols.map(c => col(c) <=> col(s"__m_$c"))
-      .reduce[Column](_ && _)
-    val withMed = df.filter(col(valCol).isNotNull)
-      .join(broadcast(med), medCond)
+    val hist = df.filter(col(valCol).isNotNull)
+      .groupBy(keys :+ col(valCol): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint() // one fact scan; three histogram consumers
+    val med = exactPercentileByKey(hist, keyCols, valCol, 0.5, "__med",
+      weightCol = Some("__cnt"))
+    val adHist = joinBackByKey(hist, keyCols, med, "inner")
       .withColumn("__ad", abs(col(valCol) - col("__med")))
-    val mad = exactPercentileByKey(withMed, keyCols, "__ad", 0.5, "__mad")
-      .select(keyCols.map(c => col(c).as(s"__d_$c")) :+ col("__mad"): _*)
-    val madCond = keyCols.map(c => col(c) <=> col(s"__d_$c"))
-      .reduce[Column](_ && _)
-    withMed.join(broadcast(mad), madCond)
+    val mad = exactPercentileByKey(adHist, keyCols, "__ad", 0.5, "__mad",
+      weightCol = Some("__cnt"))
+    joinBackByKey(adHist, keyCols, mad, "inner")
       .groupBy(keys: _*)
-      .agg(count(lit(1)).as("n"),
+      .agg(sum(col("__cnt")).as("n"),
         round(first(col("__med")), 4).as("median"),
         round(first(col("__mad")), 4).as("mad"),
-        sum(when(col("__ad") > lit(k) * 1.4826 * col("__mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
+        sum(when(col("__ad") > lit(k) * 1.4826 * col("__mad"),
+          col("__cnt")).otherwise(0L)).as("n_outliers"))
   }
 }

@@ -95,11 +95,8 @@ object Dashboard {
     // the buffering `percentile` aggregate would hold every group row.
     val valid = hub.filter(col(ClaimsSchema.lagValidCol))
     val med = graft.Stats.exactPercentileByKey(valid, groupCols,
-        ClaimsSchema.lagDaysCol, 0.5, "__p50")
-      .select(groupCols.map(c => col(c).as(s"__m_$c")) :+ col("__p50"): _*)
-    val medCond = groupCols.map(c => col(c) <=> col(s"__m_$c"))
-      .reduce[Column](_ && _)
-    valid
+      ClaimsSchema.lagDaysCol, 0.5, "__p50")
+    val agg = valid
       .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("count"),
@@ -107,7 +104,7 @@ object Dashboard {
         min(col(ClaimsSchema.lagDaysCol)).as("min"),
         max(col(ClaimsSchema.lagDaysCol)).as("max"),
         round(stddev_samp(col(ClaimsSchema.lagDaysCol)), 4).as("std"))
-      .join(broadcast(med), medCond)
+    graft.Stats.joinBackByKey(agg, groupCols, med)
       .select(groupCols.map(col) ++ Seq(col("count"), col("mean"),
         col("__p50").as("p50"), col("min"), col("max"), col("std")): _*)
   }
@@ -121,12 +118,15 @@ object Dashboard {
   def iqrOutliers(df: DataFrame, valueCol: String,
       groupCols: Seq[String]): DataFrame = {
     // Q1/Q3 in one histogram pass (graft.Stats) — no group buffering.
+    // Left join-back: a group whose values are all null has no
+    // quartile row but keeps its rows (is_outlier null), matching the
+    // old buffering-percentile behavior.
     val q = graft.Stats.exactPercentilesByKey(df, groupCols, valueCol,
         Seq(0.25 -> "q1", 0.75 -> "q3"))
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo", col("q1") - lit(1.5) * col("iqr"))
       .withColumn("hi", col("q3") + lit(1.5) * col("iqr"))
-    df.join(broadcast(q), groupCols)
+    graft.Stats.joinBackByKey(df, groupCols, q)
       .withColumn("is_outlier", col(valueCol) < col("lo") || col(valueCol) > col("hi"))
       .drop("q1", "q3", "iqr")
   }

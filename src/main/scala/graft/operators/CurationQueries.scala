@@ -161,14 +161,16 @@ object CurationQueries extends QueryModule {
       // underneath runs exactly once
       .localCheckpoint()
     val pct = graft.Stats.exactPercentilesByKey(hist, Seq("lang"),
-        "n_tokens", Seq(0.5 -> "__med", 0.9 -> "__p90"),
-        weightCol = Some("cnt"))
-      .select(col("lang").as("__k1"), col("__med"), col("__p90"))
-    hist.groupBy("lang")
+      "n_tokens", Seq(0.5 -> "__med", 0.9 -> "__p90"),
+      weightCol = Some("cnt"))
+    val agg = hist.groupBy("lang")
       .agg(sum(col("cnt")).as("n_docs"),
         round(sum(col("n_tokens") * col("cnt")).cast("double") /
           sum(col("cnt")), 4).as("mean_tokens"))
-      .join(broadcast(pct), col("lang") <=> col("__k1"))
+    // left join-back: a lang whose every doc tokenizes to null has no
+    // percentile row but must stay in the report (null medians),
+    // matching the oracle's GROUP BY
+    graft.Stats.joinBackByKey(agg, Seq("lang"), pct)
       .select(col("lang"), col("n_docs"),
         round(col("__med"), 4).as("median_tokens"),
         round(col("__p90"), 4).as("p90_tokens"),
@@ -452,7 +454,7 @@ object CurationQueries extends QueryModule {
         |FROM c LEFT JOIN k USING (doc_id)""".stripMargin)),
     QueryDef("q_drift_ks", sourceDrift, Some(
       s"""WITH t AS (SELECT source, CAST(len($toksSql) AS BIGINT) AS v
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |h AS (SELECT source, v, count(*) AS n FROM t GROUP BY 1, 2),
          |g AS (SELECT v, CAST(sum(n) AS BIGINT) AS gn FROM h GROUP BY 1),
          |s AS (SELECT DISTINCT source FROM h),

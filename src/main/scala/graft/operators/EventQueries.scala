@@ -247,7 +247,10 @@ object EventQueries extends QueryModule {
       val name = "stream_state_" + java.lang.Integer.toHexString(d.hashCode)
       val src = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(d)
+      // user_id is nullable: a null would kill the Dataset[Long]
+      // decoder mid-stream; nulls are excluded on both engines.
       val keyed = src.select(col("user_id").cast("long").as("uid"))
+        .filter(col("uid").isNotNull)
         .as[Long].groupByKey(identity)
       val emissions = keyed.flatMapGroupsWithState[Long, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
@@ -352,7 +355,8 @@ object EventQueries extends QueryModule {
         | AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 3 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_stream_stateful", streamStateful, Some(
-      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
         |SELECT user_id,
         |  unnest(list_transform(range(1, n // 5 + 1),
         |    k -> k * 5)) AS milestone

@@ -148,18 +148,16 @@ object RelationalQueries extends QueryModule {
     */
   private def aggStatsPack(s: SparkSession, d: String): DataFrame = {
     val li = Tables.lineitem(s, d)
-    val med = graft.Stats
-      .exactPercentileByKey(li, Seq("l_returnflag"), "l_quantity",
-        0.5, "__med")
-      .select(col("l_returnflag").as("__k"), col("__med"))
-    li.groupBy(col("l_returnflag"))
+    val med = graft.Stats.exactPercentileByKey(li, Seq("l_returnflag"),
+      "l_quantity", 0.5, "__med")
+    val agg = li.groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
         round(avg(col("l_quantity")), 2).as("avg_qty"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
         round(stddev_samp(col("l_quantity")), 2).as("std_qty"))
-      .join(broadcast(med), col("l_returnflag") <=> col("__k"))
+    graft.Stats.joinBackByKey(agg, Seq("l_returnflag"), med)
       .select(col("l_returnflag"), col("n"), col("avg_qty"),
         round(col("__med"), 2).as("med_qty"),
         col("min_qty"), col("max_qty"), col("std_qty"))

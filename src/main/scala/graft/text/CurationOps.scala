@@ -270,9 +270,16 @@ object CurationOps {
   def sourceDrift(docs: DataFrame, byCol: String,
       textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val hist = docs
+    // Null text is excluded on both engines (same convention as
+    // budgetFill): a null length row would enter the totals but never
+    // match the support join, and the engines disagree on where a
+    // null support value sorts in the ECDF window.
+    val hist = docs.filter(col(textCol).isNotNull)
       .select(col(byCol), size(tokens(col(textCol))).cast("long").as("v"))
       .groupBy(col(byCol), col("v")).agg(count(lit(1)).as("n"))
+      // four consumers (glob, sources, fill probe, totals) — pin the
+      // tiny histogram so the tokenizing scan runs once
+      .localCheckpoint()
     val glob = hist.groupBy(col("v")).agg(sum(col("n")).as("gn"))
     val sources = hist.select(col(byCol)).distinct()
     // Full union support per source (a source missing a length still
