@@ -48,11 +48,38 @@ object Stats {
       .groupBy(keys :+ col(valCol): _*)
       .agg(weightCol.map(w => sum(col(w)))
         .getOrElse(count(lit(1))).as("__cnt"))
-    val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("__cum", sum(col("__cnt")).over(w))
-      .withColumn("__prev", col("__cum") - col("__cnt"))
+    // Cumulative counts in value order. A CONTINUOUS column's
+    // histogram is nearly row-sized (every value distinct), so a
+    // plain per-key window would funnel one key's whole histogram
+    // into a single task — numeric values route through the two-level
+    // prefix sum instead (256 value-range buckets; monotone map, so
+    // bucket order is exact), leaving only discrete non-numeric
+    // columns on the bounded single-window path.
+    val numericVal = df.schema(valCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val cum = (if (numericVal) {
+      val mm = hist.agg(min(col(valCol)).cast("double"),
+        max(col(valCol)).cast("double")).head()
+      val bucketed =
+        if (mm.isNullAt(0)) hist.withColumn("__bkt", lit(0))
+        else {
+          val mn = mm.getDouble(0)
+          val span = math.max(mm.getDouble(1) - mn, java.lang.Double.MIN_VALUE)
+          hist.withColumn("__bkt", least(
+            floor((col(valCol).cast("double") - mn) / span * 256),
+            lit(255)).cast("int"))
+        }
+      Ranking.twoLevelPrefixSum(bucketed, partCols = keyCols,
+          bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(valCol),
+          valCol = "__cnt", out = "__prevsum")
+        .withColumn("__cum", col("__prevsum") + col("__cnt"))
+        .drop("__bkt")
+    } else {
+      val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist.withColumn("__cum", sum(col("__cnt")).over(w))
+    }).withColumn("__prev", col("__cum") - col("__cnt"))
+      .drop("__prevsum")
     val tot = hist.groupBy(keys: _*).agg(sum(col("__cnt")).as("__n"))
       .select(keyCols.map(c => col(c).as(s"__k_$c")) :+ col("__n"): _*)
     // Null-safe key join: groupBy keeps null-key groups, an equi-join
