@@ -199,4 +199,22 @@ class PlanAuditSpec extends AnyFunSuite {
         s"data-sized window keyed by ${w.partitionSpec}")
     }
   }
+
+  test("percentile-kernel entries never window one key's whole histogram") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // q_anomaly_mad runs the kernel on a CONTINUOUS column (histogram
+    // ~ row count), so any single-key window over it would be the
+    // exact funnel the two-level prefix sum exists to remove;
+    // q_agg_stats_pack and q_budget_fill pin the discrete and
+    // weighted shapes.
+    Seq("q_anomaly_mad", "q_agg_stats_pack", "q_budget_fill").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.optimizedPlan
+      plan.collect { case w: LWindow => w }.foreach { w =>
+        val overHistogram = w.child.exists(_.isInstanceOf[Aggregate])
+        assert(w.partitionSpec.size >= 2 || overHistogram,
+          s"$name: data-sized window keyed by ${w.partitionSpec}")
+      }
+    }
+  }
 }
