@@ -97,9 +97,10 @@ object CurationQueries extends QueryModule {
   /** Global paragraph-level keep-first dedup with per-doc reassembly
     * fingerprint ([[CurationOps.paragraphDedup]]). The synthetic corpus
     * has no newlines, so each document is one paragraph and the entry
-    * degenerates to document keep-first — still a real winner/
-    * reassembly path over ~9% duplicate docs; multi-paragraph docs are
-    * CurationSpec-driven.
+    * degenerates to document keep-first (duplicate texts exist at
+    * sf0.1; sf0.01 happens to be all-unique — the winner/reassembly
+    * path still runs end-to-end). Multi-paragraph and in-doc-duplicate
+    * cases are CurationSpec- and TextScaleSpec-driven.
     */
   private def dedupParagraph(s: SparkSession, d: String): DataFrame =
     CurationOps.paragraphDedup(Tables.documents(s, d), "doc_id", "text")
