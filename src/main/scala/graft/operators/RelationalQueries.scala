@@ -30,6 +30,29 @@ object RelationalQueries extends QueryModule {
       tieCols = Seq("doc_id"), out = "rank")
       .select(col("doc_id"), col("n_chars"), col("rank"))
 
+  /** Global decile binning — the ntile-shape (equal-population value
+    * bands over a TOTAL order) without ntile's single-partition
+    * global window: the two-level rank assigns the global position,
+    * the bin is pure arithmetic `floor((rank−1)·10 / n)` (the
+    * floor-division convention, not ntile's remainder-balancing), and
+    * the per-decile summary partial-aggregates map-side. One extra
+    * 1-row count agg broadcasts n.
+    */
+  private def globalDeciles(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("n_chars"))
+    val ranked = graft.Ranking.twoLevelRank(docs,
+      partCols = Nil, bucketCol = "n_chars", bucketAsc = false,
+      tieCols = Seq("doc_id"), out = "rank")
+    val n = docs.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("decile",
+        floor((col("rank") - 1) * 10 / col("__n")).cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+  }
+
   /** INTERSECT / EXCEPT distinct set semantics (O-family complement to
     * union): customers with an urgent order vs a high-value order.
     * Both branches plan as aggregate-then-join on the key — distinct
@@ -734,6 +757,16 @@ object RelationalQueries extends QueryModule {
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)
         |    AS rank
         |FROM documents""".stripMargin)),
+    QueryDef("q_global_deciles", globalDeciles, Some(
+      """WITH r AS (
+        |  SELECT n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT CAST(floor((rank - 1) * 10 / n) AS INTEGER) AS decile,
+        |  count(*) AS n_docs,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM r GROUP BY 1""".stripMargin)),
     QueryDef("q_sample_hash", sampleHash, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
