@@ -6,13 +6,14 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite a GLOBAL-order ranking window —
-  * `row_number() | rank() | dense_rank() OVER (ORDER BY …)` with no
-  * PARTITION BY — into the two-level ranking plan (see
-  * [[graft.Ranking]] for the DataFrame-API statement of the same
-  * scheme and its exactness conditions).
+  * `row_number() | rank() | dense_rank() | percent_rank() |
+  * cume_dist() OVER (ORDER BY …)` with no PARTITION BY — into the
+  * two-level ranking plan (see [[graft.Ranking]] for the
+  * DataFrame-API statement of the same scheme and its exactness
+  * conditions).
   *
   * Spark plans the original as a single-partition Window: every row of
   * the child funnels through ONE task — the canonical scale cliff, and
@@ -33,7 +34,13 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * `offset + within-bucket rank` is the global rank); `dense_rank`
   * offsets count DISTINCT full order keys per bucket (via a struct, so
   * null-bearing keys count as values the way dense_rank treats them,
-  * unlike bare COUNT(DISTINCT) which would drop them).
+  * unlike bare COUNT(DISTINCT) which would drop them); `percent_rank`
+  * is the rank machinery finished as `(g_rank − 1)/(n − 1)` (0.0 for
+  * n ≤ 1) and `cume_dist` a RANGE-frame count through the current tie
+  * group finished as `(offset + count)/n` — with `n` read from one
+  * extra unbounded-frame window expression over the SAME histogram
+  * pass, and the divisions evaluating the identical operands Spark's
+  * physical window functions divide, so the doubles agree bitwise.
   *
   * Result equivalence: exact when the full ORDER BY is a total order;
   * under ties the original row_number is itself nondeterministic
@@ -89,6 +96,7 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
 
   private def supported(fn: Expression): Boolean = fn match {
     case _: RowNumber | _: Rank | _: DenseRank => true
+    case _: PercentRank | _: CumeDist => true
     case _ => false
   }
 
@@ -138,22 +146,50 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
       WindowSpecDefinition(Nil, histOrder,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
       "__graft_sum")()
+    // percent_rank/cume_dist also need the TOTAL row count — one more
+    // window expression over the same histogram pass (unbounded frame),
+    // not a separate aggregate.
+    val needsTotal = fn match {
+      case _: PercentRank | _: CumeDist => true
+      case _ => false
+    }
+    val totAlias = Alias(WindowExpression(
+      Sum(cntAlias.toAttribute).toAggregateExpression(),
+      WindowSpecDefinition(Nil, histOrder,
+        SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+          UnboundedFollowing))),
+      "__graft_tot")()
     val offAlias = Alias(
       Coalesce(Seq(sumAlias.toAttribute, Literal(0L))), "__graft_off")()
-    val offsets = Project(Seq(bAttr, offAlias),
-      Window(Seq(sumAlias), Nil, histOrder, hist, None))
+    val histWindowed = Window(
+      if (needsTotal) Seq(sumAlias, totAlias) else Seq(sumAlias),
+      Nil, histOrder, hist, None)
+    val offsets = Project(
+      if (needsTotal) Seq(bAttr, offAlias, totAlias.toAttribute)
+      else Seq(bAttr, offAlias),
+      histWindowed)
     // Within-key rank over the data, keyed by the leading sort key.
     // The same function runs within buckets (rank/dense_rank need
     // their order children rebuilt to the tie order — physical
-    // WindowExec reads frame-boundary changes off them).
+    // WindowExec reads frame-boundary changes off them). percent_rank
+    // reduces to the RANK machinery ((g_rank − 1) / (n − 1));
+    // cume_dist to a RANGE-frame count through the current tie group
+    // (ties never cross buckets — equal on the full order key ⇒ equal
+    // on its leading key).
     val tieOrder = if (orderSpec.tail.nonEmpty) orderSpec.tail else orderSpec
     val innerFn: Expression = fn match {
       case _: RowNumber => RowNumber()
-      case _: Rank => Rank(tieOrder.map(_.child))
+      case _: Rank | _: PercentRank => Rank(tieOrder.map(_.child))
       case _: DenseRank => DenseRank(tieOrder.map(_.child))
+      case _: CumeDist => Count(Literal(1)).toAggregateExpression()
+    }
+    val innerFrame = fn match {
+      case _: CumeDist =>
+        SpecifiedWindowFrame(RangeFrame, UnboundedPreceding, CurrentRow)
+      case _ => rowFrame
     }
     val rkAlias = Alias(WindowExpression(innerFn,
-      WindowSpecDefinition(Seq(k.child), tieOrder, rowFrame)),
+      WindowSpecDefinition(Seq(k.child), tieOrder, innerFrame)),
       "__graft_rk")()
     val ranked = Window(Seq(rkAlias), Seq(k.child), tieOrder, child, None)
     // No broadcast hint: the histogram's size is data-dependent (one
@@ -162,9 +198,25 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
     // shuffle from its size estimate rather than forcing the broadcast.
     val joined = Join(ranked, offsets, Inner,
       Some(EqualNullSafe(k.child, bAttr)), JoinHint.NONE)
-    val rankExpr = Alias(
-      Cast(Add(offAlias.toAttribute,
-        Cast(rkAlias.toAttribute, LongType)), IntegerType),
+    // Global position: offset + within-bucket value, as a LONG.
+    val globalPos = Add(offAlias.toAttribute,
+      Cast(rkAlias.toAttribute, LongType))
+    val resultChild: Expression = fn match {
+      case _: PercentRank =>
+        // Spark's PercentRank: (rank − 1) / (n − 1), 0.0 for n ≤ 1 —
+        // identical operands, identical IEEE division.
+        If(GreaterThan(totAlias.toAttribute, Literal(1L)),
+          Divide(
+            Cast(Subtract(globalPos, Literal(1L)), DoubleType),
+            Cast(Subtract(totAlias.toAttribute, Literal(1L)), DoubleType)),
+          Literal(0.0))
+      case _: CumeDist =>
+        // rows through the current tie group / n
+        Divide(Cast(globalPos, DoubleType),
+          Cast(totAlias.toAttribute, DoubleType))
+      case _ => Cast(globalPos, IntegerType)
+    }
+    val rankExpr = Alias(resultChild,
       alias.name)(exprId = alias.exprId, qualifier = alias.qualifier,
         explicitMetadata = alias.explicitMetadata)
     Project(child.output :+ rankExpr, joined)

@@ -109,6 +109,43 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
     }
   }
 
+  test("global percent_rank and cume_dist rewrite; doubles match bitwise") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // Ties on the full key, a repeated null key, and a two-column
+      // order so the tie group differs from the leading-key bucket.
+      val df = Seq((5, "a"), (3, "b"), (5, "a"), (1, "d"), (3, "e"),
+        (3, "b"), (2, null.asInstanceOf[String]),
+        (2, null.asInstanceOf[String])).toDF("k", "s")
+      for (cume <- Seq(false, true)) {
+        val fn = if (cume) cume_dist() else percent_rank()
+        val w = Window.orderBy(col("k").desc, asc_nulls_last("s"))
+        val q = df.withColumn("v", fn.over(w))
+        assert(q.queryExecution.optimizedPlan.toString.contains("Join"),
+          s"cume=$cume did not rewrite")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getInt(0), String.valueOf(r.getString(1)), r.getDouble(2))
+        val got = q.collect().map(key).sorted.toSeq
+        spark.conf.set("spark.graft.rewriteGlobalRowNumber", "false")
+        val exp = try {
+          val p = df.withColumn("v", fn.over(w))
+          assert(!p.queryExecution.optimizedPlan.toString.contains("Join"))
+          p.collect().map(key).sorted.toSeq
+        } finally spark.conf.unset("spark.graft.rewriteGlobalRowNumber")
+        // exact double equality — same operands, same IEEE division
+        assert(got == exp, s"cume=$cume: $got != $exp")
+      }
+      // single-row edge: percent_rank must be 0.0, cume_dist 1.0
+      val one = Seq(7).toDF("k")
+      val pr = one.withColumn("v",
+        percent_rank().over(Window.orderBy("k"))).collect()
+      assert(pr.head.getDouble(1) == 0.0)
+      val cd = one.withColumn("v",
+        cume_dist().over(Window.orderBy("k"))).collect()
+      assert(cd.head.getDouble(1) == 1.0)
+    }
+  }
+
   test("NULLS LAST leading key is preserved for rank and dense_rank") {
     withExtSession { spark =>
       import spark.implicits._
