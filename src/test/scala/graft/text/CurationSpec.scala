@@ -360,6 +360,29 @@ class CurationSpec extends AnyFunSuite {
     assert(m("C") == ((2L, 0.0)))
   }
 
+  test("null-text docs are excluded from drift and budget fill") {
+    import spark.implicits._
+    def toks(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val base = Seq((0L, "A", toks(5)), (1L, "A", toks(5)),
+      (2L, "B", toks(10)), (3L, "B", toks(10)))
+    val withNulls = base ++ Seq((4L, "A", null.asInstanceOf[String]),
+      (5L, "B", null.asInstanceOf[String]))
+    // drift: identical KS with and without the null rows
+    def drift(rows: Seq[(Long, String, String)]) =
+      CurationOps.sourceDrift(rows.toDF("doc_id", "source", "text"),
+          "source", "text")
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n_docs"),
+          r.getAs[Double]("ks_stat"))).toSet
+    assert(drift(withNulls) == drift(base))
+    // budget fill: identical keeps with and without the null rows
+    def fill(rows: Seq[(Long, String, String)]) =
+      CurationOps.budgetFill(rows.toDF("doc_id", "lang", "text"),
+          "doc_id", "lang", "text", budget = 7L)
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("tokens_kept"))).toSet
+    assert(fill(withNulls) == fill(base))
+  }
+
   test("budgetFill takes quality-desc then id order until the token budget") {
     import spark.implicits._
     val good1 = "the quick brown fox jumps over the lazy dog again and again today"
