@@ -238,6 +238,8 @@ class DedupSpec extends AnyFunSuite {
     assert(sum.map(_.getAs[Long]("n_vecs")).sum == 6L)
     assert(sum.map(_.getAs[Long]("n_dropped")).sum == 3L)
     assert(sum.map(_.getAs[Long]("n_kept")).sum == 3L)
+    assert(sum.map(_.getAs[Long]("n_unexamined")).sum == 0L,
+      "under-cap cells must be fully examined")
     val violations = graft.vector.SemDedup.soundViolations(vecs,
       "vec_id", "embedding", k = 2, tau = 0.95,
       datasetKey = "semdedup-spec")
@@ -266,5 +268,32 @@ class DedupSpec extends AnyFunSuite {
     assert(graft.vector.SemDedup.soundViolations(vecs, "vec_id",
       "embedding", k = 1, tau = 0.9,
       datasetKey = "semdedup-chain").count() == 0L)
+  }
+
+  test("SemDeDup hot cell degrades loudly under the maxCell cap") {
+    import spark.implicits._
+    // The quantizer-skew rehearsal: 5,000 identical-direction vectors
+    // all land in ONE cell (real corpora produce such hot cells via
+    // mode collapse / boilerplate embeddings). Under maxCell = 64 the
+    // streaming greedy must examine exactly the first 64 ids (keep id
+    // 0, drop the 63 τ-close followers), keep every later row
+    // UNEXAMINED with the degrade counted in n_unexamined — bounded
+    // memory, no silent drops — and the soundness audit (examined
+    // kept×kept pairs only) must stay empty.
+    val v = Array(0.5f, -0.25f, 0.8f, 0.1f)
+    val vecs = (0L until 5000L).map(i => (i, v.clone()))
+      .toDF("vec_id", "embedding")
+    val sum = graft.vector.SemDedup.summary(vecs, "vec_id", "embedding",
+        k = 1, tau = 0.9, datasetKey = "semdedup-hotcell", maxCell = 64)
+      .collect()
+    assert(sum.map(_.getAs[Long]("n_vecs")).sum == 5000L)
+    assert(sum.map(_.getAs[Long]("n_dropped")).sum == 63L,
+      "the examined prefix must drop all but the first of 64 clones")
+    assert(sum.map(_.getAs[Long]("n_kept")).sum == 4937L)
+    assert(sum.map(_.getAs[Long]("n_unexamined")).sum == 4936L,
+      "over-cap rows must be flagged, not silently examined or dropped")
+    assert(graft.vector.SemDedup.soundViolations(vecs, "vec_id",
+      "embedding", k = 1, tau = 0.9, datasetKey = "semdedup-hotcell",
+      maxCell = 64).count() == 0L)
   }
 }
