@@ -415,7 +415,9 @@ object CurationOps {
     // and ~30× for char windows (one row per CHARACTER) — so at a
     // scale where that multiple doesn't fit cluster storage, callers
     // pass materialize = false and pay the second generation pass
-    // instead.
+    // instead. The recompute path is output-identical to this one —
+    // proven (not just offered) by CurationSpec's planted-fixture
+    // equality cases and TextScaleSpec's 20k-doc hot-gram rehearsal.
     val grams = if (materialize) gramsIn.localCheckpoint() else gramsIn
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
@@ -495,7 +497,8 @@ object CurationOps {
     import org.apache.spark.sql.expressions.Window
     // Same double-execution story and storage trade as spanReport:
     // one materialization, two consumers; materialize = false trades
-    // the second generation pass for zero checkpoint storage.
+    // the second generation pass for zero checkpoint storage (equality
+    // of the two paths is spec-proven — see spanReport).
     val gramsIn = charGrams(docs, idCol, textCol, k)
     val grams = if (materialize) gramsIn.localCheckpoint() else gramsIn
     val occ = grams.groupBy("__h1", "__h2")

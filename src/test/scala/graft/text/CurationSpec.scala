@@ -488,6 +488,48 @@ class CurationSpec extends AnyFunSuite {
     assert(m(5L).getAs[Long]("n_islands") == 0L)
   }
 
+  test("materialize = false span paths equal the materialized results") {
+    import spark.implicits._
+    // The 100 TB storage story for the span kernels is the recompute
+    // path (materialize = false: no localCheckpoint of the positional
+    // frame, the gram-generation subtree runs once per join side). It
+    // must be output-IDENTICAL to the default — in particular the
+    // re-executed generate subtree must survive optimizer rewrites
+    // (InferFiltersFromGenerate re-inlining is the known hazard class)
+    // on both copies. Fixtures reuse the richest planted shapes above.
+    val a = (0 until 8).map(i => s"a$i")
+    val b = (0 until 8).map(i => s"b$i")
+    val gap = (0 until 5).map(i => s"gap0u$i")
+    val wordDocs = Seq(
+      (0L, (a ++ gap ++ b).mkString(" ")),
+      (1L, a.mkString(" ")),
+      (2L, b.mkString(" ")),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val runA = "0123456789abcdefghijklmnopqrstuvwxyzABCD"
+    val runB = "ZYXWVUTSRQPONMLKJIHGFEDCBA9876543210zyxw"
+    val g = "abcdefghijklmnopqrstuvwxyz!@#$"
+    val fill2 = (0 until 17).map(i => f"b$i%02d").mkString
+    val charDocs = Seq(
+      (0L, "X" * 10 + runA + "Y" * 10),
+      (1L, "P" * 7 + runA + "Q" * 13),
+      (2L, "A" * 5 + runA + fill2 + runB + "C" * 5),
+      (3L, g + g),
+      (4L, "m" * 29)
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(rows(CurationOps.dupSpans(wordDocs, "doc_id", "text",
+        materialize = false)).sameElements(
+      rows(CurationOps.dupSpans(wordDocs, "doc_id", "text"))))
+    assert(rows(CurationOps.dupSpansChars(charDocs, "doc_id", "text",
+        materialize = false)).sameElements(
+      rows(CurationOps.dupSpansChars(charDocs, "doc_id", "text"))))
+    assert(rows(CurationOps.spanCut(charDocs, "doc_id", "text",
+        materialize = false)).sameElements(
+      rows(CurationOps.spanCut(charDocs, "doc_id", "text"))))
+  }
+
   test("paragraphDedup keeps the global first occurrence and reassembles in order") {
     import spark.implicits._
     val docs = Seq(

@@ -156,6 +156,57 @@ class TextScaleSpec extends AnyFunSuite {
       col("covered_chars") =!= col("n_chars")).count() == 0)
   }
 
+  test("materialize=false span recompute path matches at 20k docs with a hot gram") {
+    import spark.implicits._
+    // The recompute path (no checkpoint, gram generation re-executed on
+    // each join side) rehearsed at the same 20k-doc Zipfian shape as
+    // the materialized path: identical totals, no hot-key funnel, and
+    // no optimizer surprise (InferFiltersFromGenerate-class rewrites)
+    // on the duplicated generate subtree.
+    val hot = "boiler plate legal footer text"
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 4 === 0, concat(col("text"), lit(" " + hot)))
+        .otherwise(col("text")).as("text"))
+    val mat = CurationOps.dupSpans(planted, "doc_id", "text")
+      .agg(sum("n_dup"), sum("max_run"), sum("n_grams")).collect()(0).toSeq
+    val rec = CurationOps.dupSpans(planted, "doc_id", "text",
+        materialize = false)
+      .agg(sum("n_dup"), sum("max_run"), sum("n_grams")).collect()(0).toSeq
+    assert(mat == rec, s"recompute path diverged: $mat vs $rec")
+    val cutMat = CurationOps.spanCut(planted, "doc_id", "text")
+      .agg(sum("covered_chars"), sum("n_islands")).collect()(0).toSeq
+    val cutRec = CurationOps.spanCut(planted, "doc_id", "text",
+        materialize = false)
+      .agg(sum("covered_chars"), sum("n_islands")).collect()(0).toSeq
+    assert(cutMat == cutRec, s"spanCut recompute diverged: $cutMat vs $cutRec")
+  }
+
+  test("ngram pair search survives one bigram planted in 50% of 20k docs") {
+    import spark.implicits._
+    // The Zipfian rehearsal for the prefix-filtered Jaccard self-join
+    // (the spans kernels have theirs above): a two-token boilerplate
+    // suffix rides on HALF the corpus, so its bigram's inverted list
+    // is 10k docs — 5·10⁷ candidate pairs if it ever entered a prefix.
+    // The rare-first common-gram demotion must keep it out of every
+    // prefix, leaving exactly the 200 planted identical pairs (all
+    // other docs share at most boilerplate grams: J = 1/31 « τ).
+    val hot = " legal footer"
+    val zdocs = (0 until 20000).map { i =>
+      val key = if (i < 400) 1000000 + i / 2 else i
+      val base = (0 until 15).map(j => s"d${key}t$j").mkString(" ")
+      val text = if ((i / 2) % 2 == 0) base + hot else base
+      (i.toLong, text)
+    }.toDF("doc_id", "text").withColumn("lang", lit("en"))
+    val pairs = DedupJobs.ngramJaccardPairs(zdocs, "doc_id", "text",
+        Seq("lang"), n = 2, threshold = 0.9,
+        cacheKey = Some("textscale-zipf"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = (0 until 200).map(i => (2L * i, 2L * i + 1, 1.0)).toSet
+    assert(pairs.length == 200, s"got ${pairs.length} pairs")
+    assert(pairs.toSet == expected,
+      s"missing=${expected -- pairs.toSet} extra=${pairs.toSet -- expected}")
+  }
+
   test("paragraph dedup at 20k docs keeps one copy per clone group") {
     import spark.implicits._
     // Two-paragraph docs: paragraph 1 is the (clone-group) text,
