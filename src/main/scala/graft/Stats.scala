@@ -53,10 +53,29 @@ object Stats {
     // plain per-key window would funnel one key's whole histogram
     // into a single task — numeric values route through the two-level
     // prefix sum instead (256 value-range buckets; monotone map, so
-    // bucket order is exact), leaving only discrete non-numeric
-    // columns on the bounded single-window path.
-    val numericVal = df.schema(valCol).dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // bucket order is exact). STRING columns route through the same
+    // prefix sum on a 2-char-prefix bucket (UTF-8 binary order equals
+    // codepoint order, so the prefix is an exact coarsening of the
+    // full string order — the SNM header pattern): a high-cardinality
+    // id/URL-path column spreads across its prefixes instead of
+    // funneling one near-row-sized histogram into one task. The
+    // residual degenerate case — every value sharing one 2-char
+    // prefix — collapses to the single-bucket bound, which is the
+    // best any static order-preserving bucketing can do; callers
+    // with such data strip the shared prefix or pre-bucket the
+    // histogram. Only non-numeric non-string columns (rare, discrete
+    // by contract) stay on the bounded single-window path.
+    val dt = df.schema(valCol).dataType
+    val numericVal =
+      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val stringVal =
+      dt == org.apache.spark.sql.types.StringType
+    def prefixSum(bucketed: DataFrame) =
+      Ranking.twoLevelPrefixSum(bucketed, partCols = keyCols,
+          bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(valCol),
+          valCol = "__cnt", out = "__prevsum")
+        .withColumn("__cum", col("__prevsum") + col("__cnt"))
+        .drop("__bkt")
     val cum = (if (numericVal) {
       val mm = hist.agg(min(col(valCol)).cast("double"),
         max(col(valCol)).cast("double")).head()
@@ -69,11 +88,9 @@ object Stats {
             floor((col(valCol).cast("double") - mn) / span * 256),
             lit(255)).cast("int"))
         }
-      Ranking.twoLevelPrefixSum(bucketed, partCols = keyCols,
-          bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(valCol),
-          valCol = "__cnt", out = "__prevsum")
-        .withColumn("__cum", col("__prevsum") + col("__cnt"))
-        .drop("__bkt")
+      prefixSum(bucketed)
+    } else if (stringVal) {
+      prefixSum(hist.withColumn("__bkt", substring(col(valCol), 1, 2)))
     } else {
       val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -42,6 +42,45 @@ class StatsSpec extends AnyFunSuite {
     assert(out(None) == 15.0)     // null key ranks its own group
   }
 
+  test("string columns rank through the prefix bucketing, not one key window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import spark.implicits._
+    // A high-cardinality string column (id/URL shape: nearly every
+    // value distinct) must route through the 2-char-prefix two-level
+    // prefix sum — the old per-key cumulative window would funnel the
+    // near-row-sized histogram of one key into a single task.
+    // Zero-padded numerics make lexicographic order equal numeric
+    // order, so the exact expected percentile is computable: 1001
+    // distinct values per key at odd n ⇒ integral ranks, and the
+    // interpolation's implicit double cast yields the numeric value.
+    val rows = (0 until 1001).flatMap { v =>
+      val s = f"${v * 99}%05d"
+      Seq(("a", s), ("b", s), ("b", s)) // duplicates: count-weighted
+    } ++ Seq((null.asInstanceOf[String], "00099"))
+    val df = rows.toDF("k", "v")
+    for ((p, exp) <- Seq(0.0 -> 0.0, 0.5 -> 49500.0, 1.0 -> 99000.0)) {
+      val out = graft.Stats.exactPercentileByKey(df, Seq("k"), "v", p, "pv")
+      val got = out.collect()
+        .map(r => Option(r.getString(0)) -> r.getAs[Double]("pv")).toMap
+      assert(got(Some("a")) == exp, s"p=$p")
+      assert(got(Some("b")) == exp, s"p=$p (weighted)")
+      assert(got(None) == 99.0, s"p=$p (null key keeps its group)")
+      // Plan audit: every window is either bucket-parallel (key +
+      // bucket) or runs over the per-key BUCKET histogram (ordered by
+      // __bkt, |prefixes| rows) — never a key-only window ordered by
+      // the raw value.
+      val windows = out.queryExecution.optimizedPlan
+        .collect { case w: LWindow => w }
+      assert(windows.nonEmpty)
+      windows.foreach { w =>
+        val bucketOrdered = w.orderSpec
+          .flatMap(_.child.references).exists(_.name == "__bkt")
+        assert(w.partitionSpec.size >= 2 || bucketOrdered,
+          s"key-only window over the value histogram: ${w.partitionSpec}")
+      }
+    }
+  }
+
   test("madOutliers flags exactly the planted far points") {
     import spark.implicits._
     // 99 points at 10 +- 1, one at 1000: median 10, MAD 1 -> the far
