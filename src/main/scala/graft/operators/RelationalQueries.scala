@@ -225,6 +225,55 @@ object RelationalQueries extends QueryModule {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  /** The 100 TB default of [[profileColumns]]: distinct counts via
+    * HLL++ (`approx_count_distinct`, rsd = 2%). The exact profiler's
+    * multi-column `countDistinct` plans an Expand — a 4× row replica
+    * plus an exact-distinct shuffle per column; the sketch is a plain
+    * mergeable aggregate, so this plan is ONE scan and ONE
+    * partial/final aggregate with no row multiplication, and only
+    * KB-sized sketch state crosses the exchange. Same output shape as
+    * the exact entry (n_distinct is the estimate); the accuracy
+    * contract is the paired [[profileApproxSound]] audit, and the
+    * exact entry remains the oracle-checkable reference.
+    */
+  private def profileColumnsApprox(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, d)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))): _*)
+    val stack = cols.map(c =>
+      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+      .mkString(", ")
+    agg.select(col("n_rows"), expr(
+      s"stack(${cols.size}, $stack) AS " +
+        "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+      .select(col("column_name"), col("n_rows"), col("n_nulls"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+  }
+
+  /** HLL++ profiler audit: the sketch profile's per-column distinct
+    * estimate vs the exact profile's count, violations of the 5σ
+    * relative-error bound (10% at rsd 2% — the same convention as
+    * q_approx_distinct_sound) emitted; the oracle asserts EMPTY.
+    */
+  private def profileApproxSound(s: SparkSession, d: String): DataFrame = {
+    val approx = profileColumnsApprox(s, d)
+      .select(col("column_name"), col("n_distinct").as("approx_n"))
+    val exact = profileColumns(s, d)
+      .select(col("column_name"), col("n_distinct").as("exact_n"))
+    approx.join(exact, Seq("column_name"))
+      .withColumn("rel_err",
+        abs(col("approx_n") - col("exact_n")).cast("double") / col("exact_n"))
+      .filter(col("rel_err") > 0.10)
+      .select(col("column_name"), col("approx_n"), col("exact_n"),
+        round(col("rel_err"), 4).as("rel_err"))
+  }
+
   /** A5 — top-2 categories with share-of-total (ref: app.py:40-64).
     * The global window runs over the ALREADY-AGGREGATED counts frame —
     * bounded by category cardinality, so the single-partition pass is
@@ -598,6 +647,11 @@ object RelationalQueries extends QueryModule {
         |    min(l_tax), max(l_tax) FROM lineitem)
         |SELECT column_name, n_rows, n_nulls, n_distinct, min_val, max_val
         |FROM p""".stripMargin)),
+    QueryDef("q_profile_approx", profileColumnsApprox, None),
+    QueryDef("q_profile_approx_sound", profileApproxSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS column_name,
+        |  CAST(NULL AS BIGINT) AS approx_n, CAST(NULL AS BIGINT) AS exact_n,
+        |  CAST(NULL AS DOUBLE) AS rel_err WHERE FALSE""".stripMargin)),
     QueryDef("q_agg_stats_pack", aggStatsPack, Some(
       """SELECT l_returnflag, count(*) AS n,
         | round(avg(l_quantity),2) AS avg_qty,
