@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 /** Optimizer rule: rewrite a GLOBAL-order ranking window —
   * `row_number() | rank() | dense_rank() | percent_rank() |
-  * cume_dist() OVER (ORDER BY …)` with no PARTITION BY — into the
-  * two-level ranking plan (see [[graft.Ranking]] for the
+  * cume_dist() | ntile(n) OVER (ORDER BY …)` with no PARTITION BY —
+  * into the two-level ranking plan (see [[graft.Ranking]] for the
   * DataFrame-API statement of the same scheme and its exactness
   * conditions).
   *
@@ -40,7 +40,11 @@ import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
   * group finished as `(offset + count)/n` — with `n` read from one
   * extra unbounded-frame window expression over the SAME histogram
   * pass, and the divisions evaluating the identical operands Spark's
-  * physical window functions divide, so the doubles agree bitwise.
+  * physical window functions divide, so the doubles agree bitwise;
+  * `ntile(b)` is the row_number machinery finished as integer bin
+  * arithmetic on the 0-based global position (first `n mod b` buckets
+  * take `⌈n/b⌉` rows, the rest `⌊n/b⌋`), reading `n` from the same
+  * histogram total.
   *
   * Result equivalence: exact when the full ORDER BY is a total order;
   * under ties the original row_number is itself nondeterministic
@@ -96,7 +100,7 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
 
   private def supported(fn: Expression): Boolean = fn match {
     case _: RowNumber | _: Rank | _: DenseRank => true
-    case _: PercentRank | _: CumeDist => true
+    case _: PercentRank | _: CumeDist | _: NTile => true
     case _ => false
   }
 
@@ -146,11 +150,11 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
       WindowSpecDefinition(Nil, histOrder,
         SpecifiedWindowFrame(RowFrame, UnboundedPreceding, Literal(-1)))),
       "__graft_sum")()
-    // percent_rank/cume_dist also need the TOTAL row count — one more
-    // window expression over the same histogram pass (unbounded frame),
-    // not a separate aggregate.
+    // percent_rank/cume_dist/ntile also need the TOTAL row count — one
+    // more window expression over the same histogram pass (unbounded
+    // frame), not a separate aggregate.
     val needsTotal = fn match {
-      case _: PercentRank | _: CumeDist => true
+      case _: PercentRank | _: CumeDist | _: NTile => true
       case _ => false
     }
     val totAlias = Alias(WindowExpression(
@@ -178,7 +182,7 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
     // on its leading key).
     val tieOrder = if (orderSpec.tail.nonEmpty) orderSpec.tail else orderSpec
     val innerFn: Expression = fn match {
-      case _: RowNumber => RowNumber()
+      case _: RowNumber | _: NTile => RowNumber()
       case _: Rank | _: PercentRank => Rank(tieOrder.map(_.child))
       case _: DenseRank => DenseRank(tieOrder.map(_.child))
       case _: CumeDist => Count(Literal(1)).toAggregateExpression()
@@ -214,6 +218,27 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
         // rows through the current tie group / n
         Divide(Cast(globalPos, DoubleType),
           Cast(totAlias.toAttribute, DoubleType))
+      case nt: NTile =>
+        // Spark's NTile over n rows and b buckets: the first
+        // n mod b buckets take ⌈n/b⌉ rows, the rest ⌊n/b⌋ — pure
+        // arithmetic on the 0-based global position (rn1) and the
+        // histogram total, the same bin math as the deciles entry.
+        // ⌊n/b⌋ = 0 (fewer rows than buckets) makes every row its own
+        // bucket via the cutoff branch; the ⌊n/b⌋ divisor in the
+        // other branch is then guarded behind the If, never evaluated.
+        val b = Cast(nt.buckets, LongType)
+        val n = totAlias.toAttribute
+        val small = IntegralDivide(n, b)
+        val rem = Remainder(n, b)
+        val big = Add(small, Literal(1L))
+        val cutoff = Multiply(rem, big)
+        val rn1 = Subtract(globalPos, Literal(1L))
+        Cast(
+          If(LessThan(rn1, cutoff),
+            Add(IntegralDivide(rn1, big), Literal(1L)),
+            Add(Add(rem, IntegralDivide(Subtract(rn1, cutoff), small)),
+              Literal(1L))),
+          IntegerType)
       case _ => Cast(globalPos, IntegerType)
     }
     val rankExpr = Alias(resultChild,

@@ -73,9 +73,50 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
       val part = df.withColumn("rn",
         row_number().over(Window.partitionBy("g").orderBy("v")))
       assert(!part.queryExecution.optimizedPlan.toString.contains("Join"))
-      val cume = df.withColumn("nt",
-        ntile(2).over(Window.orderBy("v")))
-      assert(!cume.queryExecution.optimizedPlan.toString.contains("Join"))
+      val nt = df.withColumn("nt",
+        ntile(2).over(Window.partitionBy("g").orderBy("v")))
+      assert(!nt.queryExecution.optimizedPlan.toString.contains("Join"))
+      val lg = df.withColumn("lg",
+        lag(col("v"), 1).over(Window.orderBy("v")))
+      assert(!lg.queryExecution.optimizedPlan.toString.contains("Join"))
+    }
+  }
+
+  test("global ntile rewrites; non-divisible n, ties, and nulls stay exact") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // 8 rows, buckets 3 (non-divisible: sizes 3/3/2), 5 (n mod b = 3)
+      // and 16 (more buckets than rows: every row its own bucket, the
+      // ⌊n/b⌋ = 0 branch-guard case). Ties are DUPLICATE rows, so the
+      // multiset comparison is arrival-order independent the same way
+      // the original nondeterministic ntile is.
+      val df = Seq((5, "a"), (3, "b"), (5, "a"), (1, "d"), (3, "e"),
+        (3, "b"), (2, null.asInstanceOf[String]),
+        (2, null.asInstanceOf[String])).toDF("k", "s")
+      for (b <- Seq(3, 5, 16)) {
+        val w = Window.orderBy(col("k").desc, asc_nulls_last("s"))
+        val q = df.withColumn("nt", ntile(b).over(w))
+        assert(q.queryExecution.optimizedPlan.toString.contains("Join"),
+          s"ntile($b) did not rewrite")
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getInt(0), String.valueOf(r.getString(1)), r.getInt(2))
+        val got = q.collect().map(key).sorted.toSeq
+        spark.conf.set("spark.graft.rewriteGlobalRowNumber", "false")
+        val exp = try {
+          val p = df.withColumn("nt", ntile(b).over(w))
+          assert(!p.queryExecution.optimizedPlan.toString.contains("Join"))
+          p.collect().map(key).sorted.toSeq
+        } finally spark.conf.unset("spark.graft.rewriteGlobalRowNumber")
+        assert(got == exp, s"ntile($b): $got != $exp")
+      }
+      // NULLS FIRST leading key: the null rows take the first bucket.
+      val nf = Seq(Option(1), Option(2), Option.empty[Int],
+        Option.empty[Int]).toDF("k")
+      val q = nf.withColumn("nt",
+        ntile(2).over(Window.orderBy(asc_nulls_first("k"))))
+      assert(q.queryExecution.optimizedPlan.toString.contains("Join"))
+      val got = q.collect().map(r => Option(r.get(0)) -> r.getInt(1)).toSet
+      assert(got == Set(None -> 1, Some(1) -> 2, Some(2) -> 2))
     }
   }
 
