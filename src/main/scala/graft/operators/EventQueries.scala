@@ -225,6 +225,38 @@ object EventQueries extends QueryModule {
       (out, Seq.empty)
     }
 
+  /** STREAM-STATIC broadcast join as a structured stream — each event
+    * enriched with its user's market segment from the static customer
+    * dimension. Stream-static inner joins are STATELESS: every
+    * micro-batch joins against the static snapshot and emits
+    * immediately (append mode, no watermark, no join state to evict) —
+    * which is exactly why this is the unbounded-corpus shape for
+    * dimension enrichment, and the broadcast keeps the streaming side
+    * shuffle-free (a dim-table shuffle per micro-batch would dominate
+    * an event-rate pipeline). The completed stream must EQUAL the
+    * batch equi-join — the DuckDB oracle.
+    */
+  private def streamStaticJoin(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamstatic|$d") {
+      import org.apache.spark.sql.types.LongType
+      val rawSchema = Tables.table(s, d, "events").schema
+      val name = "stream_static_" + java.lang.Integer.toHexString(d.hashCode)
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val ev =
+        if (src.schema("ts").dataType == LongType)
+          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else src.withColumn("ts", col("ts").cast("timestamp"))
+      val dim = broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val joined = ev.join(dim, col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("ts").cast("timestamp_ntz").as("ts"))
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, joined, name, outputMode = "append")
+      (out, Seq.empty)
+    }
+
   /** Custom keyed state as a STRUCTURED STREAM under the oracle gate:
     * `flatMapGroupsWithState` tracks one running long per user and
     * emits a (user, milestone) row each time the cumulative event
@@ -373,6 +405,10 @@ object EventQueries extends QueryModule {
         |WHERE s.event_type = 'signup' AND c.event_type = 'click'
         |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 3 DAY
         |ORDER BY signup_id, click_id""".stripMargin)),
+    QueryDef("q_stream_static_join", streamStaticJoin, Some(
+      """SELECT e.event_id, e.user_id, c.c_mktsegment, e.ts
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY e.event_id""".stripMargin)),
     QueryDef("q_stream_sliding", streamSliding, Some(
       """WITH w AS (
         |  SELECT unnest([date_trunc('day', ts),
