@@ -56,17 +56,24 @@ object Bench {
     val total = results.map(_._2).sum
     val sfTag = sfDir.split('/').last
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
-    // An explicit "dropped":N marker distinguishes budget truncation
-    // from a removed/renamed query in cross-round diffs (its ~14 chars
-    // are reserved out of the budget up front).
-    def suffix(dropped: Int) = s"""},"dropped":$dropped,"sf":"$sfTag"}"""
-    val budget = 1900 - prefix.length - suffix(999).length
-    val parts = results.sortBy { case (k, v) => (-v, k) }
-      .map { case (k, v) => f""""$k":$v%.2f""" }
-    val kept = parts
+    // Explicit "dropped" markers distinguish budget truncation from a
+    // removed/renamed query in cross-round diffs (reserved out of the
+    // budget up front). dropped_sum carries the aggregate seconds of
+    // the truncated (fastest) tail: individually those entries are the
+    // least informative, but without the digest a silent 10× in any of
+    // them would be invisible across rounds — a regression in the
+    // dropped set now moves a visible number.
+    def suffix(dropped: Int, droppedSum: Double) =
+      f"""},"dropped":$dropped,"dropped_sum":$droppedSum%.2f,"sf":"$sfTag"}"""
+    val budget = 1900 - prefix.length - suffix(999, 99999.99).length
+    val sorted = results.sortBy { case (k, v) => (-v, k) }
+    val parts = sorted.map { case (k, v) => f""""$k":$v%.2f""" }
+    val keptN = parts
       .scanLeft(0)((acc, p) => acc + p.length + 1)
-      .tail.zip(parts).takeWhile(_._1 <= budget).map(_._2)
-    println(prefix + kept.mkString(",") + suffix(parts.length - kept.length))
+      .tail.takeWhile(_ <= budget).length
+    val droppedSum = sorted.drop(keptN).map(_._2).sum
+    println(prefix + parts.take(keptN).mkString(",") +
+      suffix(parts.length - keptN, droppedSum))
     spark.stop()
   }
 }
