@@ -200,6 +200,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("the approx profiler plans no Expand; the exact one keeps its documented trade") {
+    import org.apache.spark.sql.catalyst.plans.logical.Expand
+    // q_profile_approx's whole point is replacing the exact profiler's
+    // multi-countDistinct Expand (a per-column row replica) with
+    // mergeable HLL++ state — one scan, no row multiplication.
+    val approx = SparkEntry.queries("q_profile_approx")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(approx.collect { case e: Expand => e }.isEmpty,
+      "the approx profiler must not multiply rows")
+    // The exact profiler's Expand is the documented one-scan trade; if
+    // it disappears, the scaladoc comparison is stale — update both.
+    val exact = SparkEntry.queries("q_profile_columns")(spark, sf)
+      .queryExecution.optimizedPlan
+    assert(exact.collect { case e: Expand => e }.nonEmpty,
+      "the exact profiler's documented Expand trade changed")
+  }
+
   test("percentile-kernel entries never window one key's whole histogram") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // q_anomaly_mad runs the kernel on a CONTINUOUS column (histogram
