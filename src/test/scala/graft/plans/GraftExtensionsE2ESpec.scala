@@ -65,4 +65,18 @@ class GraftExtensionsE2ESpec extends AnyFunSuite {
     assert(rewrote, "rank() did not rewrite")
     assert(got == exp)
   }
+
+  test("ad-hoc global ntile SQL rewrites and matches on real data") {
+    // A total order (o_orderkey unique) makes ntile deterministic, so
+    // the bucket assignment must match the plain session row for row;
+    // 7 buckets over the table is the non-divisible remainder case.
+    val sql = """SELECT o_orderkey,
+      ntile(7) OVER (ORDER BY o_totalprice DESC, o_orderkey) AS nt
+      FROM orders"""
+    val (rewrote, got) = run(useExtensions = true, sql)
+    val (plainJoined, exp) = run(useExtensions = false, sql)
+    assert(rewrote, "ntile() did not rewrite")
+    assert(!plainJoined, "plain session unexpectedly planned a join")
+    assert(got == exp)
+  }
 }
