@@ -35,7 +35,10 @@ object Stats {
   /** Several exact percentiles of the same column in ONE histogram
     * pass — `ps` maps each p to its output column (the IQR and
     * median+p90 shapes: the histogram, cumulative window, and
-    * rank-interpolation join are all shared).
+    * rank-interpolation join are all shared). Numeric columns return
+    * the linearly-interpolated exact percentile; STRING columns return
+    * the exact value at the lower rank (quantile_disc lower
+    * convention — interpolation is undefined on strings).
     */
   def exactPercentilesByKey(df: DataFrame, keyCols: Seq[String],
       valCol: String, ps: Seq[(Double, String)],
@@ -54,17 +57,20 @@ object Stats {
     // into a single task — numeric values route through the two-level
     // prefix sum instead (256 value-range buckets; monotone map, so
     // bucket order is exact). STRING columns route through the same
-    // prefix sum on a 2-char-prefix bucket (UTF-8 binary order equals
-    // codepoint order, so the prefix is an exact coarsening of the
-    // full string order — the SNM header pattern): a high-cardinality
-    // id/URL-path column spreads across its prefixes instead of
-    // funneling one near-row-sized histogram into one task. The
-    // residual degenerate case — every value sharing one 2-char
-    // prefix — collapses to the single-bucket bound, which is the
-    // best any static order-preserving bucketing can do; callers
-    // with such data strip the shared prefix or pre-bucket the
-    // histogram. Only non-numeric non-string columns (rare, discrete
-    // by contract) stay on the bounded single-window path.
+    // prefix sum on a 2-char bucket taken AFTER stripping the key's
+    // common prefix: every value of a key shares the longest common
+    // prefix of that key's min and max (any divergence before it
+    // would sort outside [min, max]), so the strip is order-neutral,
+    // and the next 2 chars are an exact coarsening of the full string
+    // order under UTF-8 binary comparison (= codepoint order). That
+    // spreads the URL/path shape — a corpus of "https://…" values
+    // would otherwise share one "ht" bucket — as well as plain
+    // high-cardinality ids. The residual degenerate case (values
+    // still identical for 2 chars PAST their common prefix) collapses
+    // toward the single-bucket bound; callers with such data
+    // pre-bucket the histogram. Only non-numeric non-string columns
+    // (rare, discrete by contract) stay on the bounded single-window
+    // path.
     val dt = df.schema(valCol).dataType
     val numericVal =
       dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
@@ -90,7 +96,28 @@ object Stats {
         }
       prefixSum(bucketed)
     } else if (stringVal) {
-      prefixSum(hist.withColumn("__bkt", substring(col(valCol), 1, 2)))
+      // Per-key common-prefix length from the (min, max) pair — prefix
+      // equality is monotone in i, so counting the positions where the
+      // two prefixes agree IS the common-prefix length. One tiny
+      // aggregate over histogram rows, broadcast back.
+      // The scan is capped at 64 chars (quadratic in the scanned
+      // length; a >64-char shared prefix is degenerate for bucketing
+      // anyway) and guarded for empty/1-value keys where the sequence
+      // bound would be 0.
+      val bounds = hist.groupBy(keys: _*)
+        .agg(min(col(valCol)).as("__pmin"), max(col(valCol)).as("__pmax"))
+        .withColumn("__n", least(length(col("__pmin")),
+          length(col("__pmax")), lit(64)))
+        .withColumn("__lcp", when(col("__n") >= 1, size(filter(
+          sequence(lit(1), col("__n")),
+          i => col("__pmin").substr(lit(1), i) ===
+            col("__pmax").substr(lit(1), i)))).otherwise(0))
+        .drop("__pmin", "__pmax", "__n")
+      val withLcp = joinBackByKey(hist, keyCols, bounds, "inner")
+      prefixSum(withLcp
+          .withColumn("__bkt",
+            col(valCol).substr(col("__lcp") + 1, lit(2))))
+        .drop("__lcp")
     } else {
       val w = Window.partitionBy(keys: _*).orderBy(col(valCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -115,11 +142,19 @@ object Stats {
     val grouped = cum.join(broadcast(tot), joinCond)
       .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
+    // Strings take the exact LOWER-rank value (the quantile_disc lower
+    // convention — linear interpolation is undefined on strings, and
+    // the arithmetic form would coerce every non-numeric string to
+    // null); numeric columns keep the interpolation expression
+    // untouched (bit-compatible with Spark's percentile and DuckDB's
+    // quantile_cont).
     val withOuts = ps.zipWithIndex.foldLeft(grouped) {
       case (acc, ((p, out), i)) =>
         val r2 = (col("__n2") - 1) * p
-        acc.withColumn(out, col(s"__vlo_$i") +
-          (r2 - floor(r2)) * (col(s"__vhi_$i") - col(s"__vlo_$i")))
+        acc.withColumn(out,
+          if (stringVal) col(s"__vlo_$i")
+          else col(s"__vlo_$i") +
+            (r2 - floor(r2)) * (col(s"__vhi_$i") - col(s"__vlo_$i")))
     }
     withOuts.drop("__n2" +:
       ps.indices.flatMap(i => Seq(s"__vlo_$i", s"__vhi_$i")): _*)

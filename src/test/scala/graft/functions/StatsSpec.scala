@@ -50,21 +50,20 @@ class StatsSpec extends AnyFunSuite {
     // prefix sum — the old per-key cumulative window would funnel the
     // near-row-sized histogram of one key into a single task.
     // Zero-padded numerics make lexicographic order equal numeric
-    // order, so the exact expected percentile is computable: 1001
-    // distinct values per key at odd n ⇒ integral ranks, and the
-    // interpolation's implicit double cast yields the numeric value.
+    // order, so the exact expected value is computable: strings return
+    // the exact lower-rank value (quantile_disc lower convention).
     val rows = (0 until 1001).flatMap { v =>
       val s = f"${v * 99}%05d"
       Seq(("a", s), ("b", s), ("b", s)) // duplicates: count-weighted
     } ++ Seq((null.asInstanceOf[String], "00099"))
     val df = rows.toDF("k", "v")
-    for ((p, exp) <- Seq(0.0 -> 0.0, 0.5 -> 49500.0, 1.0 -> 99000.0)) {
+    for ((p, exp) <- Seq(0.0 -> "00000", 0.5 -> "49500", 1.0 -> "99000")) {
       val out = graft.Stats.exactPercentileByKey(df, Seq("k"), "v", p, "pv")
       val got = out.collect()
-        .map(r => Option(r.getString(0)) -> r.getAs[Double]("pv")).toMap
+        .map(r => Option(r.getString(0)) -> r.getAs[String]("pv")).toMap
       assert(got(Some("a")) == exp, s"p=$p")
       assert(got(Some("b")) == exp, s"p=$p (weighted)")
-      assert(got(None) == 99.0, s"p=$p (null key keeps its group)")
+      assert(got(None) == "00099", s"p=$p (null key keeps its group)")
       // Plan audit: every window is either bucket-parallel (key +
       // bucket) or runs over the per-key BUCKET histogram (ordered by
       // __bkt, |prefixes| rows) — never a key-only window ordered by
@@ -79,6 +78,35 @@ class StatsSpec extends AnyFunSuite {
           s"key-only window over the value histogram: ${w.partitionSpec}")
       }
     }
+  }
+
+  test("URL-shaped strings spread past the shared prefix; even n takes the lower rank") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import spark.implicits._
+    // Every value shares "https://example.com/page0…" — a naive 2-char
+    // bucket would put the whole corpus in one "ht" bucket (the exact
+    // funnel again). The per-key common-prefix strip must spread the
+    // buckets across the first differing characters instead.
+    val urls = (0 until 1000).map(v => ("u", f"https://example.com/page$v%05d"))
+    val df = urls.toDF("k", "v")
+    // n = 1000 even: p=0.5 sits between ranks 499 and 500 — the string
+    // contract returns the LOWER value.
+    val out = graft.Stats.exactPercentileByKey(df, Seq("k"), "v", 0.5, "pv")
+    assert(out.collect().head.getAs[String]("pv") ==
+      "https://example.com/page00499")
+    val windows = out.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val bucketOrdered = w.orderSpec
+        .flatMap(_.child.references).exists(_.name == "__bkt")
+      assert(w.partitionSpec.size >= 2 || bucketOrdered,
+        s"key-only window over the value histogram: ${w.partitionSpec}")
+    }
+    // The buckets really are past the prefix: distinct 2-char buckets
+    // at the first divergence ("00"…"09") must exceed one.
+    val lcpStripped = df.select(col("v").substr(lit(26), lit(2))).distinct()
+    assert(lcpStripped.count() >= 10)
   }
 
   test("madOutliers flags exactly the planted far points") {
