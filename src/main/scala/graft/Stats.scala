@@ -37,8 +37,9 @@ object Stats {
     * median+p90 shapes: the histogram, cumulative window, and
     * rank-interpolation join are all shared). Numeric columns return
     * the linearly-interpolated exact percentile; STRING columns return
-    * the exact value at the lower rank (quantile_disc lower
-    * convention — interpolation is undefined on strings).
+    * the exact canonical lower quantile Q(p) = inf{x : F(x) ≥ p}
+    * (rank ⌈n·p⌉ − 1 — DuckDB's quantile_disc convention;
+    * interpolation is undefined on strings).
     */
   def exactPercentilesByKey(df: DataFrame, keyCols: Seq[String],
       valCol: String, ps: Seq[(Double, String)],
@@ -132,22 +133,32 @@ object Stats {
       .reduce[Column](_ && _)
     val aggs = first(col("__n")).as("__n2") +:
       ps.zipWithIndex.flatMap { case ((p, _), i) =>
-        val r = (col("__n") - 1) * p
-        Seq(
-          max(when(col("__prev") <= floor(r) && floor(r) < col("__cum"),
-            col(valCol))).as(s"__vlo_$i"),
-          max(when(col("__prev") <= ceil(r) && ceil(r) < col("__cum"),
-            col(valCol))).as(s"__vhi_$i"))
+        if (stringVal) {
+          // Canonical inverse CDF Q(p) = inf{x : F(x) ≥ p} — the 0-based
+          // rank ⌈n·p⌉ − 1 (clamped at 0 for p = 0), which is DuckDB's
+          // quantile_disc convention; no interpolation pair needed.
+          val rd = greatest(ceil(col("__n") * lit(p)) - 1, lit(0))
+          Seq(
+            max(when(col("__prev") <= rd && rd < col("__cum"),
+              col(valCol))).as(s"__vlo_$i"),
+            first(lit(null)).as(s"__vhi_$i"))
+        } else {
+          val r = (col("__n") - 1) * p
+          Seq(
+            max(when(col("__prev") <= floor(r) && floor(r) < col("__cum"),
+              col(valCol))).as(s"__vlo_$i"),
+            max(when(col("__prev") <= ceil(r) && ceil(r) < col("__cum"),
+              col(valCol))).as(s"__vhi_$i"))
+        }
       }
     val grouped = cum.join(broadcast(tot), joinCond)
       .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-    // Strings take the exact LOWER-rank value (the quantile_disc lower
-    // convention — linear interpolation is undefined on strings, and
-    // the arithmetic form would coerce every non-numeric string to
-    // null); numeric columns keep the interpolation expression
-    // untouched (bit-compatible with Spark's percentile and DuckDB's
-    // quantile_cont).
+    // Strings take the exact inverse-CDF value selected above (linear
+    // interpolation is undefined on strings, and the arithmetic form
+    // would coerce every non-numeric string to null); numeric columns
+    // keep the interpolation expression untouched (bit-compatible with
+    // Spark's percentile and DuckDB's quantile_cont).
     val withOuts = ps.zipWithIndex.foldLeft(grouped) {
       case (acc, ((p, out), i)) =>
         val r2 = (col("__n2") - 1) * p

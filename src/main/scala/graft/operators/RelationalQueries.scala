@@ -186,6 +186,21 @@ object RelationalQueries extends QueryModule {
         col("min_qty"), col("max_qty"), col("std_qty"))
   }
 
+  /** Per-segment STRING quantiles (p25/median/p95 customer name)
+    * through the percentile kernel's string path: values bucket on the
+    * 2 chars past the per-key common prefix ("Customer#0…" — the
+    * URL/path shape a naive prefix bucket degenerates on), the
+    * cumulative counts run through the two-level prefix sum, and the
+    * result is the exact canonical lower quantile
+    * Q(p) = inf{x : F(x) ≥ p} (rank `⌈n·p⌉ − 1`) — DuckDB's
+    * quantile_disc convention, making the string path fully
+    * oracle-checkable. All three quantiles share ONE histogram pass.
+    */
+  private def stringQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.Stats.exactPercentilesByKey(Tables.customer(s, d),
+      Seq("c_mktsegment"), "c_name",
+      Seq(0.25 -> "p25_name", 0.5 -> "med_name", 0.95 -> "p95_name"))
+
   /** MAD-based robust outlier report per return flag — the exact
     * median and median-absolute-deviation via [[graft.Stats]]'s
     * histogram kernel (no group buffering: Spark's `percentile` would
@@ -647,6 +662,12 @@ object RelationalQueries extends QueryModule {
         |    min(l_tax), max(l_tax) FROM lineitem)
         |SELECT column_name, n_rows, n_nulls, n_distinct, min_val, max_val
         |FROM p""".stripMargin)),
+    QueryDef("q_string_quantiles", stringQuantiles, Some(
+      """SELECT c_mktsegment,
+        |  quantile_disc(c_name, 0.25) AS p25_name,
+        |  quantile_disc(c_name, 0.5) AS med_name,
+        |  quantile_disc(c_name, 0.95) AS p95_name
+        |FROM customer GROUP BY 1""".stripMargin)),
     QueryDef("q_profile_approx", profileColumnsApprox, None),
     QueryDef("q_profile_approx_sound", profileApproxSound, Some(
       """SELECT CAST(NULL AS VARCHAR) AS column_name,

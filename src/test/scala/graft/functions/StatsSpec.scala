@@ -51,7 +51,8 @@ class StatsSpec extends AnyFunSuite {
     // near-row-sized histogram of one key into a single task.
     // Zero-padded numerics make lexicographic order equal numeric
     // order, so the exact expected value is computable: strings return
-    // the exact lower-rank value (quantile_disc lower convention).
+    // the canonical lower quantile Q(p) = inf{x : F(x) >= p} at rank
+    // ceil(n*p) - 1 (DuckDB's quantile_disc convention).
     val rows = (0 until 1001).flatMap { v =>
       val s = f"${v * 99}%05d"
       Seq(("a", s), ("b", s), ("b", s)) // duplicates: count-weighted
@@ -89,8 +90,8 @@ class StatsSpec extends AnyFunSuite {
     // buckets across the first differing characters instead.
     val urls = (0 until 1000).map(v => ("u", f"https://example.com/page$v%05d"))
     val df = urls.toDF("k", "v")
-    // n = 1000 even: p=0.5 sits between ranks 499 and 500 — the string
-    // contract returns the LOWER value.
+    // n = 1000 even: Q(0.5) = rank ceil(500) - 1 = 499 — the smallest
+    // value whose CDF reaches one half.
     val out = graft.Stats.exactPercentileByKey(df, Seq("k"), "v", 0.5, "pv")
     assert(out.collect().head.getAs[String]("pv") ==
       "https://example.com/page00499")
