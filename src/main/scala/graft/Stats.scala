@@ -36,10 +36,11 @@ object Stats {
     * pass — `ps` maps each p to its output column (the IQR and
     * median+p90 shapes: the histogram, cumulative window, and
     * rank-interpolation join are all shared). Numeric columns return
-    * the linearly-interpolated exact percentile; STRING columns return
-    * the exact canonical lower quantile Q(p) = inf{x : F(x) ≥ p}
-    * (rank ⌈n·p⌉ − 1 — DuckDB's quantile_disc convention;
-    * interpolation is undefined on strings).
+    * the linearly-interpolated exact percentile; non-numeric orderable
+    * columns (strings, dates, timestamps) return the exact canonical
+    * lower quantile Q(p) = inf{x : F(x) ≥ p} (rank ⌈n·p⌉ − 1 —
+    * DuckDB's quantile_disc convention; interpolation is undefined on
+    * them).
     */
   def exactPercentilesByKey(df: DataFrame, keyCols: Seq[String],
       valCol: String, ps: Seq[(Double, String)],
@@ -69,30 +70,41 @@ object Stats {
     // high-cardinality ids. The residual degenerate case (values
     // still identical for 2 chars PAST their common prefix) collapses
     // toward the single-bucket bound; callers with such data
-    // pre-bucket the histogram. Only non-numeric non-string columns
-    // (rare, discrete by contract) stay on the bounded single-window
-    // path.
+    // pre-bucket the histogram. DATE/TIMESTAMP columns range-bucket
+    // through their monotone epoch projection (unix_date /
+    // unix_micros — value order preserved, so the 256 bins are an
+    // exact coarsening like the numeric path). Only the remaining
+    // orderable types (boolean, binary — rare, discrete by contract)
+    // stay on the bounded single-window path.
+    import org.apache.spark.sql.types.{DateType, NumericType, StringType,
+      TimestampNTZType, TimestampType}
     val dt = df.schema(valCol).dataType
-    val numericVal =
-      dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val stringVal =
-      dt == org.apache.spark.sql.types.StringType
+    val numericVal = dt.isInstanceOf[NumericType]
+    val stringVal = dt == StringType
+    // Monotone numeric projection for 256-bin range bucketing.
+    val rangeProj: Option[Column] = dt match {
+      case _: NumericType => Some(col(valCol).cast("double"))
+      case DateType => Some(unix_date(col(valCol)).cast("double"))
+      case TimestampType | TimestampNTZType =>
+        Some(unix_micros(col(valCol).cast("timestamp")).cast("double"))
+      case _ => None
+    }
     def prefixSum(bucketed: DataFrame) =
       Ranking.twoLevelPrefixSum(bucketed, partCols = keyCols,
           bucketCol = "__bkt", bucketAsc = true, tieCols = Seq(valCol),
           valCol = "__cnt", out = "__prevsum")
         .withColumn("__cum", col("__prevsum") + col("__cnt"))
         .drop("__bkt")
-    val cum = (if (numericVal) {
-      val mm = hist.agg(min(col(valCol)).cast("double"),
-        max(col(valCol)).cast("double")).head()
+    val cum = (if (rangeProj.isDefined) {
+      val proj = rangeProj.get
+      val mm = hist.agg(min(proj), max(proj)).head()
       val bucketed =
         if (mm.isNullAt(0)) hist.withColumn("__bkt", lit(0))
         else {
           val mn = mm.getDouble(0)
           val span = math.max(mm.getDouble(1) - mn, java.lang.Double.MIN_VALUE)
           hist.withColumn("__bkt", least(
-            floor((col(valCol).cast("double") - mn) / span * 256),
+            floor((proj - mn) / span * 256),
             lit(255)).cast("int"))
         }
       prefixSum(bucketed)
@@ -133,7 +145,7 @@ object Stats {
       .reduce[Column](_ && _)
     val aggs = first(col("__n")).as("__n2") +:
       ps.zipWithIndex.flatMap { case ((p, _), i) =>
-        if (stringVal) {
+        if (!numericVal) {
           // Canonical inverse CDF Q(p) = inf{x : F(x) ≥ p} — the 0-based
           // rank ⌈n·p⌉ − 1 (clamped at 0 for p = 0), which is DuckDB's
           // quantile_disc convention; no interpolation pair needed.
@@ -154,16 +166,17 @@ object Stats {
     val grouped = cum.join(broadcast(tot), joinCond)
       .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
-    // Strings take the exact inverse-CDF value selected above (linear
-    // interpolation is undefined on strings, and the arithmetic form
-    // would coerce every non-numeric string to null); numeric columns
-    // keep the interpolation expression untouched (bit-compatible with
-    // Spark's percentile and DuckDB's quantile_cont).
+    // Non-numeric columns (strings, dates, timestamps) take the exact
+    // inverse-CDF value selected above (linear interpolation is
+    // undefined on them, and the arithmetic form would coerce the
+    // result to null); numeric columns keep the interpolation
+    // expression untouched (bit-compatible with Spark's percentile and
+    // DuckDB's quantile_cont).
     val withOuts = ps.zipWithIndex.foldLeft(grouped) {
       case (acc, ((p, out), i)) =>
         val r2 = (col("__n2") - 1) * p
         acc.withColumn(out,
-          if (stringVal) col(s"__vlo_$i")
+          if (!numericVal) col(s"__vlo_$i")
           else col(s"__vlo_$i") +
             (r2 - floor(r2)) * (col(s"__vhi_$i") - col(s"__vlo_$i")))
     }

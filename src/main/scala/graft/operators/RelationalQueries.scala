@@ -201,6 +201,20 @@ object RelationalQueries extends QueryModule {
       Seq("c_mktsegment"), "c_name",
       Seq(0.25 -> "p25_name", 0.5 -> "med_name", 0.95 -> "p95_name"))
 
+  /** TIMESTAMP quantiles per event type (median + p90 event time) —
+    * the kernel's temporal path: values range-bucket through their
+    * monotone epoch projection (unix_micros — the same 256-bin
+    * two-level prefix sum as numeric columns, no single-key window
+    * over the near-row-sized timestamp histogram) and return the
+    * exact inverse-CDF instant, matching DuckDB's quantile_disc.
+    * "When did the p90 event arrive per type" is the freshness-SLA
+    * report shape.
+    */
+  private def timestampQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.Stats.exactPercentilesByKey(
+      Tables.events(s, d).select(col("event_type"), col("ts")),
+      Seq("event_type"), "ts", Seq(0.5 -> "med_ts", 0.9 -> "p90_ts"))
+
   /** MAD-based robust outlier report per return flag — the exact
     * median and median-absolute-deviation via [[graft.Stats]]'s
     * histogram kernel (no group buffering: Spark's `percentile` would
@@ -668,6 +682,11 @@ object RelationalQueries extends QueryModule {
         |  quantile_disc(c_name, 0.5) AS med_name,
         |  quantile_disc(c_name, 0.95) AS p95_name
         |FROM customer GROUP BY 1""".stripMargin)),
+    QueryDef("q_timestamp_quantiles", timestampQuantiles, Some(
+      """SELECT event_type,
+        |  quantile_disc(ts, 0.5) AS med_ts,
+        |  quantile_disc(ts, 0.9) AS p90_ts
+        |FROM events GROUP BY 1""".stripMargin)),
     QueryDef("q_profile_approx", profileColumnsApprox, None),
     QueryDef("q_profile_approx_sound", profileApproxSound, Some(
       """SELECT CAST(NULL AS VARCHAR) AS column_name,

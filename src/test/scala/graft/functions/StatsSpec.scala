@@ -110,6 +110,30 @@ class StatsSpec extends AnyFunSuite {
     assert(lcpStripped.count() >= 10)
   }
 
+  test("date columns take the inverse-CDF value through epoch bucketing") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import spark.implicits._
+    // 365 distinct dates: Q(0.5) = rank ceil(365*0.5)-1 = 182 →
+    // 2024-01-01 + 182 days; Q(0.0) = the min. The near-row-sized date
+    // histogram must range-bucket via unix_date (no key-only window).
+    val df = (0 until 365).map(i => ("a", i)).toDF("k", "off")
+      .select(col("k"), date_add(lit("2024-01-01").cast("date"),
+        col("off")).as("d"))
+    val out = graft.Stats.exactPercentileByKey(df, Seq("k"), "d", 0.5, "pd")
+    assert(out.collect().head.getAs[java.sql.Date]("pd").toString ==
+      "2024-07-01") // 2024-01-01 + 182 days (leap year)
+    out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      .foreach { w =>
+        val bucketOrdered = w.orderSpec
+          .flatMap(_.child.references).exists(_.name == "__bkt")
+        assert(w.partitionSpec.size >= 2 || bucketOrdered,
+          s"key-only window over the date histogram: ${w.partitionSpec}")
+      }
+    val lo = graft.Stats.exactPercentileByKey(df, Seq("k"), "d", 0.0, "pd")
+    assert(lo.collect().head.getAs[java.sql.Date]("pd").toString ==
+      "2024-01-01")
+  }
+
   test("madOutliers flags exactly the planted far points") {
     import spark.implicits._
     // 99 points at 10 +- 1, one at 1000: median 10, MAD 1 -> the far
