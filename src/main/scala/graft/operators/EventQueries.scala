@@ -225,6 +225,28 @@ object EventQueries extends QueryModule {
       (out, Seq.empty)
     }
 
+  /** Forward fill (pandas `ffill` / LOCF — the reference engine's
+    * native gap-fill idiom): each event carries the user's most recent
+    * purchase value at-or-before it, via `last(ignoreNulls)` over a
+    * running frame. ONE key-partitioned window (a single hash
+    * shuffle); per-key frames are bounded by a user's history, never
+    * corpus size — the standard sensor/price forward-fill at any
+    * scale. The (ts, event_id) order is total, so the fill is
+    * deterministic and hash-exact against the SQL `last_value IGNORE
+    * NULLS` form.
+    */
+  private def forwardFill(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("__v"))
+      .withColumn("v_filled", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("event_id"), col("user_id"), col("ts"), col("v_filled"))
+  }
+
   /** STREAM-STATIC broadcast join as a structured stream — each event
     * enriched with its user's market segment from the static customer
     * dimension. Stream-static inner joins are STATELESS: every
@@ -405,6 +427,14 @@ object EventQueries extends QueryModule {
         |WHERE s.event_type = 'signup' AND c.event_type = 'click'
         |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 3 DAY
         |ORDER BY signup_id, click_id""".stripMargin)),
+    QueryDef("q_forward_fill", forwardFill, Some(
+      """SELECT event_id, user_id, ts,
+        |  last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |    IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS v_filled
+        |FROM events ORDER BY event_id""".stripMargin)),
     QueryDef("q_stream_static_join", streamStaticJoin, Some(
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.ts
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
