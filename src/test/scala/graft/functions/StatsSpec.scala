@@ -110,6 +110,27 @@ class StatsSpec extends AnyFunSuite {
     assert(lcpStripped.count() >= 10)
   }
 
+  test("weighted string histogram input takes count-weighted inverse-CDF values") {
+    import spark.implicits._
+    // The weightCol shape (df already a (key, value, count) histogram)
+    // combined with the string path: Q(p) must rank by the WEIGHTED
+    // cumulative counts. Values a(×1), b(×8), c(×1): n = 10, so
+    // Q(0.1) = rank 0 = "a", Q(0.5) = rank 4 = "b", Q(1.0) = rank 9
+    // = "c" — a plain distinct-value ranking would call Q(0.5) "b"
+    // too, but Q(0.1) "a" vs unweighted "a" differs at Q(0.2):
+    // weighted rank 1 = "b", unweighted would still sit on "a".
+    val hist = Seq(("k", "a", 1L), ("k", "b", 8L), ("k", "c", 1L))
+      .toDF("g", "v", "cnt")
+    val got = graft.Stats.exactPercentilesByKey(hist, Seq("g"), "v",
+        Seq(0.1 -> "p10", 0.2 -> "p20", 0.5 -> "p50", 1.0 -> "p100"),
+        weightCol = Some("cnt"))
+      .collect().head
+    assert(got.getAs[String]("p10") == "a")
+    assert(got.getAs[String]("p20") == "b")
+    assert(got.getAs[String]("p50") == "b")
+    assert(got.getAs[String]("p100") == "c")
+  }
+
   test("date columns take the inverse-CDF value through epoch bucketing") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
     import spark.implicits._
