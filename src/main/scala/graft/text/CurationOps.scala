@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.SessionCache
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -441,6 +442,21 @@ object CurationOps {
             4)).as("dup_frac"))
   }
 
+  /** The materialized char-gram frame, built ONCE per (session, input,
+    * k) and shared by [[dupSpansChars]] and [[spanCut]] — both reports
+    * read the identical positional frame, and producing the ~30×-text
+    * checkpoint twice was the two entries' dominant cost (the
+    * LSH-search [[graft.SessionCache]] pattern; keyed by the input
+    * plan's semantic hash like ngramJaccardPairs).
+    */
+  private def charGramsMaterialized(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    SessionCache.getOrBuild(docs.sparkSession,
+      s"chargrams|sem=${docs.queryExecution.analyzed.semanticHash()}|" +
+        s"$idCol|$textCol|k=$k") {
+      (charGrams(docs, idCol, textCol, k).localCheckpoint(), Seq.empty)
+    }
+
   /** Positional char-`k`-gram frame: one row per window start, keyed by
     * the same 128-bit double hash as the word-gram path so the shuffle
     * never carries substrings. The text column rides along only until
@@ -478,8 +494,15 @@ object CurationOps {
     val totals = docs.select(col(idCol),
       greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long")
         .as("n_grams"))
-    spanReport(charGrams(docs, idCol, textCol, k), totals, idCol,
-      materialize)
+    // materialize = true reads the session-shared frame (spanCut over
+    // the same input reuses it — see charGramsMaterialized), so
+    // spanReport must not checkpoint again.
+    if (materialize)
+      spanReport(charGramsMaterialized(docs, idCol, textCol, k), totals,
+        idCol, materialize = false)
+    else
+      spanReport(charGrams(docs, idCol, textCol, k), totals, idCol,
+        materialize = false)
   }
 
   /** The APPLY step of char-level ExactSubstr dedup: per document, the
@@ -495,12 +518,15 @@ object CurationOps {
   def spanCut(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 30, materialize: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Same double-execution story and storage trade as spanReport:
-    // one materialization, two consumers; materialize = false trades
-    // the second generation pass for zero checkpoint storage (equality
-    // of the two paths is spec-proven — see spanReport).
-    val gramsIn = charGrams(docs, idCol, textCol, k)
-    val grams = if (materialize) gramsIn.localCheckpoint() else gramsIn
+    // Same double-execution story and storage trade as spanReport;
+    // materialize = true reads the session-shared frame (built once
+    // for this report AND dupSpansChars — see charGramsMaterialized),
+    // materialize = false trades the second generation pass for zero
+    // checkpoint storage (equality of the two paths is spec-proven —
+    // see spanReport).
+    val grams =
+      if (materialize) charGramsMaterialized(docs, idCol, textCol, k)
+      else charGrams(docs, idCol, textCol, k)
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
