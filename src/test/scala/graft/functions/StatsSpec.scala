@@ -155,6 +155,36 @@ class StatsSpec extends AnyFunSuite {
       "2024-01-01")
   }
 
+  test("composite keys with nulls rank per group through every join-back") {
+    import spark.implicits._
+    // Two key columns, one carrying nulls: the kernel's three
+    // null-safe key joins (offsets, totals, join-back) must all keep
+    // the (a, null) group intact and separate from (a, "x").
+    val rows = Seq(
+      ("a", Some("x"), 1.0), ("a", Some("x"), 3.0),
+      ("a", None, 10.0), ("a", None, 30.0),
+      ("b", Some("x"), 5.0))
+    val df = rows.map { case (k1, k2, v) => (k1, k2.orNull, v) }
+      .toDF("k1", "k2", "v")
+    val out = graft.Stats
+      .exactPercentileByKey(df, Seq("k1", "k2"), "v", 0.5, "pv")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) ->
+        r.getAs[Double]("pv")).toMap
+    assert(out == Map(
+      ("a", Some("x")) -> 2.0,
+      ("a", None) -> 20.0,
+      ("b", Some("x")) -> 5.0))
+    // The same composite-key shape through madOutliers (two kernel
+    // calls + two join-backs + the final aggregate).
+    val mads = graft.Stats.madOutliers(df, Seq("k1", "k2"), "v")
+      .collect()
+      .map(r => (r.getString(0), Option(r.getString(1))) ->
+        r.getAs[Long]("n")).toMap
+    assert(mads == Map(
+      ("a", Some("x")) -> 2L, ("a", None) -> 2L, ("b", Some("x")) -> 1L))
+  }
+
   test("madOutliers flags exactly the planted far points") {
     import spark.implicits._
     // 99 points at 10 +- 1, one at 1000: median 10, MAD 1 -> the far
