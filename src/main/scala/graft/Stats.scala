@@ -49,10 +49,19 @@ object Stats {
     // weightCol: `df` is ALREADY a (key, value, count) histogram — the
     // one-corpus-pass shape when several statistics share the same
     // histogram (see corpusStats).
-    val hist = df.filter(col(valCol).isNotNull)
+    val hist0 = df.filter(col(valCol).isNotNull)
       .groupBy(keys :+ col(valCol): _*)
       .agg(weightCol.map(w => sum(col(w)))
         .getOrElse(count(lit(1))).as("__cnt"))
+    // The histogram feeds FOUR internal consumers (the min/max probe,
+    // the two-level prefix sum's offset and cumulative sides, and the
+    // totals) — without pinning, each re-executes the fact scan +
+    // aggregation (the pruned copies don't hit ReuseExchange). One
+    // localCheckpoint of the histogram (the kernel's working set,
+    // |distinct (key, value)| rows — far below the fact table) makes
+    // the corpus scan happen ONCE. Weighted calls already receive a
+    // caller-materialized histogram and skip the extra pin.
+    val hist = if (weightCol.isEmpty) hist0.localCheckpoint() else hist0
     // Cumulative counts in value order. A CONTINUOUS column's
     // histogram is nearly row-sized (every value distinct), so a
     // plain per-key window would funnel one key's whole histogram
