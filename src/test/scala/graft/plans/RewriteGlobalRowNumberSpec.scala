@@ -204,6 +204,39 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
     }
   }
 
+  test("the rewrite is exact under ANSI mode (Spark 4's user default)") {
+    withExtSession { spark =>
+      import spark.implicits._
+      // User sessions default spark.sql.ansi.enabled=true in Spark 4;
+      // the rewrite's arithmetic must neither error nor drift there.
+      // ntile(16) over 8 rows exercises the ⌊n/b⌋ = 0 case, where the
+      // If-guarded integral divide would throw DIVIDE_BY_ZERO under
+      // ANSI if the guard ever evaluated the dead branch.
+      spark.conf.set("spark.sql.ansi.enabled", "true")
+      try {
+        val df = Seq((5, "a"), (3, "b"), (5, "c"), (1, "d"), (3, "e"),
+          (2, "f"), (4, "g"), (6, "h")).toDF("k", "s")
+        val w = Window.orderBy(col("k").desc, col("s"))
+        for ((name, fn) <- Seq[(String, org.apache.spark.sql.Column)](
+            ("ntile16", ntile(16).over(w)),
+            ("ntile3", ntile(3).over(w)),
+            ("pct", percent_rank().over(w)),
+            ("rn", row_number().over(w)))) {
+          val q = df.withColumn("x", fn)
+          assert(q.queryExecution.optimizedPlan.toString.contains("Join"),
+            s"$name did not rewrite under ANSI")
+          def key(r: org.apache.spark.sql.Row) =
+            (r.getInt(0), r.getString(1), r.get(2).toString)
+          val got = q.collect().map(key).sorted.toSeq
+          spark.conf.set("spark.graft.rewriteGlobalRowNumber", "false")
+          val exp = try df.withColumn("x", fn).collect().map(key).sorted.toSeq
+          finally spark.conf.unset("spark.graft.rewriteGlobalRowNumber")
+          assert(got == exp, s"$name under ANSI: $got != $exp")
+        }
+      } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    }
+  }
+
   test("nondeterministic child subtree is not rewritten") {
     withExtSession { spark =>
       import spark.implicits._
