@@ -382,7 +382,7 @@ object CurationOps {
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int = 5, materialize: Boolean = true): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val grams = toks
+    def grams = toks
       .select(col(idCol), posexplode_outer(gramsOf(col("__toks"), n)))
       .toDF(idCol, "pos", "gram")
       .filter(col("gram").isNotNull)
@@ -392,7 +392,18 @@ object CurationOps {
     val totals = toks.select(col(idCol),
       greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long")
         .as("n_grams"))
-    spanReport(grams, totals, idCol, materialize)
+    // The materialized word-gram frame is session-shared like the char
+    // frame (one ~5×-text checkpoint per (session, input, n), warm on
+    // repeat calls); spanReport must not checkpoint again.
+    val pinned =
+      if (materialize)
+        SessionCache.getOrBuild(docs.sparkSession,
+          s"wordgrams|sem=${docs.queryExecution.analyzed.semanticHash()}|" +
+            s"$idCol|$textCol|n=$n") {
+          (grams.localCheckpoint(), Seq.empty)
+        }
+      else grams
+    spanReport(pinned, totals, idCol)
   }
 
   /** Shared island-merge kernel behind [[dupSpans]] and
@@ -404,22 +415,21 @@ object CurationOps {
     * trick. The per-doc window is bounded by document length, never by
     * corpus size.
     */
-  private def spanReport(gramsIn: DataFrame, totals: DataFrame,
-      idCol: String, materialize: Boolean): DataFrame = {
+  private def spanReport(grams: DataFrame, totals: DataFrame,
+      idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // The positional frame feeds BOTH the occurrence count and the
     // join-back probe; without materialization the generation subtree
     // (tokenize/substring + hash) executes twice — once per join side
-    // (measured 1.5× the entry cost at sf0.1). localCheckpoint (the
-    // repo's SNM pattern) pins the frame once. The trade is explicit:
-    // storage is positions × ~32 B — ~5× the raw text for word grams
-    // and ~30× for char windows (one row per CHARACTER) — so at a
-    // scale where that multiple doesn't fit cluster storage, callers
-    // pass materialize = false and pay the second generation pass
-    // instead. The recompute path is output-identical to this one —
+    // (measured 1.5× the entry cost at sf0.1). Materialization policy
+    // lives in the CALLERS: with materialize = true they pass the
+    // session-shared checkpointed frame (see charGramsMaterialized /
+    // dupSpans — storage is positions × ~32 B, ~5× the raw text for
+    // word grams and ~30× for char windows); with materialize = false
+    // they pass the raw generation subtree and pay the second pass at
+    // zero checkpoint storage. The recompute path is output-identical —
     // proven (not just offered) by CurationSpec's planted-fixture
     // equality cases and TextScaleSpec's 20k-doc hot-gram rehearsal.
-    val grams = if (materialize) gramsIn.localCheckpoint() else gramsIn
     val occ = grams.groupBy("__h1", "__h2")
       .agg(count(lit(1)).as("__occ"))
       .filter(col("__occ") >= 2)
@@ -495,14 +505,12 @@ object CurationOps {
       greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long")
         .as("n_grams"))
     // materialize = true reads the session-shared frame (spanCut over
-    // the same input reuses it — see charGramsMaterialized), so
-    // spanReport must not checkpoint again.
+    // the same input reuses it — see charGramsMaterialized).
     if (materialize)
       spanReport(charGramsMaterialized(docs, idCol, textCol, k), totals,
-        idCol, materialize = false)
+        idCol)
     else
-      spanReport(charGrams(docs, idCol, textCol, k), totals, idCol,
-        materialize = false)
+      spanReport(charGrams(docs, idCol, textCol, k), totals, idCol)
   }
 
   /** The APPLY step of char-level ExactSubstr dedup: per document, the
