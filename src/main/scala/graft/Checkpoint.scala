@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Session-level materialization policy for the library's pinned
+  * frames (the percentile histogram, the char/word-gram span frames,
+  * connected-components iterations, the sorted-neighborhood ranked
+  * frame).
+  *
+  * Every kernel that materializes an intermediate routes through
+  * [[pin]], which picks between two storage contracts:
+  *
+  *  - '''default''' (`graft.checkpoint.reliable` unset/false):
+  *    `localCheckpoint` — lineage truncated, blocks held UNREPLICATED
+  *    on the executors that computed them. Fastest, and the right
+  *    trade on a single machine or a stable cluster, but an executor
+  *    lost AFTER the pin (spot reclaim, OOM kill) makes the frame
+  *    unrecoverable: there is no lineage to recompute from, so the
+  *    job dies rather than retries.
+  *  - '''reliable''' (`graft.checkpoint.reliable=true`): `checkpoint`
+  *    through `SparkContext.setCheckpointDir` — blocks written to the
+  *    (HDFS/object-store) checkpoint directory, so ANY executor can
+  *    re-read them after a loss and the job survives churn. This is
+  *    the HA path a 1000-executor run on preemptible capacity should
+  *    set; it costs one write + read of the pinned frame through the
+  *    cluster filesystem.
+  *
+  * Kernels that can run WITHOUT materializing at all (the span
+  * reports' `materialize = false` recompute path — spec-proven equal
+  * output) are the third option when neither storage contract fits.
+  *
+  * The policy is read per-call from the session conf, so one session
+  * can flip it between jobs without rebuilding anything.
+  */
+object Checkpoint {
+
+  /** Session conf key selecting the reliable (replicated, executor-
+    * loss-survivable) checkpoint path. Requires
+    * `SparkContext.setCheckpointDir` to have been called.
+    */
+  val ReliableConf = "graft.checkpoint.reliable"
+
+  def reliable(spark: SparkSession): Boolean =
+    spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
+
+  /** Materialize `df` under the session's checkpoint policy and return
+    * the pinned frame (lineage truncated either way; see the object
+    * doc for the storage contract). `eager = false` defers the
+    * materializing job to the frame's first action — construction
+    * stays side-effect-free for callers that only build or inspect
+    * the plan.
+    */
+  def pin(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    if (reliable(spark)) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableConf=true requires SparkContext.setCheckpointDir " +
+          "(a cluster-visible path) before the first pinned kernel runs; " +
+          "reliable checkpoints are written there so executor loss is " +
+          "recoverable")
+      df.checkpoint(eager)
+    } else df.localCheckpoint(eager)
+  }
+
+  /** Drop the storage behind a frame returned by [[pin]] (best-effort;
+    * reliable checkpoint FILES are left for the cleaner/dir owner —
+    * only block-manager storage is released). After release the frame
+    * must not be read again: its lineage was truncated at pin time,
+    * so there is nothing to recompute from. Intended for cache
+    * eviction (see [[SessionCache]]), where the frame is being
+    * discarded anyway.
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l
+    }.foreach { l =>
+      try l.rdd.unpersist(blocking = false)
+      catch { case _: Exception => () }
+    }
+}

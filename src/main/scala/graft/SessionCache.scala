@@ -19,9 +19,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to the caller's session, not by hash).
   *
   * Persisted frames an entry pins are recorded so eviction can
-  * `unpersist` them when the owning session is still alive (identity
-  * collision replacement) — when the session is already stopped its
-  * block manager is gone and dropping the reference suffices.
+  * release them when the owning session is still alive (identity
+  * collision replacement, [[clear]], or a bounded group's LRU cap) —
+  * when the session is already stopped its block manager is gone and
+  * dropping the reference suffices. Release handles BOTH storage
+  * shapes a builder can pin: CacheManager persists (`unpersist`) and
+  * checkpointed frames ([[Checkpoint.release]] drops the blocks
+  * behind the `LogicalRDD`; a plain `unpersist` cannot reach them, so
+  * before round 9 a long session accumulated span-frame checkpoint
+  * blocks no eviction could free).
   *
   * Concurrency: the registry lock covers only map access; each entry
   * builds inside its own cell, so two sessions (or two keys) never
@@ -48,7 +54,8 @@ object SessionCache {
 
   private final case class Entry(
       session: WeakReference[SparkSession],
-      cell: Cell)
+      cell: Cell,
+      group: Option[String] = None)
 
   private val entries =
     scala.collection.mutable.LinkedHashMap.empty[String, Entry]
@@ -56,8 +63,10 @@ object SessionCache {
   private def release(e: Entry): Unit = {
     val s = e.session.get
     if (s != null && !s.sparkContext.isStopped)
-      e.cell.pinned.foreach(df =>
-        try df.unpersist() catch { case _: Exception => () })
+      e.cell.pinned.foreach { df =>
+        try df.unpersist() catch { case _: Exception => () }
+        Checkpoint.release(df)
+      }
   }
 
   private def sweep(): Unit = {
@@ -73,6 +82,26 @@ object SessionCache {
     * pinned (so eviction can release them).
     */
   def getOrBuild[T](spark: SparkSession, key: String)(
+      build: => (T, Seq[DataFrame])): T =
+    getOrBuildImpl(spark, key, None, Int.MaxValue)(build)
+
+  /** [[getOrBuild]] with a per-(session, group) LRU cap: when inserting
+    * a new key pushes the group past `maxPerGroup` live entries, the
+    * group's OLDEST entries are evicted and their pinned frames
+    * released. For builders whose pinned artifact is large relative to
+    * the corpus (the ~30×-text char-gram span frames), an unbounded
+    * cache turns a long session that scans many distinct inputs into a
+    * slow storage leak — the cap bounds the session's span-frame
+    * footprint at `maxPerGroup` inputs. Contract: an evicted entry's
+    * frame must no longer be referenced by an in-flight query (the
+    * cap is sized above any single report pipeline's working set).
+    */
+  def getOrBuildBounded[T](spark: SparkSession, key: String, group: String,
+      maxPerGroup: Int)(build: => (T, Seq[DataFrame])): T =
+    getOrBuildImpl(spark, key, Some(group), maxPerGroup)(build)
+
+  private def getOrBuildImpl[T](spark: SparkSession, key: String,
+      group: Option[String], maxPerGroup: Int)(
       build: => (T, Seq[DataFrame])): T = {
     val cell = synchronized {
       sweep()
@@ -82,8 +111,18 @@ object SessionCache {
           e.cell
         case stale =>
           stale.foreach(release) // identity-hash collision from a live session
+          group.foreach { g =>
+            val sameGroup = entries.collect {
+              case (k, e) if e.group.contains(g) && e.session.get != null &&
+                (e.session.get eq spark) => k
+            }.toSeq
+            // +1 for the entry about to be inserted
+            sameGroup.dropRight(math.max(maxPerGroup - 1, 0)).foreach { k =>
+              entries.remove(k).foreach(release)
+            }
+          }
           val c = new Cell(() => build)
-          entries(full) = Entry(new WeakReference(spark), c)
+          entries(full) = Entry(new WeakReference(spark), c, group)
           c
       }
     }

@@ -151,16 +151,17 @@ object CurationQueries extends QueryModule {
     // ONE corpus pass: the (lang, n_tokens) histogram feeds counts,
     // mean, and both percentiles (weighted kernel variant) — the
     // tokenizer never re-runs per statistic.
-    val hist = Tables.documents(s, d)
+    // three consumers (med, p90, main agg) — pin the tiny histogram
+    // (langs × distinct lengths) so the tokenizing scan underneath
+    // runs exactly once (policy-routed: local by default, reliable
+    // under graft.checkpoint.reliable)
+    val hist = graft.Checkpoint.pin(Tables.documents(s, d)
       .select(col("lang"),
         size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
           .as("n_tokens"))
       .groupBy(col("lang"), col("n_tokens"))
-      .agg(count(lit(1)).as("cnt"))
-      // three consumers (med, p90, main agg) — materialize the tiny
-      // histogram (langs × distinct lengths) so the tokenizing scan
-      // underneath runs exactly once
-      .localCheckpoint()
+      .agg(count(lit(1)).as("cnt")),
+      eager = false)
     val pct = graft.Stats.exactPercentilesByKey(hist, Seq("lang"),
       "n_tokens", Seq(0.5 -> "__med", 0.9 -> "__p90"),
       weightCol = Some("cnt"))

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.SessionCache
+import graft.{Checkpoint, SessionCache}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -275,12 +275,14 @@ object CurationOps {
     // budgetFill): a null length row would enter the totals but never
     // match the support join, and the engines disagree on where a
     // null support value sorts in the ECDF window.
-    val hist = docs.filter(col(textCol).isNotNull)
+    // four consumers (glob, sources, fill probe, totals) — pin the
+    // tiny histogram so the tokenizing scan runs once (lazy: the first
+    // action materializes it; Checkpoint.pin picks the session's
+    // local-vs-reliable storage contract)
+    val hist = Checkpoint.pin(docs.filter(col(textCol).isNotNull)
       .select(col(byCol), size(tokens(col(textCol))).cast("long").as("v"))
-      .groupBy(col(byCol), col("v")).agg(count(lit(1)).as("n"))
-      // four consumers (glob, sources, fill probe, totals) — pin the
-      // tiny histogram so the tokenizing scan runs once
-      .localCheckpoint()
+      .groupBy(col(byCol), col("v")).agg(count(lit(1)).as("n")),
+      eager = false)
     val glob = hist.groupBy(col("v")).agg(sum(col("n")).as("gn"))
     val sources = hist.select(col(byCol)).distinct()
     // Full union support per source (a source missing a length still
@@ -393,14 +395,17 @@ object CurationOps {
       greatest(size(col("__toks")) - (n - 1), lit(0)).cast("long")
         .as("n_grams"))
     // The materialized word-gram frame is session-shared like the char
-    // frame (one ~5×-text checkpoint per (session, input, n), warm on
-    // repeat calls); spanReport must not checkpoint again.
+    // frame (one ~5×-text pin per (session, input, n), warm on repeat
+    // calls); spanReport must not pin again. Bounded group + pinned
+    // registration: see charGramsMaterialized.
     val pinned =
       if (materialize)
-        SessionCache.getOrBuild(docs.sparkSession,
+        SessionCache.getOrBuildBounded(docs.sparkSession,
           s"wordgrams|sem=${docs.queryExecution.analyzed.semanticHash()}|" +
-            s"$idCol|$textCol|n=$n") {
-          (grams.localCheckpoint(), Seq.empty)
+            s"$idCol|$textCol|n=$n", group = SpanFrameGroup,
+          maxPerGroup = MaxSpanFrames) {
+          val g = Checkpoint.pin(grams)
+          (g, Seq(g))
         }
       else grams
     spanReport(pinned, totals, idCol)
@@ -452,19 +457,37 @@ object CurationOps {
             4)).as("dup_frac"))
   }
 
+  /** Bounded-LRU group for the session-shared span frames: the char
+    * frame is ~30× the raw text, so a long session scanning many
+    * distinct inputs must not accumulate one pinned frame per input —
+    * at most [[MaxSpanFrames]] (word + char combined) stay live, the
+    * oldest released (blocks dropped) on overflow. 4 covers every
+    * in-repo pipeline (one word + one char frame per active input,
+    * two inputs in flight).
+    */
+  private val SpanFrameGroup = "spanframes"
+  private val MaxSpanFrames = 4
+
   /** The materialized char-gram frame, built ONCE per (session, input,
     * k) and shared by [[dupSpansChars]] and [[spanCut]] — both reports
     * read the identical positional frame, and producing the ~30×-text
-    * checkpoint twice was the two entries' dominant cost (the
-    * LSH-search [[graft.SessionCache]] pattern; keyed by the input
-    * plan's semantic hash like ngramJaccardPairs).
+    * pin twice was the two entries' dominant cost (the LSH-search
+    * [[graft.SessionCache]] pattern; keyed by the input plan's
+    * semantic hash like ngramJaccardPairs). Materialization goes
+    * through [[graft.Checkpoint.pin]] — set
+    * `graft.checkpoint.reliable=true` (+ `setCheckpointDir`) for the
+    * executor-loss-survivable HA path, or pass `materialize = false`
+    * to the reports for the storage-free recompute path (spec-proven
+    * output-identical).
     */
   private def charGramsMaterialized(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame =
-    SessionCache.getOrBuild(docs.sparkSession,
+    SessionCache.getOrBuildBounded(docs.sparkSession,
       s"chargrams|sem=${docs.queryExecution.analyzed.semanticHash()}|" +
-        s"$idCol|$textCol|k=$k") {
-      (charGrams(docs, idCol, textCol, k).localCheckpoint(), Seq.empty)
+        s"$idCol|$textCol|k=$k", group = SpanFrameGroup,
+      maxPerGroup = MaxSpanFrames) {
+      val g = Checkpoint.pin(charGrams(docs, idCol, textCol, k))
+      (g, Seq(g))
     }
 
   /** Positional char-`k`-gram frame: one row per window start, keyed by

@@ -365,27 +365,28 @@ object DedupJobs {
       sym.select(col("src"), col("src").as("dst")).distinct()).persist()
     // Round 0 needs no label join at all: every label starts as its own
     // id, so the propagated min is just min(dst) over self-looped edges.
-    var labels = withSelf.groupBy("src").agg(min("dst").as("comp"))
-      .withColumnRenamed("src", "id")
-      .localCheckpoint()
-    // Iterations materialize through eager localCheckpoint: lineage is
+    var labels = graft.Checkpoint.pin(
+      withSelf.groupBy("src").agg(min("dst").as("comp"))
+        .withColumnRenamed("src", "id"))
+    // Iterations materialize through eager Checkpoint.pin: lineage is
     // TRUNCATED each round (a persist chain would re-plan the whole
     // history every iteration and need manual release bookkeeping;
-    // checkpointed iterations are reclaimed by the ContextCleaner when
-    // they fall out of scope). Locally-held checkpoints trade executor-
-    // loss resilience for speed — a cluster run of a LONG iteration
-    // would use reliable checkpointing; dedup graphs converge in 2–4
+    // pinned iterations are reclaimed by the ContextCleaner when they
+    // fall out of scope). The default local pin trades executor-loss
+    // resilience for speed — a cluster run on preemptible capacity
+    // sets `graft.checkpoint.reliable=true` so each round's labels
+    // land in the replicated checkpoint dir and an executor loss
+    // costs a re-read, not the job; dedup graphs converge in 2–4
     // rounds.
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
-      val stepped = withSelf
+      val stepped = graft.Checkpoint.pin(withSelf
         .join(labels.select(col("id").as("dst"), col("comp")), Seq("dst"))
         .groupBy("src").agg(
           min("comp").as("comp"),
           // exactly one self-loop per node → its comp IS the old label
-          max(when(col("src") === col("dst"), col("comp"))).as("old"))
-        .localCheckpoint()
+          max(when(col("src") === col("dst"), col("comp"))).as("old")))
       changed = stepped.filter(col("comp") =!= col("old")).count()
       labels = stepped.select(col("src").as("id"), col("comp"))
       i += 1
@@ -672,9 +673,11 @@ object DedupJobs {
     * left row exploded into its own and the next block (the
     * q_range_join_bucketed trick), so no position-range theta-join or
     * cartesian ever plans. Edit distance runs on the `n·w` surviving
-    * pairs only, never n². The ranked frame is `localCheckpoint`ed so
-    * the ranking subtree (a window plus a broadcast histogram join over
-    * the whole input) executes ONCE across the self-join's two sides —
+    * pairs only, never n². The ranked frame is pinned
+    * ([[graft.Checkpoint.pin]] — local by default, reliable under
+    * `graft.checkpoint.reliable=true`) so the ranking subtree (a
+    * window plus a broadcast histogram join over the whole input)
+    * executes ONCE across the self-join's two sides —
     * Catalyst only reuses bit-identical exchanges, and the per-side
     * aliases differ, so without the checkpoint the subtree runs twice.
     *
@@ -691,11 +694,11 @@ object DedupJobs {
       .select(col(idCol), substring(lower(col(textCol)), 1, hdrLen).as("hdr"))
       .filter(col("hdr").isNotNull)
       .withColumn("__bkt", substring(col("hdr"), 1, 2))
-    val ranked = graft.Ranking.twoLevelRank(keyed,
+    val ranked = graft.Checkpoint.pin(graft.Ranking.twoLevelRank(keyed,
         partCols = Nil, bucketCol = "__bkt", bucketAsc = true,
         tieCols = Seq("hdr", idCol), out = "rn")
-      .select(col(idCol), col("hdr"), col("rn"))
-      .localCheckpoint()
+      .select(col(idCol), col("hdr"), col("rn")),
+      eager = false)
     val lhs = ranked
       .select(col(idCol).as("id_a"), col("hdr").as("hdr_a"),
         col("rn").as("rn_a"),

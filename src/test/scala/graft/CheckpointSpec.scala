@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The session-level materialization policy (VERDICT r8 #1): every
+  * pinned kernel frame routes through [[Checkpoint.pin]], which is
+  * `localCheckpoint` by default and a RELIABLE (replicated,
+  * executor-loss-survivable) `checkpoint` under
+  * `graft.checkpoint.reliable=true` — with identical kernel output on
+  * both paths, a loud failure when the reliable path has no checkpoint
+  * directory, and releasable storage either way.
+  */
+class CheckpointSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .getOrCreate()
+
+  private def withReliable[T](body: => T): T = {
+    spark.conf.set(Checkpoint.ReliableConf, "true")
+    try body finally spark.conf.unset(Checkpoint.ReliableConf)
+  }
+
+  // Declared FIRST: later tests set the context's checkpoint dir,
+  // which cannot be unset on a shared SparkContext.
+  test("reliable=true without a checkpoint dir fails loudly at pin time") {
+    import spark.implicits._
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    val df = Seq(1, 2, 3).toDF("v")
+    withReliable {
+      val e = intercept[IllegalArgumentException] { Checkpoint.pin(df) }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+  }
+
+  private def ensureCheckpointDir(): Unit =
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        Files.createTempDirectory("graft-ckpt").toString)
+
+  test("span kernel output is identical under the reliable policy") {
+    import spark.implicits._
+    ensureCheckpointDir()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely unrelated text with no shared character windows"),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def run() = {
+      val spans = graft.text.CurationOps
+        .dupSpansChars(docs, "doc_id", "text", k = 10)
+        .collect().map(_.toSeq).toSet
+      val cuts = graft.text.CurationOps
+        .spanCut(docs, "doc_id", "text", k = 10)
+        .collect().map(_.toSeq).toSet
+      (spans, cuts)
+    }
+    SessionCache.clear() // force a fresh local-policy build
+    val local = run()
+    SessionCache.clear() // drop the local-policy span frame
+    val reliable = withReliable { run() }
+    SessionCache.clear()
+    assert(local == reliable)
+    assert(local._1.nonEmpty && local._2.nonEmpty)
+  }
+
+  test("percentile kernel output is identical under the reliable policy") {
+    import spark.implicits._
+    ensureCheckpointDir()
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 500)
+      .map(i => (s"k${i % 3}", math.floor(rnd.nextDouble() * 40) / 2.0))
+      .toDF("k", "v")
+    def run() = graft.Stats.exactPercentilesByKey(df, Seq("k"), "v",
+        Seq(0.25 -> "q1", 0.5 -> "med", 0.9 -> "p90"))
+      .collect().map(_.toSeq).toSet
+    val local = run()
+    val reliable = withReliable { run() }
+    assert(local == reliable && local.size == 3)
+  }
+
+  test("reliable pins write to the checkpoint directory") {
+    import spark.implicits._
+    ensureCheckpointDir()
+    val df = spark.range(100).toDF("v")
+    val pinned = withReliable { Checkpoint.pin(df) }
+    assert(pinned.count() == 100)
+    // A reliable checkpoint's plan reads an RDD whose lineage was cut
+    // at a ReliableCheckpointRDD over the checkpoint dir.
+    val rdds = pinned.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }
+    assert(rdds.nonEmpty && rdds.forall(_.isCheckpointed))
+    val dir = spark.sparkContext.getCheckpointDir.get
+    assert(new java.io.File(new java.net.URI(dir).getPath).listFiles()
+      .nonEmpty)
+  }
+
+  test("release drops the blocks behind a local pin") {
+    import spark.implicits._
+    val pinned = Checkpoint.pin(spark.range(50).toDF("v"))
+    assert(pinned.count() == 50)
+    val rdds = pinned.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }
+    assert(rdds.nonEmpty &&
+      rdds.forall(_.getStorageLevel != StorageLevel.NONE))
+    Checkpoint.release(pinned)
+    assert(rdds.forall(_.getStorageLevel == StorageLevel.NONE))
+  }
+}

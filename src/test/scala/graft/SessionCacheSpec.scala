@@ -67,4 +67,43 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(builds.get() == 2, "cleared entries rebuild")
     SessionCache.clear()
   }
+
+  test("clear releases the blocks behind pinned CHECKPOINTED frames") {
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val get = () => SessionCache.getOrBuild(spark, "sc-spec-f") {
+      val df = Checkpoint.pin(Seq(1, 2, 3).toDF("x"))
+      (df, Seq(df))
+    }
+    val df = get()
+    val rdds = df.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }
+    assert(rdds.nonEmpty &&
+      rdds.forall(_.getStorageLevel != StorageLevel.NONE))
+    SessionCache.clear()
+    assert(rdds.forall(_.getStorageLevel == StorageLevel.NONE),
+      "clear() must drop checkpoint blocks, not only CacheManager persists")
+  }
+
+  test("bounded groups evict their oldest entry past the cap") {
+    val builds = new AtomicInteger(0)
+    def get(i: Int) = SessionCache.getOrBuildBounded(spark, s"sc-spec-g$i",
+      group = "sc-spec-grp", maxPerGroup = 2) {
+      builds.incrementAndGet()
+      (s"v$i", Nil)
+    }
+    get(1); get(2)
+    assert(builds.get() == 2)
+    get(1) // warm — no rebuild, entry 1 still cached
+    assert(builds.get() == 2)
+    get(3) // cap 2: inserting key 3 evicts the OLDEST (key 1)
+    assert(builds.get() == 3)
+    get(2); get(3) // still warm
+    assert(builds.get() == 3)
+    get(1) // evicted above — rebuilds
+    assert(builds.get() == 4)
+    SessionCache.clear()
+  }
 }
