@@ -41,6 +41,12 @@ object Stats {
     * lower quantile Q(p) = inf{x : F(x) ≥ p} (rank ⌈n·p⌉ − 1 —
     * DuckDB's quantile_disc convention; interpolation is undefined on
     * them).
+    *
+    * Materialization: the internal histogram is pinned through
+    * [[Checkpoint.pin]] (lazily — plan construction runs no pin job) —
+    * local blocks by default; set `graft.checkpoint.reliable=true` +
+    * `setCheckpointDir` for the executor-loss-survivable HA path on
+    * preemptible clusters.
     */
   def exactPercentilesByKey(df: DataFrame, keyCols: Seq[String],
       valCol: String, ps: Seq[(Double, String)],
@@ -57,11 +63,19 @@ object Stats {
     // the two-level prefix sum's offset and cumulative sides, and the
     // totals) — without pinning, each re-executes the fact scan +
     // aggregation (the pruned copies don't hit ReuseExchange). One
-    // localCheckpoint of the histogram (the kernel's working set,
+    // pin of the histogram (the kernel's working set,
     // |distinct (key, value)| rows — far below the fact table) makes
-    // the corpus scan happen ONCE. Weighted calls already receive a
-    // caller-materialized histogram and skip the extra pin.
-    val hist = if (weightCol.isEmpty) hist0.localCheckpoint() else hist0
+    // the corpus scan happen ONCE. The pin is LAZY (eager = false):
+    // building the returned plan runs no job for string/other-typed
+    // columns; numeric/temporal columns run their min/max range probe
+    // at construction either way, and that probe doubles as the
+    // materializing action. Storage contract via [[Checkpoint.pin]]:
+    // local (unreplicated, executor-loss-fatal) by default, reliable
+    // (replicated checkpoint dir, loss-survivable) under
+    // `graft.checkpoint.reliable=true`. Weighted calls already receive
+    // a caller-materialized histogram and skip the extra pin.
+    val hist =
+      if (weightCol.isEmpty) Checkpoint.pin(hist0, eager = false) else hist0
     // Cumulative counts in value order. A CONTINUOUS column's
     // histogram is nearly row-sized (every value distinct), so a
     // plain per-key window would funnel one key's whole histogram
@@ -76,13 +90,23 @@ object Stats {
     // order under UTF-8 binary comparison (= codepoint order). That
     // spreads the URL/path shape — a corpus of "https://…" values
     // would otherwise share one "ht" bucket — as well as plain
-    // high-cardinality ids. The residual degenerate case (values
-    // still identical for 2 chars PAST their common prefix) collapses
-    // toward the single-bucket bound; callers with such data
-    // pre-bucket the histogram. DATE/TIMESTAMP columns range-bucket
-    // through their monotone epoch projection (unix_date /
-    // unix_micros — value order preserved, so the 256 bins are an
-    // exact coarsening like the numeric path). Only the remaining
+    // high-cardinality ids. Because the min/max LCP IS the common
+    // prefix of ALL the key's values (every value sorts inside
+    // [min, max], so it must agree with both up to their divergence
+    // point), a key with >= 2 distinct values is GUARANTEED >= 2
+    // buckets: at position lcp+1 at least two values differ (or one
+    // ends). The round-8 collapse — values sharing 66+ identical
+    // chars fell into one bucket — came from the old quadratic
+    // prefix-equality scan being capped at 64 chars; the scan is now
+    // linear (first mismatching position) and capped at 1024, so only
+    // a >1024-char shared prefix (pathological; pre-bucket upstream)
+    // can still degenerate. DATE/TIMESTAMP columns range-bucket
+    // through their monotone epoch projection (unix_date / unix_micros
+    // for instants; timezone-independent field arithmetic for NTZ,
+    // which has no instant — casting it through the session zone
+    // would re-order values falling in a DST gap under non-UTC
+    // sessions). Value order is preserved, so the 256 bins are an
+    // exact coarsening like the numeric path. Only the remaining
     // orderable types (boolean, binary — rare, discrete by contract)
     // stay on the bounded single-window path.
     import org.apache.spark.sql.types.{DateType, NumericType, StringType,
@@ -94,8 +118,20 @@ object Stats {
     val rangeProj: Option[Column] = dt match {
       case _: NumericType => Some(col(valCol).cast("double"))
       case DateType => Some(unix_date(col(valCol)).cast("double"))
-      case TimestampType | TimestampNTZType =>
-        Some(unix_micros(col(valCol).cast("timestamp")).cast("double"))
+      case TimestampType => Some(unix_micros(col(valCol)).cast("double"))
+      case TimestampNTZType =>
+        // Wall-clock seconds from FIELDS (date, hour, minute, fractional
+        // second): every term is a timezone-independent extraction, so
+        // the projection is identical under any session timezone and
+        // strictly follows NTZ value order. The previous
+        // cast-to-timestamp route interpreted the wall time in the
+        // SESSION zone, which is non-monotone across a DST
+        // spring-forward gap for non-UTC sessions. Double rounding of
+        // a monotone map is weakly monotone, which bucketing needs
+        // (collisions only merge neighbors, never reorder).
+        Some(unix_date(col(valCol).cast("date")).cast("double") * 86400d +
+          hour(col(valCol)) * 3600d + minute(col(valCol)) * 60d +
+          date_part(lit("SECOND"), col(valCol)).cast("double"))
       case _ => None
     }
     def prefixSum(bucketed: DataFrame) =
@@ -118,24 +154,8 @@ object Stats {
         }
       prefixSum(bucketed)
     } else if (stringVal) {
-      // Per-key common-prefix length from the (min, max) pair — prefix
-      // equality is monotone in i, so counting the positions where the
-      // two prefixes agree IS the common-prefix length. One tiny
-      // aggregate over histogram rows, broadcast back.
-      // The scan is capped at 64 chars (quadratic in the scanned
-      // length; a >64-char shared prefix is degenerate for bucketing
-      // anyway) and guarded for empty/1-value keys where the sequence
-      // bound would be 0.
-      val bounds = hist.groupBy(keys: _*)
-        .agg(min(col(valCol)).as("__pmin"), max(col(valCol)).as("__pmax"))
-        .withColumn("__n", least(length(col("__pmin")),
-          length(col("__pmax")), lit(64)))
-        .withColumn("__lcp", when(col("__n") >= 1, size(filter(
-          sequence(lit(1), col("__n")),
-          i => col("__pmin").substr(lit(1), i) ===
-            col("__pmax").substr(lit(1), i)))).otherwise(0))
-        .drop("__pmin", "__pmax", "__n")
-      val withLcp = joinBackByKey(hist, keyCols, bounds, "inner")
+      val withLcp = joinBackByKey(hist, keyCols,
+        stringLcpByKey(hist, keyCols, valCol), "inner")
       prefixSum(withLcp
           .withColumn("__bkt",
             col(valCol).substr(col("__lcp") + 1, lit(2))))
@@ -158,7 +178,10 @@ object Stats {
           // Canonical inverse CDF Q(p) = inf{x : F(x) ≥ p} — the 0-based
           // rank ⌈n·p⌉ − 1 (clamped at 0 for p = 0), which is DuckDB's
           // quantile_disc convention; no interpolation pair needed.
-          val rd = greatest(ceil(col("__n") * lit(p)) - 1, lit(0))
+          // n·p is round-guarded (9 dp) before the ceil: when it is
+          // mathematically integral, a sub-ulp upward error in the
+          // double product would otherwise bump the ceil a full rank.
+          val rd = greatest(ceil(round(col("__n") * lit(p), 9)) - 1, lit(0))
           Seq(
             max(when(col("__prev") <= rd && rd < col("__cum"),
               col(valCol))).as(s"__vlo_$i"),
@@ -193,6 +216,31 @@ object Stats {
       ps.indices.flatMap(i => Seq(s"__vlo_$i", s"__vhi_$i")): _*)
   }
 
+  /** Per-key common-prefix length (`__lcp`) from the key's (min, max)
+    * pair: the FIRST position where their chars differ, minus one (or
+    * the shorter length when one is a prefix of the other) — a linear
+    * scan, one 1-char comparison per position, unlike the round-8
+    * quadratic whole-prefix-equality scan whose 64-char cap let
+    * 66+-char shared prefixes collapse the string bucketing into one
+    * bucket. Capped at 1024 for sanity (the per-position compare is
+    * bounded by the ACTUAL min/max lengths first, so short strings pay
+    * nothing); guarded for empty/1-value keys where the sequence bound
+    * would be 0. One tiny aggregate over histogram rows, broadcast
+    * back by the caller.
+    */
+  private[graft] def stringLcpByKey(hist: DataFrame, keyCols: Seq[String],
+      valCol: String): DataFrame =
+    hist.groupBy(keyCols.map(col): _*)
+      .agg(min(col(valCol)).as("__pmin"), max(col(valCol)).as("__pmax"))
+      .withColumn("__n", least(length(col("__pmin")),
+        length(col("__pmax")), lit(1024)))
+      .withColumn("__lcp", when(col("__n") >= 1, coalesce(
+        array_min(filter(sequence(lit(1), col("__n")),
+          i => col("__pmin").substr(i, lit(1)) =!=
+            col("__pmax").substr(i, lit(1)))) - 1,
+        col("__n"))).otherwise(0))
+      .drop("__pmin", "__pmax", "__n")
+
   /** Broadcast a small per-key frame back onto `df` with NULL-SAFE key
     * equality (groupBy keeps null-key groups; an equi-join would drop
     * them) — the kernel's standard join-back idiom, defined once.
@@ -224,10 +272,11 @@ object Stats {
   def madOutliers(df: DataFrame, keyCols: Seq[String], valCol: String,
       k: Double = 3.0): DataFrame = {
     val keys = keyCols.map(col)
-    val hist = df.filter(col(valCol).isNotNull)
+    // one fact scan; three histogram consumers (policy-routed pin,
+    // lazy — the first percentile pass materializes it)
+    val hist = Checkpoint.pin(df.filter(col(valCol).isNotNull)
       .groupBy(keys :+ col(valCol): _*)
-      .agg(count(lit(1)).as("__cnt"))
-      .localCheckpoint() // one fact scan; three histogram consumers
+      .agg(count(lit(1)).as("__cnt")), eager = false)
     val med = exactPercentileByKey(hist, keyCols, valCol, 0.5, "__med",
       weightCol = Some("__cnt"))
     val adHist = joinBackByKey(hist, keyCols, med, "inner")

@@ -200,4 +200,82 @@ class StatsSpec extends AnyFunSuite {
     assert(r.getAs[Double]("mad") == 1.0)
     assert(r.getAs[Long]("n_outliers") == 1L)
   }
+
+  test("66+-char shared prefixes resolve an exact LCP and spread buckets") {
+    import spark.implicits._
+    // The round-8 degenerate: the old quadratic LCP scan capped at 64
+    // chars, so values sharing 66+ identical chars all bucketed on the
+    // SAME 2 chars past the capped prefix — one bucket, single-task
+    // cumulative sum. The linear first-mismatch scan (cap 1024) finds
+    // the TRUE 70-char prefix, and chars 71-72 then spread the values.
+    val pre = "x" * 70
+    val rows = (0 until 400).map(v => ("k", f"$pre${v * 13}%04d"))
+    val hist = rows.toDF("k", "v").groupBy("k", "v")
+      .agg(count(lit(1)).as("__cnt"))
+    val lcp = graft.Stats.stringLcpByKey(hist, Seq("k"), "v")
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("__lcp")).toMap
+    assert(lcp == Map("k" -> 70), s"exact LCP expected, got $lcp")
+    val spread = hist
+      .select(expr("substring(v, 71, 2)").as("bkt")).distinct().count()
+    assert(spread > 1, "values must spread past the shared prefix")
+    // And the quantiles themselves stay exact: zero-padded suffixes
+    // make lexicographic = numeric order.
+    val sortedVals = rows.map(_._2).sorted
+    val out = graft.Stats.exactPercentilesByKey(rows.toDF("k", "v"),
+        Seq("k"), "v", Seq(0.5 -> "med", 0.9 -> "p90"))
+      .collect().head
+    assert(out.getAs[String]("med") ==
+      sortedVals(math.ceil(400 * 0.5).toInt - 1))
+    assert(out.getAs[String]("p90") ==
+      sortedVals(math.ceil(400 * 0.9).toInt - 1))
+  }
+
+  test("inverse-CDF rank survives upward fp error in n*p (ADVICE r8)") {
+    import spark.implicits._
+    // 100 * 0.07 = 7.000000000000001 in IEEE doubles: an unguarded
+    // ceil lands on rank 7 instead of the mathematically-exact
+    // ceil(7) - 1 = 6. DuckDB's quantile_disc returns rank 6.
+    assert((100L * 0.07) > 7.0, "fixture must exercise the fp overshoot")
+    val rows = (0 until 100).map(v => ("k", f"v$v%02d"))
+    val out = graft.Stats.exactPercentileByKey(rows.toDF("k", "v"),
+        Seq("k"), "v", 0.07, "q")
+      .collect().head.getAs[String]("q")
+    assert(out == "v06", s"rank ceil(7)-1=6 expected, got $out")
+  }
+
+  test("NTZ timestamps bucket timezone-independently (DST gap, ADVICE r8)") {
+    import spark.implicits._
+    // Wall-clock times inside America/New_York's 2021-03-14 02:00-03:00
+    // spring-forward gap: a cast-through-session-tz projection maps
+    // 02:30 PAST 03:00, mis-ordering the 256-bin buckets under a
+    // non-UTC session. The field-arithmetic projection is identical
+    // under any session timezone.
+    val times = Seq(
+      "2021-03-14 01:15:00", "2021-03-14 01:59:59",
+      "2021-03-14 02:10:00", "2021-03-14 02:30:00",
+      "2021-03-14 02:50:00", "2021-03-14 03:05:00",
+      "2021-03-14 03:30:00", "2021-03-14 04:00:00",
+      "2021-03-14 05:00:00", "2021-03-14 06:00:00")
+    val df = times.toDF("s")
+      .select(lit("k").as("k"), expr("cast(s as timestamp_ntz)").as("v"))
+    def medians() = graft.Stats.exactPercentilesByKey(df, Seq("k"), "v",
+        Seq(0.5 -> "med", 0.3 -> "p30"))
+      .select(expr("cast(med as string)"), expr("cast(p30 as string)"))
+      .collect().head
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val underUtc = try {
+      spark.conf.set("spark.sql.session.timeZone", "UTC"); medians()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    val underNy = try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      medians()
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    // median of 10 = rank ceil(10*0.5)-1 = 4 (0-based) = 02:50;
+    // p30 = rank 2 = 02:10 — both INSIDE the gap hour.
+    assert(underUtc.getString(0) == "2021-03-14 02:50:00" &&
+      underUtc.getString(1) == "2021-03-14 02:10:00")
+    assert(underNy.getString(0) == underUtc.getString(0) &&
+      underNy.getString(1) == underUtc.getString(1),
+      s"projection must not depend on session tz: $underNy vs $underUtc")
+  }
 }
