@@ -7,17 +7,20 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: opaque binary payloads + typed metadata,
   * with decode / feature-extract / frame-sample stages.
   *
-  * The Spark-side plumbing (schema, batch shape, partitioning, the
-  * mapPartitions batch loop) is real and tested; the actual media
-  * decode is STUBBED with a deterministic fake (this container ships no
-  * image/audio codecs — see the builder brief). Swapping `fakeDecode`
-  * for a real codec (e.g. javacv/ffmpeg) changes nothing upstream or
+  * Since round 9 the image decode is REAL: `javax.imageio` (JDK-built-
+  * in PNG/JPEG/GIF/BMP readers) parses the payload into dimensions,
+  * format, and exact per-channel pixel sums — no external codec
+  * dependency. Payloads no JDK reader recognizes (video/audio
+  * containers, or the synthetic text-byte fixtures) fall back to the
+  * deterministic pseudo-metadata stub, now explicitly a documented
+  * FALLBACK rather than the primary path; swapping it for a
+  * javacv/ffmpeg container parse changes nothing upstream or
   * downstream of the stage boundary.
   *
   * Scale notes: binary payloads stay columnar in parquet; the decode
-  * stage is a mapPartitions pass (one batch per partition, no shuffle);
-  * metadata-only consumers never touch the payload column thanks to
-  * parquet column pruning.
+  * stage is a mapPartitions pass (one batch per partition, constant
+  * memory, no shuffle); metadata-only consumers never touch the
+  * payload column thanks to parquet column pruning.
   */
 object MultimodalOps {
 
@@ -28,8 +31,10 @@ object MultimodalOps {
     StructField("format", StringType),
     StructField("byte_len", LongType)))
 
-  /** STUB decode: deterministic pseudo-metadata derived from the
-    * payload bytes (stands in for an image/video header parse).
+  /** FALLBACK decode for payloads no JDK image reader recognizes
+    * (video/audio containers would need an external parser):
+    * deterministic pseudo-metadata derived from the payload bytes, so
+    * the pipeline stages stay exercisable end-to-end on any payload.
     */
   private[multimodal] def fakeDecode(payload: Array[Byte]): Row = {
     val h = java.util.Arrays.hashCode(payload)
@@ -40,9 +45,33 @@ object MultimodalOps {
     Row(width, height, frames, fmt, payload.length.toLong)
   }
 
+  /** REAL image decode: `ImageIO` header+raster parse. Returns
+    * (image, formatName) when a JDK reader claims the payload, None
+    * otherwise (fast: reader discovery probes a few magic bytes).
+    */
+  private[graft] def tryDecodeImage(
+      payload: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          Some((reader.read(0),
+            reader.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } catch { case _: Exception => None }
+        finally reader.dispose()
+      }
+    } finally iis.close()
+  }
+
   /** Decode stage: binary column → metadata struct, batched per
     * partition (the Scala analogue of a pandas-batch UDF: one iterator
-    * pass per partition, constant memory).
+    * pass per partition, constant memory). Real `ImageIO` decode
+    * first; [[fakeDecode]] fallback for unrecognized payloads.
     */
   def decodeMetadata(df: DataFrame, binCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -52,10 +81,94 @@ object MultimodalOps {
       it.map { row =>
         val payload = row.getAs[Array[Byte]](binCol)
         Row.fromSeq(row.toSeq :+
-          (if (payload == null) null else fakeDecode(payload)))
+          (if (payload == null) null
+           else tryDecodeImage(payload) match {
+             case Some((img, fmt)) =>
+               Row(img.getWidth, img.getHeight, 1, fmt, payload.length.toLong)
+             case None => fakeDecode(payload)
+           }))
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  val imageStatsSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("format", StringType),
+    StructField("byte_len", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** Full-raster decode stage: binary column → `image_stats` struct
+    * with EXACT per-channel pixel sums (integers — PNG is lossless, so
+    * a planted image's sums are exactly re-derivable from its
+    * generation formula; the oracle-checkable contract behind
+    * q_multimodal_decode). Unrecognized/null payloads yield a null
+    * struct. Same constant-memory mapPartitions shape as
+    * [[decodeMetadata]].
+    */
+  def decodeImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("image_stats", imageStatsSchema))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](binCol)
+        val stats =
+          if (payload == null) null
+          else tryDecodeImage(payload) match {
+            case Some((img, fmt)) =>
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Row(img.getWidth, img.getHeight, fmt, payload.length.toLong,
+                sr, sg, sb)
+            case None => null
+          }
+        Row.fromSeq(row.toSeq :+ stats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Deterministic planted PNG: a `w`×`h` RGB image whose pixel
+    * (x, y) channels are fixed affine functions of (`id`, x, y) mod
+    * 256, encoded through the JDK PNG writer. Because PNG is lossless,
+    * anything derived from a decode of these bytes (dimensions,
+    * channel sums) is exactly predictable from `id` alone — the
+    * fixture behind the oracle-checked decode entry and the
+    * planted-pixel spec.
+    */
+  def syntheticPng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
+        val g = math.floorMod(id * 17 + x * 3 + y * 5, 256).toInt
+        val b = math.floorMod(id * 29 + x * 11 + y * 2, 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Frame sampling stage: pick every `stride`-th frame index up to
