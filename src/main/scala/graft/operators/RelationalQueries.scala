@@ -215,6 +215,24 @@ object RelationalQueries extends QueryModule {
       Tables.events(s, d).select(col("event_type"), col("ts")),
       Seq("event_type"), "ts", Seq(0.5 -> "med_ts", 0.9 -> "p90_ts"))
 
+  /** DATE quantiles per order priority (median + p90 order date) —
+    * the kernel's `unix_date` branch (spec-covered since round 8, now
+    * oracle-checked too: the last kernel branch with no driver entry).
+    * Dates range-bucket through their day-number projection into the
+    * same 256-bin two-level prefix sum as numeric columns and return
+    * the exact inverse-CDF date, matching DuckDB's quantile_disc.
+    * "By when were half / 90% of this priority's orders placed" is
+    * the backlog-aging report shape.
+    */
+  private def dateQuantiles(s: SparkSession, d: String): DataFrame =
+    graft.Stats.exactPercentilesByKey(
+      // o_orderdate is stored as a timestamp; the DATE cast (same on
+      // the oracle side) exercises the kernel's DateType branch.
+      Tables.orders(s, d).select(col("o_orderpriority"),
+        col("o_orderdate").cast("date").as("o_orderdate")),
+      Seq("o_orderpriority"), "o_orderdate",
+      Seq(0.5 -> "med_date", 0.9 -> "p90_date"))
+
   /** MAD-based robust outlier report per return flag — the exact
     * median and median-absolute-deviation via [[graft.Stats]]'s
     * histogram kernel (no group buffering: Spark's `percentile` would
@@ -687,6 +705,11 @@ object RelationalQueries extends QueryModule {
         |  quantile_disc(ts, 0.5) AS med_ts,
         |  quantile_disc(ts, 0.9) AS p90_ts
         |FROM events GROUP BY 1""".stripMargin)),
+    QueryDef("q_date_quantiles", dateQuantiles, Some(
+      """SELECT o_orderpriority,
+        |  quantile_disc(CAST(o_orderdate AS DATE), 0.5) AS med_date,
+        |  quantile_disc(CAST(o_orderdate AS DATE), 0.9) AS p90_date
+        |FROM orders GROUP BY 1""".stripMargin)),
     QueryDef("q_profile_approx", profileColumnsApprox, None),
     QueryDef("q_profile_approx_sound", profileApproxSound, Some(
       """SELECT CAST(NULL AS VARCHAR) AS column_name,
