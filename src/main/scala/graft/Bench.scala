@@ -34,7 +34,7 @@ object Bench {
     val reps = math.max(1, sys.env.get("SPARK_GRAFT_BENCH_REPS")
       .flatMap(_.toIntOption).getOrElse(2))
     val results = headline.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         // noop write materializes every output row AND column; count()
         // would let the optimizer prune the computed columns and time a
@@ -43,7 +43,19 @@ object Bench {
         catch { case _: Throwable => () }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      val times = (1 to reps).map(_ => rep())
+      // Adaptive third rep (round-8 finding: sub-2 s entries moved
+      // 2-2.4x across rounds on UNTOUCHED code, making the per-entry
+      // regression diff unusable below ~2 s): when the default two
+      // reps DISAGREE by >1.5x on a fast entry, the min is likely
+      // still noise-inflated — one more rep tightens it. Bounded cost:
+      // only entries already under 2 s re-run, so the tail budget
+      // grows by at most ~2 s per noisy fast entry.
+      val stabilized =
+        if (times.size == 2 && times.min < 2.0 &&
+            times.max > 1.5 * times.min) times :+ rep()
+        else times
+      name -> stabilized.min
     }
     // The driver captures only the LAST 2000 chars of output, and sbt's
     // "[success] Total time ..." epilogue (~80 chars) lands after this
