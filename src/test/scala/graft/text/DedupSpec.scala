@@ -296,4 +296,37 @@ class DedupSpec extends AnyFunSuite {
       "embedding", k = 1, tau = 0.9, datasetKey = "semdedup-hotcell",
       maxCell = 64).count() == 0L)
   }
+
+  test("SemDeDup streams a 100k-vector hot cell in bounded time/memory") {
+    // The at-scale rehearsal of the cap (VERDICT r8 #6): the 5k case
+    // above pins the degrade SEMANTICS; this one proves the streaming
+    // kernel's BOUND where it matters — 100k vectors forced into ONE
+    // cell (k = 1) under maxCell = 256 must stream through the sorted
+    // partition with kernel state capped at 256 kept vectors (~32 KB
+    // at dim 16), i.e. finish promptly in this small test JVM instead
+    // of materializing the cell like the pre-r8 toArray kernel, whose
+    // memory would be 100k × dim with no cap. Vectors are built
+    // plan-side (no 100k driver-side arrays).
+    val n = 100000L
+    val cap = 256
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), j -> " +
+        "cast(pmod(id * 31 + j * 7, 1000) / 1000.0 + 0.5 as float))")
+        .as("embedding"))
+    val t0 = System.nanoTime()
+    val sum = graft.vector.SemDedup.summary(vecs, "vec_id", "embedding",
+        k = 1, tau = 0.95, datasetKey = "semdedup-100k", maxCell = cap)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(sum.map(_.getAs[Long]("n_vecs")).sum == n)
+    assert(sum.map(_.getAs[Long]("n_unexamined")).sum == n - cap,
+      "exactly the first maxCell ids are examined")
+    assert(sum.map(_.getAs[Long]("n_dropped")).sum <= cap,
+      "only examined rows may drop")
+    assert(sum.map(r => r.getAs[Long]("n_kept") +
+      r.getAs[Long]("n_dropped")).sum == n)
+    // Loose wall-clock sanity: the kernel is one shuffle + one sorted
+    // stream; minutes would mean the cell was buffered, not streamed.
+    assert(secs < 90.0, f"hot-cell stream took $secs%.1f s")
+  }
 }
