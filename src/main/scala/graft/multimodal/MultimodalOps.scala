@@ -143,6 +143,175 @@ object MultimodalOps {
     spark.createDataFrame(rdd, outSchema)
   }
 
+  val resizeStatsSchema: StructType = StructType(Seq(
+    StructField("src_w", IntegerType),
+    StructField("src_h", IntegerType),
+    StructField("resized_w", IntegerType),
+    StructField("resized_h", IntegerType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** Deterministic nearest-neighbor resample: output pixel (x, y)
+    * samples input (⌊(x+0.5)·sw/ow⌋, ⌊(y+0.5)·sh/oh⌋) — pixel-center
+    * mapping, the standard NN convention, chosen over Graphics2D
+    * interpolation because its result is EXACTLY re-derivable by an
+    * oracle from the source pixels (no implementation-defined
+    * rounding).
+    */
+  private[graft] def resampleNearest(img: java.awt.image.BufferedImage,
+      ow: Int, oh: Int): java.awt.image.BufferedImage = {
+    val out = new java.awt.image.BufferedImage(ow, oh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < oh) {
+      val sy = math.min(((y + 0.5) * img.getHeight / oh).toInt,
+        img.getHeight - 1)
+      var x = 0
+      while (x < ow) {
+        val sx = math.min(((x + 0.5) * img.getWidth / ow).toInt,
+          img.getWidth - 1)
+        out.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize stage: decode the payload, aspect-fit it into a
+    * `maxDim` box (same `scale = min(1, maxDim / max(w, h))`,
+    * ceil-rounded arithmetic as the metadata-only [[resize]] stage),
+    * resample the actual raster nearest-neighbor, and report the
+    * resized dimensions plus exact per-channel sums OF THE RESIZED
+    * pixels. Unrecognized/null payloads yield a null struct. This
+    * upgrades resize from metadata arithmetic to a real raster
+    * kernel; the deterministic NN convention keeps it oracle-checkable
+    * on planted images.
+    */
+  def resizeImage(df: DataFrame, binCol: String, maxDim: Int): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("resize_stats", resizeStatsSchema))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](binCol)
+        val stats =
+          if (payload == null) null
+          else tryDecodeImage(payload) match {
+            case Some((img, _)) =>
+              val scale = math.min(1.0,
+                maxDim.toDouble / math.max(img.getWidth, img.getHeight))
+              val ow = math.max(1, math.ceil(img.getWidth * scale).toInt)
+              val oh = math.max(1, math.ceil(img.getHeight * scale).toInt)
+              val res = resampleNearest(img, ow, oh)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < oh) {
+                var x = 0
+                while (x < ow) {
+                  val rgb = res.getRGB(x, y)
+                  sr += (rgb >> 16) & 0xff
+                  sg += (rgb >> 8) & 0xff
+                  sb += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              Row(img.getWidth, img.getHeight, ow, oh, sr, sg, sb)
+            case None => null
+          }
+        Row.fromSeq(row.toSeq :+ stats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("n_channels", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("bits", IntegerType),
+    StructField("n_samples", LongType),
+    StructField("sum_abs", LongType),
+    StructField("byte_len", LongType)))
+
+  /** REAL audio decode: `javax.sound.sampled.AudioSystem` (JDK
+    * built-in WAV/AIFF/AU readers) parses the payload's format header
+    * and PCM frames; the stats carry channel count, rate, bit depth,
+    * frame count, and the exact sum of absolute 16-bit sample values —
+    * PCM is lossless, so a planted waveform's sum is exactly
+    * re-derivable from its generation formula. Unrecognized/null
+    * payloads yield a null struct. Same constant-memory mapPartitions
+    * shape as the image stages.
+    */
+  def decodeAudioStats(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("audio_stats", audioStatsSchema))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](binCol)
+        val stats = if (payload == null) null else tryDecodeAudio(payload)
+        Row.fromSeq(row.toSeq :+ stats.orNull)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private[graft] def tryDecodeAudio(payload: Array[Byte]): Option[Row] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val frame = fmt.getFrameSize
+          val buf = ais.readAllBytes()
+          val bb = java.nio.ByteBuffer.wrap(buf).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          var sumAbs = 0L
+          var i = 0
+          while (i + 1 < buf.length) {
+            sumAbs += math.abs(bb.getShort(i).toLong)
+            i += 2
+          }
+          Some(Row(fmt.getChannels, fmt.getSampleRate.toInt,
+            fmt.getSampleSizeInBits, (buf.length / frame).toLong, sumAbs,
+            payload.length.toLong))
+        }
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Deterministic planted WAV: `n` frames of 16-bit mono PCM at 8 kHz
+    * whose sample `i` is `((id·7919 + i·31) mod 65536) − 32768`,
+    * encoded through the JDK WAVE writer — the audio analog of
+    * [[syntheticPng]]: anything derived from a decode (frame count,
+    * absolute-sample sum) is exactly predictable from `id`.
+    */
+  def syntheticWav(id: Long, n: Int): Array[Byte] = {
+    val pcm = new Array[Byte](n * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) {
+      bb.putShort(i * 2,
+        (math.floorMod(id * 7919 + i.toLong * 31, 65536) - 32768).toShort)
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic planted PNG: a `w`×`h` RGB image whose pixel
     * (x, y) channels are fixed affine functions of (`id`, x, y) mod
     * 256, encoded through the JDK PNG writer. Because PNG is lossless,

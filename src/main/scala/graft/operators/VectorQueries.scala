@@ -158,6 +158,47 @@ object VectorQueries extends QueryModule {
         col("image_stats.sum_b").as("sum_b"))
   }
 
+  /** REAL raster-resize entry: the planted 8×8 PNG decodes, aspect-
+    * fits into a 4-pixel box (scale ½), and resamples nearest-neighbor
+    * — output pixel (x, y) samples source (2x+1, 2y+1) under the
+    * pixel-center convention — so the resized per-channel sums are
+    * closed-form in doc_id and the oracle re-derives them without ever
+    * touching an image ([[MultimodalOps.resizeImage]]). Upgrades the
+    * resize stage from metadata arithmetic to an oracle-checked raster
+    * kernel.
+    */
+  private def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    val pngOf = udf((id: Long) => MultimodalOps.syntheticPng(id, 8, 8))
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
+    MultimodalOps.resizeImage(withPayload, "payload", maxDim = 4)
+      .select(col("doc_id"),
+        col("resize_stats.resized_w").as("resized_w"),
+        col("resize_stats.resized_h").as("resized_h"),
+        col("resize_stats.sum_r").as("sum_r"),
+        col("resize_stats.sum_g").as("sum_g"),
+        col("resize_stats.sum_b").as("sum_b"))
+  }
+
+  /** REAL audio-decode entry: a planted 2048-frame 16-bit mono WAV per
+    * doc goes through the JDK WAVE ENCODER and back through the
+    * `AudioSystem` DECODER ([[MultimodalOps.decodeAudioStats]]); PCM
+    * is lossless, so the absolute-sample sum is exactly re-derivable
+    * from the generation formula in pure integer arithmetic — the
+    * audio modality's analog of q_multimodal_decode.
+    */
+  private def multimodalAudio(s: SparkSession, d: String): DataFrame = {
+    val wavOf = udf((id: Long) => MultimodalOps.syntheticWav(id, 2048))
+    val withPayload = Tables.documents(s, d)
+      .select(col("doc_id"), wavOf(col("doc_id")).as("payload"))
+    MultimodalOps.decodeAudioStats(withPayload, "payload")
+      .select(col("doc_id"),
+        col("audio_stats.n_channels").as("n_channels"),
+        col("audio_stats.sample_rate").as("sample_rate"),
+        col("audio_stats.n_samples").as("n_samples"),
+        col("audio_stats.sum_abs").as("sum_abs"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs (τ=0.9). */
   private def cosineNearDups(s: SparkSession, d: String): DataFrame =
     VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
@@ -464,6 +505,25 @@ object VectorQueries extends QueryModule {
         |  CAST(list_sum(list_transform(range(64),
         |    i -> (doc_id * 29 + (i % 8) * 11 + (i // 8) * 2) % 256))
         |    AS BIGINT) AS sum_b
+        |FROM documents""".stripMargin)),
+    QueryDef("q_multimodal_resize", multimodalResize, Some(
+      """SELECT doc_id, 4 AS resized_w, 4 AS resized_h,
+        |  CAST(list_sum(list_transform(range(16), i ->
+        |    (doc_id * 31 + (2 * (i % 4) + 1) * 7 + (2 * (i // 4) + 1) * 13)
+        |      % 256)) AS BIGINT) AS sum_r,
+        |  CAST(list_sum(list_transform(range(16), i ->
+        |    (doc_id * 17 + (2 * (i % 4) + 1) * 3 + (2 * (i // 4) + 1) * 5)
+        |      % 256)) AS BIGINT) AS sum_g,
+        |  CAST(list_sum(list_transform(range(16), i ->
+        |    (doc_id * 29 + (2 * (i % 4) + 1) * 11 + (2 * (i // 4) + 1) * 2)
+        |      % 256)) AS BIGINT) AS sum_b
+        |FROM documents""".stripMargin)),
+    QueryDef("q_multimodal_audio", multimodalAudio, Some(
+      """SELECT doc_id, 1 AS n_channels, 8000 AS sample_rate,
+        |  CAST(2048 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(range(2048), i ->
+        |    abs((doc_id * 7919 + i * 31) % 65536 - 32768)))
+        |    AS BIGINT) AS sum_abs
         |FROM documents""".stripMargin)),
     QueryDef("q_multimodal_features", multimodalFeatures, None),
     QueryDef("q_multimodal_features_sound", multimodalFeaturesSound, Some(

@@ -88,6 +88,75 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stats.isNullAt(0))
   }
 
+  test("nearest-neighbor resample picks exactly the pixel-center samples") {
+    // 8x8 planted image halved to 4x4: output (x, y) must be source
+    // (2x+1, 2y+1) under the pixel-center convention — checked
+    // pixel-by-pixel against the generation formula.
+    val bytes = MultimodalOps.syntheticPng(5L, 8, 8)
+    val Some((img, _)) = MultimodalOps.tryDecodeImage(bytes)
+    val res = MultimodalOps.resampleNearest(img, 4, 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val rgb = res.getRGB(x, y)
+      val (sx, sy) = (2 * x + 1, 2 * y + 1)
+      assert(((rgb >> 16) & 0xff) ==
+        math.floorMod(5L * 31 + sx * 7 + sy * 13, 256), s"r at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) ==
+        math.floorMod(5L * 17 + sx * 3 + sy * 5, 256), s"g at ($x,$y)")
+      assert((rgb & 0xff) ==
+        math.floorMod(5L * 29 + sx * 11 + sy * 2, 256), s"b at ($x,$y)")
+    }
+    // Non-divisible shrink: 5x3 -> fit in 2 -> ceil(5*0.4)=2, ceil(3*0.4)=2
+    // stays within bounds (the min() clamp) and produces the target box.
+    val odd = MultimodalOps.resampleNearest(img, 3, 5)
+    assert(odd.getWidth == 3 && odd.getHeight == 5)
+  }
+
+  test("resizeImage reports the aspect-fit box and exact resized sums") {
+    import spark.implicits._
+    val pngOf = udf((id: Long) => MultimodalOps.syntheticPng(id, 8, 8))
+    val df = Seq(3L).toDF("id")
+      .select(col("id"), pngOf(col("id")).as("payload"))
+    val r = MultimodalOps.resizeImage(df, "payload", maxDim = 4)
+      .select(col("resize_stats.*")).collect().head
+    assert(r.getAs[Int]("src_w") == 8 && r.getAs[Int]("resized_w") == 4)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val (ssx, ssy) = (2 * x + 1, 2 * y + 1)
+      sr += math.floorMod(3L * 31 + ssx * 7 + ssy * 13, 256)
+      sg += math.floorMod(3L * 17 + ssx * 3 + ssy * 5, 256)
+      sb += math.floorMod(3L * 29 + ssx * 11 + ssy * 2, 256)
+    }
+    assert((r.getAs[Long]("sum_r"), r.getAs[Long]("sum_g"),
+      r.getAs[Long]("sum_b")) == ((sr, sg, sb)))
+  }
+
+  test("a planted WAV round-trips the JDK audio codec exactly") {
+    import spark.implicits._
+    // Tiny handcrafted check first: 4 known samples.
+    val bytes = MultimodalOps.syntheticWav(2L, 4)
+    val Some(row) = MultimodalOps.tryDecodeAudio(bytes)
+    assert(row.getInt(0) == 1 && row.getInt(1) == 8000 && row.getInt(2) == 16)
+    assert(row.getLong(3) == 4L)
+    val expected = (0 until 4).map(i =>
+      math.abs(math.floorMod(2L * 7919 + i * 31, 65536) - 32768)).sum
+    assert(row.getLong(4) == expected)
+    // And the stage end-to-end with a larger waveform.
+    val wavOf = udf((id: Long) => MultimodalOps.syntheticWav(id, 2048))
+    val df = Seq(77L).toDF("id")
+      .select(col("id"), wavOf(col("id")).as("payload"))
+    val got = MultimodalOps.decodeAudioStats(df, "payload")
+      .select(col("audio_stats.n_samples"), col("audio_stats.sum_abs"))
+      .collect().head
+    val exp2048 = (0 until 2048).map(i =>
+      math.abs(math.floorMod(77L * 7919 + i.toLong * 31, 65536) - 32768)).sum
+    assert(got.getLong(0) == 2048L && got.getLong(1) == exp2048)
+    // Non-audio payloads yield a null struct, not a crash.
+    val txt = Seq((1L, "not audio")).toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("payload"))
+    assert(MultimodalOps.decodeAudioStats(txt, "payload")
+      .select(col("audio_stats")).collect().head.isNullAt(0))
+  }
+
   test("a real PNG payload takes the REAL decode path in decodeMetadata") {
     import spark.implicits._
     val pngOf = udf((id: Long) => MultimodalOps.syntheticPng(id, 6, 3))
