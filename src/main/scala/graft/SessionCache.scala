@@ -108,6 +108,14 @@ object SessionCache {
       val full = s"${System.identityHashCode(spark)}|$key"
       entries.get(full) match {
         case Some(e) if e.session.get != null && (e.session.get eq spark) =>
+          if (e.group.isDefined) {
+            // True LRU within bounded groups: a hit refreshes recency
+            // (re-insert at the tail of the insertion-ordered map), so
+            // a hot span frame is never evicted by a one-off scan of a
+            // different input.
+            entries.remove(full)
+            entries(full) = e
+          }
           e.cell
         case stale =>
           stale.foreach(release) // identity-hash collision from a live session

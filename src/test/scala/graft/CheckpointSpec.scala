@@ -87,6 +87,28 @@ class CheckpointSpec extends AnyFunSuite {
     assert(local == reliable && local.size == 3)
   }
 
+  test("connected components converge identically under the reliable policy") {
+    import spark.implicits._
+    ensureCheckpointDir()
+    // The iterative pin-per-round kernel the DedupJobs scaladoc names
+    // as the reliable-checkpoint case on long cluster runs: a
+    // diameter-3 chain plus a disjoint pair must yield the same
+    // min-label components on both storage paths.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    // driverEdgeLimit = 0 forces the DISTRIBUTED iterative loop (the
+    // path that pins per round); the driver union-find shortcut never
+    // checkpoints.
+    def run() = graft.text.DedupJobs
+      .connectedComponents(edges, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val local = run()
+    val reliable = withReliable { run() }
+    assert(local == reliable)
+    assert(local == Set(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
   test("reliable pins write to the checkpoint directory") {
     import spark.implicits._
     ensureCheckpointDir()

@@ -96,13 +96,13 @@ class SessionCacheSpec extends AnyFunSuite {
     }
     get(1); get(2)
     assert(builds.get() == 2)
-    get(1) // warm — no rebuild, entry 1 still cached
+    get(1) // warm hit — no rebuild, AND refreshes key 1's recency
     assert(builds.get() == 2)
-    get(3) // cap 2: inserting key 3 evicts the OLDEST (key 1)
+    get(3) // cap 2: key 2 is now least-recently-used and evicts
     assert(builds.get() == 3)
-    get(2); get(3) // still warm
+    get(1); get(3) // still warm (1 was refreshed before the eviction)
     assert(builds.get() == 3)
-    get(1) // evicted above — rebuilds
+    get(2) // evicted above — rebuilds
     assert(builds.get() == 4)
     SessionCache.clear()
   }
