@@ -223,11 +223,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // ~ row count), so any single-key window over it would be the
     // exact funnel the two-level prefix sum exists to remove;
     // q_agg_stats_pack and q_budget_fill pin the discrete and
-    // weighted shapes; q_string_quantiles and q_timestamp_quantiles
-    // pin the prefix-bucketed string and epoch-bucketed temporal
-    // paths on the real entry plans.
+    // weighted shapes; q_string_quantiles, q_timestamp_quantiles and
+    // q_date_quantiles pin the prefix-bucketed string and
+    // epoch-bucketed temporal (unix_micros / unix_date) paths on the
+    // real entry plans.
     Seq("q_anomaly_mad", "q_agg_stats_pack", "q_budget_fill",
-        "q_string_quantiles", "q_timestamp_quantiles").foreach { name =>
+        "q_string_quantiles", "q_timestamp_quantiles",
+        "q_date_quantiles").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.optimizedPlan
       plan.collect { case w: LWindow => w }.foreach { w =>
