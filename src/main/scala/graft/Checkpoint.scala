@@ -59,7 +59,24 @@ object Checkpoint {
           "(a cluster-visible path) before the first pinned kernel runs; " +
           "reliable checkpoints are written there so executor loss is " +
           "recoverable")
-      df.checkpoint(eager)
+      if (eager) {
+        // Reliable checkpointing launches a SECOND job to write the
+        // files, which would recompute the whole subtree from lineage
+        // (the classic double-compute; Spark's own scaladoc advises
+        // persisting first). Caching through the pin makes the write
+        // job read blocks instead, and the cache is dropped as soon as
+        // the checkpoint files exist — the pin costs one compute +
+        // one cached re-read + one FS write, not two computes.
+        val cached =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cached.checkpoint(eager = true)
+        finally cached.unpersist(blocking = false)
+      } else
+        // Lazy: materialization happens at the caller's first action,
+        // so there is no safe point to drop a helper cache — accept
+        // the recompute on the write job (pins here are histogram- or
+        // gram-frame-sized, far below the fact table).
+        df.checkpoint(eager = false)
     } else df.localCheckpoint(eager)
   }
 

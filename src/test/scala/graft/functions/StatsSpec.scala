@@ -230,6 +230,30 @@ class StatsSpec extends AnyFunSuite {
       sortedVals(math.ceil(400 * 0.9).toInt - 1))
   }
 
+  test("100k URL-shaped values behind a 70-char shared prefix stay exact") {
+    // Scale rehearsal of the LCP fix: the r8 kernel capped the prefix
+    // scan at 64 chars, so this corpus — one key, every value sharing
+    // a 70-char URL prefix, near-row-sized histogram — collapsed into
+    // ONE bucket and ranked through a single task. With the exact LCP
+    // (71 here: the prefix plus the shared leading '0' of the padded
+    // ids) the digits right after it spread ~100 buckets. Values are
+    // built plan-side; zero-padding makes lexicographic = numeric
+    // order, so the expected quantiles are closed-form.
+    val pre = "https://catalog.example-warehouse.com/categories/industrials/" +
+      "products/" // 70 chars
+    assert(pre.length == 70)
+    val df = spark.range(100000).select(lit("k").as("k"),
+      concat(lit(pre), format_string("%06d", col("id"))).as("v"))
+    val t0 = System.nanoTime()
+    val out = graft.Stats.exactPercentilesByKey(df, Seq("k"), "v",
+        Seq(0.5 -> "med", 0.9 -> "p90"))
+      .collect().head
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out.getAs[String]("med") == pre + "049999") // rank ceil(n/2)-1
+    assert(out.getAs[String]("p90") == pre + "089999")
+    assert(secs < 60.0, f"shared-prefix ranking took $secs%.1f s")
+  }
+
   test("inverse-CDF rank survives upward fp error in n*p (ADVICE r8)") {
     import spark.implicits._
     // 100 * 0.07 = 7.000000000000001 in IEEE doubles: an unguarded
