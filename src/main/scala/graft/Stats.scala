@@ -65,11 +65,10 @@ object Stats {
     // aggregation (the pruned copies don't hit ReuseExchange). One
     // pin of the histogram (the kernel's working set,
     // |distinct (key, value)| rows — far below the fact table) makes
-    // the corpus scan happen ONCE. The pin is LAZY (eager = false):
-    // building the returned plan runs no job for string/other-typed
-    // columns; numeric/temporal columns run their min/max range probe
-    // at construction either way, and that probe doubles as the
-    // materializing action. Storage contract via [[Checkpoint.pin]]:
+    // the corpus scan happen ONCE. The pin is LAZY (eager = false)
+    // and the range probe lives in the plan, so building the returned
+    // plan runs NO job for any column type — materialization happens
+    // at the caller's first action. Storage contract via [[Checkpoint.pin]]:
     // local (unreplicated, executor-loss-fatal) by default, reliable
     // (replicated checkpoint dir, loss-survivable) under
     // `graft.checkpoint.reliable=true`. Weighted calls already receive
@@ -142,16 +141,23 @@ object Stats {
         .drop("__bkt")
     val cum = (if (rangeProj.isDefined) {
       val proj = rangeProj.get
-      val mm = hist.agg(min(proj), max(proj)).head()
-      val bucketed =
-        if (mm.isNullAt(0)) hist.withColumn("__bkt", lit(0))
-        else {
-          val mn = mm.getDouble(0)
-          val span = math.max(mm.getDouble(1) - mn, java.lang.Double.MIN_VALUE)
-          hist.withColumn("__bkt", least(
-            floor((proj - mn) / span * 256),
-            lit(255)).cast("int"))
-        }
+      // The global [min, max] range that anchors the 256 bins stays
+      // IN the plan — a broadcast 1-row aggregate cross-joined onto
+      // the histogram — instead of a driver-side `.head()` probe.
+      // That keeps kernel construction side-effect-free (no job until
+      // the caller's first action; the probe used to fire one job per
+      // kernel invocation — three inside madOutliers alone) and lets
+      // both sides read the pinned histogram in the same job. An
+      // all-null histogram yields a null __mn → every row takes
+      // bucket 0 (the old empty-probe branch).
+      val mm = broadcast(hist.agg(min(proj).as("__mn"), max(proj).as("__mx")))
+      val bucketed = hist.crossJoin(mm)
+        .withColumn("__bkt", when(col("__mn").isNull, lit(0)).otherwise(
+          least(floor((proj - col("__mn")) /
+            greatest(col("__mx") - col("__mn"),
+              lit(java.lang.Double.MIN_VALUE)) * 256),
+            lit(255)).cast("int")))
+        .drop("__mn", "__mx")
       prefixSum(bucketed)
     } else if (stringVal) {
       val withLcp = joinBackByKey(hist, keyCols,
