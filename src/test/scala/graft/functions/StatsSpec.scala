@@ -254,6 +254,54 @@ class StatsSpec extends AnyFunSuite {
     assert(secs < 60.0, f"shared-prefix ranking took $secs%.1f s")
   }
 
+  test("200 random multisets match naive references (numeric + string)") {
+    import spark.implicits._
+    // Property-style sweep in ONE kernel invocation: the kernel is
+    // per-key, so each random case rides as its own key and one Spark
+    // job checks all 200 (tie-heavy values from a small pool, random
+    // sizes 1-60, planted nulls). Numeric compares against naive
+    // linear interpolation in the same operation order (IEEE-exact);
+    // strings against the sorted inverse-CDF rank max(ceil(n*p)-1, 0).
+    val rnd = new scala.util.Random(1234)
+    val ps = Seq(0.0, 0.25, 0.5, 0.9, 1.0)
+    val data = (0 until 200).map { k =>
+      val n = 1 + rnd.nextInt(60)
+      val vals = Seq.fill(n)(rnd.nextInt(20).toDouble)
+      (s"k$k", vals)
+    }
+    val numRows = data.flatMap { case (k, vs) =>
+      vs.map(v => (k, Some(v))) :+ (k, Option.empty[Double])
+    }
+    val numOut = graft.Stats.exactPercentilesByKey(
+        numRows.toDF("k", "v"), Seq("k"), "v",
+        ps.zipWithIndex.map { case (p, i) => p -> s"q$i" })
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getAs[Double](s"q$i"))).toMap
+    data.foreach { case (k, vs) =>
+      val s = vs.sorted
+      val expect = ps.map { p =>
+        val r = (s.size - 1) * p
+        val (lo, hi) = (s(math.floor(r).toInt), s(math.ceil(r).toInt))
+        lo + (r - math.floor(r)) * (hi - lo)
+      }
+      assert(numOut(k) == expect, s"numeric $k: ${numOut(k)} vs $expect")
+    }
+    val strRows = data.flatMap { case (k, vs) =>
+      vs.map(v => (k, f"s${v.toInt}%02d"))
+    }
+    val strOut = graft.Stats.exactPercentilesByKey(
+        strRows.toDF("k", "v"), Seq("k"), "v",
+        ps.zipWithIndex.map { case (p, i) => p -> s"q$i" })
+      .collect().map(r => r.getString(0) ->
+        ps.indices.map(i => r.getAs[String](s"q$i"))).toMap
+    data.foreach { case (k, vs) =>
+      val s = vs.map(v => f"s${v.toInt}%02d").sorted
+      val expect = ps.map(p =>
+        s(math.max(math.ceil(s.size * p).toInt - 1, 0)))
+      assert(strOut(k) == expect, s"string $k: ${strOut(k)} vs $expect")
+    }
+  }
+
   test("inverse-CDF rank survives upward fp error in n*p (ADVICE r8)") {
     import spark.implicits._
     // 100 * 0.07 = 7.000000000000001 in IEEE doubles: an unguarded
