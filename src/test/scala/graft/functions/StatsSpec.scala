@@ -315,6 +315,47 @@ class StatsSpec extends AnyFunSuite {
     assert(out == "v06", s"rank ceil(7)-1=6 expected, got $out")
   }
 
+  test("instant (non-NTZ) timestamps rank through unix_micros bucketing") {
+    import spark.implicits._
+    // The TimestampType branch projects unix_micros directly (no
+    // session-zone cast involved: an instant's epoch is
+    // timezone-independent by definition). Entries exercise NTZ (the
+    // testdata convention), so this branch is spec-pinned here.
+    val times = (0 until 10).map(i => f"2024-05-01 0$i:30:00")
+    val df = times.toDF("s")
+      .select(lit("k").as("k"), expr("cast(s as timestamp)").as("v"))
+    val out = graft.Stats.exactPercentilesByKey(df, Seq("k"), "v",
+        Seq(0.5 -> "med", 0.0 -> "lo", 1.0 -> "hi"))
+      .select(expr("cast(med as string)"), expr("cast(lo as string)"),
+        expr("cast(hi as string)"))
+      .collect().head
+    assert(out.getString(0) == "2024-05-01 04:30:00") // rank ceil(5)-1 = 4
+    assert(out.getString(1) == "2024-05-01 00:30:00")
+    assert(out.getString(2) == "2024-05-01 09:30:00")
+  }
+
+  test("the kernel is ANSI-safe on every bucketing path") {
+    import spark.implicits._
+    // Spark 4 defaults ANSI on; a public library kernel must not rely
+    // on the permissive-mode sessions the oracle harness uses. Flip
+    // ANSI for the numeric, string (LCP + substr), and NTZ field-
+    // arithmetic paths and pin exact results.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val num = (0 until 101).map(v => ("k", v.toDouble)).toDF("k", "v")
+      assert(graft.Stats.exactPercentileByKey(num, Seq("k"), "v", 0.5, "q")
+        .collect().head.getAs[Double]("q") == 50.0)
+      val str = (0 until 101).map(v => ("k", f"xx$v%03d")).toDF("k", "v")
+      assert(graft.Stats.exactPercentileByKey(str, Seq("k"), "v", 0.5, "q")
+        .collect().head.getAs[String]("q") == "xx050")
+      val ntz = (0 until 10).map(i => f"2024-05-01 0$i:00:00").toDF("s")
+        .select(lit("k").as("k"), expr("cast(s as timestamp_ntz)").as("v"))
+      assert(graft.Stats.exactPercentileByKey(ntz, Seq("k"), "v", 0.5, "q")
+        .select(expr("cast(q as string)")).collect().head.getString(0) ==
+        "2024-05-01 04:00:00")
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("NTZ timestamps bucket timezone-independently (DST gap, ADVICE r8)") {
     import spark.implicits._
     // Wall-clock times inside America/New_York's 2021-03-14 02:00-03:00
