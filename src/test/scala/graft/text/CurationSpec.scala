@@ -530,6 +530,31 @@ class CurationSpec extends AnyFunSuite {
       rows(CurationOps.spanCut(charDocs, "doc_id", "text"))))
   }
 
+  test("span kernels are ANSI-safe (Spark 4 default mode)") {
+    import spark.implicits._
+    // The harness sessions run permissive mode for DuckDB parity, but
+    // Spark 4 defaults ANSI on — the substring/sequence arithmetic in
+    // the gram generators must not rely on permissive semantics. The
+    // short-doc guards (sequence bound < 1, null text) are the risk
+    // spots.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val docs = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog the quick brown"),
+        (1L, "tiny"), (2L, ""), (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val spans = CurationOps.dupSpans(docs, "doc_id", "text",
+          materialize = false).collect()
+      assert(spans.length == 4)
+      val chars = CurationOps.dupSpansChars(docs, "doc_id", "text", k = 10,
+          materialize = false).collect()
+      assert(chars.length == 4)
+      val cut = CurationOps.spanCut(docs, "doc_id", "text", k = 10,
+          materialize = false).collect()
+      assert(cut.length == 4)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("paragraphDedup keeps the global first occurrence and reassembles in order") {
     import spark.implicits._
     val docs = Seq(
