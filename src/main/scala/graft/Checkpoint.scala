@@ -44,6 +44,27 @@ object Checkpoint {
   def reliable(spark: SparkSession): Boolean =
     spark.conf.getOption(ReliableConf).exists(_.trim.equalsIgnoreCase("true"))
 
+  private val warnedFileCleanup = new java.util.concurrent.atomic.AtomicBoolean
+
+  /** Reliable pins are kernel-INTERNAL (one per percentile histogram,
+    * per CC round, …), so callers cannot delete their files; without
+    * the ContextCleaner option below, a long-lived session leaks one
+    * checkpoint-dir entry per pin until the filesystem quota ends the
+    * job. Warn loudly ONCE per JVM — the conf is read at context
+    * startup, so the library cannot flip it after the fact.
+    */
+  private def warnIfFilesLeak(spark: SparkSession): Unit =
+    if (!spark.sparkContext.getConf.getBoolean(
+        "spark.cleaner.referenceTracking.cleanCheckpoints", false) &&
+      warnedFileCleanup.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger("graft.Checkpoint").warn(
+        s"$ReliableConf=true without " +
+          "spark.cleaner.referenceTracking.cleanCheckpoints=true: " +
+          "kernel-internal checkpoint files are never deleted while the " +
+          "application runs — set the cleaner conf at session startup " +
+          "(files then delete when their pinned frames are GC'd) or " +
+          "point setCheckpointDir at a path with a TTL/cleanup policy")
+
   /** Materialize `df` under the session's checkpoint policy and return
     * the pinned frame (lineage truncated either way; see the object
     * doc for the storage contract). `eager = false` defers the
@@ -59,6 +80,7 @@ object Checkpoint {
           "(a cluster-visible path) before the first pinned kernel runs; " +
           "reliable checkpoints are written there so executor loss is " +
           "recoverable")
+      warnIfFilesLeak(spark)
       if (eager) {
         // Reliable checkpointing launches a SECOND job to write the
         // files, which would recompute the whole subtree from lineage

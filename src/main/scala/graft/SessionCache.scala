@@ -18,16 +18,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * frame bound to a dead session (the entry's weak ref is compared `eq`
   * to the caller's session, not by hash).
   *
-  * Persisted frames an entry pins are recorded so eviction can
+  * Persisted frames an entry pins are recorded so FORCED eviction can
   * release them when the owning session is still alive (identity
-  * collision replacement, [[clear]], or a bounded group's LRU cap) —
-  * when the session is already stopped its block manager is gone and
-  * dropping the reference suffices. Release handles BOTH storage
-  * shapes a builder can pin: CacheManager persists (`unpersist`) and
-  * checkpointed frames ([[Checkpoint.release]] drops the blocks
-  * behind the `LogicalRDD`; a plain `unpersist` cannot reach them, so
-  * before round 9 a long session accumulated span-frame checkpoint
-  * blocks no eviction could free).
+  * collision replacement and [[clear]] — paths where no caller can
+  * legitimately still hold the frame) — when the session is already
+  * stopped its block manager is gone and dropping the reference
+  * suffices. Release handles BOTH storage shapes a builder can pin:
+  * CacheManager persists (`unpersist`) and checkpointed frames
+  * ([[Checkpoint.release]] drops the blocks behind the `LogicalRDD`;
+  * a plain `unpersist` cannot reach them). Bounded-group LRU eviction
+  * ([[getOrBuildBounded]]) instead only DROPS the strong reference:
+  * in-flight readers may still hold the lineage-truncated frame, so
+  * its blocks are left for the ContextCleaner to reclaim on GC.
   *
   * Concurrency: the registry lock covers only map access; each entry
   * builds inside its own cell, so two sessions (or two keys) never
@@ -87,14 +89,19 @@ object SessionCache {
 
   /** [[getOrBuild]] with a per-(session, group) LRU cap: when inserting
     * a new key pushes the group past `maxPerGroup` live entries, the
-    * group's OLDEST entries are evicted and their pinned frames
-    * released. For builders whose pinned artifact is large relative to
-    * the corpus (the ~30×-text char-gram span frames), an unbounded
-    * cache turns a long session that scans many distinct inputs into a
-    * slow storage leak — the cap bounds the session's span-frame
-    * footprint at `maxPerGroup` inputs. Contract: an evicted entry's
-    * frame must no longer be referenced by an in-flight query (the
-    * cap is sized above any single report pipeline's working set).
+    * group's least-recently-used entries are DROPPED from the map —
+    * the strong reference goes away, so once no caller holds the frame
+    * either, the ContextCleaner reclaims its blocks on GC (the same
+    * mechanism that reclaims per-call pins falling out of scope).
+    * Eviction deliberately does NOT force-release: a report DataFrame
+    * handed to a caller may still read the pinned frame, whose lineage
+    * was truncated at pin time — unpersisting under it would fail that
+    * read instead of recomputing. For builders whose pinned artifact
+    * is large relative to the corpus (the ~30×-text char-gram span
+    * frames), an unbounded cache turned a long session that scans many
+    * distinct inputs into a storage leak eviction could never fix; the
+    * cap bounds the session's STRONGLY-HELD span-frame footprint at
+    * `maxPerGroup` inputs and lets GC do the rest.
     */
   def getOrBuildBounded[T](spark: SparkSession, key: String, group: String,
       maxPerGroup: Int)(build: => (T, Seq[DataFrame])): T =
@@ -124,10 +131,10 @@ object SessionCache {
               case (k, e) if e.group.contains(g) && e.session.get != null &&
                 (e.session.get eq spark) => k
             }.toSeq
-            // +1 for the entry about to be inserted
-            sameGroup.dropRight(math.max(maxPerGroup - 1, 0)).foreach { k =>
-              entries.remove(k).foreach(release)
-            }
+            // +1 for the entry about to be inserted; drop WITHOUT
+            // force-release (see the method doc: in-flight readers).
+            sameGroup.dropRight(math.max(maxPerGroup - 1, 0))
+              .foreach(entries.remove)
           }
           val c = new Cell(() => build)
           entries(full) = Entry(new WeakReference(spark), c, group)

@@ -45,28 +45,48 @@ object MultimodalOps {
     Row(width, height, frames, fmt, payload.length.toLong)
   }
 
-  /** REAL image decode: `ImageIO` header+raster parse. Returns
-    * (image, formatName) when a JDK reader claims the payload, None
-    * otherwise (fast: reader discovery probes a few magic bytes).
+  /** Payloads are in-memory byte arrays; without this, ImageIO's
+    * default use-cache wraps every read in a FileCacheImageInputStream
+    * — one executor-disk temp-file create/write/delete PER ROW.
     */
-  private[graft] def tryDecodeImage(
-      payload: Array[Byte]): Option[(java.awt.image.BufferedImage, String)] = {
-    val iis = javax.imageio.ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
+  /** REAL image decode: `ImageIO` header+raster parse. Returns
+    * (image, formatName, frameCount) when a JDK reader claims the
+    * payload, None otherwise — including on ANY decode-path failure
+    * (reader SPI throwing on malformed-but-claimed bytes, an
+    * environment without usable stream SPIs): the stage contract is
+    * deterministic fallback, never a task crash.
+    */
+  private[graft] def tryDecodeImage(payload: Array[Byte])
+      : Option[(java.awt.image.BufferedImage, String, Int)] =
     try {
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val reader = readers.next()
-        try {
-          reader.setInput(iis)
-          Some((reader.read(0),
-            reader.getFormatName.toLowerCase(java.util.Locale.ROOT)))
-        } catch { case _: Exception => None }
-        finally reader.dispose()
-      }
-    } finally iis.close()
-  }
+      imageIoNoDiskCache
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      if (iis == null) None
+      else try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            // allowSearch is cheap here — the stream is in-memory —
+            // and multi-frame formats (GIF) report their real count;
+            // -1 (reader cannot tell) floors to 1.
+            val frames =
+              try math.max(reader.getNumImages(true), 1)
+              catch { case _: Exception => 1 }
+            Some((reader.read(0),
+              reader.getFormatName.toLowerCase(java.util.Locale.ROOT),
+              frames))
+          } catch { case _: Exception => None }
+          finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Decode stage: binary column → metadata struct, batched per
     * partition (the Scala analogue of a pandas-batch UDF: one iterator
@@ -83,13 +103,34 @@ object MultimodalOps {
         Row.fromSeq(row.toSeq :+
           (if (payload == null) null
            else tryDecodeImage(payload) match {
-             case Some((img, fmt)) =>
-               Row(img.getWidth, img.getHeight, 1, fmt, payload.length.toLong)
+             case Some((img, fmt, frames)) =>
+               Row(img.getWidth, img.getHeight, frames, fmt,
+                 payload.length.toLong)
              case None => fakeDecode(payload)
            }))
       }
     }
     spark.createDataFrame(rdd, outSchema)
+  }
+
+  /** Exact per-channel sums over a raster — the shared summation both
+    * [[decodeImageStats]] and [[resizeImage]] report (one definition,
+    * so the two entries' oracles can never diverge on it).
+    */
+  private def channelSums(
+      img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val rgbs = img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0,
+      img.getWidth)
+    var i = 0
+    while (i < rgbs.length) {
+      val rgb = rgbs(i)
+      sr += (rgb >> 16) & 0xff
+      sg += (rgb >> 8) & 0xff
+      sb += rgb & 0xff
+      i += 1
+    }
+    (sr, sg, sb)
   }
 
   val imageStatsSchema: StructType = StructType(Seq(
@@ -119,20 +160,8 @@ object MultimodalOps {
         val stats =
           if (payload == null) null
           else tryDecodeImage(payload) match {
-            case Some((img, fmt)) =>
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < img.getHeight) {
-                var x = 0
-                while (x < img.getWidth) {
-                  val rgb = img.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff
-                  sg += (rgb >> 8) & 0xff
-                  sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+            case Some((img, fmt, _)) =>
+              val (sr, sg, sb) = channelSums(img)
               Row(img.getWidth, img.getHeight, fmt, payload.length.toLong,
                 sr, sg, sb)
             case None => null
@@ -199,25 +228,12 @@ object MultimodalOps {
         val stats =
           if (payload == null) null
           else tryDecodeImage(payload) match {
-            case Some((img, _)) =>
+            case Some((img, _, _)) =>
               val scale = math.min(1.0,
                 maxDim.toDouble / math.max(img.getWidth, img.getHeight))
               val ow = math.max(1, math.ceil(img.getWidth * scale).toInt)
               val oh = math.max(1, math.ceil(img.getHeight * scale).toInt)
-              val res = resampleNearest(img, ow, oh)
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < oh) {
-                var x = 0
-                while (x < ow) {
-                  val rgb = res.getRGB(x, y)
-                  sr += (rgb >> 16) & 0xff
-                  sg += (rgb >> 8) & 0xff
-                  sb += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val (sr, sg, sb) = channelSums(resampleNearest(img, ow, oh))
               Row(img.getWidth, img.getHeight, ow, oh, sr, sg, sb)
             case None => null
           }
@@ -251,13 +267,20 @@ object MultimodalOps {
     val rdd = df.rdd.mapPartitions { it =>
       it.map { row =>
         val payload = row.getAs[Array[Byte]](binCol)
-        val stats = if (payload == null) null else tryDecodeAudio(payload)
+        val stats =
+          if (payload == null) None else tryDecodeAudio(payload)
         Row.fromSeq(row.toSeq :+ stats.orNull)
       }
     }
     spark.createDataFrame(rdd, outSchema)
   }
 
+  /** None on ANY decode failure — not just the typed
+    * unsupported-format signal: a corrupt payload that passes the
+    * RIFF magic check can drive the JDK parser into runtime
+    * exceptions, and the stage contract (like the image path's) is a
+    * null struct, never a task crash.
+    */
   private[graft] def tryDecodeAudio(payload: Array[Byte]): Option[Row] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -266,7 +289,11 @@ object MultimodalOps {
         val fmt = ais.getFormat
         if (fmt.getSampleSizeInBits != 16) None
         else {
-          val frame = fmt.getFrameSize
+          // getFrameSize may be NOT_SPECIFIED (-1) on exotic headers;
+          // 16-bit PCM frames are channels x 2 bytes by definition.
+          val frame =
+            if (fmt.getFrameSize > 0) fmt.getFrameSize
+            else math.max(fmt.getChannels, 1) * 2
           val buf = ais.readAllBytes()
           val bb = java.nio.ByteBuffer.wrap(buf).order(
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
@@ -282,10 +309,7 @@ object MultimodalOps {
             payload.length.toLong))
         }
       } finally ais.close()
-    } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException => None
-      case _: java.io.IOException => None
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Deterministic planted WAV: `n` frames of 16-bit mono PCM at 8 kHz
     * whose sample `i` is `((id·7919 + i·31) mod 65536) − 32768`,

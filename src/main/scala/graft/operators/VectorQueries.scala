@@ -144,11 +144,18 @@ object VectorQueries extends QueryModule {
     * This graduates the multimodal surface from rows-only plumbing
     * audits to an oracle-green decode.
     */
-  private def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+  /** Planted 8×8 PNG payload per doc — shared by the decode and
+    * resize entries (one UDF definition; the two oracles assume the
+    * identical generation formula).
+    */
+  private def plantedPngPayloads(s: SparkSession, d: String): DataFrame = {
     val pngOf = udf((id: Long) => MultimodalOps.syntheticPng(id, 8, 8))
-    val withPayload = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
-    MultimodalOps.decodeImageStats(withPayload, "payload")
+  }
+
+  private def multimodalDecode(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.decodeImageStats(plantedPngPayloads(s, d), "payload")
       .select(col("doc_id"),
         col("image_stats.width").as("width"),
         col("image_stats.height").as("height"),
@@ -156,7 +163,6 @@ object VectorQueries extends QueryModule {
         col("image_stats.sum_r").as("sum_r"),
         col("image_stats.sum_g").as("sum_g"),
         col("image_stats.sum_b").as("sum_b"))
-  }
 
   /** REAL raster-resize entry: the planted 8×8 PNG decodes, aspect-
     * fits into a 4-pixel box (scale ½), and resamples nearest-neighbor
@@ -167,18 +173,14 @@ object VectorQueries extends QueryModule {
     * resize stage from metadata arithmetic to an oracle-checked raster
     * kernel.
     */
-  private def multimodalResize(s: SparkSession, d: String): DataFrame = {
-    val pngOf = udf((id: Long) => MultimodalOps.syntheticPng(id, 8, 8))
-    val withPayload = Tables.documents(s, d)
-      .select(col("doc_id"), pngOf(col("doc_id")).as("payload"))
-    MultimodalOps.resizeImage(withPayload, "payload", maxDim = 4)
+  private def multimodalResize(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.resizeImage(plantedPngPayloads(s, d), "payload", maxDim = 4)
       .select(col("doc_id"),
         col("resize_stats.resized_w").as("resized_w"),
         col("resize_stats.resized_h").as("resized_h"),
         col("resize_stats.sum_r").as("sum_r"),
         col("resize_stats.sum_g").as("sum_g"),
         col("resize_stats.sum_b").as("sum_b"))
-  }
 
   /** REAL audio-decode entry: a planted 2048-frame 16-bit mono WAV per
     * doc goes through the JDK WAVE ENCODER and back through the

@@ -30,8 +30,8 @@ class MultimodalSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "png", out)
     val bytes = out.toByteArray
 
-    val Some((decoded, fmt)) = MultimodalOps.tryDecodeImage(bytes)
-    assert(fmt == "png")
+    val Some((decoded, fmt, frames)) = MultimodalOps.tryDecodeImage(bytes)
+    assert(fmt == "png" && frames == 1)
     assert(decoded.getWidth == 4 && decoded.getHeight == 4)
     for (y <- 0 until 4; x <- 0 until 4) {
       val rgb = decoded.getRGB(x, y)
@@ -93,7 +93,7 @@ class MultimodalSpec extends AnyFunSuite {
     // (2x+1, 2y+1) under the pixel-center convention — checked
     // pixel-by-pixel against the generation formula.
     val bytes = MultimodalOps.syntheticPng(5L, 8, 8)
-    val Some((img, _)) = MultimodalOps.tryDecodeImage(bytes)
+    val Some((img, _, _)) = MultimodalOps.tryDecodeImage(bytes)
     val res = MultimodalOps.resampleNearest(img, 4, 4)
     for (y <- 0 until 4; x <- 0 until 4) {
       val rgb = res.getRGB(x, y)
@@ -150,11 +150,20 @@ class MultimodalSpec extends AnyFunSuite {
     val exp2048 = (0 until 2048).map(i =>
       math.abs(math.floorMod(77L * 7919 + i.toLong * 31, 65536) - 32768)).sum
     assert(got.getLong(0) == 2048L && got.getLong(1) == exp2048)
-    // Non-audio payloads yield a null struct, not a crash.
-    val txt = Seq((1L, "not audio")).toDF("id", "t")
+    // Non-audio AND null payloads yield a null struct, not a crash
+    // (the null case NPE'd in the first round-9 cut: a null Option
+    // reference, not a None, reached .orNull).
+    val txt = Seq((1L, Some("not audio")), (2L, Option.empty[String]))
+      .toDF("id", "t")
       .select(col("id"), encode(col("t"), "UTF-8").as("payload"))
-    assert(MultimodalOps.decodeAudioStats(txt, "payload")
-      .select(col("audio_stats")).collect().head.isNullAt(0))
+    val structs = MultimodalOps.decodeAudioStats(txt, "payload")
+      .select(col("audio_stats")).collect()
+    assert(structs.forall(_.isNullAt(0)))
+    // Corrupt RIFF that passes the magic probe must degrade to null
+    // too (the JDK parser throws runtime exceptions, not just the
+    // typed unsupported-format signal).
+    val corrupt = MultimodalOps.syntheticWav(1L, 16).take(30)
+    assert(MultimodalOps.tryDecodeAudio(corrupt).isEmpty)
   }
 
   test("a real PNG payload takes the REAL decode path in decodeMetadata") {
