@@ -322,6 +322,51 @@ object EventQueries extends QueryModule {
       (out, Seq(out))
     }
 
+  /** Keyed state through Spark 4's arbitrary-state v2 API
+    * (`transformWithState` + `StatefulProcessor` + typed `ValueState`,
+    * RocksDB-backed by requirement): the same batch-split-invariant
+    * milestone-crossing semantics as [[streamStateful]] but at
+    * multiples of 7 and on the FORWARD state surface — explicit named
+    * state handles with per-state TTL config and timer support,
+    * the API Spark positions to replace `flatMapGroupsWithState`
+    * (which q_stream_stateful keeps covering). Same hash gate: the
+    * emission set equals the batch derivation regardless of
+    * micro-batching, so DuckDB unnests each user's milestone list.
+    */
+  private def streamTws(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamtws|$d") {
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      import s.implicits._
+      val rawSchema = Tables.table(s, d, "events").schema
+      val name = "stream_tws_" + java.lang.Integer.toHexString(d.hashCode)
+      val src = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val keyed = src.select(col("user_id").cast("long").as("uid"))
+        .filter(col("uid").isNotNull)
+        .as[Long].groupByKey(identity)
+      val emissions = keyed.transformWithState(
+        new graft.streaming.MilestoneProcessor(7L),
+        TimeMode.None(), OutputMode.Append()
+      ).toDF("user_id", "milestone")
+      // transformWithState REQUIRES the RocksDB state store provider;
+      // scope it to this query (the conf is read at query start, and
+      // the other streaming entries keep the default provider).
+      val provKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(provKey)
+      s.conf.set(provKey, "org.apache.spark.sql.execution.streaming." +
+        "state.RocksDBStateStoreProvider")
+      val out =
+        try graft.streaming.BoundedStream
+          .runToTable(s, emissions, name, outputMode = "append")
+          .persist()
+        finally prev match {
+          case Some(p) => s.conf.set(provKey, p)
+          case None => s.conf.unset(provKey)
+        }
+      out.count()
+      (out, Seq(out))
+    }
+
   private def streamWindow(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
       import org.apache.spark.sql.streaming.Trigger
@@ -414,6 +459,13 @@ object EventQueries extends QueryModule {
         |SELECT user_id,
         |  unnest(list_transform(range(1, n // 5 + 1),
         |    k -> k * 5)) AS milestone
+        |FROM c""".stripMargin)),
+    QueryDef("q_stream_tws", streamTws, Some(
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1)
+        |SELECT user_id,
+        |  unnest(list_transform(range(1, n // 7 + 1),
+        |    k -> k * 7)) AS milestone
         |FROM c""".stripMargin)),
     QueryDef("q_stream_window", streamWindow, Some(
       """SELECT date_trunc('day', ts) AS window_start, event_type,
