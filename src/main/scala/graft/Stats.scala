@@ -141,22 +141,37 @@ object Stats {
         .drop("__bkt")
     val cum = (if (rangeProj.isDefined) {
       val proj = rangeProj.get
-      // The global [min, max] range that anchors the 256 bins stays
-      // IN the plan — a broadcast 1-row aggregate cross-joined onto
-      // the histogram — instead of a driver-side `.head()` probe.
-      // That keeps kernel construction side-effect-free (no job until
-      // the caller's first action; the probe used to fire one job per
-      // kernel invocation — three inside madOutliers alone) and lets
-      // both sides read the pinned histogram in the same job. An
-      // all-null histogram yields a null __mn → every row takes
-      // bucket 0 (the old empty-probe branch).
-      val mm = broadcast(hist.agg(min(proj).as("__mn"), max(proj).as("__mx")))
-      val bucketed = hist.crossJoin(mm)
-        .withColumn("__bkt", when(col("__mn").isNull, lit(0)).otherwise(
-          least(floor((proj - col("__mn")) /
-            greatest(col("__mx") - col("__mn"),
-              lit(java.lang.Double.MIN_VALUE)) * 256),
-            lit(255)).cast("int")))
+      // The [min, max] anchors for the 256 bins are PER KEY and stay
+      // IN the plan (a tiny per-key aggregate broadcast back, exactly
+      // like the string path's LCP frame) — two round-9 fixes in one:
+      //  - a driver-side `.head()` probe used to fire one job per
+      //    kernel invocation at construction time (three inside
+      //    madOutliers alone); in-plan, construction is side-effect-
+      //    free and the probe shares the pinned histogram's job;
+      //  - a GLOBAL range collapsed any key whose values occupy a
+      //    narrow slice of another key's range into one bucket — the
+      //    single-task window funnel the bucketing exists to prevent
+      //    (key A in [0, 1] next to key B in [0, 1e9] put every A row
+      //    in bucket 0). Per-key anchors spread every key across its
+      //    own 256 bins; the prefix sum partitions by key, so per-key
+      //    bucketing is exactly as order-correct as global.
+      // NaN (float/double inputs only) is excluded from the anchors
+      // and pinned to top slot 256 — matching its sorts-after-
+      // everything semantics on both engines — so a single NaN cannot
+      // poison the bin arithmetic into a one-bucket histogram. A key
+      // with no non-NaN values has null __mn; its rows all take the
+      // NaN or empty branch (one bucket, trivially consistent).
+      val cleanProj = when(isnan(proj), lit(null)).otherwise(proj)
+      val bounds = hist.groupBy(keys: _*)
+        .agg(min(cleanProj).as("__mn"), max(cleanProj).as("__mx"))
+      val bucketed = joinBackByKey(hist, keyCols, bounds, "inner")
+        .withColumn("__bkt",
+          when(isnan(proj), lit(256))
+            .when(col("__mn").isNull, lit(0))
+            .otherwise(least(floor((proj - col("__mn")) /
+              greatest(col("__mx") - col("__mn"),
+                lit(java.lang.Double.MIN_VALUE)) * 256),
+              lit(255)).cast("int")))
         .drop("__mn", "__mx")
       prefixSum(bucketed)
     } else if (stringVal) {

@@ -551,7 +551,9 @@ object CurationQueries extends QueryModule {
         |  CAST(len(regexp_extract_all(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', 0))
         |    AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT)
+        |  CAST(len(regexp_extract_all(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |    'g'), '[0-9]+', 0)) AS BIGINT)
         |    AS n_numbers,
         |  md5(regexp_replace(regexp_replace(text,
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
@@ -599,7 +601,7 @@ object CurationQueries extends QueryModule {
     QueryDef("q_pack_sequences", (s, d) => packSequences(s, d), Some(
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |  FROM documents),
+         |  FROM documents WHERE text IS NOT NULL),
          |b AS (
          |  SELECT lang, n_tokens,
          |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang

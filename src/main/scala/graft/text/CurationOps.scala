@@ -26,6 +26,14 @@ object CurationOps {
   private def idHash4(idCol: String): Column =
     substring(md5(col(idCol).cast("string")), 1, 4)
 
+  /** The ≈90/5/5 split label from the 4-hex-digit id hash — ONE
+    * definition finishing the [[idHash4]] hoist's stated purpose:
+    * trainManifest's manifest splits and splitAssign's reported split
+    * counts can never disagree on the thresholds.
+    */
+  private def splitOf(h: Column): Column =
+    when(h < "e666", "train").when(h < "f333", "val").otherwise("test")
+
   /** Gopher-style repetition metrics per document (Rae et al. 2021,
     * "Scaling Language Models", Table A1 — adapted to word n-grams):
     * the fraction of n-gram occurrences taken by the single most
@@ -59,8 +67,14 @@ object CurationOps {
       sum(col("cnt")).as("n_grams"),
       max(col("cnt")).as("top_cnt"),
       sum(when(col("cnt") > 1, col("cnt")).otherwise(0L)).as("dup_cnt"))
+    // Null-safe spine join (<=>): a null-id doc's grams aggregate
+    // under the null key, and a plain equi-join would hand that doc
+    // zero-filled metrics — a boilerplate-stuffed null-id doc would
+    // pass the gate unexamined (the twoLevelRank null-key lesson).
     docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
+      .join(perDoc.withColumnRenamed(idCol, "__rid"),
+        col(idCol) <=> col("__rid"), "left")
+      .drop("__rid")
       .na.fill(0L, Seq("n_grams", "top_cnt", "dup_cnt"))
       .select(col(idCol), col("n_grams"),
         round(when(col("n_grams") > 0,
@@ -238,10 +252,8 @@ object CurationOps {
       .filter(col("__ntok") >= minTokens)
       .withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
     val canon = kept.groupBy("__fp").agg(min(col(idCol)).as(idCol))
-    val h = idHash4(idCol)
     val split = canon.select(col(idCol),
-      when(h < "e666", "train").when(h < "f333", "val")
-        .otherwise("test").as("split"))
+      splitOf(idHash4(idCol)).as("split"))
     val train = split.filter(col("split") === "train")
       .withColumn("__key", md5(concat_ws("|", lit(0), col(idCol))))
       .withColumn("__bkt", substring(col("__key"), 1, 2))
@@ -411,6 +423,20 @@ object CurationOps {
     spanReport(pinned, totals, idCol)
   }
 
+  /** The duplicated-position sliver both span reports consume — rows
+    * of `grams` whose 128-bit gram key occurs ≥ 2 times anywhere in
+    * the corpus (one definition, so [[spanReport]] and [[spanCut]] can
+    * never disagree on WHICH positions count as duplicated; the
+    * `groupBy` occurrence count partial-aggregates hot grams map-side,
+    * see [[dupSpans]]).
+    */
+  private def dupPositions(grams: DataFrame): DataFrame = {
+    val occ = grams.groupBy("__h1", "__h2")
+      .agg(count(lit(1)).as("__occ"))
+      .filter(col("__occ") >= 2)
+    grams.join(occ, Seq("__h1", "__h2"))
+  }
+
   /** Shared island-merge kernel behind [[dupSpans]] and
     * [[dupSpansChars]]: from a positional frame of 128-bit gram keys,
     * count global occurrences (`groupBy` — partial aggregation absorbs
@@ -435,19 +461,19 @@ object CurationOps {
     // zero checkpoint storage. The recompute path is output-identical —
     // proven (not just offered) by CurationSpec's planted-fixture
     // equality cases and TextScaleSpec's 20k-doc hot-gram rehearsal.
-    val occ = grams.groupBy("__h1", "__h2")
-      .agg(count(lit(1)).as("__occ"))
-      .filter(col("__occ") >= 2)
-    val dup = grams
-      .join(occ, Seq("__h1", "__h2"))
+    val dup = dupPositions(grams)
       .withColumn("__grp", col("pos") -
         row_number().over(Window.partitionBy(col(idCol)).orderBy("pos")))
     val runs = dup.groupBy(col(idCol), col("__grp"))
       .agg(count(lit(1)).as("__run"))
     val stats = runs.groupBy(idCol)
       .agg(sum("__run").as("__n_dup"), max("__run").as("__max_run"))
+    // Null-safe spine join: a null-id doc's runs aggregate under the
+    // null key and a plain equi-join would report n_dup = 0 for it.
     totals
-      .join(stats, Seq(idCol), "left")
+      .join(stats.withColumnRenamed(idCol, "__rid"),
+        col(idCol) <=> col("__rid"), "left")
+      .drop("__rid")
       .select(col(idCol), col("n_grams"),
         coalesce(col("__n_dup"), lit(0L)).as("n_dup"),
         coalesce(col("__max_run"), lit(0L)).as("max_run"),
@@ -558,11 +584,8 @@ object CurationOps {
     val grams =
       if (materialize) charGramsMaterialized(docs, idCol, textCol, k)
       else charGrams(docs, idCol, textCol, k)
-    val occ = grams.groupBy("__h1", "__h2")
-      .agg(count(lit(1)).as("__occ"))
-      .filter(col("__occ") >= 2)
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val islands = grams.join(occ, Seq("__h1", "__h2"))
+    val islands = dupPositions(grams)
       .withColumn("__gap",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1)
           .otherwise(0))
@@ -577,7 +600,10 @@ object CurationOps {
     docs
       .select(col(idCol),
         coalesce(length(col(textCol)), lit(0)).cast("long").as("n_chars"))
-      .join(stats, Seq(idCol), "left")
+      // null-safe like spanReport's spine join
+      .join(stats.withColumnRenamed(idCol, "__rid"),
+        col(idCol) <=> col("__rid"), "left")
+      .drop("__rid")
       .select(col(idCol), col("n_chars"),
         coalesce(col("__covered"), lit(0L)).as("covered_chars"),
         coalesce(col("__n_islands"), lit(0L)).as("n_islands"),
@@ -635,14 +661,20 @@ object CurationOps {
   /** PII/number scrub — the redaction pass before training: per-doc
     * match counts plus the fingerprint of the redacted text (emails →
     * <EMAIL> first, then digit runs → <NUM>). Pure map-side codegen'd
-    * regex work; no shuffle at any scale.
+    * regex work; no shuffle at any scale. `n_numbers` counts on the
+    * EMAIL-REDACTED intermediate, so every counted digit run is one
+    * the <NUM> pass actually replaces — digits inside an email vanish
+    * with the email, and counting them would make the count disagree
+    * with the redaction the fingerprint reflects.
     */
-  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def scrub(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), emailPattern, "<EMAIL>")
     docs.select(col(idCol),
       regexp_count(col(textCol), lit(emailPattern)).cast("long").as("n_emails"),
-      regexp_count(col(textCol), lit(numberPattern)).cast("long").as("n_numbers"),
-      md5(regexp_replace(regexp_replace(col(textCol), emailPattern, "<EMAIL>"),
-        numberPattern, "<NUM>")).as("redacted_fp"))
+      regexp_count(deEmailed, lit(numberPattern)).cast("long").as("n_numbers"),
+      md5(regexp_replace(deEmailed, numberPattern, "<NUM>"))
+        .as("redacted_fp"))
+  }
 
   /** Deterministic train/val/test assignment — the split step of a
     * training pipeline as a pure map-side hash-range rule (≈ 90/5/5 by
@@ -653,10 +685,7 @@ object CurationOps {
     */
   def splitAssign(docs: DataFrame, idCol: String,
       byCol: String): DataFrame = {
-    val h = idHash4(idCol)
-    docs.select(col(byCol),
-        when(h < "e666", "train").when(h < "f333", "val")
-          .otherwise("test").as("split"))
+    docs.select(col(byCol), splitOf(idHash4(idCol)).as("split"))
       .groupBy(byCol, "split").agg(count(lit(1)).as("n_docs"))
   }
 
@@ -678,38 +707,52 @@ object CurationOps {
   /** Monotone id → `__bkt` coarsening shared by [[packSequences]] and
     * [[budgetFill]] (Ranking contract: all rows of a lesser bucket
     * sort before all rows of a greater one). Numeric ids map to 256
-    * equi-width range bins (one bounded 1-row min/max agg); string ids
-    * to their 2-char prefix. Every step of the numeric map — subtract
-    * constant, divide by positive constant, floor, clamp — is monotone
-    * under IEEE, so bucket order is exact. `level`, when present, is a
-    * small-int LEADING order key (e.g. a quality band) composed in
-    * front of the id bin so bucket order follows (level, id).
+    * equi-width range bins anchored by an IN-PLAN broadcast 1-row
+    * min/max aggregate (the Stats rewrite: no driver-side probe job at
+    * plan-construction time); string ids to their 2-char prefix. Every
+    * step of the numeric map — subtract, divide by positive, floor,
+    * clamp — is monotone under IEEE, so bucket order is exact.
+    * `level`, when present, is a small-int LEADING order key (e.g. a
+    * quality band) composed in front of the id bin so bucket order
+    * follows (level, id). A NULL id sorts FIRST within its level on
+    * both paths (slot 0 numeric / empty-prefix string — matching the
+    * nulls-first order the ranking window uses for the id tie-break);
+    * before round 9 it produced a NULL bucket that sorted ahead of
+    * EVERY level, letting a worst-level null-id doc jump the
+    * quality-descending fill.
     */
   private def idRangeBucket(base: DataFrame, idCol: String,
       numericId: Boolean, level: Option[Column] = None): DataFrame =
     if (!numericId) {
-      val pfx = substring(col(idCol).cast("string"), 1, 2)
+      val pfx = coalesce(substring(col(idCol).cast("string"), 1, 2),
+        lit(""))
       base.withColumn("__bkt",
         level.map(l => concat(l.cast("string"), pfx)).getOrElse(pfx))
     } else {
-      val mm = base.agg(min(col(idCol)).cast("double"),
-        max(col(idCol)).cast("double")).head()
-      if (mm.isNullAt(0))
-        base.withColumn("__bkt", level.map(_ * 256).getOrElse(lit(0)))
-      else {
-        val mn = mm.getDouble(0)
-        val span = math.max(mm.getDouble(1) - mn, 1.0)
-        val bin = least(
-          floor((col(idCol).cast("double") - mn) / span * 256),
-          lit(255)).cast("int")
-        base.withColumn("__bkt", level.map(_ * 256 + bin).getOrElse(bin))
-      }
+      val mm = broadcast(base.agg(
+        min(col(idCol)).cast("double").as("__idmn"),
+        max(col(idCol)).cast("double").as("__idmx")))
+      // 257 slots per level: slot 0 = null id, slots 1..256 = the 256
+      // range bins (an empty/all-null frame degrades to slot 0 via the
+      // null __idmn propagating through the arithmetic).
+      val bin = coalesce(
+        least(floor((col(idCol).cast("double") - col("__idmn")) /
+            greatest(col("__idmx") - col("__idmn"), lit(1.0)) * 256),
+          lit(255)).cast("int") + 1,
+        lit(0))
+      base.crossJoin(mm)
+        .withColumn("__bkt", level.map(_ * 257 + bin).getOrElse(bin))
+        .drop("__idmn", "__idmx")
     }
 
   def packSequences(docs: DataFrame, idCol: String, byCol: String,
       textCol: String, budget: Int = 2048): DataFrame = {
-    val base = docs.select(col(idCol), col(byCol),
-      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    // Null text excluded like budgetFill: under non-ANSI legacy
+    // sizeOfNull, size(tokens(null)) = -1 — a null doc would subtract
+    // a token from the running sum and shift every later bin.
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(byCol),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val numericId = docs.schema(idCol).dataType
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val bucketed = idRangeBucket(base, idCol, numericId)

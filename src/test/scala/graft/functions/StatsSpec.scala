@@ -302,6 +302,50 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("narrow-range keys next to wide-range keys stay exact (per-key bins)") {
+    import spark.implicits._
+    // Key A occupies [0, 1] while key B spans [0, 1e9]: a GLOBAL
+    // 256-bin anchor would put every A value in bucket 0 (the
+    // single-task funnel); per-key anchors spread both. Correctness
+    // must hold either way — this pins it alongside the per-key
+    // bounds helper behavior.
+    val rows = (0 until 1000).map(i => ("a", i / 999.0)) ++
+      (0 until 1000).map(i => ("b", i * 1e6))
+    val out = graft.Stats.exactPercentilesByKey(rows.toDF("k", "v"),
+        Seq("k"), "v", Seq(0.5 -> "med", 0.9 -> "p90"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("med"), r.getAs[Double]("p90"))).toMap
+    val a = (0 until 1000).map(_ / 999.0)
+    def naive(s: Seq[Double], p: Double) = {
+      val r = (s.size - 1) * p
+      s(math.floor(r).toInt) +
+        (r - math.floor(r)) * (s(math.ceil(r).toInt) - s(math.floor(r).toInt))
+    }
+    assert(out("a") == ((naive(a, 0.5), naive(a, 0.9))))
+    val b = (0 until 1000).map(_ * 1e6)
+    assert(out("b") == ((naive(b, 0.5), naive(b, 0.9))))
+  }
+
+  test("a planted NaN ranks last without poisoning the range bins") {
+    import spark.implicits._
+    // NaN is not null, max() calls it largest, and (v - mn)/NaN = NaN
+    // would have collapsed ALL 256 bins into one before the round-9
+    // fix; it now takes the dedicated top slot. Quantiles below the
+    // NaN's rank stay exact under the NaN-sorts-last convention.
+    val rows = (1 to 99).map(v => ("k", v.toDouble)) :+ ("k", Double.NaN)
+    val out = graft.Stats.exactPercentilesByKey(rows.toDF("k", "v"),
+        Seq("k"), "v", Seq(0.5 -> "med", 0.0 -> "lo"))
+      .collect().head
+    // n = 100 (NaN included), r = 49.5 -> between s(49)=50 and s(50)=51
+    assert(out.getAs[Double]("med") == 50.5)
+    assert(out.getAs[Double]("lo") == 1.0)
+    // p = 1.0 lands ON the NaN, the faithful answer for max-with-NaN
+    val hi = graft.Stats.exactPercentileByKey(rows.toDF("k", "v"),
+        Seq("k"), "v", 1.0, "q")
+      .collect().head.getAs[Double]("q")
+    assert(hi.isNaN)
+  }
+
   test("inverse-CDF rank survives upward fp error in n*p (ADVICE r8)") {
     import spark.implicits._
     // 100 * 0.07 = 7.000000000000001 in IEEE doubles: an unguarded

@@ -530,6 +530,66 @@ class CurationSpec extends AnyFunSuite {
       rows(CurationOps.spanCut(charDocs, "doc_id", "text"))))
   }
 
+  test("null-id docs keep their repetition and span metrics (no fail-open)") {
+    import spark.implicits._
+    // Before round 9 the spine join was a plain equi-join on the id,
+    // so a null-id doc's metrics aggregated under the null key but
+    // never joined back — zero-filled metrics, quality gate passed
+    // regardless of content. The null-safe join closes the fail-open.
+    val docs = Seq(
+      (Option.empty[Long], "x y x y x y"),
+      (Some(1L), "a b c d e f")).toDF("doc_id", "text")
+    val rep = CurationOps.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r =>
+        Option(r.get(0)) -> r.getAs[Boolean]("pass_repetition")).toMap
+    assert(!rep(None), "boilerplate null-id doc must FAIL the gate")
+    assert(rep(Some(1L)))
+    val spans = CurationOps.dupSpans(docs, "doc_id", "text", n = 2,
+        materialize = false)
+      .collect().map(r => Option(r.get(0)) -> r.getAs[Long]("n_dup")).toMap
+    assert(spans(None) > 0L, "null-id doc's duplicated grams must report")
+  }
+
+  test("scrub counts only digit runs the redaction actually replaces") {
+    import spark.implicits._
+    val docs = Seq((1L, "reach bob42@mail.com or 7 cats"))
+      .toDF("doc_id", "text")
+    val r = CurationOps.scrub(docs, "doc_id", "text").collect().head
+    assert(r.getAs[Long]("n_emails") == 1L)
+    // the 42 vanishes WITH the email; only the standalone 7 is a <NUM>
+    assert(r.getAs[Long]("n_numbers") == 1L)
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("reach <EMAIL> or <NUM> cats".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r.getAs[String]("redacted_fp") == expected)
+  }
+
+  test("a null-id doc cannot jump the quality-descending budget fill") {
+    import spark.implicits._
+    // Worst-quality null-id filler vs a clean doc: with the pre-r9
+    // NULL bucket (sorted before every quality level) the filler
+    // consumed the whole budget first. It must now fill within its
+    // own (worst) level, i.e. after the good doc.
+    val good = (1 to 40).map(i => "meaningful sentence number " + i)
+      .mkString(". ")
+    val junk = Seq.fill(60)("zzz !!!! ???? @@@@").mkString(" ")
+    val docs = Seq((Some(5L), "en", good), (Option.empty[Long], "en", junk))
+      .toDF("doc_id", "lang", "text")
+    val out = CurationOps.budgetFill(docs, "doc_id", "lang", "text",
+        budget = 150L)
+      .collect().head
+    // Only the good doc starts inside the 150-token budget; if the
+    // null-id junk had jumped the order, the kept set would be the
+    // junk doc and cutoff_quality would sit in the junk band.
+    assert(out.getAs[Long]("n_kept") == 1L)
+    val goodQuality = CurationOps.budgetFill(
+        docs.filter(col("doc_id").isNotNull), "doc_id", "lang", "text",
+        budget = 150L)
+      .collect().head.getAs[Double]("cutoff_quality")
+    assert(out.getAs[Double]("cutoff_quality") == goodQuality,
+      "the kept doc must be the good one, not the null-id junk")
+  }
+
   test("span kernels are ANSI-safe (Spark 4 default mode)") {
     import spark.implicits._
     // The harness sessions run permissive mode for DuckDB parity, but
