@@ -495,7 +495,8 @@ object TextQueries extends QueryModule {
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_dedup_exact", dedupExact, Some(
       """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin)),
+        |FROM documents WHERE text IS NOT NULL
+        |GROUP BY 1 ORDER BY digest""".stripMargin)),
     QueryDef("q_dedup_minhash", dedupMinhash, None),
     QueryDef("q_dedup_minhash_sound", dedupMinhashSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,

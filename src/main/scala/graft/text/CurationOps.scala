@@ -413,7 +413,7 @@ object CurationOps {
     val pinned =
       if (materialize)
         SessionCache.getOrBuildBounded(docs.sparkSession,
-          s"wordgrams|sem=${docs.queryExecution.analyzed.semanticHash()}|" +
+          s"wordgrams|sem=${graft.PlanKey.of(docs)}|" +
             s"$idCol|$textCol|n=$n", group = SpanFrameGroup,
           maxPerGroup = MaxSpanFrames) {
           val g = Checkpoint.pin(grams)
@@ -509,7 +509,7 @@ object CurationOps {
   private def charGramsMaterialized(docs: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame =
     SessionCache.getOrBuildBounded(docs.sparkSession,
-      s"chargrams|sem=${docs.queryExecution.analyzed.semanticHash()}|" +
+      s"chargrams|sem=${graft.PlanKey.of(docs)}|" +
         s"$idCol|$textCol|k=$k", group = SpanFrameGroup,
       maxPerGroup = MaxSpanFrames) {
       val g = Checkpoint.pin(charGrams(docs, idCol, textCol, k))

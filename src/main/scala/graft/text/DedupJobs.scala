@@ -57,15 +57,23 @@ object DedupJobs {
     */
   private def spread(docs: DataFrame): DataFrame = {
     val sc = docs.sparkSession.sparkContext
-    if (docs.rdd.getNumPartitions * 2 >= sc.defaultParallelism) docs
-    else docs.repartition(math.max(sc.defaultParallelism / 4, 1))
+    val target = math.max(sc.defaultParallelism / 4, 1)
+    // pass through anything already AT or ABOVE the target — the old
+    // `*2 >= defaultParallelism` guard shuffled a dp/4..dp/2-partition
+    // input DOWN below its own parallelism
+    if (docs.rdd.getNumPartitions >= target) docs
+    else docs.repartition(target)
   }
 
   /** Exact dedup by content digest: groups of identical texts, keeping
-    * the smallest id as survivor.
+    * the smallest id as survivor. Null-text docs are EXCLUDED: their
+    * content is unknown, not identical — md5(null) is null and the
+    * groupBy would otherwise collapse every null-text doc into one
+    * "duplicate" group whose non-survivors a consumer would drop.
     */
   def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol), md5(col(textCol)).as("digest"))
       .groupBy(col("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
@@ -98,7 +106,8 @@ object DedupJobs {
     *                   (violations of `jaccard_check ≥ threshold`
     *                   should not exist)
     * @param cacheKey   stable identity of `docs` for the session cache;
-    *                   defaults to the analyzed plan's semantic hash
+    *                   defaults to the analyzed plan's 128-bit digest
+    *                   ([[graft.PlanKey]])
     */
   def minhashCandidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -106,8 +115,15 @@ object DedupJobs {
       threshold: Double = 0.5, maxBucket: Int = 100,
       withAudit: Boolean = false,
       cacheKey: Option[String] = None): DataFrame = {
+    // bands must divide k: rows-per-band = k/bands drives the
+    // (1/b)^(1/r) S-curve. bands > k would hash ZERO rows per band
+    // (every doc in one constant bucket per band → the cap drops them
+    // all → silent empty result), and k % bands != 0 would silently
+    // ignore the signature tail, changing the operating threshold.
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"bands must divide k (k=$k, bands=$bands)")
     val ident = cacheKey.getOrElse(
-      "sem=" + docs.queryExecution.analyzed.semanticHash())
+      "sem=" + graft.PlanKey.of(docs))
     val key = s"minhash|$ident|$idCol|$textCol|k=$k|b=$bands|n=$shingleN|t=$threshold|mb=$maxBucket"
     val verified = SessionCache.getOrBuild(docs.sparkSession, key) {
       buildMinhashPairs(docs, idCol, textCol, k, bands, shingleN, threshold, maxBucket)
@@ -430,6 +446,9 @@ object DedupJobs {
       blocks: Int = 4, comboSize: Int = 1): DataFrame =
     simhashNearDupsOf(
       docs
+        // null text has no signature (the fused UDF would NPE on the
+        // null token array — the minhash path filters the same way)
+        .filter(col(textCol).isNotNull)
         .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__toks"))
         .select(col("doc_id"), simhash64Of(col("__toks")).as("simhash")),
       maxHamming, maxBucket, blocks, comboSize)
@@ -439,10 +458,13 @@ object DedupJobs {
     * frame once and pass it here, instead of paying the corpus
     * tokenize+signature pass twice.
     */
-  def simhashNearDupsOf(sigs: DataFrame,
+  def simhashNearDupsOf(sigs0: DataFrame,
       maxHamming: Int, maxBucket: Int,
       blocks: Int, comboSize: Int): DataFrame = {
     require(64 % blocks == 0, s"blocks must divide 64, got $blocks")
+    // a precomputed frame may carry null signatures (null-text docs);
+    // they have no content to compare
+    val sigs = sigs0.filter(col("simhash").isNotNull)
     require(comboSize >= 1 && comboSize < blocks,
       s"comboSize must be in [1, blocks), got $comboSize")
     val width = 64 / blocks
@@ -505,8 +527,14 @@ object DedupJobs {
     *     nothing through the driver (the round-2 design streamed every
     *     corpus byte through a driver-side broadcast loop)
     *  3. per-pair exact prefilters: length bound (j ≤ min/max) in the
-    *     join condition, then a sorted-hash merge-intersection whose
-    *     collisions only OVERcount — a candidate superset, never a miss
+    *     join condition, then a sorted-hash merge-intersection. A
+    *     collision between grams UNIQUE to each side only overcounts
+    *     (candidate superset); the one theoretical miss is a collision
+    *     between two grams SHARED by the pair, which shrinks ∩ and ∪
+    *     together and can push the hash-Jaccard below τ — per-gram-pair
+    *     probability 2⁻⁶⁴, unobservable in practice but stated here so
+    *     the exactness claim is honest: exact up to 64-bit hash
+    *     collisions
     *  4. gram-string verification only for surviving candidates
     *
     * The rare-first order demotes the `commonGramCap` globally most
@@ -523,7 +551,7 @@ object DedupJobs {
       commonGramCap: Int = 1024,
       cacheKey: Option[String] = None): DataFrame = {
     val ident = cacheKey.getOrElse(
-      "sem=" + docs.queryExecution.analyzed.semanticHash())
+      "sem=" + graft.PlanKey.of(docs))
     val key = s"ngram|$ident|$idCol|$textCol|n=$n|t=$threshold|" +
       s"blk=${blockCols.mkString(",")}|cap=$commonGramCap"
     SessionCache.getOrBuild(docs.sparkSession, key) {

@@ -109,8 +109,13 @@ object TextFunctions {
 
   /** 64-bit SimHash over the token multiset: for each bit, sum +1/-1
     * weighted by token occurrences, take the sign. Charikar '02.
+    * Null text → null signature (the UDF underneath dereferences the
+    * token array; reference-typed UDF args are NOT null-shielded, so
+    * the guard lives here).
     */
-  def simhash64(text: Column): Column = simhash64Of(tokens(text))
+  def simhash64(text: Column): Column =
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(simhash64Of(tokens(text)))
 
   /** SimHash over a materialized token-array column: per-bit signed
     * votes over the 64-bit token hashes, sign → bit (Charikar '02).

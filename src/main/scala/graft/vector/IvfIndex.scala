@@ -127,8 +127,12 @@ object IvfIndex {
   def assign(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, seed: Long = 42L, sampleN: Int = 20000,
       iters: Int = 10): (DataFrame, Array[Array[Double]]) = {
-    val normed = vectors.withColumn("__nvec",
-      normalizeUdf(col(vecCol).cast("array<double>")))
+    // Null embeddings carry no geometry and every tight-loop kernel
+    // below dereferences the array — excluded up front, the same
+    // convention as null text in the dedup kernels.
+    val normed = vectors.filter(col(vecCol).isNotNull)
+      .withColumn("__nvec",
+        normalizeUdf(col(vecCol).cast("array<double>")))
     // Deterministic but id-DECORRELATED sample: order by a hash of the
     // id, not the id itself. On real corpora id order tracks ingest
     // time/source (topic drift, appended batches), so a first-N sample

@@ -90,10 +90,23 @@ object SemDedup {
     */
   def soundViolations(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, tau: Double, datasetKey: String,
-      maxCell: Int = DefaultMaxCell): DataFrame = {
+      maxCell: Int = DefaultMaxCell, maxAuditPerCell: Int = 2048): DataFrame = {
+    // The audit is a per-cell kept×kept self-join carrying full
+    // vectors — O(kept²) pairs in ONE cell-keyed task. The greedy
+    // kernel itself is bounded by maxCell, but a high-τ run can keep
+    // nearly every examined vector, so the AUDIT is capped too: the
+    // first `maxAuditPerCell` kept ids per cell are checked (a greedy
+    // violation between ANY audited pair still fails loudly; the cap
+    // bounds the task at maxAuditPerCell² pairs instead of letting the
+    // integrity check OOM the very skew case the kernel survives).
+    import org.apache.spark.sql.expressions.Window
     val keptIds = keepFlags(vectors, idCol, vecCol, k, tau, datasetKey,
         maxCell)
       .filter(col("kept") && col("examined")).select(col("cell"), col("id"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(
+        Window.partitionBy(col("cell")).orderBy(col("id"))))
+      .filter(col("__rn") <= maxAuditPerCell)
+      .drop("__rn")
     val slim = assignedSlim(vectors, idCol, vecCol, k, datasetKey)
     val kept = slim.join(keptIds,
       slim(idCol) === keptIds("id") && slim("cell") === keptIds("cell"))

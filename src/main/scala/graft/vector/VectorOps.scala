@@ -101,22 +101,11 @@ object VectorOps {
     * pair comparison is a single dot product; at corpus scale the
     * approximate prefilter is `lshBucket`/`ivfTopK` — this exact form
     * is the oracle-checkable baseline (and the verifier LSH candidates
-    * feed into).
-    */
-  /** Tight-loop dot product for the O(n²) pair stage: the per-VECTOR
-    * work (norms) is precomputed map-side; only one unboxed
-    * multiply-add loop runs per pair. (The Column-lambda `dot` costs
-    * ~60µs/pair in nested HigherOrderFunctions — 500× this kernel.)
-    */
-  private val dotUdf = udf { (a: Seq[Double], b: Seq[Double]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i) * b(i); i += 1 }
-    s
-  }
-
-  /** @param broadcastBlockSize the collected side is broadcast in
+    * feed into). The per-pair dot product runs as an unboxed
+    * mapPartitions loop — a Column-lambda `aggregate(zip_with(...))`
+    * measured ~500× slower in nested HigherOrderFunctions.
+    *
+    * @param broadcastBlockSize the collected side is broadcast in
     *        blocks of this many vectors, so corpora larger than
     *        executor memory stream block by block (results union; each
     *        block pass is a full scan of the distributed side).
@@ -125,8 +114,11 @@ object VectorOps {
       threshold: Double, broadcastBlockSize: Int = 1 << 20): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val prepped = vectors.select(col(idCol).cast("long").as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
+    // null embeddings excluded (no geometry; the driver-side block
+    // builder and the pair loop both dereference the array)
+    val prepped = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
     // One side of the self-join is broadcast as primitive arrays; the
     // other streams through mapPartitions with an unboxed dot-product
     // loop. This is the deliberate last-resort imperative kernel for
@@ -202,8 +194,17 @@ object VectorOps {
   def lshNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, dim: Int, planes: Int = 12, tables: Int = 8,
       maxBucket: Int = 1000): DataFrame = {
-    val prepped = vectors.select(col(idCol).cast("long").as("vid"),
-      col(vecCol).cast("array<double>").as("v"))
+    // EAGER by design (the buildMinhashPairs pattern): the (id, vec)
+    // frame feeds THREE consumers — the bucketing scan and the two
+    // vector re-attach joins — which as a lazy plan meant three full
+    // corpus scans per action. It persists for the duration of ONE
+    // build here, the small verified-pairs result is pinned
+    // (lineage-truncated), and the corpus cache is dropped before
+    // returning. Null embeddings excluded like every vector kernel.
+    val prepped = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("vid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist()
     // outer + isNotNull at every computed-array explode: the inner form
     // lets InferFiltersFromGenerate clone the LSH hashing UDF into a
     // size()>0 pre-filter, doubling the bucketing stage.
@@ -224,12 +225,18 @@ object VectorOps {
       .filter(col("p").isNotNull)
       .select(col("p.x").as("id_a"), col("p.y").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(prepped.select(col("vid").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(prepped.select(col("vid").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("cos_raw"))
-      .filter(col("cos_raw") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 4).as("cos_sim"))
+    try
+      graft.Checkpoint.pin(cand
+        .join(prepped.select(col("vid").as("id_a"), col("v").as("va")),
+          Seq("id_a"))
+        .join(prepped.select(col("vid").as("id_b"), col("v").as("vb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          cosine(col("va"), col("vb")).as("cos_raw"))
+        .filter(col("cos_raw") >= threshold)
+        .select(col("id_a"), col("id_b"),
+          round(col("cos_raw"), 4).as("cos_sim")))
+    finally prepped.unpersist(blocking = false)
   }
 
   /** ANN top-k via multi-table LSH (the standard L-tables construction:
@@ -302,7 +309,9 @@ object VectorOps {
   def annTopKCosine(vectors: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame = {
-    val bucketed = vectors.select(col(idCol), col(vecCol),
+    // null embeddings excluded (the hashing UDF dereferences the array)
+    val bucketed = vectors.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol),
       posexplode_outer(lshBuckets(col(vecCol), dim, planes, tables))
         .as(Seq("tbl", "bucket")))
       .filter(col("bucket").isNotNull)

@@ -297,6 +297,52 @@ class DedupSpec extends AnyFunSuite {
       maxCell = 64).count() == 0L)
   }
 
+  test("null text and null embeddings are excluded, never grouped or crashed") {
+    import spark.implicits._
+    // exactDupGroups: md5(null) is null — 3 null-text docs must NOT
+    // collapse into one "duplicate" group with 2 droppable members.
+    val docs = Seq((1L, Some("same text")), (2L, Some("same text")),
+      (3L, Option.empty[String]), (4L, Option.empty[String]),
+      (5L, Option.empty[String])).toDF("doc_id", "text")
+    val groups = graft.text.DedupJobs.exactDupGroups(docs, "doc_id", "text")
+      .collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("n_docs") == 2L)
+    // simhash: null text used to NPE inside the fused UDF.
+    val sims = graft.text.DedupJobs.simhashNearDups(docs, "doc_id", "text")
+      .collect()
+    assert(sims.forall(r => r.getAs[Long]("id_a") <= 2L))
+    val sigRow = docs.select(
+      graft.text.TextFunctions.simhash64(col("text")).as("s"))
+      .filter(col("s").isNull).count()
+    assert(sigRow == 3L, "null text must yield a null signature")
+    // vector paths: a null embedding row must be excluded, not NPE.
+    val vecs = Seq((0L, Some(Array(1.0f, 0.0f, 0.0f, 0.0f))),
+      (1L, Some(Array(1.0f, 0.0f, 0.0f, 0.0f))),
+      (2L, Option.empty[Array[Float]])).toDF("vec_id", "embedding")
+    val (assigned, _) = graft.vector.IvfIndex.assign(
+      vecs, "vec_id", "embedding", k = 1)
+    assert(assigned.count() == 2L)
+    assert(graft.vector.VectorOps.cosineNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9).count() == 1L)
+    assert(graft.vector.VectorOps.lshNearDupPairs(
+      vecs, "vec_id", "embedding", threshold = 0.9, dim = 4)
+      .count() == 1L)
+  }
+
+  test("minhash rejects band configs that would silently hash zero rows") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.text.DedupJobs.minhashCandidatePairs(docs, "doc_id", "text",
+        k = 4, bands = 8)
+    }
+    assert(e.getMessage.contains("bands must divide k"))
+    intercept[IllegalArgumentException] {
+      graft.text.DedupJobs.minhashCandidatePairs(docs, "doc_id", "text",
+        k = 32, bands = 5)
+    }
+  }
+
   test("SemDeDup streams a 100k-vector hot cell in bounded time/memory") {
     // The at-scale rehearsal of the cap (VERDICT r8 #6): the 5k case
     // above pins the degrade SEMANTICS; this one proves the streaming
