@@ -80,21 +80,6 @@ object EventQueries extends QueryModule {
         countDistinct(col("signup_id")).as("n_signups"))
   }
 
-  /** Event-time windowed aggregation executed as a STRUCTURED STREAM —
-    * the same daily counts/sums the batch engine computes, but via
-    * `readStream` → watermark → window → `writeStream`, run to
-    * completion with `Trigger.AvailableNow` and then hash-checked
-    * against the batch DuckDB oracle. This pins the streaming operator
-    * surface to the same correctness gate as every batch entry: the
-    * stream's final state must EQUAL the batch group-by.
-    *
-    * Complete output mode + memory sink are the bounded check harness
-    * (5 event types × 30 daily windows); the production shape for an
-    * unbounded key space is append mode into a file/Kafka sink, where
-    * the same watermark actually evicts state — that path (and
-    * `flatMapGroupsWithState`) is exercised in StreamingIngestSpec.
-    * Session-cached: the stream runs once per (session, dataset).
-    */
   /** SLIDING event-time windows as a structured stream — 2-day windows
     * every 1 day, so each event lands in exactly two overlapping
     * windows (semantics a tumbling window cannot express; the moving
@@ -104,17 +89,30 @@ object EventQueries extends QueryModule {
     * windows align to the epoch, which under the UTC session equals
     * the oracle's day-truncation.
     */
+  /** File-stream source over the events table — schema from the batch
+    * handle, `pathGlobFilter` narrowing the landing DIRECTORY to the
+    * one file, and the same TIMESTAMP(NANOS)→timestamp normalization
+    * as [[Tables.events]] (watermarks require TIMESTAMP, not NTZ;
+    * under the UTC session the wall-clock values are identical). ONE
+    * definition for all streaming entries: a fix to the conversion
+    * can no longer silently drift between them. `withTs = false`
+    * skips the normalization for entries that never read `ts`.
+    */
+  private def streamingEvents(s: SparkSession, d: String,
+      withTs: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val raw = s.readStream.schema(Tables.table(s, d, "events").schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    if (!withTs) raw
+    else if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else raw.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
   private def streamSliding(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamslide|$d") {
-      import org.apache.spark.sql.types.LongType
-      val rawSchema = Tables.table(s, d, "events").schema
       val name = "stream_sliding_" + java.lang.Integer.toHexString(d.hashCode)
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev =
-        if (src.schema("ts").dataType == LongType)
-          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else src.withColumn("ts", col("ts").cast("timestamp"))
+      val ev = streamingEvents(s, d)
       val agg = ev
         .withWatermark("ts", "2 days")
         .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
@@ -193,18 +191,10 @@ object EventQueries extends QueryModule {
     */
   private def streamJoin(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamjoin|$d") {
-      import org.apache.spark.sql.types.LongType
-      val rawSchema = Tables.table(s, d, "events").schema
       val name = "stream_join_" + java.lang.Integer.toHexString(d.hashCode)
       // Two independent file-stream sources over the same landing dir —
       // the production shape where each side tails its own topic/path.
-      def src(): DataFrame = {
-        val r = s.readStream.schema(rawSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(d)
-        if (r.schema("ts").dataType == LongType)
-          r.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else r.withColumn("ts", col("ts").cast("timestamp"))
-      }
+      def src(): DataFrame = streamingEvents(s, d)
       val signups = src().filter(col("event_type") === "signup")
         .select(col("event_id").as("signup_id"), col("user_id"),
           col("ts").as("sts"))
@@ -260,15 +250,8 @@ object EventQueries extends QueryModule {
     */
   private def streamStaticJoin(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamstatic|$d") {
-      import org.apache.spark.sql.types.LongType
-      val rawSchema = Tables.table(s, d, "events").schema
       val name = "stream_static_" + java.lang.Integer.toHexString(d.hashCode)
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      val ev =
-        if (src.schema("ts").dataType == LongType)
-          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else src.withColumn("ts", col("ts").cast("timestamp"))
+      val ev = streamingEvents(s, d)
       val dim = broadcast(Tables.customer(s, d)
         .select(col("c_custkey"), col("c_mktsegment")))
       val joined = ev.join(dim, col("user_id") === col("c_custkey"))
@@ -297,10 +280,8 @@ object EventQueries extends QueryModule {
     graft.SessionCache.getOrBuild(s, s"streamstate|$d") {
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       import s.implicits._
-      val rawSchema = Tables.table(s, d, "events").schema
       val name = "stream_state_" + java.lang.Integer.toHexString(d.hashCode)
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamingEvents(s, d, withTs = false)
       // user_id is nullable: a null would kill the Dataset[Long]
       // decoder mid-stream; nulls are excluded on both engines.
       val keyed = src.select(col("user_id").cast("long").as("uid"))
@@ -337,10 +318,8 @@ object EventQueries extends QueryModule {
     graft.SessionCache.getOrBuild(s, s"streamtws|$d") {
       import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
       import s.implicits._
-      val rawSchema = Tables.table(s, d, "events").schema
       val name = "stream_tws_" + java.lang.Integer.toHexString(d.hashCode)
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
+      val src = streamingEvents(s, d, withTs = false)
       val keyed = src.select(col("user_id").cast("long").as("uid"))
         .filter(col("uid").isNotNull)
         .as[Long].groupByKey(identity)
@@ -367,23 +346,25 @@ object EventQueries extends QueryModule {
       (out, Seq(out))
     }
 
+  /** Event-time windowed aggregation executed as a STRUCTURED STREAM —
+    * the same daily counts/sums the batch engine computes, but via
+    * `readStream` → watermark → window → `writeStream`, run to
+    * completion with `Trigger.AvailableNow` and then hash-checked
+    * against the batch DuckDB oracle. This pins the streaming operator
+    * surface to the same correctness gate as every batch entry: the
+    * stream's final state must EQUAL the batch group-by.
+    *
+    * Complete output mode + memory sink are the bounded check harness
+    * (5 event types × 30 daily windows); the production shape for an
+    * unbounded key space is append mode into a file/Kafka sink, where
+    * the same watermark actually evicts state — that path (and
+    * `flatMapGroupsWithState`) is exercised in StreamingIngestSpec.
+    * Session-cached: the stream runs once per (session, dataset).
+    */
   private def streamWindow(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamwin|$d") {
-      import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.LongType
-      val rawSchema = Tables.table(s, d, "events").schema
       val name = "stream_window_" + java.lang.Integer.toHexString(d.hashCode)
-      // The file stream source needs a DIRECTORY; the glob filter
-      // narrows it to the events table (a landing dir in production).
-      val src = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-      // Watermarks require TIMESTAMP (not NTZ); under the UTC session
-      // the wall-clock values are identical, and the output window
-      // bound converts back to NTZ for the naive-timestamp oracle.
-      val ev =
-        if (src.schema("ts").dataType == LongType)
-          src.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else src.withColumn("ts", col("ts").cast("timestamp"))
+      val ev = streamingEvents(s, d)
       val agg = ev
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))

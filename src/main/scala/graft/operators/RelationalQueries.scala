@@ -252,14 +252,22 @@ object RelationalQueries extends QueryModule {
     * replica stream map-side, and profiling N columns by N separate
     * scans would read the fact table N times instead.
     */
-  private def profileColumns(s: SparkSession, d: String): DataFrame = {
+  /** Shared profile shape for the exact and HLL++ entries — ONE list
+    * of profiled columns and one stack() builder, parameterized on the
+    * distinct aggregate. The two entries feed profileApproxSound's
+    * inner join on column_name, so with separate copies a column added
+    * to one and not the other silently dropped out of the accuracy
+    * audit instead of failing.
+    */
+  private def profileWith(s: SparkSession, d: String,
+      distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val li = Tables.lineitem(s, d)
     val agg = li.agg(
       count(lit(1)).as("n_rows"),
       cols.flatMap(c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        countDistinct(col(c)).as(s"${c}_distinct"),
+        distinctAgg(c).as(s"${c}_distinct"),
         min(col(c)).as(s"${c}_min"),
         max(col(c)).as(s"${c}_max"))): _*)
     val stack = cols.map(c =>
@@ -272,6 +280,9 @@ object RelationalQueries extends QueryModule {
         col("n_distinct"), col("min_val"), col("max_val"))
   }
 
+  private def profileColumns(s: SparkSession, d: String): DataFrame =
+    profileWith(s, d, c => countDistinct(col(c)))
+
   /** The 100 TB default of [[profileColumns]]: distinct counts via
     * HLL++ (`approx_count_distinct`, rsd = 2%). The exact profiler's
     * multi-column `countDistinct` plans an Expand — a 4× row replica
@@ -283,25 +294,8 @@ object RelationalQueries extends QueryModule {
     * contract is the paired [[profileApproxSound]] audit, and the
     * exact entry remains the oracle-checkable reference.
     */
-  private def profileColumnsApprox(s: SparkSession, d: String): DataFrame = {
-    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    val li = Tables.lineitem(s, d)
-    val agg = li.agg(
-      count(lit(1)).as("n_rows"),
-      cols.flatMap(c => Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        approx_count_distinct(col(c), rsd = 0.02).as(s"${c}_distinct"),
-        min(col(c)).as(s"${c}_min"),
-        max(col(c)).as(s"${c}_max"))): _*)
-    val stack = cols.map(c =>
-      s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
-      .mkString(", ")
-    agg.select(col("n_rows"), expr(
-      s"stack(${cols.size}, $stack) AS " +
-        "(column_name, n_nulls, n_distinct, min_val, max_val)"))
-      .select(col("column_name"), col("n_rows"), col("n_nulls"),
-        col("n_distinct"), col("min_val"), col("max_val"))
-  }
+  private def profileColumnsApprox(s: SparkSession, d: String): DataFrame =
+    profileWith(s, d, c => approx_count_distinct(col(c), rsd = 0.02))
 
   /** HLL++ profiler audit: the sketch profile's per-column distinct
     * estimate vs the exact profile's count, violations of the 5σ

@@ -277,9 +277,15 @@ object TextQueries extends QueryModule {
     * hash — the plagiarism/overlap detection shape).
     */
   private def winnowQuery(s: SparkSession, d: String): DataFrame = {
-    val fp = Tables.documents(s, d)
+    // The fingerprint frame feeds TWO branches (the shared-degree
+    // explode and the n_fingerprints projection) that share no
+    // exchange — unpinned, the tokenize + winnow kernel ran twice per
+    // action (the dedupSimhash signatures-once lesson). One lazy pin
+    // makes the most expensive stage of the entry run once.
+    val fp = graft.Checkpoint.pin(Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), winnowFingerprints(col("__toks")).as("fps"))
+      .select(col("doc_id"), winnowFingerprints(col("__toks")).as("fps")),
+      eager = false)
     // outer + isNotNull: inner explode infers a size()>0 filter that
     // re-runs the winnow kernel a second time per row.
     val exploded = fp.select(col("doc_id"), explode_outer(col("fps")).as("h"))
@@ -511,9 +517,11 @@ object TextQueries extends QueryModule {
     QueryDef("q_ngram_jaccard", ngramJaccard, Some(
       s"""WITH t AS (
          |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(range(1, len($toksSql)),
-         |      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS grams
-         |  FROM documents)
+         |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) END AS grams
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0)
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  round(len(list_intersect(a.grams, b.grams))::DOUBLE /
          |        len(list_distinct(list_concat(a.grams, b.grams))), 4) AS jaccard
@@ -524,9 +532,11 @@ object TextQueries extends QueryModule {
     QueryDef("q_dedup_ingest_near", dedupIngestNear, Some(
       s"""WITH t AS (
          |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(range(1, len($toksSql)),
-         |      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS grams
-         |  FROM documents),
+         |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) END AS grams
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |    round(len(list_intersect(a.grams, b.grams))::DOUBLE /
@@ -553,9 +563,11 @@ object TextQueries extends QueryModule {
     QueryDef("q_dedup_cc_groups", ngramCcGroups, Some(
       s"""WITH RECURSIVE t AS (
          |  SELECT doc_id, lang,
-         |    list_distinct(list_transform(range(1, len($toksSql)),
-         |      i -> $toksSql[i] || ' ' || $toksSql[i+1])) AS grams
-         |  FROM documents),
+         |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+         |    ELSE list_distinct(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) END AS grams
+         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+         |  WHERE len(toks) > 0),
          |p AS (
          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
          |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
@@ -577,13 +589,15 @@ object TextQueries extends QueryModule {
          |    $langScoresSql
          |  FROM documents)
          |SELECT doc_id, lbl AS lang,
-         |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und'
+         |  CASE WHEN greatest(en, de, es, fr, zh) IS NULL
+         |         OR greatest(en, de, es, fr, zh) = 0 THEN 'und'
          |       WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en'
          |       WHEN de >= es AND de >= fr AND de >= zh THEN 'de'
          |       WHEN es >= fr AND es >= zh THEN 'es'
          |       WHEN fr >= zh THEN 'fr'
          |       ELSE 'zh' END AS pred_lang,
-         |  CASE WHEN greatest(en, de, es, fr, zh) = 0 THEN 'und'
+         |  CASE WHEN greatest(en, de, es, fr, zh) IS NULL
+         |         OR greatest(en, de, es, fr, zh) = 0 THEN 'und'
          |       WHEN en >= de AND en >= es AND en >= fr AND en >= zh THEN 'en'
          |       WHEN de >= es AND de >= fr AND de >= zh THEN 'de'
          |       WHEN es >= fr AND es >= zh THEN 'es'

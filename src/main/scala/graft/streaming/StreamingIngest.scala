@@ -42,14 +42,29 @@ object StreamingIngest {
           .distinct().collect().map(_.getString(0)).filter(_.nonEmpty)
         if (files.nonEmpty) {
           val sess = batch.sparkSession
-          val raw = sess.read
-            .option("header", "true")
-            .option("encoding", "UTF-8")
-            .csv(files: _*)
+          // Each file is read and canonicalized SEPARATELY, then
+          // union'd: a single multi-path csv() takes its schema from
+          // the FIRST file and (with Spark's default enforceSchema)
+          // binds every other file's columns POSITIONALLY — an upload
+          // with the same columns in a different header order would
+          // ingest scrambled values. Per-file canonicalize54 projects
+          // each header by NAME first (the reference's pandas-reader
+          // contract), making the union order-proof. Micro-batches are
+          // a bounded handful of uploads (maxFilesPerTrigger), so the
+          // per-file read fan-out is driver-side trivial.
+          val canon = files.map { f =>
+            ClaimsEtl.canonicalize54(sess.read
+              .option("header", "true")
+              .option("encoding", "UTF-8")
+              .csv(f))
+          }.reduce(_ unionByName _)
+          // Batch-level P3 dedup ON THE CANONICAL 54 columns (the
+          // reference's order — core/etl.py:135 dedups the canonical
+          // frame), with one ingest sequence assigned across the
+          // whole batch so keep-first stays well-defined across files.
           val prepared = ClaimsEtl.preprocess(
-            ClaimsEtl.canonicalize54(
-              ClaimsEtl.dropFullDuplicates(
-                ClaimsEtl.withIngestSeq(raw))))
+            ClaimsEtl.dropFullDuplicates(
+              ClaimsEtl.withIngestSeq(canon)))
           HubStore.upsert(sess, prepared, hubPath)
         }
       }

@@ -152,7 +152,13 @@ object TextFunctions {
     * SQL-checkable set-level fingerprint).
     */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", tokenSet(text)))
+    // null-guarded: concat_ws never returns null, so without the guard
+    // a null-text doc fingerprinted as md5("") — conflated with every
+    // whitespace-only doc (and diverging from a SQL engine's NULL).
+    // Null content is unknown, not identical (the exactDupGroups
+    // convention); it gets a null fingerprint.
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(" ", tokenSet(text))))
 
   /** Winnowing fingerprints (Schleimer et al. '03, the MOSS local
     * document-fingerprinting algorithm): polynomial rolling hash over

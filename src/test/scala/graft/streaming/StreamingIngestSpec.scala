@@ -48,6 +48,36 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("two uploads with different header orders ingest by NAME in one batch") {
+    // The round-9 review case: a single multi-path csv() read binds
+    // every file after the first POSITIONALLY (schema from file one,
+    // headers skipped), scrambling an upload whose columns arrive in a
+    // different order. Per-file canonicalize54 + unionByName must map
+    // both headers by name.
+    val landing = Files.createTempDirectory("landing2").toString
+    val hub = Files.createTempDirectory("hub2").toString + "/hub"
+    val ckpt = Files.createTempDirectory("ckpt2").toString
+    val q = StreamingIngest.start(spark, landing, hub, ckpt)
+    try {
+      // Same columns, OPPOSITE orders, dropped in the same micro-batch.
+      Files.write(Paths.get(landing, "a.csv"),
+        ("상담번호,접수년,접수월,접수일,플랜트,등급기준\n" +
+          "N001,2024,1,5,PLANT_A,일반\n").getBytes("UTF-8"))
+      Files.write(Paths.get(landing, "b.csv"),
+        ("등급기준,플랜트,접수일,접수월,접수년,상담번호\n" +
+          "중대,PLANT_B,9,2,2024,N002\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.read.parquet(hub)
+        .select(col("상담번호"), col("플랜트"), col("등급기준"),
+          col("접수년").cast("string"))
+        .collect().map(r => r.getString(0) ->
+          (r.getString(1), r.getString(2), r.getString(3))).toMap
+      assert(rows("N001") == (("PLANT_A", "일반", "2024")))
+      assert(rows("N002") == (("PLANT_B", "중대", "2024")),
+        "the second file's columns must bind by header name, not position")
+    } finally q.stop()
+  }
+
   test("stateful alert stream emits on cumulative thresholds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
