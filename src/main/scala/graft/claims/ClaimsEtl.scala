@@ -114,7 +114,13 @@ object ClaimsEtl {
     coalesce(
       try_to_timestamp(c, lit("yyyy/MM/dd")).cast("date"),
       try_to_timestamp(c, lit("yyyy-MM-dd")).cast("date"),
-      try_to_timestamp(c, lit("yyyy.MM.dd")).cast("date"))
+      try_to_timestamp(c, lit("yyyy.MM.dd")).cast("date"),
+      // datetime forms: pandas to_datetime (the reference's parser)
+      // accepts them, and the Xlsx reader deliberately emits
+      // "yyyy-MM-dd HH:mm:ss" for datetime-styled cells — without
+      // these a perfectly readable Excel date nulled out downstream
+      try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")).cast("date"),
+      try_to_timestamp(c, lit("yyyy/MM/dd HH:mm:ss")).cast("date"))
 
   /** F10 — epoch-milliseconds heuristic clean used by the dashboard for
     * 제조일자 arriving as a number (ref: app.py:449-458): value > 1e12 →
@@ -159,9 +165,16 @@ object ClaimsEtl {
     val withReceipt = deduped.withColumn(receiptDateCol,
       when(y.isNotNull && m.isNotNull && dd.isNotNull, make_date(y, m, dd)))
 
-    // 4: multi-format date columns
+    // 4: multi-format date columns. 제조일자 additionally takes the
+    // epoch-ms heuristic (cleanMfgDate — app.py:449-458): before
+    // round 9 the heuristic existed only as the F10 entry, so a
+    // manufacture date uploaded as '1696118400000' became NULL here
+    // and the value was unrecoverable by the time LOT detection
+    // wanted it.
     val withDates = parsedDateCols.foldLeft(withReceipt) { (acc, c) =>
-      acc.withColumn(c, safeDateParse(col(quoted(c))))
+      acc.withColumn(c,
+        if (c == "제조일자") cleanMfgDate(col(quoted(c)))
+        else safeDateParse(col(quoted(c))))
     }
 
     // 5: lag derivation — negative lag flagged invalid, not dropped
@@ -185,11 +198,17 @@ object ClaimsEtl {
       .drop("__y_cnt", "__m_cnt")
   }
 
-  /** End-to-end ingest: load → full dedup → canonicalize → preprocess
-    * (ref: core/etl.py:105-146 + pages/1 step ordering, SURVEY.md §3.1).
+  /** End-to-end ingest: load → canonicalize → full dedup → preprocess
+    * (ref: core/etl.py:105-146 + pages/1 step ordering, SURVEY.md
+    * §3.1). Dedup runs on the CANONICAL 54 columns (the P3 contract
+    * and the reference's order — etl.py canonicalizes at :50-71 and
+    * dedups at :135): two rows identical in every canonical column but
+    * differing in a dropped extra column ARE duplicates, and deduping
+    * the raw frame first both missed them and shuffled the wider raw
+    * rows. StreamingIngest uses the same order.
     */
   def ingestCsv(spark: SparkSession, path: String): DataFrame =
-    preprocess(canonicalize54(dropFullDuplicates(loadCsv(spark, path))))
+    preprocess(dropFullDuplicates(canonicalize54(loadCsv(spark, path))))
 
   private def quoted(c: String): String = c
 }

@@ -15,7 +15,9 @@ object Dashboard {
     * `predict_month_end_advanced`): weighted blend of
     *  (a) day-rate extrapolation of the current month,
     *  (b) last year's same month + YoY trendline adjustment,
-    *  (c) 2-years-ago same month + recent-3-month slope adjustment;
+    *  (c) 2-years-ago same month + a recent slope over the TWO months
+    *      before the current one (`range(max(1, m-2), m)` in the
+    *      reference spans two months, not three — matched bug-for-bug);
     * weights [0.4,0.4,0.2] when ≥2 YoY years have data else
     * [0.7,0.2,0.1]; clamped ≥0; confidence label.
     *
@@ -139,6 +141,23 @@ object Dashboard {
     val mx = hub.agg(max(col(ClaimsSchema.receiptDateCol)).as("dmax"))
     hub.crossJoin(broadcast(mx))
       .filter(col(ClaimsSchema.receiptDateCol) >= date_sub(col("dmax"), 30))
+      // The reference re-cleans 제조일자 AT detection time (epoch-ms
+      // numbers or strings — clean_mfg_date, app.py:449-460) and then
+      // DROPS unparseable rows (dropna, :462) before grouping: rows
+      // whose manufacture dates merely failed to parse share nothing
+      // and must not form a pseudo-LOT "group" that alerts. A hub
+      // whose column is already date/timestamp-typed (the rebuilt ETL
+      // parses with the same heuristic since round 9) skips the
+      // re-clean — a date cannot cast to double; raw string/number
+      // hubs get the full heuristic.
+      .withColumn("제조일자", hub.schema("제조일자").dataType match {
+        case org.apache.spark.sql.types.DateType => col("제조일자")
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType =>
+          to_date(col("제조일자"))
+        case _ => ClaimsEtl.cleanMfgDate(col("제조일자"))
+      })
+      .filter(col("제조일자").isNotNull)
       .groupBy(col("플랜트"), col("제품명"), col("제품코드"), col("소분류"),
         col("제조일자"))
       .agg(count(lit(1)).as("건수"),

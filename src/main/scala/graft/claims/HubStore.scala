@@ -21,16 +21,19 @@ object HubStore {
 
   import ClaimsSchema._
 
-  /** S3 — partitioned write (ref: core/storage.py:19-72). */
-  def write(df: DataFrame, path: String): Unit = {
-    val spark = df.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  /** S3 — partitioned write (ref: core/storage.py:19-72). The dynamic
+    * overwrite mode is scoped to THIS writer (an `.option`, not the
+    * session conf a previous cut mutated — which silently changed the
+    * overwrite semantics of every other partitioned write in the
+    * process for the rest of the session).
+    */
+  def write(df: DataFrame, path: String): Unit =
     prepPartitionCols(df)
       .write
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
-  }
 
   /** Partition column hygiene: int-typed, nulls → 0
     * (ref: core/storage.py:49-50).
@@ -46,14 +49,27 @@ object HubStore {
     * sequence wins) (ref: core/storage.py:75-130).
     */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String): Unit = {
-    val merged =
-      if (exists(spark, path)) merge(read(spark, path), incoming)
-      else ClaimsEtl.withIngestSeq(incoming)
-    // The merge output is small relative to the hub only in the touched
-    // partitions; dynamic overwrite keeps untouched months as-is — but a
-    // keyed upsert can move a claim across months, so the full merged
-    // frame is written (matching the reference's full rewrite).
-    write(merged.drop(ingestSeqCol, batchCol), path)
+    if (exists(spark, path)) {
+      // FULL STATIC rewrite (the reference's semantics,
+      // core/storage.py:75-130 read-merge-rewrite): a keyed update can
+      // MOVE a claim across month partitions, and under dynamic
+      // overwrite a partition whose last rows moved away is simply
+      // never touched — its stale files survive and the hub holds two
+      // versions of the claim (empirically reproduced in the round-9
+      // review). Static overwrite replaces the whole dataset, deleting
+      // emptied partitions. The merged frame is pinned first
+      // ([[graft.Checkpoint.pin]]) so its lineage no longer reads the
+      // path being overwritten.
+      val merged = graft.Checkpoint.pin(
+        merge(read(spark, path), incoming).drop(ingestSeqCol, batchCol))
+      prepPartitionCols(merged)
+        .write
+        .option("partitionOverwriteMode", "static")
+        .partitionBy(partitionCols: _*)
+        .mode("overwrite")
+        .parquet(path)
+    } else
+      write(incoming.drop(ingestSeqCol), path)
   }
 
   private val batchCol = "_batch_seq"

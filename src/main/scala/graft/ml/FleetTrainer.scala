@@ -18,15 +18,25 @@ object FleetTrainer {
       forecast: Array[Double], lower: Array[Double], upper: Array[Double])
 
   private def trainOne(counts: Seq[Double], steps: Int, nTrials: Int)
-      : FleetResult = {
-    val y = counts.toArray
-    val tuner = new Tuner(testMonths = 3, nTrials = nTrials)
-    val tuned = tuner.tuneAll(y).map { case (k, t) => k -> t.params }
-    val sel = new ChampionSelector(testMonths = 3)
-    sel.trainModels(y, None, tuned)
-    val f = sel.forecast(steps)
-    FleetResult(f.champion, f.testRmse, f.predictions, f.lower, f.upper)
-  }
+      : FleetResult =
+    // Per-key guard: one pathological series (every candidate AND the
+    // champion refit failing) must flag ITS key, not throw out of the
+    // UDF and abort the whole fleet job — the reference's per-key loop
+    // records failures and moves on.
+    try {
+      val y = counts.toArray
+      val tuner = new Tuner(testMonths = 3, nTrials = nTrials)
+      val tuned = tuner.tuneAll(y).map { case (k, t) => k -> t.params }
+      val sel = new ChampionSelector(testMonths = 3)
+      sel.trainModels(y, None, tuned)
+      val f = sel.forecast(steps)
+      FleetResult(f.champion, f.testRmse, f.predictions, f.lower, f.upper)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        FleetResult("failed", Double.NaN,
+          Array.fill(steps)(Double.NaN), Array.fill(steps)(Double.NaN),
+          Array.fill(steps)(Double.NaN))
+    }
 
   /** @param monthly zero-filled monthly counts: keyCols + ym + n.
     *                Series shorter than `minMonths` are skipped

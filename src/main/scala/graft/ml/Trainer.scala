@@ -124,11 +124,20 @@ final class ChampionSelector(val testMonths: Int = 3) extends Serializable {
     leaderboard = scored.map(t => Entry(t._1, t._3)).sortBy(_.rmse)
     val best = scored.minBy(_._3)
     championRmse = best._3
-    champion = Some {
-      val m = best._2()
-      m.fit(y, exog) // refit on the full series (ref: trainer.py:548-570)
-      m
-    }
+    // The refit is guarded like candidate scoring: when every
+    // candidate failed (all rmse = MaxValue — e.g. a tuner whose
+    // trials all threw hands back an empty params map), minBy still
+    // picks a failing constructor, and an uncaught throw here would
+    // abort the WHOLE fleet job for one pathological series instead
+    // of flagging it. A failed refit leaves champion = None;
+    // forecast() then raises its documented "no champion" state,
+    // which the per-key fleet wrapper reports as that key's failure.
+    champion =
+      try {
+        val m = best._2()
+        m.fit(y, exog) // refit on the full series (ref: trainer.py:548-570)
+        Some(m)
+      } catch { case scala.util.control.NonFatal(_) => None }
     leaderboard
   }
 

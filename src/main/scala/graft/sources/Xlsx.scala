@@ -132,12 +132,20 @@ object Xlsx {
     * and 61+ are exact — the openpyxl/pandas mapping. A fractional part
     * is a time of day; out-of-range serials fall back to the raw text.
     */
-  private[sources] def decodeSerial(raw: String): String = {
+  private[sources] def decodeSerial(raw: String,
+      date1904: Boolean = false): String = {
     val d = raw.trim.toDouble
     if (d < 0 || d > 2958465.999999) return raw // 9999-12-31 bound
     val days = math.floor(d).toLong
-    val adjusted = if (days < 60) days + 1 else days
-    val date = java.time.LocalDate.of(1899, 12, 30).plusDays(adjusted)
+    // 1904 system (workbookPr date1904: Mac-origin workbooks): epoch
+    // 1904-01-01, no Lotus phantom-leap-day adjustment. pd.read_excel
+    // honors the flag; ignoring it shifted every date ~4 years.
+    val date =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1).plusDays(days)
+      else {
+        val adjusted = if (days < 60) days + 1 else days
+        java.time.LocalDate.of(1899, 12, 30).plusDays(adjusted)
+      }
     val secs = math.round((d - days) * 86400)
     if (secs == 0) date.toString
     else if (secs >= 86400) date.plusDays(1).toString + " 00:00:00"
@@ -187,7 +195,8 @@ object Xlsx {
     * serial to an ISO date/datetime string.
     */
   private def readSheet(in: InputStream, shared: Vector[String],
-      dateStyles: Set[Int]): ArrayBuffer[ArrayBuffer[Option[String]]] = {
+      dateStyles: Set[Int],
+      date1904: Boolean): ArrayBuffer[ArrayBuffer[Option[String]]] = {
     val rows = ArrayBuffer.empty[ArrayBuffer[Option[String]]]
     val r = factory.createXMLStreamReader(in)
     var row: ArrayBuffer[Option[String]] = null
@@ -203,7 +212,8 @@ object Xlsx {
         case "s" => shared.lift(raw.trim.toInt).getOrElse("")
         case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
         case "" | "n" if dateStyles(cellStyle) =>
-          try decodeSerial(raw) catch { case _: NumberFormatException => raw }
+          try decodeSerial(raw, date1904)
+          catch { case _: NumberFormatException => raw }
         case _ => raw
       }
       while (row.length <= cellCol) row += None
@@ -280,6 +290,28 @@ object Xlsx {
     resolved.getOrElse("xl/worksheets/sheet1.xml")
   }
 
+  /** Does workbook.xml declare the 1904 date system
+    * (`<workbookPr date1904="1"/>` / `"true"`)?
+    */
+  private def readDate1904(zip: ZipFile): Boolean =
+    Option(zip.getEntry("xl/workbook.xml")).exists { e =>
+      val r = factory.createXMLStreamReader(zip.getInputStream(e))
+      var flag = false
+      var done = false
+      while (r.hasNext && !done) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "workbookPr") {
+          flag = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "date1904")
+            .map(r.getAttributeValue)
+            .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+          done = true
+        }
+      }
+      r.close()
+      flag
+    }
+
   /** Read the first worksheet as a DataFrame: row 1 = header, all
     * columns string-typed (pandas `object` parity — the canonicalize
     * step downstream owns typing), absent cells null.
@@ -296,12 +328,25 @@ object Xlsx {
       val sheetEntry = Option(zip.getEntry(firstSheetPath(zip)))
         .getOrElse(throw new IllegalArgumentException(
           s"$path: no worksheet found"))
-      val rows = readSheet(zip.getInputStream(sheetEntry), shared, dateStyles)
+      val rows = readSheet(zip.getInputStream(sheetEntry), shared,
+        dateStyles, readDate1904(zip))
       require(rows.nonEmpty, s"$path: empty sheet")
       val header = rows.head.map(_.getOrElse(""))
       val width = math.max(header.length, if (rows.length > 1) rows.tail.map(_.length).max else 0)
-      val names = (0 until width).map(i =>
-        header.lift(i).filter(_.nonEmpty).getOrElse(s"_c$i"))
+      // Duplicate header cells mangle pandas-style (name, name.1, ...):
+      // hand-edited sheets repeat columns, and duplicate DataFrame
+      // names would crash canonicalize54 downstream with an
+      // ambiguous-reference error instead of dropping the extras.
+      val names = {
+        val base = (0 until width).map(i =>
+          header.lift(i).filter(_.nonEmpty).getOrElse(s"_c$i"))
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        base.map { n =>
+          val k = seen.getOrElse(n, 0)
+          seen(n) = k + 1
+          if (k == 0) n else s"$n.$k"
+        }
+      }
       val schema = StructType(names.map(StructField(_, StringType, nullable = true)))
       val data = rows.tail.map { r =>
         Row.fromSeq((0 until width).map(i => r.lift(i).flatten.orNull))

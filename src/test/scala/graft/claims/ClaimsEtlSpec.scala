@@ -48,6 +48,28 @@ class ClaimsEtlSpec extends AnyFunSuite {
     assert(m("C006").isEmpty)                // garbage → null
   }
 
+  test("epoch-ms and datetime-formatted 제조일자 survive preprocess") {
+    import spark.implicits._
+    // Round-9 review: cleanMfgDate existed only as the F10 entry, so a
+    // manufacture date uploaded as epoch-ms nulled out at ETL time and
+    // an Xlsx datetime string ('yyyy-MM-dd HH:mm:ss') matched no
+    // parse pattern.
+    val raw = ClaimsEtl.canonicalize54(Seq(
+      ("E001", "2024", "1", "5", "1696118400000"),        // 2023-10-01 UTC
+      ("E002", "2024", "1", "6", "2023-10-02 12:30:00"),
+      ("E003", "2024", "1", "7", "2023/10/03 00:00:01"),
+      ("E004", "2024", "1", "8", "definitely-not-a-date"))
+      .toDF("상담번호", "접수년", "접수월", "접수일", "제조일자"))
+    val m = ClaimsEtl.preprocess(raw).select("상담번호", "제조일자")
+      .collect()
+      .map(r => r.getString(0) -> Option(r.getDate(1)).map(_.toString))
+      .toMap
+    assert(m("E001").contains("2023-10-01"))
+    assert(m("E002").contains("2023-10-02"))
+    assert(m("E003").contains("2023-10-03"))
+    assert(m("E004").isEmpty)
+  }
+
   test("receipt date built from parts; lag derivation flags negatives") {
     val m = processed
       .select("상담번호", "접수일자", "Lag_Days", "Lag_Valid").collect()

@@ -63,6 +63,12 @@ abstract class DashboardSpecBase(useExtensions: Boolean) extends AnyFunSuite
     assert(lots.count() >= 1)
     val strict = Dashboard.lotDetection(hub, minCount = 3)
     assert(strict.count() == 0)
+    // pandas-dropna parity (round-9 review): rows whose 제조일자 failed
+    // to parse share nothing — they must NOT form a pseudo-LOT group
+    // (the fixture's C006 has a garbage date; at minCount = 1 a null
+    // group would otherwise appear).
+    assert(lots.filter(col("제조일자").isNull).count() == 0,
+      "null manufacture dates must not group into LOT alerts")
   }
 
   test("pivot with subtotals emits 소계/전체 합계/Total levels (n=3)") {

@@ -62,6 +62,31 @@ class HubStoreSpec extends AnyFunSuite {
     assert(c1 == "중대")
   }
 
+  test("upsert deletes a partition whose claims all moved away") {
+    import spark.implicits._
+    // The round-9 review repro: 2023/11 holds exactly C003/C004; an
+    // update moves BOTH to 2024/03. Under dynamic overwrite the
+    // merged output contains no 2023/11 rows, so that directory was
+    // never rewritten and its stale files survived — the hub held two
+    // versions of each moved claim. The static full rewrite (the
+    // reference's read-merge-rewrite semantics) must leave exactly
+    // one version and no 2023/11 partition.
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    assert(HubStore.read(spark, dir, year = Some(2023), month = Some(11))
+      .count() == 2)
+    val moved = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      Seq(("C003", "2024", "3", "5"), ("C004", "2024", "3", "6"))
+        .toDF("상담번호", "접수년", "접수월", "접수일")))
+    HubStore.upsert(spark, moved, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("상담번호").isin("C003", "C004")).count() == 2,
+      "exactly one version of each moved claim")
+    assert(back.filter(col("접수년") === 2023 && col("접수월") === 11)
+      .count() == 0, "the emptied partition must be deleted, not stale")
+    assert(back.count() == 6)
+  }
+
   test("catalog lists partitions newest first with counts") {
     val dir = Files.createTempDirectory("hub").toString
     HubStore.write(ingest(), dir)

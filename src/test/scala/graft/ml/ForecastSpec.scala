@@ -57,6 +57,32 @@ class ForecastSpec extends AnyFunSuite {
     assert(f.upper.zip(f.predictions).forall { case (hi, p) => hi >= p })
   }
 
+  test("a fully-failing series flags its key instead of crashing the fleet") {
+    // Every candidate constructor throws (empty tuned params), so all
+    // scores are MaxValue and the champion REFIT fails too — before
+    // round 9 that threw out of trainModels and would abort the whole
+    // fleet job for one pathological series.
+    val y = Array(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)
+    val sel = new ChampionSelector(testMonths = 3)
+    val lb = sel.trainModels(y, None, Map.empty)
+    assert(lb.size == 3 && lb.forall(_.rmse == Double.MaxValue))
+    assert(sel.champion.isEmpty, "a failed refit must not install a champion")
+    intercept[IllegalStateException] { sel.forecast(3) }
+    // and through the distributed fleet wrapper the key comes back
+    // flagged, not exploded: a constant-zero 12-month series drives
+    // every model fit toward degenerate fits but must yield a row.
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val monthly = (1 to 12).map(m => ("K", f"2024-$m%02d", 0L))
+      .toDF("k", "ym", "n")
+    val out = FleetTrainer.trainAll(monthly, Seq("k"), steps = 2,
+      nTrials = 2, minMonths = 12)
+    assert(out.count() == 1)
+  }
+
   test("arima trained with exog refuses predict without exog") {
     val y = seasonalSeries(30)
     val exog = Array.tabulate(30)(t => 100.0 + t)

@@ -131,6 +131,45 @@ class XlsxSpec extends AnyFunSuite {
     assert(r.getString(4) == "2024-01-06 12:00:00") // builtin datetime
   }
 
+  test("date1904 workbooks decode serials from the 1904 epoch") {
+    // Mac-origin workbook: <workbookPr date1904="1"/>. Serial 43737 in
+    // the 1904 system is 2023-10-02 (1904-01-01 + 43737 days); the
+    // 1900-system reading would be 2019-09-29 — ~4 years off.
+    val path = Files.createTempDirectory("xlsx").resolve("m.xlsx").toString
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    }
+    put("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><workbookPr date1904="1"/><sheets><sheet name="S" sheetId="1"/></sheets></workbook>""")
+    put("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+    put("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>43737</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val r = Xlsx.read(spark, path).collect()(0)
+    assert(r.getString(0) ==
+      java.time.LocalDate.of(1904, 1, 1).plusDays(43737).toString)
+    assert(Xlsx.decodeSerial("43737") != r.getString(0),
+      "1900- and 1904-system readings must differ")
+  }
+
+  test("duplicate header cells mangle pandas-style instead of colliding") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("xlsx").resolve("dup.xlsx").toString
+    Xlsx.write(Seq(("a", "b", "c")).toDF("제품명", "제품명", "x"), path)
+    val back = Xlsx.read(spark, path)
+    assert(back.columns.toSeq == Seq("제품명", "제품명.1", "x"))
+    // the canonicalize seam that used to crash on AMBIGUOUS_REFERENCE
+    val canon = ClaimsEtl.canonicalize54(back)
+    assert(canon.columns.count(_ == "제품명") == 1)
+  }
+
   test("serial-dated upload canonicalizes to a real date through ClaimsEtl") {
     import org.apache.spark.sql.functions.col
     // An Excel-authored claims sheet delivers 접수일 as a date-styled
