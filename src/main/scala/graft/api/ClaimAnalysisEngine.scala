@@ -43,7 +43,10 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
   def availablePeriods(): DataFrame = HubStore.catalog(spark, hubPath)
 
   def generateNestedSeries(asOf: LocalDate): Long = {
-    val mart = SeriesMart.build(loadHub(), asOf.toString)
+    // One build: unpinned, the write and the count each re-executed
+    // the whole multi-join mart DAG (two hub scans, two fill
+    // cross-joins).
+    val mart = graft.Checkpoint.pin(SeriesMart.build(loadHub(), asOf.toString))
     SeriesMart.writeJsonDataset(mart, seriesPath)
     mart.count()
   }
@@ -76,7 +79,7 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
   def tuneAll(y: Array[Double], exog: Option[Array[Double]] = None)
       : Map[String, Tuner#Trial] = new Tuner().tuneAll(y, exog)
 
-  def trainChampion(plant: String, major: String, steps: Int = 3)
+  def trainChampion(plant: String, major: String)
       : Option[DataFrame] = {
     import spark.implicits._
     val monthly = loadHub()
@@ -119,10 +122,15 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
         try m.predict(futureMonths.length, None)
         catch {
           case _: Exception =>
-            val recent = history.groupBy(col("접수년"), col("접수월"))
+            // the fallback aggregate over an EMPTY history returns one
+            // row holding null — read defensively (a saved champion
+            // can outlive its hub rows) instead of NPE-ing on
+            // getDouble
+            val row = history.groupBy(col("접수년"), col("접수월"))
               .agg(sum(col("건수")).as("n"))
               .orderBy(col("접수년").desc, col("접수월").desc)
-              .limit(3).agg(avg(col("n"))).collect()(0).getDouble(0)
+              .limit(3).agg(avg(col("n"))).collect()(0)
+            val recent = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
             Array.fill(futureMonths.length)(recent)
         }
       case None => return spark.emptyDataFrame

@@ -73,6 +73,22 @@ object SeriesMart {
   /** Build the mart as a DataFrame of nested documents. `asOf` stands in
     * for the reference's wall-clock `last_updated`.
     */
+  /** USING-style join with NULL-SAFE key equality: the grouped sides
+    * keep null-key groups, and ClaimsEtl canonicalization produces
+    * null keys for ANY column missing from an upload — a plain
+    * equi-join silently dropped those keys' entire histories (the
+    * joinBackByKey / twoLevelRank null-key convention, applied here
+    * in round 9).
+    */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      cols: Seq[String], how: String): DataFrame = {
+    val renamed = cols.foldLeft(right)(
+      (acc, c) => acc.withColumnRenamed(c, s"__r_$c"))
+    val cond = cols.map(c => col(c) <=> col(s"__r_$c"))
+      .reduce[org.apache.spark.sql.Column](_ && _)
+    left.join(renamed, cond, how).drop(cols.map(c => s"__r_$c"): _*)
+  }
+
   def build(claims: DataFrame, asOf: String): DataFrame = {
     val base = claims.withColumn("ym",
       date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
@@ -95,8 +111,8 @@ object SeriesMart {
     // every (child key × month) — keys from ALL rows (a key whose rows
     // are all undated still yields an all-zero history, as in the ref)
     val keys = claims.select(childCols.map(col): _*).distinct()
-    val filled = broadcast(months).crossJoin(keys)
-      .join(counts, childCols :+ "ym", "left")
+    val filled = joinNullSafe(broadcast(months).crossJoin(keys),
+      counts, childCols :+ "ym", "left")
       .na.fill(0L, Seq("n_all", "n_valid"))
 
     // per-child lag stats
@@ -108,7 +124,7 @@ object SeriesMart {
       .groupBy(childCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ym"), col("n_all"), col("n_valid"))))
         .as("series"))
-      .join(childLags, childCols, "left")
+      .transform(joinNullSafe(_, childLags, childCols, "left"))
       .select(
         parentKeys.map(col) :+
           struct(
@@ -136,10 +152,9 @@ object SeriesMart {
       .groupBy(parentKeys.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ym"), col("n_all"), col("n_valid"))))
         .as("series"))
-      .join(parentLags, parentKeys, "left")
+      .transform(joinNullSafe(_, parentLags, parentKeys, "left"))
 
-    parents
-      .join(children, parentKeys, "left")
+    joinNullSafe(parents, children, parentKeys, "left")
       .select(
         concat_ws("_", parentKeys.map(pyStr): _*).as("key"),
         concat_ws("_", parentKeys.map(sanitized): _*).as("filename_key"),
@@ -177,9 +192,16 @@ object SeriesMart {
     var written = 0
     val it = mart.toJSON.collectAsList().iterator()
     val keyRe = "\"filename_key\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+    // Distinct keys can SANITIZE to the same filename ("A/B" and
+    // "A:B" both become "A-B"); without disambiguation the second
+    // write silently overwrote the first while `written` counted both.
+    val used = scala.collection.mutable.Map.empty[String, Int]
     while (it.hasNext) {
       val json = it.next()
-      val fn = keyRe.findFirstMatchIn(json).map(_.group(1)).getOrElse("unknown")
+      val fn0 = keyRe.findFirstMatchIn(json).map(_.group(1)).getOrElse("unknown")
+      val n = used.getOrElse(fn0, 0)
+      used(fn0) = n + 1
+      val fn = if (n == 0) fn0 else s"$fn0-$n"
       val cleaned = json.replaceFirst(",?\"filename_key\":\"(?:[^\"\\\\]|\\\\.)*\"", "")
       val f = new java.io.File(out, s"$fn.json")
       val w = new java.io.PrintWriter(f, "UTF-8")

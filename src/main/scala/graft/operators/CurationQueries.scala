@@ -155,7 +155,11 @@ object CurationQueries extends QueryModule {
     // (langs × distinct lengths) so the tokenizing scan underneath
     // runs exactly once (policy-routed: local by default, reliable
     // under graft.checkpoint.reliable)
+    // null text excluded: under legacy sizeOfNull, size(tokens(null))
+    // is -1 — a REAL value that would enter the histogram and the mean
+    // while the oracle's SQL aggregates skip NULLs
     val hist = graft.Checkpoint.pin(Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("lang"),
         size(graft.text.TextFunctions.tokens(col("text"))).cast("long")
           .as("n_tokens"))
@@ -169,9 +173,9 @@ object CurationQueries extends QueryModule {
       .agg(sum(col("cnt")).as("n_docs"),
         round(sum(col("n_tokens") * col("cnt")).cast("double") /
           sum(col("cnt")), 4).as("mean_tokens"))
-    // left join-back: a lang whose every doc tokenizes to null has no
-    // percentile row but must stay in the report (null medians),
-    // matching the oracle's GROUP BY
+    // left join-back keeps a lang whose docs all have EMPTY token
+    // arrays (0-token histogram rows exist but may produce no
+    // percentile row edge-wise), matching the oracle's GROUP BY
     graft.Stats.joinBackByKey(agg, Seq("lang"), pct)
       .select(col("lang"), col("n_docs"),
         round(col("__med"), 4).as("median_tokens"),
@@ -202,7 +206,11 @@ object CurationQueries extends QueryModule {
     */
   private def textChunk(s: SparkSession, d: String,
       width: Int = 128, stride: Int = 64): DataFrame = {
+    // null text excluded: size(tokens(null)) = -1 under legacy
+    // sizeOfNull, so the otherwise-branch would build
+    // sequence(0, -2, stride) and throw at runtime
     val toks = Tables.documents(s, d)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("__toks"))
     val starts = when(size(col("__toks")) === 0, array().cast("array<int>"))
       .otherwise(sequence(lit(0), size(col("__toks")) - 1, lit(stride)))
@@ -243,6 +251,10 @@ object CurationQueries extends QueryModule {
       val deduped = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(d)
         .select(col("lang"), md5(col("text")).as("digest"))
+        // null text has a null digest: dropDuplicates would KEEP one
+        // (lang, null) row that count(*) counts, while the oracle's
+        // count(DISTINCT md5(text)) skips NULLs
+        .filter(col("digest").isNotNull)
         .dropDuplicates("lang", "digest")
       val out = graft.streaming.BoundedStream
         .runToTable(s, deduped, name, outputMode = "append")
@@ -586,7 +598,7 @@ object CurationQueries extends QueryModule {
     QueryDef("q_corpus_stats", corpusStats, Some(
       s"""WITH t AS (
          |  SELECT lang, CAST(len($toksSql) AS BIGINT) AS n_tokens
-         |  FROM documents)
+         |  FROM documents WHERE text IS NOT NULL)
          |SELECT lang, count(*) AS n_docs,
          |  round(quantile_cont(n_tokens, 0.5), 4) AS median_tokens,
          |  round(quantile_cont(n_tokens, 0.9), 4) AS p90_tokens,

@@ -116,7 +116,10 @@ object RewriteGlobalRowNumber extends Rule[LogicalPlan] {
   // those operators veto the rewrite outright.
   private def subtreeDeterministic(p: LogicalPlan): Boolean =
     !p.exists {
-      case _: GlobalLimit | _: LocalLimit | _: Sample => true
+      // Offset belongs with limit/sample: a bare OFFSET without a
+      // defining sort drops a different row PREFIX on each duplicated
+      // side — same class of plan-level nondeterminism.
+      case _: GlobalLimit | _: LocalLimit | _: Sample | _: Offset => true
       case node => node.expressions.exists(_.exists(!_.deterministic))
     }
 

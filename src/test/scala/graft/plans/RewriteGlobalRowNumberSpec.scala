@@ -271,6 +271,20 @@ class RewriteGlobalRowNumberSpec extends AnyFunSuite {
     }
   }
 
+  test("an OFFSET child (plan-level nondeterminism) is not rewritten") {
+    withExtSession { spark =>
+      // OFFSET without a defining sort drops an arbitrary row PREFIX —
+      // the same nondeterministic-row-set class as LIMIT/TABLESAMPLE
+      // (round-9 review gap: the veto listed only those two).
+      val q = spark.sql(
+        "SELECT v, row_number() OVER (ORDER BY v) AS rn FROM " +
+          "(SELECT id AS v FROM range(64) OFFSET 16)")
+      assert(!q.queryExecution.optimizedPlan.toString.contains("Join"),
+        "rewrite fired over an OFFSET child")
+      assert(q.collect().map(_.getInt(1)).sorted.toSeq == (1 to 48).toSeq)
+    }
+  }
+
   test("the flag disables the rewrite") {
     withExtSession { spark =>
       import spark.implicits._
