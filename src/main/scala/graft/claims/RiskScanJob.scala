@@ -57,7 +57,15 @@ object RiskScanJob {
     * afford.
     */
   def scan(df: DataFrame, keyCols: Seq[String], dateCol: String,
-      gradeCol: Option[String], asOf: LocalDate): DataFrame = {
+      gradeCol: Option[String], asOf: LocalDate,
+      maxSpineMonths: Int = 1200): DataFrame = {
+    // The grade rides the series key: monthlyCounts groups by keyCols,
+    // so a grade column that is not itself part of the key no longer
+    // exists by scoring time — fail loudly instead of UNRESOLVED_COLUMN
+    // (the coupling used to be implicit in the one caller).
+    require(gradeCol.forall(keyCols.contains),
+      s"gradeCol ${gradeCol.getOrElse("")} must be one of keyCols " +
+        s"(${keyCols.mkString(", ")}): the scan scores one grade per key")
     val ymOf = date_format(col(dateCol), "yyyy-MM")
     val bounds = df.agg(min(ymOf).as("lo"), max(ymOf).as("hi")).head()
     val months: Seq[String] =
@@ -68,6 +76,15 @@ object RiskScanJob {
         Iterator.iterate(lo)(_.plusMonths(1)).takeWhile(!_.isAfter(hi))
           .map(_.toString).toSeq
       }
+    // One corrupt outlier date (9999-12-31) would otherwise inflate
+    // the spine into tens of thousands of plan literals replicated
+    // into EVERY key's series — a dirty row must fail loudly, not
+    // degenerate the hot dashboard scan.
+    require(months.length <= maxSpineMonths,
+      s"month spine spans ${months.length} months " +
+        s"(${bounds.getString(0)}..${bounds.getString(1)}) — over the " +
+        s"$maxSpineMonths sanity cap; clean outlier dates or raise " +
+        "maxSpineMonths")
     // Max month with any row = the spine's upper bound (counts ≥ 1).
     val targetYm = if (bounds.isNullAt(1)) "0001-01" else bounds.getString(1)
     val spine =
@@ -89,7 +106,12 @@ object RiskScanJob {
       .groupBy(keyCols.map(col): _*)
       .agg(map_from_entries(collect_list(struct(col("ym"), col("n")))).as("__m"))
       .withColumn("series", transform(spine, ym =>
-        struct(ym.as("ym"), coalesce(element_at(col("__m"), ym), lit(0L)).as("n"))))
+        struct(ym.as("ym"),
+          // try_element_at: missing spine months are the COMMON case
+          // (zero-claim months) and plain element_at throws
+          // MAP_KEY_DOES_NOT_EXIST under ANSI mode — Spark 4's
+          // default for sessions this library does not control
+          coalesce(try_element_at(col("__m"), ym), lit(0L)).as("n"))))
 
     val scored = series
       .withColumn("target_ym", lit(targetYm))

@@ -32,15 +32,27 @@ object SeasonalDecompose {
     val n = values.length
     require(n >= 2 * period, s"need >= ${2 * period} observations, got $n")
 
-    // centered 2×period MA: filt = [0.5, 1, ..., 1, 0.5] / period,
-    // length period+1, half-window period/2 on each side
+    // statsmodels' convolution filter, both parities: EVEN period →
+    // centered 2×period MA ([0.5, 1, ..., 1, 0.5] / period, length
+    // period+1); ODD period → flat centered mean (ones(period)/period)
+    // — applying the even filter to an odd period would sum weights
+    // (period−1)/period and bias the whole trend low.
     val half = period / 2
     val trend = Array.fill(n)(Double.NaN)
     var t = half
     while (t < n - half) {
-      var s = 0.5 * values(t - half) + 0.5 * values(t + half)
-      var j = t - half + 1
-      while (j <= t + half - 1) { s += values(j); j += 1 }
+      var s =
+        if (period % 2 == 0) {
+          var acc = 0.5 * values(t - half) + 0.5 * values(t + half)
+          var j = t - half + 1
+          while (j <= t + half - 1) { acc += values(j); j += 1 }
+          acc
+        } else {
+          var acc = 0.0
+          var j = t - half
+          while (j <= t + half) { acc += values(j); j += 1 }
+          acc
+        }
       trend(t) = s / period
       t += 1
     }

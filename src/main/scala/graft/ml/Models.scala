@@ -23,11 +23,9 @@ final class ArimaLiteModel(
   override def name: String = "SARIMAX"
 
   private var coef: Array[Double] = _
-  private var residCoef: Array[Double] = _
   private var trainDiffed: Array[Double] = _
   private var trainRaw: Array[Double] = _
   private var usedExog: Boolean = false
-  private var exogCoef: Double = 0.0
   private var intercept: Double = 0.0
 
   private def difference(y: Array[Double], lag: Int): Array[Double] =
@@ -55,9 +53,7 @@ final class ArimaLiteModel(
     if (z.length <= lag0 + 2 || (p == 0 && P == 0 && q == 0 && Q == 0)) {
       // degenerate: mean model on the differenced series
       coef = Array.empty
-      residCoef = Array.empty
       intercept = if (z.nonEmpty) z.sum / z.length else 0.0
-      exogCoef = 0.0
       isFitted = true
       return
     }
@@ -86,8 +82,6 @@ final class ArimaLiteModel(
     val x2 = idxs.map(t => features(t, Some(resids)))
     val c2 = LinAlg.solveNormal(x2, b1)
     coef = c2
-    residCoef = Array.empty
-    trainDiffed = z
     this.residuals = resids
     isFitted = true
   }
@@ -182,8 +176,13 @@ final class RidgeLagModel(val lookback: Int, val ridge: Double = 1.0)
     (0 until steps).map { _ =>
       val feats = Array(1.0) ++ (1 to lookback).map(i => window(window.length - i))
       val v = feats.zip(coef).map { case (a, b) => a * b }.sum
-      window += v
-      math.max(0.0, v * (yMax - yMin) + yMin) // clamp ≥ 0 like the ref LSTM rollout
+      val out = math.max(0.0, v * (yMax - yMin) + yMin) // clamp >= 0 like the ref LSTM rollout
+      // feed back the CLAMPED value (re-normalized): the rollout must
+      // extrapolate from the trajectory it reports, or a series
+      // trending through zero drives later steps below any published
+      // forecast
+      window += (out - yMin) / (yMax - yMin)
+      out
     }.toArray
   }
 }

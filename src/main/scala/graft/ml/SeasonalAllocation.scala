@@ -29,10 +29,16 @@ object SeasonalAllocation {
     val sameMonth = history
       .groupBy(col("접수월"), col("소분류"))
       .agg(avg(col("건수")).as("m건수"))
+    // zero-sum guard: a calendar month whose history is all zeros has
+    // no shape to allocate by — its share is left null here so the
+    // month falls through to the overall fallback instead of emitting
+    // null forecasts (or DIVIDE_BY_ZERO under ANSI sessions).
     val monthShares = sameMonth
+      .withColumn("__mtot", sum(col("m건수")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("접수월")))
       .withColumn("점유율",
-        col("m건수") / sum(col("m건수")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("접수월")))
+        when(col("__mtot") =!= 0.0, col("m건수") / col("__mtot")))
+      .drop("__mtot")
 
     // fallback: overall sum share (used for future months with no
     // history); global window over the aggregated per-category sums —
@@ -41,9 +47,15 @@ object SeasonalAllocation {
     val overall = history
       .groupBy(col("소분류"))
       .agg(sum(col("건수")).as("s건수"))
+      .withColumn("__tot", sum(col("s건수")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      // all-zero history: equal split keeps the allocation total equal
+      // to the champion's prediction instead of nulling it out
       .withColumn("점유율_fb",
-        col("s건수") / sum(col("s건수")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy()))
+        when(col("__tot") =!= 0.0, col("s건수") / col("__tot"))
+          .otherwise(lit(1.0) / count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy())))
+      .drop("__tot")
 
     val monthsWithHistory = sameMonth.select("접수월").distinct()
       .withColumn("__has_hist", lit(true))
@@ -56,7 +68,13 @@ object SeasonalAllocation {
 
     val fromMonth = withHist.filter(col("__has_hist"))
       .join(monthShares, Seq("접수월"))
-      .select(col("접수월"), col("소분류"), col("점유율"), col("예측_총량"))
+      // an all-zero month left its share null above — fall through to
+      // the overall share so the month's predicted total is preserved
+      .join(broadcast(overall.select(col("소분류"), col("점유율_fb"))),
+        Seq("소분류"), "left")
+      .select(col("접수월"), col("소분류"),
+        coalesce(col("점유율"), col("점유율_fb")).as("점유율"),
+        col("예측_총량"))
     val fromFallback = withHist.filter(!col("__has_hist"))
       .crossJoin(overall.select(col("소분류"), col("점유율_fb").as("점유율")))
       .select(col("접수월"), col("소분류"), col("점유율"), col("예측_총량"))

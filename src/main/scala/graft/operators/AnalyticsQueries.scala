@@ -44,15 +44,26 @@ object AnalyticsQueries extends QueryModule {
     * trend window is anchored at the latest month). Violations emitted;
     * the oracle asserts the set is EMPTY.
     */
+  /** The R1–R9 output contract, encoded ONCE for both scan audits
+    * (score ∈ [0, 100]; status one of the three lights, or "" only for
+    * cur_n = 0; non-negative current count; trend anchored at the
+    * latest month): rows VIOLATING it survive the filter. Two verbatim
+    * copies drifted apart would let a contract change silently audit
+    * only one scan.
+    */
+  private def contractViolations(scan: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    scan.filter(not(
+      col("score").between(0, 100) &&
+      (col("status").isin("🔴", "🟡", "⚪") ||
+        (col("status") === "" && col("cur_n") === 0)) &&
+      col("cur_n") >= 0 &&
+      col("trend").endsWith(col("cur_n").cast("string"))))
+  }
+
   private def riskScanSound(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    riskScan(s, d)
-      .filter(not(
-        col("score").between(0, 100) &&
-        (col("status").isin("🔴", "🟡", "⚪") ||
-          (col("status") === "" && col("cur_n") === 0)) &&
-        col("cur_n") >= 0 &&
-        col("trend").endsWith(col("cur_n").cast("string"))))
+    contractViolations(riskScan(s, d))
       .select(col("o_orderpriority"), col("o_orderstatus"),
         col("score").cast("long").as("score"), col("status"))
   }
@@ -78,13 +89,7 @@ object AnalyticsQueries extends QueryModule {
     */
   private def riskScanEventsSound(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    riskScanEvents(s, d)
-      .filter(not(
-        col("score").between(0, 100) &&
-        (col("status").isin("🔴", "🟡", "⚪") ||
-          (col("status") === "" && col("cur_n") === 0)) &&
-        col("cur_n") >= 0 &&
-        col("trend").endsWith(col("cur_n").cast("string"))))
+    contractViolations(riskScanEvents(s, d))
       .select(col("user_id").cast("long").as("user_id"), col("event_type"),
         col("score").cast("long").as("score"), col("status"))
   }

@@ -92,6 +92,22 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("odd-period decomposition trend is unbiased (flat filter)") {
+    // On a pure linear series every correctly-weighted centered mean
+    // equals the series itself; the round-9 review found the even
+    // 2×MA filter applied to odd periods summed weights (p−1)/p and
+    // biased the trend ~1/p low. Both parities must be exact here.
+    val linear = IndexedSeq.tabulate(40)(t => 3.0 + 2.0 * t)
+    for (period <- Seq(7, 12)) {
+      val d = SeasonalDecompose.additive(linear, period)
+      linear.indices.foreach { i =>
+        if (!d.trend(i).isNaN)
+          assert(math.abs(d.trend(i) - linear(i)) < 1e-9,
+            s"period $period, i=$i: ${d.trend(i)} vs ${linear(i)}")
+      }
+    }
+  }
+
   test("sample variance matches definitional form") {
     cases(Gen.nonEmptyListOf(Gen.choose(-100.0, 100.0))) { xs =>
       val v = Distributions.varSample(xs.toIndexedSeq)
