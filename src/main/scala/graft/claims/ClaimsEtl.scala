@@ -198,17 +198,19 @@ object ClaimsEtl {
       .drop("__y_cnt", "__m_cnt")
   }
 
-  /** End-to-end ingest: load → canonicalize → full dedup → preprocess
-    * (ref: core/etl.py:105-146 + pages/1 step ordering, SURVEY.md
-    * §3.1). Dedup runs on the CANONICAL 54 columns (the P3 contract
-    * and the reference's order — etl.py canonicalizes at :50-71 and
-    * dedups at :135): two rows identical in every canonical column but
-    * differing in a dropped extra column ARE duplicates, and deduping
-    * the raw frame first both missed them and shuffled the wider raw
-    * rows. StreamingIngest uses the same order.
+  /** End-to-end ingest: load → full dedup → canonicalize → preprocess
+    * (ref: core/etl.py:131-139 + pages/1 step ordering, SURVEY.md
+    * §3.1). Dedup runs on the RAW frame, matching the reference's
+    * order exactly — process_claim_data drop_duplicates the raw frame
+    * at etl.py:135 and only then extract_54_fields at :139. Rows
+    * identical on the 54 canonical columns but differing in a dropped
+    * extra column are therefore BOTH kept (the reference merely
+    * reports them as residual duplicates via validate_data_quality);
+    * collapsing them here would diverge row counts for such uploads.
+    * StreamingIngest uses the same order.
     */
   def ingestCsv(spark: SparkSession, path: String): DataFrame =
-    preprocess(dropFullDuplicates(canonicalize54(loadCsv(spark, path))))
+    preprocess(canonicalize54(dropFullDuplicates(loadCsv(spark, path))))
 
   private def quoted(c: String): String = c
 }

@@ -135,7 +135,12 @@ object Xlsx {
   private[sources] def decodeSerial(raw: String,
       date1904: Boolean = false): String = {
     val d = raw.trim.toDouble
-    if (d < 0 || d > 2958465.999999) return raw // 9999-12-31 bound
+    // 9999-12-31 bound is epoch-dependent: serial 2958465 in the 1900
+    // system, 2957003 (= 2958465 − 1462, the 1899-12-30→1904-01-01
+    // gap) in the 1904 system — the same serial maps ~4 years later
+    // there, so the 1900 bound alone would admit year-10000+ dates.
+    val bound = if (date1904) 2957003.999999 else 2958465.999999
+    if (d < 0 || d > bound) return raw
     val days = math.floor(d).toLong
     // 1904 system (workbookPr date1904: Mac-origin workbooks): epoch
     // 1904-01-01, no Lotus phantom-leap-day adjustment. pd.read_excel

@@ -53,18 +53,20 @@ object StreamingIngest {
           // a bounded handful of uploads (maxFilesPerTrigger), so the
           // per-file read fan-out is driver-side trivial.
           val canon = files.map { f =>
-            ClaimsEtl.canonicalize54(sess.read
-              .option("header", "true")
-              .option("encoding", "UTF-8")
-              .csv(f))
+            // Per-file RAW dedup before canonicalize — the reference's
+            // per-upload order (core/etl.py:135 drop_duplicates the
+            // raw frame, :139 extract_54_fields), applied to each
+            // upload independently just as process_claim_data is.
+            ClaimsEtl.canonicalize54(
+              ClaimsEtl.dropFullDuplicates(sess.read
+                .option("header", "true")
+                .option("encoding", "UTF-8")
+                .csv(f)))
           }.reduce(_ unionByName _)
-          // Batch-level P3 dedup ON THE CANONICAL 54 columns (the
-          // reference's order — core/etl.py:135 dedups the canonical
-          // frame), with one ingest sequence assigned across the
-          // whole batch so keep-first stays well-defined across files.
+          // One ingest sequence assigned across the whole batch so the
+          // hub's keyed keep-last stays well-defined across files.
           val prepared = ClaimsEtl.preprocess(
-            ClaimsEtl.dropFullDuplicates(
-              ClaimsEtl.withIngestSeq(canon)))
+            ClaimsEtl.withIngestSeq(canon))
           HubStore.upsert(sess, prepared, hubPath)
         }
       }

@@ -721,7 +721,7 @@ object CurationOps {
     * EVERY level, letting a worst-level null-id doc jump the
     * quality-descending fill.
     */
-  private def idRangeBucket(base: DataFrame, idCol: String,
+  private[text] def idRangeBucket(base: DataFrame, idCol: String,
       numericId: Boolean, level: Option[Column] = None): DataFrame =
     if (!numericId) {
       val pfx = coalesce(substring(col(idCol).cast("string"), 1, 2),
@@ -733,13 +733,17 @@ object CurationOps {
         min(col(idCol)).cast("double").as("__idmn"),
         max(col(idCol)).cast("double").as("__idmx")))
       // 257 slots per level: slot 0 = null id, slots 1..256 = the 256
-      // range bins (an empty/all-null frame degrades to slot 0 via the
-      // null __idmn propagating through the arithmetic).
-      val bin = coalesce(
+      // range bins. The null case must be EXPLICIT: Spark's least()
+      // SKIPS nulls, so a null id propagating through floor() would
+      // yield least(null, 255) = 255 → bin 256, silently sorting null
+      // ids LAST and sharing a slot with the max-id bin (the pre-r10
+      // bug — a coalesce fallback after least() is dead code). An
+      // all-null frame also lands every row in slot 0 via this branch,
+      // before the null __idmn could reach the arithmetic.
+      val bin = when(col(idCol).isNull, lit(0)).otherwise(
         least(floor((col(idCol).cast("double") - col("__idmn")) /
             greatest(col("__idmx") - col("__idmn"), lit(1.0)) * 256),
-          lit(255)).cast("int") + 1,
-        lit(0))
+          lit(255)).cast("int") + 1)
       base.crossJoin(mm)
         .withColumn("__bkt", level.map(_ * 257 + bin).getOrElse(bin))
         .drop("__idmn", "__idmx")

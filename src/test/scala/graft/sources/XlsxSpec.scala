@@ -85,6 +85,15 @@ class XlsxSpec extends AnyFunSuite {
     assert(Xlsx.decodeSerial("45292") == "2024-01-01")
     assert(Xlsx.decodeSerial("45297.5") == "2024-01-06 12:00:00")
     assert(Xlsx.decodeSerial("-3") == "-3") // out of range → raw passthrough
+    // The 9999-12-31 bound is epoch-dependent: 2958465 in the 1900
+    // system but 2957003 in the 1904 system (same serial maps ~4 years
+    // later there). A 1904-mode serial past its own bound must fall
+    // back to raw, not produce a year-10000+ date.
+    assert(Xlsx.decodeSerial("2958465") == "9999-12-31")
+    assert(Xlsx.decodeSerial("2958466") == "2958466")
+    assert(Xlsx.decodeSerial("2957003", date1904 = true) == "9999-12-31")
+    assert(Xlsx.decodeSerial("2957004", date1904 = true) == "2957004")
+    assert(Xlsx.decodeSerial("2958465", date1904 = true) == "2958465")
   }
 
   test("date-styled numeric cells decode to ISO strings, others stay raw") {

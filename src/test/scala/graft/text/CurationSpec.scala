@@ -590,6 +590,39 @@ class CurationSpec extends AnyFunSuite {
       "the kept doc must be the good one, not the null-id junk")
   }
 
+  test("numeric null id takes slot 0, not the max-id bin") {
+    import spark.implicits._
+    // least() SKIPS nulls, so without an explicit isNull branch a null
+    // id propagated to least(null, 255) = 255 → bin 256, sharing the
+    // max-id bucket and sorting LAST — the inverse of the documented
+    // nulls-first slot 0 (matching the ranking window's tie-break).
+    val docs = Seq(Option.empty[Long], Some(0L), Some(50L), Some(100L))
+      .toDF("doc_id")
+    val bkt = CurationOps.idRangeBucket(docs, "doc_id", numericId = true)
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getAs[Int]("__bkt")).toMap
+    assert(bkt(None) == 0, "null id must take the dedicated slot 0")
+    assert(bkt(Some(0L)) == 1, "min id maps to the first range bin")
+    assert(bkt(Some(100L)) == 256, "max id maps to the last range bin")
+    assert(bkt(Some(50L)) > 1 && bkt(Some(50L)) < 256)
+    // All-null frame: every row degrades to slot 0 via the same branch
+    // (min/max are null but the arithmetic is never reached).
+    val allNull = Seq(Option.empty[Long], Option.empty[Long]).toDF("doc_id")
+    val nb = CurationOps.idRangeBucket(allNull, "doc_id", numericId = true)
+      .select("__bkt").collect().map(_.getInt(0)).toSeq
+    assert(nb == Seq(0, 0))
+    // With a leading level the null slot stays FIRST within its level:
+    // level*257 + 0 < level*257 + anyBin.
+    val lv = CurationOps.idRangeBucket(docs.withColumn("lvl", lit(2)),
+        "doc_id", numericId = true, level = Some(col("lvl")))
+      .collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) ->
+        r.getAs[Int]("__bkt")).toMap
+    assert(lv(None) == 2 * 257)
+    assert(lv(Some(0L)) == 2 * 257 + 1 && lv(Some(100L)) == 2 * 257 + 256)
+  }
+
   test("span kernels are ANSI-safe (Spark 4 default mode)") {
     import spark.implicits._
     // The harness sessions run permissive mode for DuckDB parity, but
