@@ -50,24 +50,73 @@ object HubStore {
     */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String): Unit = {
     if (exists(spark, path)) {
-      // FULL STATIC rewrite (the reference's semantics,
-      // core/storage.py:75-130 read-merge-rewrite): a keyed update can
-      // MOVE a claim across month partitions, and under dynamic
-      // overwrite a partition whose last rows moved away is simply
-      // never touched — its stale files survive and the hub holds two
-      // versions of the claim (empirically reproduced in the round-9
-      // review). Static overwrite replaces the whole dataset, deleting
-      // emptied partitions. The merged frame is pinned first
-      // ([[graft.Checkpoint.pin]]) so its lineage no longer reads the
-      // path being overwritten.
-      val merged = graft.Checkpoint.pin(
-        merge(read(spark, path), incoming).drop(ingestSeqCol, batchCol))
-      prepPartitionCols(merged)
+      // PARTITION-SCOPED rewrite. The correctness hazard (reproduced in
+      // the round-9 review) is a keyed update MOVING a claim across
+      // month partitions: plain dynamic overwrite never touches the
+      // partition the claim vacated, so its stale files survive and
+      // the hub holds two versions. The round-9 fix — a full static
+      // rewrite, the reference's literal read-merge-rewrite
+      // (core/storage.py:75-130) — was correct but O(entire hub) per
+      // incremental batch. Only partitions that can CHANGE need
+      // rewriting, and that set is knowable up front:
+      //   oldParts — partitions currently holding any incoming claim
+      //     key (these may shrink or vacate), found by a broadcast
+      //     semi-join that Catalyst prunes to (key, partition cols) —
+      //     a one-column-ish scan, not a full-width read;
+      //   newParts — partitions the prepped incoming rows land in
+      //     (these gain or replace rows).
+      // Rows outside oldParts ∪ newParts have keys absent from the
+      // batch and keep their bytes; the merge therefore reads ONLY the
+      // affected partitions (partition-pruned), dynamic overwrite
+      // rewrites exactly the non-empty ones, and partitions the merge
+      // emptied are deleted explicitly — closing the stale-file hole
+      // at O(touched partitions) instead of O(dataset) I/O.
+      val hub = read(spark, path)
+      val incPrepped = prepPartitionCols(incoming)
+      val keys = incoming.select(col(keyCol)).distinct()
+      val partCols = partitionCols.map(col)
+      def partSet(df: DataFrame): Set[Seq[Int]] =
+        df.select(partCols: _*).distinct().collect()
+          .map(r => partitionCols.indices.map(r.getInt)).toSet
+      val oldParts = partSet(hub.join(broadcast(keys), Seq(keyCol), "left_semi"))
+      val newParts = partSet(incPrepped)
+      val affected = oldParts ++ newParts
+      val affectedPred = affected
+        .map(vs => partCols.zip(vs).map { case (c, v) => c === v }
+          .reduce(_ && _))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      // The merged frame is pinned ([[graft.Checkpoint.pin]]) so its
+      // lineage no longer reads the path being overwritten.
+      val merged = graft.Checkpoint.pin(prepPartitionCols(
+        merge(hub.filter(affectedPred), incoming)
+          .drop(ingestSeqCol, batchCol)))
+      merged
         .write
-        .option("partitionOverwriteMode", "static")
+        .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*)
         .mode("overwrite")
         .parquet(path)
+      // Vacated partitions: affected but with no surviving merged rows
+      // (dynamic overwrite never visits them). The pinned frame makes
+      // this second partition listing a cheap re-read, not a recompute.
+      val vacated = affected -- partSet(merged)
+      if (vacated.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(path)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        vacated.foreach { vs =>
+          val rel = partitionCols.zip(vs)
+            .map { case (c, v) => s"$c=$v" }.mkString("/")
+          val dir = new org.apache.hadoop.fs.Path(root, rel)
+          if (fs.exists(dir)) fs.delete(dir, true)
+          // Prune the parent year directory too if this was its last
+          // month — an empty 접수년=Y dir is harmless to Spark but
+          // noise to a listing.
+          val parent = dir.getParent
+          if (parent != root && fs.exists(parent) &&
+              fs.listStatus(parent).isEmpty)
+            fs.delete(parent, false)
+        }
+      }
     } else
       write(incoming.drop(ingestSeqCol), path)
   }

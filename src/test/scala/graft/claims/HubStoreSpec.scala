@@ -87,6 +87,51 @@ class HubStoreSpec extends AnyFunSuite {
     assert(back.count() == 6)
   }
 
+  test("upsert rewrites only the affected partitions") {
+    import spark.implicits._
+    // The fixture hub spans 2023/10, 2023/11 and 2024/01. An update
+    // touching a 2023/10 claim plus a brand-new 2024/02 claim must
+    // leave the bytes of 2023/11 and 2024/01 untouched — upsert cost
+    // has to be O(touched partitions), not O(hub) (the round-9 full
+    // static rewrite was correct but rewrote every partition per
+    // incremental batch).
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    def listing(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+        .map(f => f.getPath.stripPrefix(dir) ->
+          (f.lastModified(), f.length())).toMap
+    }
+    val before = listing()
+    assert(before.keys.exists(_.contains("접수년=2023/접수월=11")))
+    Thread.sleep(1100) // mtime resolution guard
+    val update = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(Seq(
+        ("C001", "2023", "10", "15", "PLANT_A", "중대"),
+        ("C777", "2024", "2", "1", "PLANT_B", "일반"))
+        .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트", "등급기준"))))
+    HubStore.upsert(spark, update, dir)
+    val after = listing()
+    def part(m: Map[String, (Long, Long)], p: String) =
+      m.filter(_._1.contains(p))
+    // Untouched partitions: identical file set, mtimes and sizes.
+    for (p <- Seq("접수년=2023/접수월=11", "접수년=2024/접수월=1/"))
+      assert(part(after, p) == part(before, p),
+        s"partition $p must not be rewritten")
+    // Touched partition rewritten, new partition created.
+    assert(part(after, "접수년=2023/접수월=10") !=
+      part(before, "접수년=2023/접수월=10"))
+    assert(part(after, "접수년=2024/접수월=2").nonEmpty)
+    // Semantics unchanged: new batch wins, new key appended.
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 7)
+    assert(back.filter(col("상담번호") === "C001")
+      .select("등급기준").collect()(0).getString(0) == "중대")
+  }
+
   test("catalog lists partitions newest first with counts") {
     val dir = Files.createTempDirectory("hub").toString
     HubStore.write(ingest(), dir)
