@@ -391,6 +391,72 @@ object MultimodalOps {
           .as("est_bytes")))
   }
 
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("min_r", IntegerType), StructField("max_r", IntegerType),
+    StructField("grad_r", LongType),
+    StructField("min_g", IntegerType), StructField("max_g", IntegerType),
+    StructField("grad_g", LongType),
+    StructField("min_b", IntegerType), StructField("max_b", IntegerType),
+    StructField("grad_b", LongType)))
+
+  /** REAL image-feature extraction: decode the payload and compute
+    * classic handcrafted per-channel features over the raster —
+    * channel min/max and horizontal gradient energy (the sum of
+    * |c(x+1, y) − c(x, y)| over every horizontally adjacent pixel
+    * pair, a standard edge-energy statistic). All three are exact
+    * integers, so on a planted lossless image every feature is
+    * re-derivable from the generation formula by a SQL oracle — this
+    * is the oracle-checkable upgrade of the stub encoder pass
+    * ([[extractFeatures]], which remains the opaque-embedding
+    * contract). Unrecognized/null payloads yield a null struct; same
+    * constant-memory mapPartitions shape as the other stages.
+    */
+  def imageFeatureStats(df: DataFrame, binCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val outSchema = StructType(df.schema.fields :+
+      StructField("image_features", imageFeatureSchema))
+    val rdd = df.rdd.mapPartitions { it =>
+      it.map { row =>
+        val payload = row.getAs[Array[Byte]](binCol)
+        val stats =
+          if (payload == null) null
+          else tryDecodeImage(payload) match {
+            case Some((img, _, _)) =>
+              val w = img.getWidth
+              val h = img.getHeight
+              val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+              val mn = Array(255, 255, 255)
+              val mx = Array(0, 0, 0)
+              val grad = Array(0L, 0L, 0L)
+              var i = 0
+              while (i < rgbs.length) {
+                val rgb = rgbs(i)
+                val c = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff,
+                  rgb & 0xff)
+                var k = 0
+                while (k < 3) {
+                  if (c(k) < mn(k)) mn(k) = c(k)
+                  if (c(k) > mx(k)) mx(k) = c(k)
+                  k += 1
+                }
+                if (i % w != w - 1) { // has a right neighbor
+                  val nxt = rgbs(i + 1)
+                  grad(0) += math.abs(((nxt >> 16) & 0xff) - c(0))
+                  grad(1) += math.abs(((nxt >> 8) & 0xff) - c(1))
+                  grad(2) += math.abs((nxt & 0xff) - c(2))
+                }
+                i += 1
+              }
+              Row(mn(0), mx(0), grad(0), mn(1), mx(1), grad(1),
+                mn(2), mx(2), grad(2))
+            case None => null
+          }
+        Row.fromSeq(row.toSeq :+ stats)
+      }
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
   /** Feature-extract stage (STUB): fixed-length feature vector derived
     * deterministically from payload bytes — stands in for an encoder
     * forward pass; the array<float> output schema and batching are the

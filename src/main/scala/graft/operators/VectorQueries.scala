@@ -70,17 +70,22 @@ object VectorQueries extends QueryModule {
         col("resized.height").as("resized_h"))
   }
 
-  /** Multimodal feature extraction (stub encoder): binary → fixed-dim
-    * float feature vector, reported as vector norm per doc.
+  /** REAL image-feature entry (VERDICT r9 #2): the planted 8×8 PNG
+    * decodes through the JDK codec and yields handcrafted per-channel
+    * features — min/max and horizontal gradient energy
+    * ([[MultimodalOps.imageFeatureStats]]). All nine features are
+    * exact integers closed-form in doc_id, so the DuckDB oracle
+    * re-derives every one from the generation formula without
+    * touching an image — graduating the features stage from the
+    * rows-only stub-norm report to oracle-green. The stub encoder
+    * contract (opaque bytes → array<float>) remains audited by
+    * q_multimodal_features_sound.
     */
-  private def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
-    val withPayload = Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-    MultimodalOps.extractFeatures(withPayload, "payload", dim = 16)
-      .select(col("doc_id"),
-        round(VectorOps.norm(col("features").cast("array<double>")), 4)
-          .as("feature_norm"))
-  }
+  private def multimodalFeatures(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.imageFeatureStats(plantedPngPayloads(s, d), "payload")
+      .select(col("doc_id") +:
+        MultimodalOps.imageFeatureSchema.fieldNames.toSeq.map(f =>
+          col(s"image_features.$f").as(f)): _*)
 
   /** Structural soundness audit for the multimodal pipeline: with the
     * payload being the UTF-8 text bytes, `byte_len` must equal the
@@ -272,7 +277,7 @@ object VectorQueries extends QueryModule {
     val (assigned, centroids) = IvfIndex.assignCached(
       Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
     IvfIndex.topK(assigned, centroids, queryVec(s, d),
-      "vec_id", "embedding", k = 10, nprobe = 6)
+      "vec_id", "embedding", k = 10, nprobe = 10)
   }
 
   /** Exact 1-NN label accuracy per label — the standard embedding-QA
@@ -368,7 +373,7 @@ object VectorQueries extends QueryModule {
       val (assigned, centroids) = IvfIndex.assignCached(
         Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
       val ivf = IvfIndex.topK(assigned, centroids, queryVec(s, d),
-        "vec_id", "embedding", k = 10, nprobe = 6).select(col("vec_id"))
+        "vec_id", "embedding", k = 10, nprobe = 10).select(col("vec_id"))
       def recallOf(name: String, approx: DataFrame) =
         exact.join(approx, Seq("vec_id"), "left_semi")
           .agg((count(lit(1)) / 10.0).as("recall_at_10"))
@@ -382,13 +387,19 @@ object VectorQueries extends QueryModule {
   /** Soundness floor for the ANN paths, DuckDB-checkable even though
     * the searches are not SQL-expressible: recall@10 of each
     * approximate method against the exact top-10 must clear a fixed
-    * floor (LSH ≥ 0.6, IVF ≥ 0.5 — under the observed r=2 multi-probe
-    * LSH 0.8–1.0 and IVF 0.5–0.8 across sf0.001/0.01/0.1, both
-    * deterministic: seeded quantizer, fixed hyperplanes). Emits the
+    * floor of 0.8 — curation-grade near-dup recall, not the loose
+    * 0.6/0.5 of earlier rounds. Sustained by the round-10 sweep
+    * (graft.AnnSweep, deterministic: seeded quantizer, fixed
+    * hyperplanes): multi-probe LSH r=2 measures 1.0/0.8/0.9 at
+    * sf0.001/0.01/0.1 (r=3 reaches 1.0 everywhere at 2.5× the
+    * broadcast probe count — the knob to turn first if a corpus dips);
+    * IVF at nprobe=10 of 16 measures 0.9/0.8/1.0 (nprobe=6 sat at
+    * 0.5–0.8, below the floor — more probes reuse the same assignment
+    * scan, so the extra cost is candidate scoring only). Emits the
     * violations; the oracle asserts the set is EMPTY.
     */
   private def annRecallFloor(s: SparkSession, d: String): DataFrame = {
-    val floors = Seq("lsh" -> 0.6, "ivf" -> 0.5)
+    val floors = Seq("lsh" -> 0.8, "ivf" -> 0.8)
     val floorDf = {
       import s.implicits._
       floors.toDF("method", "floor")
@@ -527,7 +538,39 @@ object VectorQueries extends QueryModule {
         |    abs((doc_id * 7919 + i * 31) % 65536 - 32768)))
         |    AS BIGINT) AS sum_abs
         |FROM documents""".stripMargin)),
-    QueryDef("q_multimodal_features", multimodalFeatures, None),
+    QueryDef("q_multimodal_features", multimodalFeatures, Some(
+      """SELECT doc_id,
+        |  CAST(list_min(list_transform(range(64),
+        |    i -> (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256))
+        |    AS INTEGER) AS min_r,
+        |  CAST(list_max(list_transform(range(64),
+        |    i -> (doc_id * 31 + (i % 8) * 7 + (i // 8) * 13) % 256))
+        |    AS INTEGER) AS max_r,
+        |  CAST(list_sum(list_transform(range(56), i ->
+        |    abs((doc_id * 31 + ((i % 7) + 1) * 7 + (i // 7) * 13) % 256
+        |      - (doc_id * 31 + (i % 7) * 7 + (i // 7) * 13) % 256)))
+        |    AS BIGINT) AS grad_r,
+        |  CAST(list_min(list_transform(range(64),
+        |    i -> (doc_id * 17 + (i % 8) * 3 + (i // 8) * 5) % 256))
+        |    AS INTEGER) AS min_g,
+        |  CAST(list_max(list_transform(range(64),
+        |    i -> (doc_id * 17 + (i % 8) * 3 + (i // 8) * 5) % 256))
+        |    AS INTEGER) AS max_g,
+        |  CAST(list_sum(list_transform(range(56), i ->
+        |    abs((doc_id * 17 + ((i % 7) + 1) * 3 + (i // 7) * 5) % 256
+        |      - (doc_id * 17 + (i % 7) * 3 + (i // 7) * 5) % 256)))
+        |    AS BIGINT) AS grad_g,
+        |  CAST(list_min(list_transform(range(64),
+        |    i -> (doc_id * 29 + (i % 8) * 11 + (i // 8) * 2) % 256))
+        |    AS INTEGER) AS min_b,
+        |  CAST(list_max(list_transform(range(64),
+        |    i -> (doc_id * 29 + (i % 8) * 11 + (i // 8) * 2) % 256))
+        |    AS INTEGER) AS max_b,
+        |  CAST(list_sum(list_transform(range(56), i ->
+        |    abs((doc_id * 29 + ((i % 7) + 1) * 11 + (i // 7) * 2) % 256
+        |      - (doc_id * 29 + (i % 7) * 11 + (i // 7) * 2) % 256)))
+        |    AS BIGINT) AS grad_b
+        |FROM documents""".stripMargin)),
     QueryDef("q_multimodal_features_sound", multimodalFeaturesSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS doc_id,
         |  CAST(NULL AS INTEGER) AS dim WHERE FALSE""".stripMargin))

@@ -69,6 +69,38 @@ class MultimodalSpec extends AnyFunSuite {
       assert(got(id) == expect(id), s"id=$id")
   }
 
+  test("imageFeatureStats reports exact min/max/gradient per channel") {
+    import spark.implicits._
+    val pngOf = udf((id: Long) => MultimodalOps.syntheticPng(id, 8, 8))
+    val df = Seq(0L, 3L, 999L).toDF("id")
+      .select(col("id"), pngOf(col("id")).as("payload"))
+    val got = MultimodalOps.imageFeatureStats(df, "payload")
+      .select(col("id"), col("image_features.*"))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 9).map(r.get).toSeq).toMap
+    // Independent re-derivation from the generation formula.
+    def expect(id: Long): Seq[Any] = {
+      def ch(mr: Long, mx7: Int, my13: Int)(x: Int, y: Int) =
+        math.floorMod(id * mr + x * mx7 + y * my13, 256).toInt
+      val chans = Seq(ch(31, 7, 13) _, ch(17, 3, 5) _, ch(29, 11, 2) _)
+      chans.flatMap { f =>
+        val vals = for (y <- 0 until 8; x <- 0 until 8) yield f(x, y)
+        val grad = (for (y <- 0 until 8; x <- 0 until 7)
+          yield math.abs(f(x + 1, y) - f(x, y)).toLong).sum
+        Seq(vals.min, vals.max, grad)
+      }
+    }
+    for (id <- Seq(0L, 3L, 999L))
+      assert(got(id) == expect(id), s"id=$id")
+    // Null / unrecognized payloads yield a null struct, never a crash.
+    val junk = Seq((1L, Array[Byte](1, 2, 3)),
+        (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "payload")
+    val nulls = MultimodalOps.imageFeatureStats(junk, "payload")
+      .select(col("image_features")).collect()
+    assert(nulls.forall(_.isNullAt(0)))
+  }
+
   test("unrecognized payloads fall back to the deterministic stub") {
     import spark.implicits._
     val df = Seq((1L, "just some text bytes, no image magic"))
