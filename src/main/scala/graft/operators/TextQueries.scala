@@ -282,9 +282,13 @@ object TextQueries extends QueryModule {
     // exchange — unpinned, the tokenize + winnow kernel ran twice per
     // action (the dedupSimhash signatures-once lesson). One lazy pin
     // makes the most expensive stage of the entry run once.
+    // The md5-hex variant (same winnowSelect rule as the fast long
+    // kernel) is what makes this entry ORACLE-green: DuckDB re-derives
+    // the whole window-minimum selection from raw text. The long-hash
+    // kernel remains the scale path, audited by q_text_winnow_sound.
     val fp = graft.Checkpoint.pin(Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("__toks"))
-      .select(col("doc_id"), winnowFingerprints(col("__toks")).as("fps")),
+      .select(col("doc_id"), winnowFingerprintsHex(col("__toks")).as("fps")),
       eager = false)
     // outer + isNotNull: inner explode infers a size()>0 filter that
     // re-runs the winnow kernel a second time per row.
@@ -637,7 +641,31 @@ object TextQueries extends QueryModule {
          |  CAST(len($toksSql) AS INTEGER) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0)) AS INTEGER) AS re_tokens
          |FROM documents ORDER BY doc_id""".stripMargin)),
-    QueryDef("q_text_winnow", winnowQuery, None),
+    QueryDef("q_text_winnow", winnowQuery, Some(
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |  CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+        |       WHEN len(toks) < 4 THEN [md5(array_to_string(toks, ' '))]
+        |       ELSE list_transform(range(len(toks) - 3),
+        |         i -> md5(array_to_string(toks[i+1:i+4], ' ')))
+        |  END AS grams FROM t),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[])
+        |       ELSE list_sort(list_distinct(list_transform(
+        |         range(len(grams) - least(4, len(grams)) + 1),
+        |         w -> list_aggregate(
+        |           grams[w+1:w+least(4, len(grams))], 'min'))))
+        |  END AS fps FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS h FROM sel),
+        |sh AS (SELECT h FROM e GROUP BY h
+        |  HAVING count(DISTINCT doc_id) > 1),
+        |ns AS (SELECT e.doc_id, count(*) AS n_shared
+        |  FROM e JOIN sh USING (h) GROUP BY e.doc_id)
+        |SELECT s.doc_id, CAST(len(s.fps) AS INTEGER) AS n_fingerprints,
+        |  CAST(coalesce(ns.n_shared, 0) AS BIGINT) AS n_shared
+        |FROM sel s LEFT JOIN ns USING (doc_id)""".stripMargin)),
     QueryDef("q_text_winnow_sound", winnowSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS INTEGER) AS n_fast,
         |  CAST(NULL AS INTEGER) AS n_naive WHERE FALSE""".stripMargin)),

@@ -181,39 +181,76 @@ object TextFunctions {
             while (j < i + window) { h = mix64(h ^ th(j)); j += 1 }
             h
           }
-        // Schleimer et al. §4: slide a winnow-sized window ONE gram at
-        // a time; record the window minimum, rightmost occurrence on
-        // ties, deduping consecutive picks by position. Sliding by the
-        // winnow size instead (tiling) loses the guarantee that any
-        // shared run of ≥ winnow+window−1 tokens yields a shared
-        // fingerprint — tiles align to absolute offsets, so the same
-        // run at a different offset can select different minima.
-        val selected = new java.util.TreeSet[java.lang.Long]()
-        val nw = math.min(winnow, grams.length)
-        var minPos = -1
-        var i = 0
-        while (i + nw <= grams.length) {
-          if (minPos < i) {
-            // previous minimum slid out — rescan the window, rightmost min
-            minPos = i
-            var j = i + 1
-            while (j < i + nw) { if (grams(j) <= grams(minPos)) minPos = j; j += 1 }
-            selected.add(grams(minPos))
-          } else {
-            // only the newly entered gram can change the minimum
-            val entered = i + nw - 1
-            if (grams(entered) <= grams(minPos)) {
-              minPos = entered
-              selected.add(grams(minPos))
-            }
-          }
-          i += 1
+        winnowSelect(grams, winnow)
+      }
+    }
+    f(toks)
+  }
+
+  /** Incremental Schleimer et al. §4 selection, generic in the gram
+    * type: slide a winnow-sized window ONE gram at a time; record the
+    * window minimum, rightmost occurrence on ties, deduping
+    * consecutive picks by position; return the distinct selected
+    * values sorted. Sliding by the winnow size instead (tiling) loses
+    * the guarantee that any shared run of ≥ winnow+window−1 tokens
+    * yields a shared fingerprint — tiles align to absolute offsets, so
+    * the same run at a different offset can select different minima.
+    * Shared by the long-hash kernel and the md5-hex oracle variant so
+    * the selection rule cannot diverge between them.
+    */
+  private def winnowSelect[T](grams: Array[T], winnow: Int)(
+      implicit ord: Ordering[T], ct: scala.reflect.ClassTag[T]): Array[T] = {
+    import ord.mkOrderingOps
+    val selected = scala.collection.mutable.SortedSet.empty[T]
+    val nw = math.min(winnow, grams.length)
+    var minPos = -1
+    var i = 0
+    while (i + nw <= grams.length) {
+      if (minPos < i) {
+        // previous minimum slid out — rescan the window, rightmost min
+        minPos = i
+        var j = i + 1
+        while (j < i + nw) { if (grams(j) <= grams(minPos)) minPos = j; j += 1 }
+        selected.add(grams(minPos))
+      } else {
+        // only the newly entered gram can change the minimum
+        val entered = i + nw - 1
+        if (grams(entered) <= grams(minPos)) {
+          minPos = entered
+          selected.add(grams(minPos))
         }
-        val out = Array.ofDim[Long](selected.size)
-        val it = selected.iterator()
-        var k = 0
-        while (it.hasNext) { out(k) = it.next(); k += 1 }
-        out
+      }
+      i += 1
+    }
+    selected.toArray
+  }
+
+  /** DuckDB-replicable winnowing: gram hash = md5 hex of the
+    * space-joined token window (computable identically by any SQL
+    * engine), selection rule shared with the fast kernel
+    * ([[winnowSelect]]). The long-hash kernel stays the scale default
+    * — 8-byte gram keys beat 32-char hex strings through the shuffle —
+    * but this variant makes the q_text_winnow entry oracle-green: the
+    * DuckDB oracle re-derives the full window-minimum selection from
+    * raw text, a genuine cross-engine check of the winnowing rule.
+    */
+  def winnowFingerprintsHex(toks: Column, window: Int = 4,
+      winnow: Int = 4): Column = {
+    val f = udf { tokens: Seq[String] =>
+      if (tokens == null) null
+      else {
+        val n = tokens.length
+        if (n == 0) Array.empty[String]
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h(s: String): String =
+            md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+          val grams =
+            if (n < window) Array(h(tokens.mkString(" ")))
+            else Array.tabulate(n - window + 1)(i =>
+              h(tokens.slice(i, i + window).mkString(" ")))
+          winnowSelect(grams, winnow)
+        }
       }
     }
     f(toks)
