@@ -101,7 +101,12 @@ object SessionCache {
     * frames), an unbounded cache turned a long session that scans many
     * distinct inputs into a storage leak eviction could never fix; the
     * cap bounds the session's STRONGLY-HELD span-frame footprint at
-    * `maxPerGroup` inputs and lets GC do the rest.
+    * `maxPerGroup` inputs and lets GC do the rest. Under the RELIABLE
+    * checkpoint policy the evicted frames' files are NOT reclaimed by
+    * GC — each eviction logs the orphaned checkpoint dirs
+    * ([[logOrphanedCheckpointFiles]]); long-lived sessions should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` at
+    * startup or point the checkpoint dir at a TTL-managed path.
     */
   def getOrBuildBounded[T](spark: SparkSession, key: String, group: String,
       maxPerGroup: Int)(build: => (T, Seq[DataFrame])): T =
@@ -134,7 +139,8 @@ object SessionCache {
             // +1 for the entry about to be inserted; drop WITHOUT
             // force-release (see the method doc: in-flight readers).
             sameGroup.dropRight(math.max(maxPerGroup - 1, 0))
-              .foreach(entries.remove)
+              .foreach(k => entries.remove(k)
+                .foreach(logOrphanedCheckpointFiles))
           }
           val c = new Cell(() => build)
           entries(full) = Entry(new WeakReference(spark), c, group)
@@ -142,6 +148,30 @@ object SessionCache {
       }
     }
     cell.force().asInstanceOf[T]
+  }
+
+  /** Bounded-group eviction drops the strong reference, but a RELIABLE
+    * pin's checkpoint FILES outlive the eviction: the ContextCleaner
+    * only deletes them when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` was set
+    * at context startup, and otherwise they wait for the checkpoint-
+    * dir owner (or a filesystem TTL policy on the dir). Surface the
+    * accumulation per eviction — the per-path log line is what lets an
+    * operator of a long-lived session SEE the growth the
+    * [[Checkpoint]] warn-once guard describes in the abstract.
+    */
+  private def logOrphanedCheckpointFiles(e: Entry): Unit = {
+    val files = e.cell.pinned.flatMap(df =>
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.flatMap(_.getCheckpointFile))
+    if (files.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger("graft.SessionCache").info(
+        s"bounded-group eviction orphaned ${files.size} reliable-" +
+          "checkpoint dir(s) (files persist until the ContextCleaner " +
+          "with spark.cleaner.referenceTracking.cleanCheckpoints=true, " +
+          "the checkpoint-dir owner, or a TTL policy deletes them): " +
+          files.mkString(", "))
   }
 
   /** Evict everything (test hygiene). */
