@@ -117,4 +117,14 @@ object Checkpoint {
       try l.rdd.unpersist(blocking = false)
       catch { case _: Exception => () }
     }
+
+  /** Reliable-checkpoint directories backing a pinned frame (empty for
+    * local pins — those have blocks, not files). Owned here so callers
+    * ([[SessionCache]]'s eviction accounting) never pattern-match
+    * Spark plan internals themselves.
+    */
+  def checkpointDirsOf(df: DataFrame): Seq[String] =
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRDD => l.rdd
+    }.flatMap(_.getCheckpointFile)
 }

@@ -161,10 +161,7 @@ object SessionCache {
     * [[Checkpoint]] warn-once guard describes in the abstract.
     */
   private def logOrphanedCheckpointFiles(e: Entry): Unit = {
-    val files = e.cell.pinned.flatMap(df =>
-      df.queryExecution.analyzed.collect {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
-      }.flatMap(_.getCheckpointFile))
+    val files = e.cell.pinned.flatMap(Checkpoint.checkpointDirsOf)
     if (files.nonEmpty)
       org.slf4j.LoggerFactory.getLogger("graft.SessionCache").info(
         s"bounded-group eviction orphaned ${files.size} reliable-" +

@@ -66,10 +66,14 @@ object ClaimsEtl {
     df.select(cols: _*)
   }
 
-  /** P3 — full-row dedup over the 54 canonical columns (ref:
-    * core/etl.py:135; the ingest-seq col is excluded from the key,
-    * keeping the smallest sequence per duplicate group so later keyed
-    * dedup sees a deterministic survivor).
+  /** P3 — full-row dedup over ALL data columns of the given frame
+    * (ref: core/etl.py:135, `drop_duplicates` with no subset). The
+    * ingest pipeline applies it to the RAW frame BEFORE canonicalize54
+    * — the reference's order, r10 — so rows differing only in a
+    * later-dropped extra column are both kept. The ingest-seq col is
+    * excluded from the key, keeping the smallest sequence per
+    * duplicate group so later keyed dedup sees a deterministic
+    * survivor.
     */
   def dropFullDuplicates(df: DataFrame): DataFrame = {
     val keys = df.columns.filterNot(_ == ingestSeqCol)

@@ -71,14 +71,43 @@ object HubStore {
       // rewrites exactly the non-empty ones, and partitions the merge
       // emptied are deleted explicitly — closing the stale-file hole
       // at O(touched partitions) instead of O(dataset) I/O.
+      //
+      // Crash safety (review r10): the deletes run AFTER the overwrite
+      // commits (deleting first would lose the rows being moved if the
+      // write never lands), and the vacated list is journaled to a
+      // marker file between the commit and the deletes — a crashed
+      // upsert's unfinished deletes are healed by the next call
+      // ([[healPendingDeletes]]). The residual window (a crash between
+      // the job commit and the tiny marker create) can leave stale
+      // vacated files, but re-running the same batch — the natural
+      // retry — is idempotent and rediscovers them via the key
+      // semi-join. (The previous full static rewrite was WORSE here:
+      // static overwrite clears the whole dataset before the job
+      // commits, so a mid-job crash lost the entire hub, not a
+      // partition's staleness. True atomic commits need a table
+      // format — Delta/Iceberg — above this layout.)
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      healPendingDeletes(fs, root)
       val hub = read(spark, path)
       val incPrepped = prepPartitionCols(incoming)
-      val keys = incoming.select(col(keyCol)).distinct()
       val partCols = partitionCols.map(col)
       def partSet(df: DataFrame): Set[Seq[Int]] =
         df.select(partCols: _*).distinct().collect()
           .map(r => partitionCols.indices.map(r.getInt)).toSet
-      val oldParts = partSet(hub.join(broadcast(keys), Seq(keyCol), "left_semi"))
+      // Null keys never match an equality semi-join, but the merge's
+      // groupBy collapses ALL null-key rows (SQL null grouping) into
+      // one winner — so when the batch carries a null-key row, every
+      // hub partition holding null-key rows is affected too, or the
+      // old copies would survive outside the merge's scope.
+      val keys = incoming.filter(col(keyCol).isNotNull)
+        .select(col(keyCol)).distinct()
+      val incHasNullKey =
+        incoming.filter(col(keyCol).isNull).limit(1).count() > 0
+      val oldLoc = hub.join(broadcast(keys), Seq(keyCol), "left_semi")
+      val oldParts = partSet(
+        if (incHasNullKey) oldLoc.unionByName(hub.filter(col(keyCol).isNull))
+        else oldLoc)
       val newParts = partSet(incPrepped)
       val affected = oldParts ++ newParts
       val affectedPred = affected
@@ -86,39 +115,66 @@ object HubStore {
           .reduce(_ && _))
         .reduceOption(_ || _).getOrElse(lit(false))
       // The merged frame is pinned ([[graft.Checkpoint.pin]]) so its
-      // lineage no longer reads the path being overwritten.
+      // lineage no longer reads the path being overwritten — which
+      // also makes the vacated-set computation below a cheap re-read
+      // of the pinned blocks, not a recompute.
       val merged = graft.Checkpoint.pin(prepPartitionCols(
         merge(hub.filter(affectedPred), incoming)
           .drop(ingestSeqCol, batchCol)))
+      // Vacated partitions: affected but with no surviving merged rows
+      // (dynamic overwrite never visits them). Known BEFORE the write.
+      val vacated = (affected -- partSet(merged)).toSeq
+        .map(vs => partitionCols.zip(vs)
+          .map { case (c, v) => s"$c=$v" }.mkString("/"))
       merged
         .write
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partitionCols: _*)
         .mode("overwrite")
         .parquet(path)
-      // Vacated partitions: affected but with no surviving merged rows
-      // (dynamic overwrite never visits them). The pinned frame makes
-      // this second partition listing a cheap re-read, not a recompute.
-      val vacated = affected -- partSet(merged)
       if (vacated.nonEmpty) {
-        val root = new org.apache.hadoop.fs.Path(path)
-        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        vacated.foreach { vs =>
-          val rel = partitionCols.zip(vs)
-            .map { case (c, v) => s"$c=$v" }.mkString("/")
-          val dir = new org.apache.hadoop.fs.Path(root, rel)
-          if (fs.exists(dir)) fs.delete(dir, true)
-          // Prune the parent year directory too if this was its last
-          // month — an empty 접수년=Y dir is harmless to Spark but
-          // noise to a listing.
-          val parent = dir.getParent
-          if (parent != root && fs.exists(parent) &&
-              fs.listStatus(parent).isEmpty)
-            fs.delete(parent, false)
-        }
+        val marker = new org.apache.hadoop.fs.Path(root, pendingDeletesFile)
+        val out = fs.create(marker, true)
+        try out.write(vacated.mkString("\n").getBytes("UTF-8"))
+        finally out.close()
+        vacated.foreach(deletePartitionDir(fs, root, _))
+        fs.delete(marker, false)
       }
     } else
       write(incoming.drop(ingestSeqCol), path)
+  }
+
+  /** Journal of vacated-partition deletes in flight — written only
+    * AFTER the merged overwrite commits, so every dir it lists is
+    * already superseded and deleting it is safe at any later time.
+    */
+  private[claims] val pendingDeletesFile = "_graft_pending_deletes"
+
+  /** Finish a crashed upsert's journaled deletes (no-op when none). */
+  private def healPendingDeletes(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, pendingDeletesFile)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val rels =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      rels.foreach(deletePartitionDir(fs, root, _))
+      fs.delete(marker, false)
+    }
+  }
+
+  private def deletePartitionDir(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, rel: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, rel)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    // Prune the parent year directory too if this was its last month —
+    // an empty 접수년=Y dir is harmless to Spark but noise to a listing.
+    val parent = dir.getParent
+    if (parent != root && fs.exists(parent) &&
+        fs.listStatus(parent).isEmpty)
+      fs.delete(parent, false)
   }
 
   private val batchCol = "_batch_seq"

@@ -425,30 +425,29 @@ object MultimodalOps {
               val w = img.getWidth
               val h = img.getHeight
               val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
-              val mn = Array(255, 255, 255)
-              val mx = Array(0, 0, 0)
-              val grad = Array(0L, 0L, 0L)
+              // Plain locals, no per-pixel allocation — the loop runs
+              // w*h times per payload inside a per-row iterator.
+              var (mnR, mnG, mnB) = (255, 255, 255)
+              var (mxR, mxG, mxB) = (0, 0, 0)
+              var (grR, grG, grB) = (0L, 0L, 0L)
               var i = 0
               while (i < rgbs.length) {
                 val rgb = rgbs(i)
-                val c = Array((rgb >> 16) & 0xff, (rgb >> 8) & 0xff,
-                  rgb & 0xff)
-                var k = 0
-                while (k < 3) {
-                  if (c(k) < mn(k)) mn(k) = c(k)
-                  if (c(k) > mx(k)) mx(k) = c(k)
-                  k += 1
-                }
+                val r = (rgb >> 16) & 0xff
+                val g = (rgb >> 8) & 0xff
+                val b = rgb & 0xff
+                if (r < mnR) mnR = r; if (r > mxR) mxR = r
+                if (g < mnG) mnG = g; if (g > mxG) mxG = g
+                if (b < mnB) mnB = b; if (b > mxB) mxB = b
                 if (i % w != w - 1) { // has a right neighbor
                   val nxt = rgbs(i + 1)
-                  grad(0) += math.abs(((nxt >> 16) & 0xff) - c(0))
-                  grad(1) += math.abs(((nxt >> 8) & 0xff) - c(1))
-                  grad(2) += math.abs((nxt & 0xff) - c(2))
+                  grR += math.abs(((nxt >> 16) & 0xff) - r)
+                  grG += math.abs(((nxt >> 8) & 0xff) - g)
+                  grB += math.abs((nxt & 0xff) - b)
                 }
                 i += 1
               }
-              Row(mn(0), mx(0), grad(0), mn(1), mx(1), grad(1),
-                mn(2), mx(2), grad(2))
+              Row(mnR, mxR, grR, mnG, mxG, grG, mnB, mxB, grB)
             case None => null
           }
         Row.fromSeq(row.toSeq :+ stats)

@@ -16,8 +16,9 @@ object AnnSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.vector.{IvfIndex, VectorOps}
+    val base = sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata")
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val d = s"/root/testdata/$sf"
+      val d = s"$base/$sf"
       val emb = Tables.embeddings(spark, d)
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))

@@ -142,7 +142,15 @@ class CheckpointSpec extends AnyFunSuite {
     assert(local.count() == 200)
     rddsOf(local).foreach(_.unpersist(blocking = true))
     val e = intercept[Exception] { local.count() }
-    assert(e.getMessage != null, "local pin must be unrecoverable")
+    // Pin the SPECIFIC failure: the missing-checkpoint-block error,
+    // somewhere in the cause chain — any other exception (analysis,
+    // OOM) would make this contrast vacuous.
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => String.valueOf(t.getMessage))
+      .mkString("\n")
+    assert(messages.contains("CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND") ||
+      messages.contains("Checkpoint block"),
+      s"local pin must fail on the lost block, got: $messages")
 
     val rel = withReliable { Checkpoint.pin(spark.range(200).toDF("v")) }
     assert(rel.count() == 200)

@@ -132,6 +132,58 @@ class HubStoreSpec extends AnyFunSuite {
       .select("등급기준").collect()(0).getString(0) == "중대")
   }
 
+  test("a null-key batch row collapses all null-key hub rows") {
+    import spark.implicits._
+    // Null keys never match the equality semi-join that scopes the
+    // affected partitions, but the merge's groupBy collapses ALL
+    // null-key rows into one winner — so a null-key batch row must
+    // pull every partition holding null-key hub rows into the merge,
+    // or the old copies would survive outside its scope (review r10;
+    // the full static rewrite collapsed them globally).
+    val dir = Files.createTempDirectory("hub").toString
+    val hub0 = ClaimsEtl.canonicalize54(Seq(
+      ("K1", "2023", "10", "1", "A"),
+      (null, "2023", "10", "2", "OLDNULL"),
+      ("K2", "2024", "1", "3", "B"))
+      .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트"))
+    HubStore.write(hub0, dir)
+    val batch = ClaimsEtl.canonicalize54(Seq(
+      (null, "2024", "2", "4", "NEWNULL"))
+      .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트"))
+    HubStore.upsert(spark, batch, dir)
+    val back = spark.read.parquet(dir)
+    val nulls = back.filter(col("상담번호").isNull)
+      .select("플랜트").collect().map(_.getString(0)).toSeq
+    assert(nulls == Seq("NEWNULL"),
+      "exactly one null-key row, the batch's (new batch wins)")
+    assert(back.count() == 3)
+  }
+
+  test("a journaled pending-delete marker is healed by the next upsert") {
+    import spark.implicits._
+    // Crash simulation: the overwrite committed but the JVM died
+    // before the vacated-partition deletes — the journal survives and
+    // the next upsert must finish the deletes before reading the hub.
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    val stale = new java.io.File(dir, "접수년=2023/접수월=11")
+    assert(stale.exists)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, HubStore.pendingDeletesFile),
+      "접수년=2023/접수월=11".getBytes("UTF-8"))
+    val update = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(Seq(("C001", "2023", "10", "20"))
+        .toDF("상담번호", "접수년", "접수월", "접수일"))))
+    HubStore.upsert(spark, update, dir)
+    assert(!stale.exists, "journaled stale partition must be deleted")
+    assert(!new java.io.File(dir, "접수년=2023").listFiles()
+      .map(_.getName).contains("접수월=11"))
+    assert(!new java.io.File(dir, HubStore.pendingDeletesFile).exists,
+      "marker removed after healing")
+    assert(spark.read.parquet(dir)
+      .filter(col("접수년") === 2023 && col("접수월") === 11).count() == 0)
+  }
+
   test("catalog lists partitions newest first with counts") {
     val dir = Files.createTempDirectory("hub").toString
     HubStore.write(ingest(), dir)
