@@ -104,7 +104,7 @@ object HubStore {
         .select(col(keyCol)).distinct()
       val incHasNullKey =
         incoming.filter(col(keyCol).isNull).limit(1).count() > 0
-      val oldLoc = hub.join(broadcast(keys), Seq(keyCol), "left_semi")
+      val oldLoc = oldLocations(hub, keys)
       val oldParts = partSet(
         if (incHasNullKey) oldLoc.unionByName(hub.filter(col(keyCol).isNull))
         else oldLoc)
@@ -143,6 +143,16 @@ object HubStore {
     } else
       write(incoming.drop(ingestSeqCol), path)
   }
+
+  /** The affected-partition probe: hub rows currently holding any
+    * incoming claim key. Downstream only the partition columns are
+    * consumed, so Catalyst prunes the parquet scan to the key column
+    * alone (partition values come from the directory layout, not file
+    * bytes) — the probe costs one narrow column scan of the hub, not
+    * a full-width read. PlanAuditSpec pins the pruned ReadSchema.
+    */
+  private[graft] def oldLocations(hub: DataFrame, keys: DataFrame): DataFrame =
+    hub.join(broadcast(keys), Seq(keyCol), "left_semi")
 
   /** Journal of vacated-partition deletes in flight — written only
     * AFTER the merged overwrite commits, so every dir it lists is

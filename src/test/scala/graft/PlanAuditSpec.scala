@@ -239,4 +239,28 @@ class PlanAuditSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("upsert's affected-partition probe scans only the claim key") {
+    import spark.implicits._
+    // The partition-scoped upsert's cost story rests on this: the
+    // old-locations semi-join must prune the hub's parquet read to
+    // the key column (partition values come from the directory
+    // layout) — a full-width ReadSchema would make the probe an
+    // O(hub-bytes) scan and the scoping pointless.
+    val dir = java.nio.file.Files.createTempDirectory("hub").toString
+    graft.claims.HubStore.write(graft.claims.ClaimsEtl.canonicalize54(
+      Seq(("K1", "2023", "10", "1"), ("K2", "2024", "1", "3"))
+        .toDF("상담번호", "접수년", "접수월", "접수일")), dir)
+    val probe = graft.claims.HubStore.oldLocations(
+        spark.read.parquet(dir), Seq("K1").toDF("상담번호"))
+      .select("접수년", "접수월").distinct()
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    val readSchemas = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, plan.take(400))
+    assert(readSchemas.exists(s =>
+        s.contains("상담번호") && !s.contains("등급기준")),
+      s"hub probe must read only the key column, got: $readSchemas")
+  }
 }

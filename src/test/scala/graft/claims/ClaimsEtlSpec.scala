@@ -98,6 +98,28 @@ class ClaimsEtlSpec extends AnyFunSuite {
     assert(q.nullCounts("접수경로") == 8)
   }
 
+  test("raw-frame dedup precedes canonicalize (reference stage parity)") {
+    // The reference drop_duplicates the RAW frame (etl.py:135) BEFORE
+    // extract_54_fields (:139): rows equal on every canonical column
+    // but differing in a later-dropped extra column are residual
+    // duplicates it only REPORTS (validate_data_quality), never
+    // collapses. Deduping the canonical frame first (the r9 ordering)
+    // diverged these stage row counts.
+    val p = java.nio.file.Files.createTempFile("claims", ".csv")
+    java.nio.file.Files.write(p,
+      ("상담번호,접수년,접수월,접수일,extra_column\n" +
+        "X1,2024,1,5,a\n" +
+        "X1,2024,1,5,b\n" + // same canonical row, different extra → kept
+        "X1,2024,1,5,b\n"   // exact raw duplicate → collapsed
+        ).getBytes("UTF-8"))
+    val canon = ClaimsEtl.canonicalize54(
+      ClaimsEtl.dropFullDuplicates(ClaimsEtl.loadCsv(spark, p.toString)))
+    assert(canon.count() == 2,
+      "raw dedup collapses exact raw dups only; extras-differ rows stay")
+    assert(ClaimsEtl.validateQuality(canon).duplicateCount == 1,
+      "the canonical-identical pair reports as a residual duplicate")
+  }
+
   test("epoch-ms heuristic mfg-date clean") {
     import spark.implicits._
     val df = Seq("1697068800000", "2023-10-12", "junk").toDF("제조일자")
