@@ -90,7 +90,13 @@ object HubStore {
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       healPendingDeletes(fs, root)
       val hub = read(spark, path)
-      val incPrepped = prepPartitionCols(incoming)
+      // The batch is consumed by FOUR jobs below (key probe, null-key
+      // probe, target-partition listing, the merge itself); a caller's
+      // lineage often carries a shuffle (preprocess keyed dedup), so
+      // pin the delta-sized frame once instead of recomputing it per
+      // job.
+      val inc = graft.Checkpoint.pin(incoming)
+      val incPrepped = prepPartitionCols(inc)
       val partCols = partitionCols.map(col)
       def partSet(df: DataFrame): Set[Seq[Int]] =
         df.select(partCols: _*).distinct().collect()
@@ -100,10 +106,10 @@ object HubStore {
       // one winner — so when the batch carries a null-key row, every
       // hub partition holding null-key rows is affected too, or the
       // old copies would survive outside the merge's scope.
-      val keys = incoming.filter(col(keyCol).isNotNull)
+      val keys = inc.filter(col(keyCol).isNotNull)
         .select(col(keyCol)).distinct()
       val incHasNullKey =
-        incoming.filter(col(keyCol).isNull).limit(1).count() > 0
+        inc.filter(col(keyCol).isNull).limit(1).count() > 0
       val oldLoc = oldLocations(hub, keys)
       val oldParts = partSet(
         if (incHasNullKey) oldLoc.unionByName(hub.filter(col(keyCol).isNull))
@@ -119,8 +125,11 @@ object HubStore {
       // also makes the vacated-set computation below a cheap re-read
       // of the pinned blocks, not a recompute.
       val merged = graft.Checkpoint.pin(prepPartitionCols(
-        merge(hub.filter(affectedPred), incoming)
+        merge(hub.filter(affectedPred), inc)
           .drop(ingestSeqCol, batchCol)))
+      // merged is materialized, so the batch pin has served every
+      // consumer — release its storage before the write.
+      graft.Checkpoint.release(inc)
       // Vacated partitions: affected but with no surviving merged rows
       // (dynamic overwrite never visits them). Known BEFORE the write.
       val vacated = (affected -- partSet(merged)).toSeq
