@@ -184,6 +184,41 @@ class HubStoreSpec extends AnyFunSuite {
       .filter(col("접수년") === 2023 && col("접수월") === 11).count() == 0)
   }
 
+  test("re-running a batch heals the post-commit crash window") {
+    import spark.implicits._
+    // The residual window the upsert scaladoc documents: the merged
+    // overwrite committed but the JVM died before the vacated-delete
+    // journal was even created — stale moved-away rows survive with
+    // no marker to heal from. The recovery contract is IDEMPOTENT
+    // REPLAY: re-running the same batch rediscovers the stale
+    // partition via the key semi-join and finishes the move.
+    val dir = Files.createTempDirectory("hub").toString
+    HubStore.write(ingest(), dir)
+    val moved = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      Seq(("C003", "2024", "3", "5"), ("C004", "2024", "3", "6"))
+        .toDF("상담번호", "접수년", "접수월", "접수일")))
+    val stale = java.nio.file.Paths.get(dir, "접수년=2023", "접수월=11")
+    // Snapshot the partition that the upsert will vacate…
+    val saved = java.nio.file.Files.createTempDirectory("stale")
+    java.nio.file.Files.list(stale).forEach(f =>
+      java.nio.file.Files.copy(f, saved.resolve(f.getFileName.toString)))
+    HubStore.upsert(spark, moved, dir)
+    assert(!java.nio.file.Files.exists(stale))
+    // …and restore it: the exact on-disk state after the crash.
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.list(saved).forEach(f =>
+      java.nio.file.Files.copy(f, stale.resolve(f.getFileName.toString)))
+    assert(spark.read.parquet(dir)
+      .filter(col("상담번호").isin("C003", "C004")).count() == 4,
+      "crash state: two versions of each moved claim")
+    HubStore.upsert(spark, moved, dir) // the natural retry
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("상담번호").isin("C003", "C004")).count() == 2,
+      "replay must leave exactly one version of each moved claim")
+    assert(!java.nio.file.Files.exists(stale),
+      "replay must delete the re-vacated stale partition")
+  }
+
   test("catalog lists partitions newest first with counts") {
     val dir = Files.createTempDirectory("hub").toString
     HubStore.write(ingest(), dir)
