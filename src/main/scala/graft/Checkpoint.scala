@@ -102,6 +102,18 @@ object Checkpoint {
     } else df.localCheckpoint(eager)
   }
 
+  /** CALL-SCOPED pin: always `localCheckpoint`, regardless of the
+    * session's reliable policy. For frames that live only inside one
+    * method call (a merge batch probed by a handful of jobs and
+    * discarded), a reliable checkpoint buys nothing — the caller's
+    * natural retry re-runs the whole call — while writing a permanent
+    * file-set per invocation through the cluster FS (release cannot
+    * delete reliable FILES, so a per-trigger streaming caller would
+    * leak one batch copy per trigger into the checkpoint dir).
+    * Release with [[release]] in a `finally`.
+    */
+  def pinTransient(df: DataFrame): DataFrame = df.localCheckpoint(true)
+
   /** Drop the storage behind a frame returned by [[pin]] (best-effort;
     * reliable checkpoint FILES are left for the cleaner/dir owner —
     * only block-manager storage is released). After release the frame

@@ -94,60 +94,75 @@ object HubStore {
       // probe, target-partition listing, the merge itself); a caller's
       // lineage often carries a shuffle (preprocess keyed dedup), so
       // pin the delta-sized frame once instead of recomputing it per
-      // job.
-      val inc = graft.Checkpoint.pin(incoming)
-      val incPrepped = prepPartitionCols(inc)
-      val partCols = partitionCols.map(col)
-      def partSet(df: DataFrame): Set[Seq[Int]] =
-        df.select(partCols: _*).distinct().collect()
-          .map(r => partitionCols.indices.map(r.getInt)).toSet
-      // Null keys never match an equality semi-join, but the merge's
-      // groupBy collapses ALL null-key rows (SQL null grouping) into
-      // one winner — so when the batch carries a null-key row, every
-      // hub partition holding null-key rows is affected too, or the
-      // old copies would survive outside the merge's scope.
-      val keys = inc.filter(col(keyCol).isNotNull)
-        .select(col(keyCol)).distinct()
-      val incHasNullKey =
-        inc.filter(col(keyCol).isNull).limit(1).count() > 0
-      val oldLoc = oldLocations(hub, keys)
-      val oldParts = partSet(
-        if (incHasNullKey) oldLoc.unionByName(hub.filter(col(keyCol).isNull))
-        else oldLoc)
-      val newParts = partSet(incPrepped)
-      val affected = oldParts ++ newParts
-      val affectedPred = affected
-        .map(vs => partCols.zip(vs).map { case (c, v) => c === v }
-          .reduce(_ && _))
-        .reduceOption(_ || _).getOrElse(lit(false))
-      // The merged frame is pinned ([[graft.Checkpoint.pin]]) so its
-      // lineage no longer reads the path being overwritten — which
-      // also makes the vacated-set computation below a cheap re-read
-      // of the pinned blocks, not a recompute.
-      val merged = graft.Checkpoint.pin(prepPartitionCols(
-        merge(hub.filter(affectedPred), inc)
-          .drop(ingestSeqCol, batchCol)))
-      // merged is materialized, so the batch pin has served every
-      // consumer — release its storage before the write.
-      graft.Checkpoint.release(inc)
-      // Vacated partitions: affected but with no surviving merged rows
-      // (dynamic overwrite never visits them). Known BEFORE the write.
-      val vacated = (affected -- partSet(merged)).toSeq
-        .map(vs => partitionCols.zip(vs)
-          .map { case (c, v) => s"$c=$v" }.mkString("/"))
-      merged
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partitionCols: _*)
-        .mode("overwrite")
-        .parquet(path)
-      if (vacated.nonEmpty) {
-        val marker = new org.apache.hadoop.fs.Path(root, pendingDeletesFile)
-        val out = fs.create(marker, true)
-        try out.write(vacated.mkString("\n").getBytes("UTF-8"))
-        finally out.close()
-        vacated.foreach(deletePartitionDir(fs, root, _))
-        fs.delete(marker, false)
+      // job. TRANSIENT pin: the frame lives only inside this call, so
+      // the session's reliable policy would write a permanent batch
+      // copy per upsert for no HA gain (the caller's retry re-runs
+      // the call).
+      val inc = graft.Checkpoint.pinTransient(incoming)
+      // Both pins are released in the finally: a failing probe or
+      // merge job must not strand batch-sized blocks in executor
+      // storage on a long-lived session (a streaming caller retries
+      // the same batch every trigger), and once the write and the
+      // deletes are done nothing reads the merged frame again —
+      // deterministic release beats waiting for GC + ContextCleaner.
+      var merged: Option[DataFrame] = None
+      try {
+        val incPrepped = prepPartitionCols(inc)
+        val partCols = partitionCols.map(col)
+        def partSet(df: DataFrame): Set[Seq[Int]] =
+          df.select(partCols: _*).distinct().collect()
+            .map(r => partitionCols.indices.map(r.getInt)).toSet
+        // Null keys never match an equality semi-join, but the merge's
+        // groupBy collapses ALL null-key rows (SQL null grouping) into
+        // one winner — so when the batch carries a null-key row, every
+        // hub partition holding null-key rows is affected too, or the
+        // old copies would survive outside the merge's scope.
+        val keys = inc.filter(col(keyCol).isNotNull)
+          .select(col(keyCol)).distinct()
+        val incHasNullKey =
+          inc.filter(col(keyCol).isNull).limit(1).count() > 0
+        val oldLoc = oldLocations(hub, keys)
+        val oldParts = partSet(
+          if (incHasNullKey) oldLoc.unionByName(hub.filter(col(keyCol).isNull))
+          else oldLoc)
+        val newParts = partSet(incPrepped)
+        val affected = oldParts ++ newParts
+        val affectedPred = affected
+          .map(vs => partCols.zip(vs).map { case (c, v) => c === v }
+            .reduce(_ && _))
+          .reduceOption(_ || _).getOrElse(lit(false))
+        // The merged frame is pinned ([[graft.Checkpoint.pin]], the
+        // session policy: under a reliable session a mid-write executor
+        // loss re-reads checkpoint files instead of failing the job) so
+        // its lineage no longer reads the path being overwritten —
+        // which also makes the vacated-set computation below a cheap
+        // re-read of the pinned blocks, not a recompute.
+        val m = graft.Checkpoint.pin(prepPartitionCols(
+          merge(hub.filter(affectedPred), inc)
+            .drop(ingestSeqCol, batchCol)))
+        merged = Some(m)
+        // Vacated partitions: affected but with no surviving merged
+        // rows (dynamic overwrite never visits them). Known BEFORE the
+        // write.
+        val vacated = (affected -- partSet(m)).toSeq
+          .map(vs => partitionCols.zip(vs)
+            .map { case (c, v) => s"$c=$v" }.mkString("/"))
+        m.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partitionCols: _*)
+          .mode("overwrite")
+          .parquet(path)
+        if (vacated.nonEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(root, pendingDeletesFile)
+          val out = fs.create(marker, true)
+          try out.write(vacated.mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          vacated.foreach(deletePartitionDir(fs, root, _))
+          fs.delete(marker, false)
+        }
+      } finally {
+        graft.Checkpoint.release(inc)
+        merged.foreach(graft.Checkpoint.release)
       }
     } else
       write(incoming.drop(ingestSeqCol), path)

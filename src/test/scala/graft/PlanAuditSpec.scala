@@ -256,11 +256,15 @@ class PlanAuditSpec extends AnyFunSuite {
       .select("접수년", "접수월").distinct()
     probe.collect()
     val plan = probe.queryExecution.executedPlan.toString
-    val readSchemas = "ReadSchema: struct<([^>]*)>".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    // EXACT one-field schema: a full-width regression's ReadSchema is
+    // abbreviated past maxMetadataStringLength with no closing '>', so
+    // a contains-based check could silently match across the
+    // truncation; every parquet scan in this plan must read the key
+    // column and nothing else.
+    val readSchemas = "ReadSchema: ([^\n]*)".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
     assert(readSchemas.nonEmpty, plan.take(400))
-    assert(readSchemas.exists(s =>
-        s.contains("상담번호") && !s.contains("등급기준")),
+    assert(readSchemas.forall(_ == "struct<상담번호:string>"),
       s"hub probe must read only the key column, got: $readSchemas")
   }
 }

@@ -200,14 +200,14 @@ class HubStoreSpec extends AnyFunSuite {
     val stale = java.nio.file.Paths.get(dir, "접수년=2023", "접수월=11")
     // Snapshot the partition that the upsert will vacate…
     val saved = java.nio.file.Files.createTempDirectory("stale")
-    java.nio.file.Files.list(stale).forEach(f =>
-      java.nio.file.Files.copy(f, saved.resolve(f.getFileName.toString)))
+    stale.toFile.listFiles().foreach(f =>
+      java.nio.file.Files.copy(f.toPath, saved.resolve(f.getName)))
     HubStore.upsert(spark, moved, dir)
     assert(!java.nio.file.Files.exists(stale))
     // …and restore it: the exact on-disk state after the crash.
     java.nio.file.Files.createDirectories(stale)
-    java.nio.file.Files.list(saved).forEach(f =>
-      java.nio.file.Files.copy(f, stale.resolve(f.getFileName.toString)))
+    saved.toFile.listFiles().foreach(f =>
+      java.nio.file.Files.copy(f.toPath, stale.resolve(f.getName)))
     assert(spark.read.parquet(dir)
       .filter(col("상담번호").isin("C003", "C004")).count() == 4,
       "crash state: two versions of each moved claim")
