@@ -89,13 +89,23 @@ object SeriesMart {
     left.join(renamed, cond, how).drop(cols.map(c => s"__r_$c"): _*)
   }
 
-  def build(claims: DataFrame, asOf: String): DataFrame = {
+  def build(claims: DataFrame, asOf: String,
+      spine: Option[(String, String)] = None): DataFrame = {
     val base = claims.withColumn("ym",
       date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
 
-    // global month spine (dated rows only)
-    val bounds = base.filter(col("ym").isNotNull)
-      .agg(min("ym").as("lo"), max("ym").as("hi"))
+    // global month spine (dated rows only). `spine` overrides the
+    // bounds — the incremental refresh rebuilds a SUBSET of keys but
+    // their histories must span the same global months as every other
+    // document ([[refreshIncremental]]).
+    val bounds = spine match {
+      case Some((lo, hi)) =>
+        val s = claims.sparkSession
+        import s.implicits._
+        Seq((lo, hi)).toDF("lo", "hi")
+      case None => base.filter(col("ym").isNotNull)
+        .agg(min("ym").as("lo"), max("ym").as("hi"))
+    }
     val months = bounds.select(explode(sequence(
       to_date(col("lo"), "yyyy-MM"), to_date(col("hi"), "yyyy-MM"),
       expr("interval 1 month"))).as("md"))
@@ -181,6 +191,108 @@ object SeriesMart {
     */
   def writeJsonDataset(mart: DataFrame, dir: String): Unit =
     mart.drop("filename_key").write.mode("overwrite").json(dir)
+
+  private val bucketCol = "key_bucket"
+
+  /** Key-bucketed parquet form of the mart — the layout that makes
+    * INCREMENTAL maintenance possible: documents hash into a bounded
+    * number of partitions, so a refresh touching few keys rewrites few
+    * directories. Parquet (not JSON) so the read-back schema is exact
+    * and the refresh's keep∪rebuilt union never drifts on inference.
+    */
+  def writeBucketedMart(mart: DataFrame, dir: String,
+      buckets: Int = 64): Unit =
+    mart.withColumn(bucketCol, pmod(xxhash64(col("key")), lit(buckets)))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(bucketCol)
+      .mode("overwrite")
+      .parquet(dir)
+
+  /** Incremental view maintenance — the reference's INTENDED
+    * per-series regeneration (docs/project_master.md:24), which its
+    * implementation never achieved (core/storage.py:504+ regenerates
+    * every document per upload). Regenerates ONLY the parent series
+    * the `batch` touches and rewrites only their hash buckets; every
+    * other document keeps its bytes.
+    *
+    * VALIDITY GUARD: the mart's month spine is GLOBAL (min→max receipt
+    * month over the whole hub), so a batch whose dates EXTEND the
+    * spine changes every document's zero-filled history — in that
+    * case (and on first build) the full rebuild runs instead. Returns
+    * true when the incremental path ran, false on a full rebuild —
+    * callers can alert when uploads keep forcing full regenerations.
+    *
+    * `hub` must already contain the batch (refresh AFTER the hub
+    * upsert, reading the merged truth — the reference's ordering).
+    * Untouched documents are carried over byte-for-byte, INCLUDING
+    * `meta.last_updated` — a document not updated keeps its original
+    * stamp, where a full rebuild re-stamps everything with `asOf`
+    * (spec-pinned; the honest reading of "last updated").
+    */
+  def refreshIncremental(hub: DataFrame, batch: DataFrame, asOf: String,
+      dir: String, buckets: Int = 64): Boolean = {
+    val spark = hub.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // First build = no mart yet; an existing-but-empty directory (a
+    // caller's fresh mkdir) counts as absent, like HubStore.exists.
+    val martPath = new org.apache.hadoop.fs.Path(dir)
+    val firstBuild =
+      !fs.exists(martPath) || fs.listStatus(martPath).isEmpty
+    val hubSpine = hub
+      .withColumn("ym", date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
+      .filter(col("ym").isNotNull)
+      .agg(min("ym"), max("ym")).collect()(0)
+    val spine = (hubSpine.getString(0), hubSpine.getString(1))
+    def fullRebuild(): Boolean = {
+      writeBucketedMart(build(hub, asOf), dir, buckets)
+      false
+    }
+    if (firstBuild || hubSpine.isNullAt(0)) return fullRebuild()
+    val existing = spark.read.parquet(dir)
+    // The mart's spine is readable off any document: histories are
+    // zero-filled over the full global span, so one history's first
+    // and last dates ARE the bounds.
+    val martSpine = existing.limit(1)
+      .select(element_at(col("data.history"), 1).getField("date"),
+        element_at(col("data.history"), -1).getField("date"))
+      .collect()
+    if (martSpine.isEmpty || (martSpine(0).getString(0), martSpine(0).getString(1)) != spine)
+      return fullRebuild()
+    // Touched documents: the batch's parent-key set, as mart keys.
+    val touchedKeys = batch
+      .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
+      .distinct().collect().map(_.getString(0)).toSet
+    if (touchedKeys.isEmpty) return true
+    // Buckets of the touched keys, computed by the SAME xxhash64
+    // expression the writer uses — never a hand-rolled reimplementation
+    // that could drift from Spark's seed or encoding.
+    val touchedBuckets = {
+      import spark.implicits._
+      touchedKeys.toSeq.toDF("key")
+        .select(pmod(xxhash64(col("key")), lit(buckets)))
+        .collect().map(_.getLong(0)).toSet
+    }
+    // Rebuild only the touched series from the hub (the key filter
+    // scopes the scan; the override pins their histories to the
+    // unchanged global spine).
+    val touched = hub.filter(
+      concat_ws("_", parentKeys.map(pyStr): _*).isin(touchedKeys.toSeq: _*))
+    val rebuilt = build(touched, asOf, Some(spine))
+    // Untouched documents sharing a touched bucket are carried over
+    // byte-equal; untouched buckets are never visited (dynamic
+    // overwrite rewrites only partitions present in the union).
+    val keep = existing
+      .filter(col(bucketCol).isin(touchedBuckets.toSeq: _*))
+      .filter(!col("key").isin(touchedKeys.toSeq: _*))
+      .drop(bucketCol)
+    val out = graft.Checkpoint.pinTransient(
+      keep.unionByName(rebuilt.select(keep.columns.map(col): _*)))
+    try writeBucketedMart(out, dir, buckets)
+    finally graft.Checkpoint.release(out)
+    true
+  }
 
   /** Reference-layout export: one pretty JSON file per key with the
     * sanitized filename (ref: core/storage.py:643-648). Driver-side by

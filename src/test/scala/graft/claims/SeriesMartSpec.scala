@@ -87,4 +87,90 @@ class SeriesMartSpec extends AnyFunSuite {
     assert(back.count() == 2)
     assert(back.columns.toSet == Set("key", "meta", "data", "children"))
   }
+
+  private def martDocs(dir: String): Set[String] =
+    spark.read.parquet(dir).drop("key_bucket")
+      .toJSON.collect().toSet
+
+  private def parquetListing(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getPath.stripPrefix(dir) ->
+        (f.lastModified(), f.length())).toMap
+  }
+
+  test("incremental refresh equals a full rebuild, touching one bucket") {
+    import spark.implicits._
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    val dir = java.nio.file.Files.createTempDirectory("martinc").toString
+    // First call: no mart yet → full build (returns false).
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dir))
+    val before = parquetListing(dir)
+    // Batch inside the existing 2023-10..2024-01 spine, touching only
+    // PLANT_A's series.
+    val batch = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(Seq(
+        ("C900", "2023", "12", "5", "PLANT_A", "CAT2_X", "MAJOR_P"))
+        .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트",
+          "제품범주2", "대분류"))))
+    val hub1 = hub0.drop(ClaimsSchema.ingestSeqCol)
+      .unionByName(batch.drop(ClaimsSchema.ingestSeqCol))
+    Thread.sleep(1100) // mtime resolution guard
+    assert(SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dir),
+      "same-spine batch must take the incremental path")
+    // Ground truth: the full rebuild over the same merged hub. The
+    // one LEGITIMATE divergence is meta.last_updated — an untouched
+    // document was not updated, so it keeps its original stamp where
+    // a full rebuild re-stamps everything; compare modulo the stamp
+    // and assert the stamps explicitly below.
+    def unstamped(docs: Set[String]): Set[String] =
+      docs.map(_.replaceAll("\"last_updated\":\"[^\"]*\"", ""))
+    val full = SeriesMart.build(hub1, "2024-03-01").toJSON.collect().toSet
+    assert(unstamped(martDocs(dir)) == unstamped(full),
+      "incremental mart must equal the full rebuild document-for-document")
+    val stamps = spark.read.parquet(dir)
+      .select(col("key"), col("meta.last_updated")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(stamps("PLANT_A_CAT2_X_MAJOR_P") == "2024-03-01",
+      "the touched doc carries the refresh stamp")
+    assert(stamps("PLANT_B_CAT2_Y_MAJOR_S") == "2024-02-01",
+      "an untouched doc keeps its original stamp byte-for-byte")
+    // Only PLANT_A's bucket was rewritten; PLANT_B's kept its bytes.
+    val after = parquetListing(dir)
+    val changed = after.keySet.union(before.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty)
+    val untouchedBuckets = before.keySet.intersect(after.keySet) -- changed
+    assert(untouchedBuckets.nonEmpty,
+      "at least one bucket partition must keep its bytes")
+  }
+
+  test("a spine-extending batch forces the guarded full rebuild") {
+    import spark.implicits._
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    val dir = java.nio.file.Files.createTempDirectory("martinc2").toString
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dir))
+    // 2024-05 extends the global spine: every document's zero-filled
+    // history grows, so the incremental path would corrupt untouched
+    // docs — the guard must run the full rebuild instead.
+    val batch = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(Seq(
+        ("C901", "2024", "5", "2", "PLANT_A", "CAT2_X", "MAJOR_P"))
+        .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트",
+          "제품범주2", "대분류"))))
+    val hub1 = hub0.drop(ClaimsSchema.ingestSeqCol)
+      .unionByName(batch.drop(ClaimsSchema.ingestSeqCol))
+    assert(!SeriesMart.refreshIncremental(hub1, batch, "2024-06-01", dir),
+      "spine change must force the full-rebuild path")
+    assert(martDocs(dir) ==
+      SeriesMart.build(hub1, "2024-06-01").toJSON.collect().toSet)
+    // Every doc's history now spans through 2024-05.
+    assert(spark.read.parquet(dir)
+      .select(element_at(col("data.history"), -1).getField("date").as("d"))
+      .collect().forall(_.getString(0) == "2024-05"))
+  }
 }
