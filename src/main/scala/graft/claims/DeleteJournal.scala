@@ -1,0 +1,67 @@
+package graft.claims
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Crash-safe journal for directory deletes that follow a committed
+  * partitioned overwrite (HubStore's vacated month partitions,
+  * SeriesMart's vacated key buckets). The dirs a journal lists are
+  * already superseded by the committed write, so deleting them is safe
+  * at any later time — the journal only exists so a crash between the
+  * commit and the deletes is healed by the next writer instead of
+  * leaving stale files forever.
+  *
+  * Torn-write safety: the marker is written to a `.tmp` name and
+  * RENAMED into place (atomic on HDFS and posix filesystems), because a
+  * truncated last line can name a LIVE directory ("접수월=11" cut to
+  * "접수월=1") that healing would then recursively delete. A crash
+  * before the rename leaves only the tmp file, which [[heal]] discards
+  * unread — the interrupted writer's retry rediscovers its vacated set
+  * from its own probe.
+  */
+private[claims] object DeleteJournal {
+
+  /** Journal `rels` (paths relative to `root`) atomically, delete them,
+    * then clear the journal. No-op for an empty list.
+    */
+  def journalThenDelete(fs: FileSystem, root: Path, markerName: String,
+      rels: Seq[String]): Unit = {
+    if (rels.isEmpty) return
+    val marker = new Path(root, markerName)
+    val tmp = new Path(root, markerName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(rels.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
+    rels.foreach(deleteDir(fs, root, _))
+    fs.delete(marker, false)
+  }
+
+  /** Finish a crashed writer's journaled deletes (no-op when none). */
+  def heal(fs: FileSystem, root: Path, markerName: String): Unit = {
+    val tmp = new Path(root, markerName + ".tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val marker = new Path(root, markerName)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val rels =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(_.nonEmpty).toList
+        finally in.close()
+      rels.foreach(deleteDir(fs, root, _))
+      fs.delete(marker, false)
+    }
+  }
+
+  private def deleteDir(fs: FileSystem, root: Path, rel: String): Unit = {
+    val dir = new Path(root, rel)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    // Prune an emptied intermediate level too (hive `접수년=Y/접수월=M`
+    // layouts leave an empty year dir when its last month goes) — a
+    // flat layout's parent IS the root, so the check skips it.
+    val parent = dir.getParent
+    if (parent != root && fs.exists(parent) &&
+        fs.listStatus(parent).isEmpty)
+      fs.delete(parent, false)
+  }
+}

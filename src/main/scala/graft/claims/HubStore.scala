@@ -88,7 +88,7 @@ object HubStore {
       // format — Delta/Iceberg — above this layout.)
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      healPendingDeletes(fs, root)
+      DeleteJournal.heal(fs, root, pendingDeletesFile)
       val hub = read(spark, path)
       // The batch is consumed by FOUR jobs below (key probe, null-key
       // probe, target-partition listing, the merge itself); a caller's
@@ -109,22 +109,27 @@ object HubStore {
       try {
         val incPrepped = prepPartitionCols(inc)
         val partCols = partitionCols.map(col)
+        // Partition values read back as strings when a caller session
+        // disables partitionColumnTypeInference — cast in the plan so
+        // the probe is conf-independent instead of crashing on getInt.
         def partSet(df: DataFrame): Set[Seq[Int]] =
-          df.select(partCols: _*).distinct().collect()
+          df.select(partCols.map(_.cast("int")): _*).distinct().collect()
             .map(r => partitionCols.indices.map(r.getInt)).toSet
         // Null keys never match an equality semi-join, but the merge's
-        // groupBy collapses ALL null-key rows (SQL null grouping) into
-        // one winner — so when the batch carries a null-key row, every
-        // hub partition holding null-key rows is affected too, or the
-        // old copies would survive outside the merge's scope.
+        // groupBy collapses ALL null-key rows it sees (SQL null
+        // grouping) into one winner. The full-rewrite semantics this
+        // scoped form must reproduce collapse hub-wide null-key rows
+        // on EVERY upsert — if only the null rows inside the keyed
+        // affected set joined the merge, multiplicity would depend on
+        // which unrelated partition a batch happened to touch. So the
+        // hub's null-key partitions are ALWAYS part of the scope (a
+        // narrow key-column probe; empty for the common hub whose
+        // ingest filters null keys — P2).
         val keys = inc.filter(col(keyCol).isNotNull)
           .select(col(keyCol)).distinct()
-        val incHasNullKey =
-          inc.filter(col(keyCol).isNull).limit(1).count() > 0
         val oldLoc = oldLocations(hub, keys)
         val oldParts = partSet(
-          if (incHasNullKey) oldLoc.unionByName(hub.filter(col(keyCol).isNull))
-          else oldLoc)
+          oldLoc.unionByName(hub.filter(col(keyCol).isNull)))
         val newParts = partSet(incPrepped)
         val affected = oldParts ++ newParts
         val affectedPred = affected
@@ -152,14 +157,7 @@ object HubStore {
           .partitionBy(partitionCols: _*)
           .mode("overwrite")
           .parquet(path)
-        if (vacated.nonEmpty) {
-          val marker = new org.apache.hadoop.fs.Path(root, pendingDeletesFile)
-          val out = fs.create(marker, true)
-          try out.write(vacated.mkString("\n").getBytes("UTF-8"))
-          finally out.close()
-          vacated.foreach(deletePartitionDir(fs, root, _))
-          fs.delete(marker, false)
-        }
+        DeleteJournal.journalThenDelete(fs, root, pendingDeletesFile, vacated)
       } finally {
         graft.Checkpoint.release(inc)
         merged.foreach(graft.Checkpoint.release)
@@ -178,38 +176,12 @@ object HubStore {
   private[graft] def oldLocations(hub: DataFrame, keys: DataFrame): DataFrame =
     hub.join(broadcast(keys), Seq(keyCol), "left_semi")
 
-  /** Journal of vacated-partition deletes in flight — written only
-    * AFTER the merged overwrite commits, so every dir it lists is
-    * already superseded and deleting it is safe at any later time.
+  /** Journal of vacated-partition deletes in flight ([[DeleteJournal]])
+    * — written only AFTER the merged overwrite commits, so every dir it
+    * lists is already superseded and deleting it is safe at any later
+    * time.
     */
   private[claims] val pendingDeletesFile = "_graft_pending_deletes"
-
-  /** Finish a crashed upsert's journaled deletes (no-op when none). */
-  private def healPendingDeletes(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(root, pendingDeletesFile)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val rels =
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .map(_.trim).filter(_.nonEmpty).toList
-        finally in.close()
-      rels.foreach(deletePartitionDir(fs, root, _))
-      fs.delete(marker, false)
-    }
-  }
-
-  private def deletePartitionDir(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, rel: String): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(root, rel)
-    if (fs.exists(dir)) fs.delete(dir, true)
-    // Prune the parent year directory too if this was its last month —
-    // an empty 접수년=Y dir is harmless to Spark but noise to a listing.
-    val parent = dir.getParent
-    if (parent != root && fs.exists(parent) &&
-        fs.listStatus(parent).isEmpty)
-      fs.delete(parent, false)
-  }
 
   private val batchCol = "_batch_seq"
 

@@ -199,15 +199,90 @@ object SeriesMart {
     * number of partitions, so a refresh touching few keys rewrites few
     * directories. Parquet (not JSON) so the read-back schema is exact
     * and the refresh's keep∪rebuilt union never drifts on inference.
+    *
+    * STATIC overwrite by default: a standalone write (and the full-
+    * rebuild path) replaces the WHOLE mart, including buckets whose
+    * documents all disappeared — dynamic overwrite would leave those
+    * buckets' old files as ghost documents no fresh build produces.
+    * Only [[refreshIncremental]]'s touched-bucket write passes
+    * `dynamic = true`, where untouched buckets keeping their bytes is
+    * the point.
     */
   def writeBucketedMart(mart: DataFrame, dir: String,
-      buckets: Int = 64): Unit =
+      buckets: Int = 64, dynamic: Boolean = false): Unit =
     mart.withColumn(bucketCol, pmod(xxhash64(col("key")), lit(buckets)))
       .write
-      .option("partitionOverwriteMode", "dynamic")
+      .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy(bucketCol)
       .mode("overwrite")
       .parquet(dir)
+
+  /** Mart metadata marker (leading `_` keeps it invisible to the
+    * parquet reader, like `_SUCCESS`): the bucket count the layout was
+    * written with and the month spine its histories span. Read by
+    * [[refreshIncremental]] to validate that an incremental write is
+    * meaningful — a bucket-count change or spine drift silently
+    * corrupts a dynamic-overwrite union, so either forces the full
+    * rebuild. Written temp-then-rename so a crash never leaves a torn
+    * marker.
+    */
+  private[claims] val martMetaFile = "_graft_mart_meta"
+
+  private def writeMartMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, buckets: Int, spine: Option[(String, String)]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, martMetaFile)
+    val tmp = new org.apache.hadoop.fs.Path(dir, martMetaFile + ".tmp")
+    val body = s"buckets=$buckets\n" + spine.fold("")(s =>
+      s"lo=${s._1}\nhi=${s._2}\n")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.rename(tmp, marker)
+  }
+
+  private def readMartMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[(Int, Option[(String, String)])] = {
+    val marker = new org.apache.hadoop.fs.Path(dir, martMetaFile)
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l =>
+          l.split("=", 2) match {
+            case Array(k, v) => Some(k -> v)
+            case _ => None
+          }
+        }.toMap
+      finally in.close()
+    kv.get("buckets").flatMap(b => scala.util.Try(b.toInt).toOption)
+      .map(b => (b, for (lo <- kv.get("lo"); hi <- kv.get("hi")) yield (lo, hi)))
+  }
+
+  /** Mart keys the batch's claims are CURRENTLY filed under in a hub —
+    * run against the PRE-upsert hub to capture the parent keys a claim
+    * is about to move away from. An upload that corrects a claim's
+    * 플랜트/제품범주2/대분류 changes its mart document; the batch alone
+    * only names the NEW document, and without the old one in the
+    * touched set [[refreshIncremental]] would leave it permanently
+    * stale. Null-key batch rows never match (they cannot be updates of
+    * an existing claim — the hub merge collapses them separately).
+    */
+  def priorParentKeys(preUpsertHub: DataFrame, batch: DataFrame): Set[String] = {
+    val keys = batch.filter(col(ClaimsSchema.keyCol).isNotNull)
+      .select(col(ClaimsSchema.keyCol)).distinct()
+    preUpsertHub.join(broadcast(keys), Seq(ClaimsSchema.keyCol), "left_semi")
+      .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
+      .distinct().collect().map(_.getString(0)).toSet
+  }
+
+  /** Journal of vacated-bucket deletes in flight ([[DeleteJournal]]):
+    * an incremental refresh whose touched bucket ends up with ZERO
+    * surviving documents (the bucket's only series vanished on a
+    * parent-key move) is never visited by dynamic overwrite, so the
+    * stale files are deleted explicitly — journaled first, so a crash
+    * between the commit and the deletes is healed by the next refresh.
+    */
+  private[claims] val martPendingDeletesFile = "_graft_mart_pending_deletes"
 
   /** Incremental view maintenance — the reference's INTENDED
     * per-series regeneration (docs/project_master.md:24), which its
@@ -216,67 +291,88 @@ object SeriesMart {
     * the `batch` touches and rewrites only their hash buckets; every
     * other document keeps its bytes.
     *
-    * VALIDITY GUARD: the mart's month spine is GLOBAL (min→max receipt
-    * month over the whole hub), so a batch whose dates EXTEND the
-    * spine changes every document's zero-filled history — in that
-    * case (and on first build) the full rebuild runs instead. Returns
-    * true when the incremental path ran, false on a full rebuild —
-    * callers can alert when uploads keep forcing full regenerations.
+    * VALIDITY GUARDS (any failing one runs the full rebuild instead):
+    *  - first build (no mart, or no [[martMetaFile]] marker — a layout
+    *    written before the marker existed, or by a direct
+    *    [[writeBucketedMart]] call — self-heals on the next refresh);
+    *  - the mart's month spine (from the marker) differs from the
+    *    hub's — the spine is GLOBAL (min→max receipt month over the
+    *    whole hub), so a batch whose dates extend it changes every
+    *    document's zero-filled history;
+    *  - the marker's bucket count differs from this call's `buckets` —
+    *    the union of two hash layouts would file keys inconsistently.
+    * Returns true when the incremental path ran, false on a full
+    * rebuild — callers can alert when uploads keep forcing full
+    * regenerations.
     *
     * `hub` must already contain the batch (refresh AFTER the hub
     * upsert, reading the merged truth — the reference's ordering).
+    * `priorKeys` — the batch claims' PRE-upsert mart keys, from
+    * [[priorParentKeys]] run against the hub BEFORE the upsert — makes
+    * a parent-key move regenerate the document the claim left, not
+    * only the one it arrived in; omitting it is safe only when uploads
+    * never re-file an existing claim under new 플랜트/제품범주2/대분류.
     * Untouched documents are carried over byte-for-byte, INCLUDING
     * `meta.last_updated` — a document not updated keeps its original
     * stamp, where a full rebuild re-stamps everything with `asOf`
     * (spec-pinned; the honest reading of "last updated").
     */
   def refreshIncremental(hub: DataFrame, batch: DataFrame, asOf: String,
-      dir: String, buckets: Int = 64): Boolean = {
+      dir: String, buckets: Int = 64,
+      priorKeys: Set[String] = Set.empty): Boolean = {
     val spark = hub.sparkSession
-    val fs = new org.apache.hadoop.fs.Path(dir)
+    val martRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = martRoot
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // First build = no mart yet; an existing-but-empty directory (a
     // caller's fresh mkdir) counts as absent, like HubStore.exists.
-    val martPath = new org.apache.hadoop.fs.Path(dir)
     val firstBuild =
-      !fs.exists(martPath) || fs.listStatus(martPath).isEmpty
+      !fs.exists(martRoot) || fs.listStatus(martRoot).isEmpty
     val hubSpine = hub
       .withColumn("ym", date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
       .filter(col("ym").isNotNull)
       .agg(min("ym"), max("ym")).collect()(0)
-    val spine = (hubSpine.getString(0), hubSpine.getString(1))
+    val spineOpt =
+      if (hubSpine.isNullAt(0)) None
+      else Some((hubSpine.getString(0), hubSpine.getString(1)))
     def fullRebuild(): Boolean = {
+      // STATIC overwrite: buckets whose documents all disappeared must
+      // not survive as ghosts. The marker is re-stamped after the data
+      // commits — a crash in between leaves a stale/absent marker,
+      // which the next refresh reads as "rebuild again" (self-healing).
       writeBucketedMart(build(hub, asOf), dir, buckets)
+      writeMartMeta(fs, dir, buckets, spineOpt)
       false
     }
-    if (firstBuild || hubSpine.isNullAt(0)) return fullRebuild()
-    val existing = spark.read.parquet(dir)
-    // The mart's spine is readable off any document: histories are
-    // zero-filled over the full global span, so one history's first
-    // and last dates ARE the bounds.
-    val martSpine = existing.limit(1)
-      .select(element_at(col("data.history"), 1).getField("date"),
-        element_at(col("data.history"), -1).getField("date"))
-      .collect()
-    if (martSpine.isEmpty || (martSpine(0).getString(0), martSpine(0).getString(1)) != spine)
-      return fullRebuild()
-    // Touched documents: the batch's parent-key set, as mart keys.
+    if (firstBuild || spineOpt.isEmpty) return fullRebuild()
+    DeleteJournal.heal(fs, martRoot, martPendingDeletesFile)
+    val valid = readMartMeta(fs, dir).exists {
+      case (b, s) => b == buckets && s == spineOpt
+    }
+    if (!valid) return fullRebuild()
+    val spine = spineOpt.get
+    // Touched documents: the batch's parent-key set as mart keys, plus
+    // the keys its claims were previously filed under (`priorKeys`).
     val touchedKeys = batch
       .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
-      .distinct().collect().map(_.getString(0)).toSet
+      .distinct().collect().map(_.getString(0)).toSet ++ priorKeys
     if (touchedKeys.isEmpty) return true
+    val existing = spark.read.parquet(dir)
     // Buckets of the touched keys, computed by the SAME xxhash64
     // expression the writer uses — never a hand-rolled reimplementation
     // that could drift from Spark's seed or encoding.
-    val touchedBuckets = {
+    def bucketsOf(keys: Set[String]): Set[Long] = {
       import spark.implicits._
-      touchedKeys.toSeq.toDF("key")
+      if (keys.isEmpty) Set.empty
+      else keys.toSeq.toDF("key")
         .select(pmod(xxhash64(col("key")), lit(buckets)))
         .collect().map(_.getLong(0)).toSet
     }
+    val touchedBuckets = bucketsOf(touchedKeys)
     // Rebuild only the touched series from the hub (the key filter
     // scopes the scan; the override pins their histories to the
-    // unchanged global spine).
+    // unchanged global spine). A touched key with no hub rows left (a
+    // parent-key move drained it) simply yields no document.
     val touched = hub.filter(
       concat_ws("_", parentKeys.map(pyStr): _*).isin(touchedKeys.toSeq: _*))
     val rebuilt = build(touched, asOf, Some(spine))
@@ -289,8 +385,20 @@ object SeriesMart {
       .drop(bucketCol)
     val out = graft.Checkpoint.pinTransient(
       keep.unionByName(rebuilt.select(keep.columns.map(col): _*)))
-    try writeBucketedMart(out, dir, buckets)
-    finally graft.Checkpoint.release(out)
+    try {
+      writeBucketedMart(out, dir, buckets, dynamic = true)
+      // Touched buckets with zero surviving documents were never
+      // visited by the dynamic write — delete them (journaled). The
+      // probe collects ≤ `buckets` longs off the pinned frame, never
+      // the documents themselves.
+      val outBuckets = out
+        .select(pmod(xxhash64(col("key")), lit(buckets)).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val vacated = (touchedBuckets -- outBuckets).toSeq.sorted
+        .map(b => s"$bucketCol=$b")
+      DeleteJournal.journalThenDelete(fs, martRoot,
+        martPendingDeletesFile, vacated)
+    } finally graft.Checkpoint.release(out)
     true
   }
 

@@ -148,6 +148,111 @@ class SeriesMartSpec extends AnyFunSuite {
       "at least one bucket partition must keep its bytes")
   }
 
+  private def mkBatch(rows: Seq[(String, String, String, String, String,
+      String, String)]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(rows
+        .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트",
+          "제품범주2", "대분류"))))
+  }
+
+  private def mergeHub(hub: org.apache.spark.sql.DataFrame,
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val movedKeys = batch.select(col(ClaimsSchema.keyCol))
+      .filter(col(ClaimsSchema.keyCol).isNotNull)
+      .collect().map(_.getString(0)).toSet
+    hub.filter(!coalesce(col(ClaimsSchema.keyCol).isin(movedKeys.toSeq: _*),
+        lit(false)))
+      .drop(ClaimsSchema.ingestSeqCol)
+      .unionByName(batch.drop(ClaimsSchema.ingestSeqCol))
+  }
+
+  test("a parent-key move regenerates the document the claim left (priorKeys)") {
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    // C003 re-filed from PLANT_A/CAT2_X/MAJOR_P to PLANT_B/CAT2_Y/MAJOR_S,
+    // same receipt date (the global spine must not move).
+    val batch = mkBatch(Seq(
+      ("C003", "2023", "11", "15", "PLANT_B", "CAT2_Y", "MAJOR_S")))
+    val hub1 = mergeHub(hub0, batch)
+    val priors = SeriesMart.priorParentKeys(hub0, batch)
+    assert(priors == Set("PLANT_A_CAT2_X_MAJOR_P"))
+
+    // WITHOUT priorKeys the old document is left permanently stale —
+    // the bug the parameter exists to close.
+    val dirStale = java.nio.file.Files.createTempDirectory("martmv0").toString
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dirStale))
+    assert(SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dirStale))
+    val staleA = spark.read.parquet(dirStale)
+      .filter(col("key") === "PLANT_A_CAT2_X_MAJOR_P")
+      .select(element_at(col("data.history"), 2).getField("count")).collect()
+    assert(staleA(0).getInt(0) == 2,
+      "without priorKeys the vacated doc still counts the moved claim")
+
+    // WITH priorKeys the refresh equals the full rebuild.
+    val dir = java.nio.file.Files.createTempDirectory("martmv1").toString
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dir))
+    assert(SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dir,
+      priorKeys = priors))
+    assert(martDocs(dir) ==
+      SeriesMart.build(hub1, "2024-03-01").toJSON.collect().toSet,
+      "with priorKeys both the old and new documents regenerate")
+  }
+
+  test("a drained document's bucket is deleted, not left as a ghost") {
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    // Every PLANT_A claim re-filed under PLANT_B: the PLANT_A document
+    // has zero rows left and must disappear from the mart.
+    val batch = mkBatch(Seq(
+      ("C001", "2023", "10", "10", "PLANT_B", "CAT2_Y", "MAJOR_S"),
+      ("C002", "2023", "10", "11", "PLANT_B", "CAT2_Y", "MAJOR_S"),
+      ("C003", "2023", "11", "15", "PLANT_B", "CAT2_Y", "MAJOR_S"),
+      ("C004", "2023", "11", "16", "PLANT_B", "CAT2_Y", "MAJOR_S")))
+    val hub1 = mergeHub(hub0, batch)
+    val dir = java.nio.file.Files.createTempDirectory("martdrain").toString
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dir))
+    val priors = SeriesMart.priorParentKeys(hub0, batch)
+    assert(SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dir,
+      priorKeys = priors))
+    assert(martDocs(dir) ==
+      SeriesMart.build(hub1, "2024-03-01").toJSON.collect().toSet)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1 &&
+      back.select("key").collect()(0).getString(0) == "PLANT_B_CAT2_Y_MAJOR_S")
+    // Exactly one bucket dir survives; the journal is cleaned up.
+    val dirs = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(dirs.length == 1 && dirs(0).startsWith("key_bucket="))
+    assert(!new java.io.File(dir, SeriesMart.martPendingDeletesFile).exists)
+  }
+
+  test("bucket-count drift and a missing meta marker force the full rebuild") {
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    val batch = mkBatch(Seq(
+      ("C900", "2023", "12", "5", "PLANT_A", "CAT2_X", "MAJOR_P")))
+    val hub1 = mergeHub(hub0, batch)
+    // Layout written with 64 buckets; a refresh asking for 8 would
+    // union two hash layouts — must fall back to the full rebuild.
+    val dir = java.nio.file.Files.createTempDirectory("martbkt").toString
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dir))
+    assert(!SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dir,
+      buckets = 8), "bucket-count drift must force the full-rebuild path")
+    assert(martDocs(dir) ==
+      SeriesMart.build(hub1, "2024-03-01").toJSON.collect().toSet)
+    // A mart written by writeBucketedMart directly has no meta marker:
+    // the first refresh over it must full-rebuild (and self-heal by
+    // writing the marker), not trust an unverifiable layout.
+    val dir2 = java.nio.file.Files.createTempDirectory("martmeta").toString
+    SeriesMart.writeBucketedMart(SeriesMart.build(hub0, "2024-02-01"), dir2)
+    assert(!SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dir2),
+      "meta-less layout must force the full-rebuild path")
+    assert(SeriesMart.refreshIncremental(hub1, batch, "2024-04-01", dir2),
+      "the rebuild self-heals: the next same-spine refresh is incremental")
+  }
+
   test("a spine-extending batch forces the guarded full rebuild") {
     import spark.implicits._
     val hub0 = ClaimsEtl.ingestCsv(spark,
