@@ -42,6 +42,29 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
 
   def availablePeriods(): DataFrame = HubStore.catalog(spark, hubPath)
 
+  /** The upload page's whole save flow as one verb (ref:
+    * pages/1_데이터_업로드.py:107-117 — preprocess → hub save → series
+    * regeneration), with the series step INCREMENTAL: only the parent
+    * documents the batch touches are rebuilt in the bucketed mart at
+    * `martDir`, including documents the batch's claims are moving AWAY
+    * from (the pre-upsert [[SeriesMart.priorParentKeys]] probe — run
+    * before the hub changes, or the old locations are unknowable).
+    * Returns true when the incremental path ran, false when a guard
+    * (first build, spine growth, layout drift) forced the full rebuild
+    * — the reference's only behavior ([[generateNestedSeries]] remains
+    * the full-rebuild JSON export for layout parity).
+    */
+  def uploadBatch(prepared: DataFrame, asOf: LocalDate, martDir: String,
+      buckets: Int = 64): Boolean = {
+    val priors =
+      if (HubStore.exists(spark, hubPath))
+        SeriesMart.priorParentKeys(loadHub(), prepared)
+      else Set.empty[String]
+    upsertHub(prepared)
+    SeriesMart.refreshIncremental(loadHub(), prepared, asOf.toString,
+      martDir, buckets, priors)
+  }
+
   def generateNestedSeries(asOf: LocalDate): Long = {
     // One build: unpinned, the write and the count each re-executed
     // the whole multi-join mart DAG (two hub scans, two fill

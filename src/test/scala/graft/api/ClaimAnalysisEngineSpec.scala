@@ -43,4 +43,41 @@ class ClaimAnalysisEngineSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(lag("PLANT_A") == 3) // C001, C002, C003 valid lags
   }
+
+  test("uploadBatch maintains hub and mart end-to-end across a key move") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = Files.createTempDirectory("engineup").toString
+    val mart = s"$base/mart"
+    val engine = new ClaimAnalysisEngine(spark,
+      s"$base/hub", s"$base/sales", s"$base/models", s"$base/series")
+
+    val prepared = engine.processClaimData(
+      getClass.getResource("/claims_fixture.csv").getPath)
+    // First upload: no hub, no mart → full build.
+    assert(!engine.uploadBatch(prepared, LocalDate.of(2024, 2, 1), mart))
+    assert(spark.read.parquet(mart).count() == 2)
+
+    // Second upload re-files C003 under PLANT_B (same receipt date, so
+    // the global spine holds): the incremental path must run and BOTH
+    // documents — the one the claim left and the one it joined — must
+    // match a from-scratch rebuild of the merged hub.
+    val move = graft.claims.ClaimsEtl.preprocess(
+      graft.claims.ClaimsEtl.canonicalize54(
+        graft.claims.ClaimsEtl.withIngestSeq(Seq(
+          ("C003", "2023", "11", "15", "PLANT_B", "CAT2_Y", "MAJOR_S"))
+          .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트",
+            "제품범주2", "대분류"))))
+    assert(engine.uploadBatch(move, LocalDate.of(2024, 3, 1), mart))
+    val hub = engine.loadHub()
+    assert(hub.filter(col("상담번호") === "C003")
+      .select("플랜트").collect()(0).getString(0) == "PLANT_B",
+      "the hub upsert keeps the batch's version of the moved claim")
+    val docs = spark.read.parquet(mart).drop("key_bucket")
+      .toJSON.collect().toSet
+    val full = graft.claims.SeriesMart.build(hub, "2024-03-01")
+      .toJSON.collect().toSet
+    assert(docs == full,
+      "the incremental mart equals a full rebuild of the merged hub")
+  }
 }
