@@ -48,22 +48,17 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
     * documents the batch touches are rebuilt in the bucketed mart at
     * `martDir`, including documents the batch's claims are moving AWAY
     * from (the pre-upsert [[SeriesMart.priorParentKeys]] probe — run
-    * before the hub changes, or the old locations are unknowable).
+    * before the hub changes, or the old locations are unknowable —
+    * journaled durably so a crashed upload's retry still regenerates
+    * the vacated documents; see [[graft.claims.UploadFlow]]).
     * Returns true when the incremental path ran, false when a guard
     * (first build, spine growth, layout drift) forced the full rebuild
     * — the reference's only behavior ([[generateNestedSeries]] remains
     * the full-rebuild JSON export for layout parity).
     */
   def uploadBatch(prepared: DataFrame, asOf: LocalDate, martDir: String,
-      buckets: Int = 64): Boolean = {
-    val priors =
-      if (HubStore.exists(spark, hubPath))
-        SeriesMart.priorParentKeys(loadHub(), prepared)
-      else Set.empty[String]
-    upsertHub(prepared)
-    SeriesMart.refreshIncremental(loadHub(), prepared, asOf.toString,
-      martDir, buckets, priors)
-  }
+      buckets: Int = 64): Boolean =
+    UploadFlow.run(spark, prepared, hubPath, martDir, asOf.toString, buckets)
 
   def generateNestedSeries(asOf: LocalDate): Long = {
     // One build: unpinned, the write and the count each re-executed

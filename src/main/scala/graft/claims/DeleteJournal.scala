@@ -20,21 +20,33 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[claims] object DeleteJournal {
 
+  /** Write `body` to `markerName` under `root` via temp-then-rename.
+    * Throws when the FS refuses the rename (Hadoop reports failure by
+    * RETURNING false, not throwing) — proceeding without the marker in
+    * place would silently void the very guarantee it provides.
+    */
+  def writeMarkerAtomic(fs: FileSystem, root: Path, markerName: String,
+      body: String): Unit = {
+    val marker = new Path(root, markerName)
+    val tmp = new Path(root, markerName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"atomic marker rename failed: $tmp -> $marker")
+  }
+
   /** Journal `rels` (paths relative to `root`) atomically, delete them,
     * then clear the journal. No-op for an empty list.
     */
   def journalThenDelete(fs: FileSystem, root: Path, markerName: String,
       rels: Seq[String]): Unit = {
     if (rels.isEmpty) return
-    val marker = new Path(root, markerName)
-    val tmp = new Path(root, markerName + ".tmp")
-    val out = fs.create(tmp, true)
-    try out.write(rels.mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    fs.rename(tmp, marker)
+    writeMarkerAtomic(fs, root, markerName, rels.mkString("\n"))
     rels.foreach(deleteDir(fs, root, _))
-    fs.delete(marker, false)
+    fs.delete(new Path(root, markerName), false)
   }
 
   /** Finish a crashed writer's journaled deletes (no-op when none). */

@@ -229,16 +229,11 @@ object SeriesMart {
   private[claims] val martMetaFile = "_graft_mart_meta"
 
   private def writeMartMeta(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, buckets: Int, spine: Option[(String, String)]): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(dir, martMetaFile)
-    val tmp = new org.apache.hadoop.fs.Path(dir, martMetaFile + ".tmp")
-    val body = s"buckets=$buckets\n" + spine.fold("")(s =>
-      s"lo=${s._1}\nhi=${s._2}\n")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
-    if (fs.exists(marker)) fs.delete(marker, false)
-    fs.rename(tmp, marker)
-  }
+      dir: String, buckets: Int, spine: Option[(String, String)]): Unit =
+    DeleteJournal.writeMarkerAtomic(fs,
+      new org.apache.hadoop.fs.Path(dir), martMetaFile,
+      s"buckets=$buckets\n" + spine.fold("")(s =>
+        s"lo=${s._1}\nhi=${s._2}\n"))
 
   private def readMartMeta(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Option[(Int, Option[(String, String)])] = {
@@ -270,9 +265,63 @@ object SeriesMart {
   def priorParentKeys(preUpsertHub: DataFrame, batch: DataFrame): Set[String] = {
     val keys = batch.filter(col(ClaimsSchema.keyCol).isNotNull)
       .select(col(ClaimsSchema.keyCol)).distinct()
-    preUpsertHub.join(broadcast(keys), Seq(ClaimsSchema.keyCol), "left_semi")
+    // Same broadcast-semi-join probe the upsert runs (HubStore.
+    // oldLocations, Catalyst-pruned to key + parent columns). An
+    // upload pays it twice — once here against the pre-upsert hub,
+    // once inside the upsert — a deliberate trade: both scans are
+    // narrow (probe columns only), and fusing them would mean the
+    // upsert API accepting a precomputed probe it cannot trust.
+    HubStore.oldLocations(preUpsertHub, keys)
       .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
       .distinct().collect().map(_.getString(0)).toSet
+  }
+
+  /** Durable record of the parent keys an IN-FLIGHT upload touches —
+    * written BEFORE the hub upsert ([[graft.api.ClaimAnalysisEngine
+    * .uploadBatch]]). The pre-upsert [[priorParentKeys]] probe exists
+    * only in driver memory; if the process dies between the hub commit
+    * and the completed mart refresh, a retry re-probes the ALREADY-
+    * MERGED hub, finds only the claims' NEW locations, and the vacated
+    * document would stay stale forever. [[refreshIncremental]] unions
+    * any journaled keys into its touched set and clears the journal
+    * once the refresh (either path) completes — regenerating an
+    * already-fresh document is idempotent, so replaying a stale
+    * journal entry is harmless.
+    */
+  private[claims] val touchedJournalFile = "_graft_mart_pending_touch"
+
+  def journalTouchedKeys(spark: org.apache.spark.sql.SparkSession,
+      dir: String, keys: Set[String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) fs.mkdirs(root)
+    // One base64 line per key: key text comes from raw claim values,
+    // which the line format must not trust to be newline-free.
+    val b64 = java.util.Base64.getEncoder
+    DeleteJournal.writeMarkerAtomic(fs, root, touchedJournalFile,
+      keys.toSeq.sorted
+        .map(k => b64.encodeToString(k.getBytes("UTF-8")))
+        .mkString("\n"))
+  }
+
+  private def readTouchedJournal(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Set[String] = {
+    val marker = new org.apache.hadoop.fs.Path(dir, touchedJournalFile)
+    if (!fs.exists(marker)) return Set.empty
+    val in = fs.open(marker)
+    val b64 = java.util.Base64.getDecoder
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty)
+      .map(l => new String(b64.decode(l), "UTF-8")).toSet
+    finally in.close()
+  }
+
+  private def clearTouchedJournal(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(root, touchedJournalFile), false)
+    fs.delete(new org.apache.hadoop.fs.Path(root,
+      touchedJournalFile + ".tmp"), false)
   }
 
   /** Journal of vacated-bucket deletes in flight ([[DeleteJournal]]):
@@ -337,11 +386,14 @@ object SeriesMart {
       else Some((hubSpine.getString(0), hubSpine.getString(1)))
     def fullRebuild(): Boolean = {
       // STATIC overwrite: buckets whose documents all disappeared must
-      // not survive as ghosts. The marker is re-stamped after the data
-      // commits — a crash in between leaves a stale/absent marker,
-      // which the next refresh reads as "rebuild again" (self-healing).
+      // not survive as ghosts (the wipe also clears both journals —
+      // every document is fresh after it). The meta marker is
+      // re-stamped after the data commits — a crash in between leaves
+      // a stale/absent marker, which the next refresh reads as
+      // "rebuild again" (self-healing).
       writeBucketedMart(build(hub, asOf), dir, buckets)
       writeMartMeta(fs, dir, buckets, spineOpt)
+      clearTouchedJournal(fs, dir)
       false
     }
     if (firstBuild || spineOpt.isEmpty) return fullRebuild()
@@ -352,23 +404,25 @@ object SeriesMart {
     if (!valid) return fullRebuild()
     val spine = spineOpt.get
     // Touched documents: the batch's parent-key set as mart keys, plus
-    // the keys its claims were previously filed under (`priorKeys`).
+    // the keys its claims were previously filed under (`priorKeys`),
+    // plus any keys a CRASHED upload journaled before its hub upsert
+    // ([[journalTouchedKeys]]) — the retry's own probe cannot refind
+    // those in the merged hub.
     val touchedKeys = batch
       .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
-      .distinct().collect().map(_.getString(0)).toSet ++ priorKeys
-    if (touchedKeys.isEmpty) return true
+      .distinct().collect().map(_.getString(0)).toSet ++
+      priorKeys ++ readTouchedJournal(fs, dir)
+    if (touchedKeys.isEmpty) { clearTouchedJournal(fs, dir); return true }
     val existing = spark.read.parquet(dir)
     // Buckets of the touched keys, computed by the SAME xxhash64
     // expression the writer uses — never a hand-rolled reimplementation
     // that could drift from Spark's seed or encoding.
-    def bucketsOf(keys: Set[String]): Set[Long] = {
+    val touchedBuckets = {
       import spark.implicits._
-      if (keys.isEmpty) Set.empty
-      else keys.toSeq.toDF("key")
+      touchedKeys.toSeq.toDF("key")
         .select(pmod(xxhash64(col("key")), lit(buckets)))
         .collect().map(_.getLong(0)).toSet
     }
-    val touchedBuckets = bucketsOf(touchedKeys)
     // Rebuild only the touched series from the hub (the key filter
     // scopes the scan; the override pins their histories to the
     // unchanged global spine). A touched key with no hub rows left (a
@@ -398,6 +452,9 @@ object SeriesMart {
         .map(b => s"$bucketCol=$b")
       DeleteJournal.journalThenDelete(fs, martRoot,
         martPendingDeletesFile, vacated)
+      // The refresh is complete: the in-flight upload's durable
+      // touched-keys record (if any) has been honored.
+      clearTouchedJournal(fs, dir)
     } finally graft.Checkpoint.release(out)
     true
   }

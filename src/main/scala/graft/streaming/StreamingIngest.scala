@@ -27,9 +27,24 @@ object StreamingIngest {
     * as header-mapped CSV — a streaming CSV schema would bind columns
     * positionally, but uploads map columns BY NAME like the reference's
     * pandas reader (canonicalize54 then projects name-wise).
+    *
+    * `martDir` (optional) keeps the bucketed series mart CURRENT under
+    * the stream: each micro-batch runs the full
+    * [[graft.claims.UploadFlow]] — pre-upsert prior-keys probe +
+    * durable journal, hub upsert, incremental mart refresh — so
+    * continuous uploads maintain both stores at O(delta) instead of
+    * the reference's regenerate-everything-per-upload. A failed batch
+    * is replayed by the engine against the same file set; the flow is
+    * idempotent under replay (keyed merge + journaled refresh).
+    * `asOfClock` injects the mart's `last_updated` stamp per batch
+    * (the library's usual wall-clock injection; defaults to the
+    * session-timezone current date).
     */
   def start(spark: SparkSession, landingDir: String, hubPath: String,
-      checkpointDir: String): StreamingQuery = {
+      checkpointDir: String, martDir: Option[String] = None,
+      martBuckets: Int = 64,
+      asOfClock: () => String = () => java.time.LocalDate.now().toString)
+      : StreamingQuery = {
     val arrivals = spark.readStream
       .option("maxFilesPerTrigger", "16")
       .text(landingDir)
@@ -67,7 +82,19 @@ object StreamingIngest {
           // hub's keyed keep-last stays well-defined across files.
           val prepared = ClaimsEtl.preprocess(
             ClaimsEtl.withIngestSeq(canon))
-          HubStore.upsert(sess, prepared, hubPath)
+          martDir match {
+            case Some(m) =>
+              val incremental = graft.claims.UploadFlow.run(
+                sess, prepared, hubPath, m, asOfClock(), martBuckets)
+              // Surface guard-forced rebuilds: a stream whose uploads
+              // keep extending the month spine regenerates everything
+              // per batch — operators should see that, not infer it.
+              if (!incremental)
+                org.slf4j.LoggerFactory.getLogger("graft.StreamingIngest")
+                  .info(s"mart refresh took the full-rebuild path " +
+                    s"(${files.length} file(s) in batch)")
+            case None => HubStore.upsert(sess, prepared, hubPath)
+          }
         }
       }
       .start()

@@ -157,16 +157,14 @@ class SeriesMartSpec extends AnyFunSuite {
           "제품범주2", "대분류"))))
   }
 
+  /** The PRODUCTION merge (not a hand-rolled variant whose semantics
+    * could drift): keep-last by (batch, ingest-seq), null-key collapse
+    * included — the expected hub is exactly what an upsert persists.
+    */
   private def mergeHub(hub: org.apache.spark.sql.DataFrame,
-      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val movedKeys = batch.select(col(ClaimsSchema.keyCol))
-      .filter(col(ClaimsSchema.keyCol).isNotNull)
-      .collect().map(_.getString(0)).toSet
-    hub.filter(!coalesce(col(ClaimsSchema.keyCol).isin(movedKeys.toSeq: _*),
-        lit(false)))
-      .drop(ClaimsSchema.ingestSeqCol)
-      .unionByName(batch.drop(ClaimsSchema.ingestSeqCol))
-  }
+      batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    HubStore.merge(hub, batch)
+      .drop(ClaimsSchema.ingestSeqCol, "_batch_seq")
 
   test("a parent-key move regenerates the document the claim left (priorKeys)") {
     val hub0 = ClaimsEtl.ingestCsv(spark,
@@ -226,6 +224,30 @@ class SeriesMartSpec extends AnyFunSuite {
       .filter(_.isDirectory).map(_.getName)
     assert(dirs.length == 1 && dirs(0).startsWith("key_bucket="))
     assert(!new java.io.File(dir, SeriesMart.martPendingDeletesFile).exists)
+  }
+
+  test("a journaled in-flight upload survives a crash before the refresh") {
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    val batch = mkBatch(Seq(
+      ("C003", "2023", "11", "15", "PLANT_B", "CAT2_Y", "MAJOR_S")))
+    val hub1 = mergeHub(hub0, batch)
+    val dir = java.nio.file.Files.createTempDirectory("martcrash").toString
+    assert(!SeriesMart.refreshIncremental(hub0, hub0, "2024-02-01", dir))
+    // The upload flow: journal the pre-upsert parent keys, commit the
+    // hub... then CRASH before the refresh runs. The retry re-probes
+    // the MERGED hub, where C003 is already filed under PLANT_B — so
+    // it passes no priorKeys, and only the durable journal can tell it
+    // the PLANT_A document changed.
+    SeriesMart.journalTouchedKeys(spark, dir,
+      SeriesMart.priorParentKeys(hub0, batch))
+    assert(SeriesMart.refreshIncremental(hub1, batch, "2024-03-01", dir),
+      "the retry takes the incremental path")
+    assert(martDocs(dir) ==
+      SeriesMart.build(hub1, "2024-03-01").toJSON.collect().toSet,
+      "the journaled key regenerates the document the claim left")
+    assert(!new java.io.File(dir, SeriesMart.touchedJournalFile).exists,
+      "the honored journal is cleared")
   }
 
   test("bucket-count drift and a missing meta marker force the full rebuild") {

@@ -48,6 +48,41 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest keeps the bucketed mart current across a key move") {
+    val landing = Files.createTempDirectory("landingm").toString
+    val hub = Files.createTempDirectory("hubm").toString + "/hub"
+    val ckpt = Files.createTempDirectory("ckptm").toString
+    val mart = Files.createTempDirectory("martm").toString + "/mart"
+
+    val q = StreamingIngest.start(spark, landing, hub, ckpt,
+      martDir = Some(mart), asOfClock = () => "2024-03-01")
+    try {
+      Files.copy(
+        Paths.get(getClass.getResource("/claims_fixture.csv").getPath),
+        Paths.get(landing, "upload1.csv"), StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+      assert(spark.read.parquet(mart).count() == 2,
+        "first upload full-builds the mart alongside the hub")
+
+      // C003 re-filed under PLANT_B (same receipt date → same spine):
+      // the incremental refresh must regenerate BOTH documents — the
+      // one the claim left (prior-keys probe) and the one it joined.
+      val move =
+        "상담번호,접수년,접수월,접수일,플랜트,제품범주2,대분류\n" +
+          "C003,2023,11,15,PLANT_B,CAT2_Y,MAJOR_S\n"
+      Files.write(Paths.get(landing, "upload2.csv"), move.getBytes("UTF-8"))
+      q.processAllAvailable()
+
+      val hubDf = spark.read.parquet(hub)
+      val docs = spark.read.parquet(mart).drop("key_bucket")
+        .toJSON.collect().toSet
+      val full = graft.claims.SeriesMart.build(hubDf, "2024-03-01")
+        .toJSON.collect().toSet
+      assert(docs == full,
+        "the streamed mart equals a full rebuild of the streamed hub")
+    } finally q.stop()
+  }
+
   test("two uploads with different header orders ingest by NAME in one batch") {
     // The round-9 review case: a single multi-path csv() read binds
     // every file after the first POSITIONALLY (schema from file one,
