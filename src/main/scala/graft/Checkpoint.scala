@@ -114,6 +114,17 @@ object Checkpoint {
     */
   def pinTransient(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
+  /** Whether `df` is already a pinned (lineage-truncated, materialized
+    * RDD-backed) frame. Lets a callee that would defensively
+    * [[pinTransient]] its input skip the SECOND block copy when the
+    * caller pinned already — and, symmetrically, skip releasing a
+    * frame it does not own.
+    */
+  def isPinned(df: DataFrame): Boolean = df.queryExecution.analyzed match {
+    case _: LogicalRDD => true
+    case _ => false
+  }
+
   /** Drop the storage behind a frame returned by [[pin]] (best-effort;
     * reliable checkpoint FILES are left for the cleaner/dir owner —
     * only block-manager storage is released). After release the frame

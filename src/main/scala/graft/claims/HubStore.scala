@@ -97,8 +97,14 @@ object HubStore {
       // job. TRANSIENT pin: the frame lives only inside this call, so
       // the session's reliable policy would write a permanent batch
       // copy per upsert for no HA gain (the caller's retry re-runs
-      // the call).
-      val inc = graft.Checkpoint.pinTransient(incoming)
+      // the call). A caller that already pinned (UploadFlow holds the
+      // batch across probe+upsert+refresh) is respected: no second
+      // block copy, and the finally must NOT release a frame this
+      // call does not own — the caller still reads it after we return.
+      val callerPinned = graft.Checkpoint.isPinned(incoming)
+      val inc =
+        if (callerPinned) incoming
+        else graft.Checkpoint.pinTransient(incoming)
       // Both pins are released in the finally: a failing probe or
       // merge job must not strand batch-sized blocks in executor
       // storage on a long-lived session (a streaming caller retries
@@ -159,7 +165,7 @@ object HubStore {
           .parquet(path)
         DeleteJournal.journalThenDelete(fs, root, pendingDeletesFile, vacated)
       } finally {
-        graft.Checkpoint.release(inc)
+        if (!callerPinned) graft.Checkpoint.release(inc)
         merged.foreach(graft.Checkpoint.release)
       }
     } else

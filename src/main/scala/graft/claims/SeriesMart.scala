@@ -295,11 +295,15 @@ object SeriesMart {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
-    // One base64 line per key: key text comes from raw claim values,
-    // which the line format must not trust to be newline-free.
+    // UNION with whatever is already journaled, never overwrite: a
+    // crashed upload's retry re-probes the MERGED hub (new locations
+    // only) and re-journals — replacing the file would destroy the
+    // pre-move keys the crashed attempt recorded, the very thing this
+    // journal exists to preserve. Stale extra keys only cost an
+    // idempotent regeneration at the next refresh.
     val b64 = java.util.Base64.getEncoder
     DeleteJournal.writeMarkerAtomic(fs, root, touchedJournalFile,
-      keys.toSeq.sorted
+      (keys ++ readTouchedJournal(fs, dir)).toSeq.sorted
         .map(k => b64.encodeToString(k.getBytes("UTF-8")))
         .mkString("\n"))
   }

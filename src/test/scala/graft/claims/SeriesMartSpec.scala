@@ -250,6 +250,34 @@ class SeriesMartSpec extends AnyFunSuite {
       "the honored journal is cleared")
   }
 
+  test("a crashed upload's retry through UploadFlow regenerates the vacated doc") {
+    val base = java.nio.file.Files.createTempDirectory("flowcrash").toString
+    val hubPath = s"$base/hub"
+    val mart = s"$base/mart"
+    val fixture = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    assert(!UploadFlow.run(spark, fixture, hubPath, mart, "2024-02-01"))
+
+    // The crashed attempt = the flow's own first three steps (probe,
+    // journal, hub upsert), then death before the refresh.
+    val batch = mkBatch(Seq(
+      ("C003", "2023", "11", "15", "PLANT_B", "CAT2_Y", "MAJOR_S")))
+    SeriesMart.journalTouchedKeys(spark, mart,
+      SeriesMart.priorParentKeys(HubStore.read(spark, hubPath), batch))
+    HubStore.upsert(spark, batch, hubPath)
+
+    // The retry is the REAL flow end-to-end. Its own probe sees only
+    // the claim's NEW location in the merged hub and re-journals —
+    // which must UNION with, not replace, the crashed attempt's
+    // pre-move key, or PLANT_A's document stays stale.
+    assert(UploadFlow.run(spark, batch, hubPath, mart, "2024-03-01"))
+    val hub = HubStore.read(spark, hubPath)
+    assert(martDocs(mart) ==
+      SeriesMart.build(hub, "2024-03-01").toJSON.collect().toSet,
+      "the retried flow heals the crashed upload's mart state")
+    assert(!new java.io.File(mart, SeriesMart.touchedJournalFile).exists)
+  }
+
   test("bucket-count drift and a missing meta marker force the full rebuild") {
     val hub0 = ClaimsEtl.ingestCsv(spark,
       getClass.getResource("/claims_fixture.csv").getPath)
