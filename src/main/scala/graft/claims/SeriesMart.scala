@@ -431,6 +431,20 @@ object SeriesMart {
     // scopes the scan; the override pins their histories to the
     // unchanged global spine). A touched key with no hub rows left (a
     // parent-key move drained it) simply yields no document.
+    //
+    // The filter is DELIBERATELY the computed concat, not per-column
+    // equalities Parquet could push down: the mart key is LOSSY
+    // (components may contain the "_" separator — the fixture's own
+    // "PLANT_A"/"CAT2_X" do — and Python-str null is the literal
+    // "None"), so distinct parent tuples can share one mart key. The
+    // keep-filter drops existing documents BY KEY, so the rebuild must
+    // regenerate every tuple colliding into a touched key or the
+    // collision partner's document is silently lost; only the concat
+    // form matches exactly that set. Cost profile: one column-pruned
+    // hub scan per refresh (Catalyst prunes to the ~7 columns build
+    // consumes) — already the delta-rebuild improvement over the
+    // reference's full regenerate; row-group skipping on top would
+    // need an injective key encoding the reference's schema forbids.
     val touched = hub.filter(
       concat_ws("_", parentKeys.map(pyStr): _*).isin(touchedKeys.toSeq: _*))
     val rebuilt = build(touched, asOf, Some(spine))
