@@ -337,6 +337,42 @@ object SeriesMart {
     */
   private[claims] val martPendingDeletesFile = "_graft_mart_pending_deletes"
 
+  /** The hub rows whose series a refresh must rebuild — the touched
+    * keys' rows, and ONLY theirs (a touched key with no rows left —
+    * a parent-key move drained it — simply yields no document).
+    *
+    * The filter is DELIBERATELY the computed concat, not per-column
+    * equalities Parquet could push down: the mart key is LOSSY
+    * (components may contain the "_" separator — the fixture's own
+    * "PLANT_A"/"CAT2_X" do — and Python-str null is the literal
+    * "None"), so distinct parent tuples can share one mart key. The
+    * keep-filter drops existing documents BY KEY, so the rebuild must
+    * regenerate every tuple colliding into a touched key or the
+    * collision partner's document is silently lost; only the concat
+    * form matches exactly that set. Cost profile: one column-pruned
+    * hub scan per refresh (Catalyst prunes the read to the handful of
+    * columns [[build]] consumes — PlanAuditSpec pins it) — already
+    * the delta-rebuild improvement over the reference's full
+    * regenerate; row-group skipping on top would need an injective
+    * key encoding the reference's schema forbids.
+    */
+  private[graft] def touchedRows(hub: DataFrame,
+      touchedKeys: Set[String]): DataFrame =
+    hub.filter(
+      concat_ws("_", parentKeys.map(pyStr): _*).isin(touchedKeys.toSeq: _*))
+
+  /** Untouched documents sharing a touched bucket, carried over
+    * byte-equal by the refresh. The bucket filter prunes the parquet
+    * read to the touched PARTITIONS (PlanAuditSpec pins the
+    * PartitionFilters) — untouched buckets are never visited.
+    */
+  private[graft] def keepRows(existing: DataFrame,
+      touchedBuckets: Set[Long], touchedKeys: Set[String]): DataFrame =
+    existing
+      .filter(col(bucketCol).isin(touchedBuckets.toSeq: _*))
+      .filter(!col("key").isin(touchedKeys.toSeq: _*))
+      .drop(bucketCol)
+
   /** Incremental view maintenance — the reference's INTENDED
     * per-series regeneration (docs/project_master.md:24), which its
     * implementation never achieved (core/storage.py:504+ regenerates
@@ -427,34 +463,8 @@ object SeriesMart {
         .select(pmod(xxhash64(col("key")), lit(buckets)))
         .collect().map(_.getLong(0)).toSet
     }
-    // Rebuild only the touched series from the hub (the key filter
-    // scopes the scan; the override pins their histories to the
-    // unchanged global spine). A touched key with no hub rows left (a
-    // parent-key move drained it) simply yields no document.
-    //
-    // The filter is DELIBERATELY the computed concat, not per-column
-    // equalities Parquet could push down: the mart key is LOSSY
-    // (components may contain the "_" separator — the fixture's own
-    // "PLANT_A"/"CAT2_X" do — and Python-str null is the literal
-    // "None"), so distinct parent tuples can share one mart key. The
-    // keep-filter drops existing documents BY KEY, so the rebuild must
-    // regenerate every tuple colliding into a touched key or the
-    // collision partner's document is silently lost; only the concat
-    // form matches exactly that set. Cost profile: one column-pruned
-    // hub scan per refresh (Catalyst prunes to the ~7 columns build
-    // consumes) — already the delta-rebuild improvement over the
-    // reference's full regenerate; row-group skipping on top would
-    // need an injective key encoding the reference's schema forbids.
-    val touched = hub.filter(
-      concat_ws("_", parentKeys.map(pyStr): _*).isin(touchedKeys.toSeq: _*))
-    val rebuilt = build(touched, asOf, Some(spine))
-    // Untouched documents sharing a touched bucket are carried over
-    // byte-equal; untouched buckets are never visited (dynamic
-    // overwrite rewrites only partitions present in the union).
-    val keep = existing
-      .filter(col(bucketCol).isin(touchedBuckets.toSeq: _*))
-      .filter(!col("key").isin(touchedKeys.toSeq: _*))
-      .drop(bucketCol)
+    val rebuilt = build(touchedRows(hub, touchedKeys), asOf, Some(spine))
+    val keep = keepRows(existing, touchedBuckets, touchedKeys)
     val out = graft.Checkpoint.pinTransient(
       keep.unionByName(rebuilt.select(keep.columns.map(col): _*)))
     try {
