@@ -114,14 +114,24 @@ object Checkpoint {
     */
   def pinTransient(df: DataFrame): DataFrame = df.localCheckpoint(true)
 
-  /** Whether `df` is already a pinned (lineage-truncated, materialized
-    * RDD-backed) frame. Lets a callee that would defensively
+  /** Whether `df` is already a pinned (lineage-truncated, MATERIALIZED
+    * checkpoint-backed) frame. Lets a callee that would defensively
     * [[pinTransient]] its input skip the SECOND block copy when the
     * caller pinned already — and, symmetrically, skip releasing a
     * frame it does not own.
+    *
+    * A bare `LogicalRDD` is NOT enough: `spark.createDataFrame(rdd,
+    * schema)` and streaming foreachBatch frames are RDD-backed with
+    * nothing persisted — treating those as pinned would let their
+    * (possibly nondeterministic) lineage recompute per consuming job,
+    * the exact divergence a pin prevents. Hence the
+    * `isCheckpointed` requirement (true only once a reliable OR local
+    * checkpoint has materialized); anything unproven pins again,
+    * which is merely a redundant copy, never a correctness hole.
     */
   def isPinned(df: DataFrame): Boolean = df.queryExecution.analyzed match {
-    case _: LogicalRDD => true
+    case l: LogicalRDD =>
+      try l.rdd.isCheckpointed catch { case _: Exception => false }
     case _ => false
   }
 

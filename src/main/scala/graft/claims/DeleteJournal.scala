@@ -20,33 +20,36 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[claims] object DeleteJournal {
 
-  /** Write `body` to `markerName` under `root` via temp-then-rename.
-    * The rename OVERWRITES an existing marker in one step
-    * (`FileContext` + `Options.Rename.OVERWRITE`, atomic on HDFS and
-    * posix filesystems) — a delete-then-rename pair would open a
-    * window where a crash leaves NO marker at all, losing the previous
-    * marker's contents; for a journal whose old content is still
-    * load-bearing (the touched-keys journal a retry rewrites) that
-    * silently voids the guarantee. `FileContext.rename` throws on
-    * failure, so a refused rename is loud.
+  /** Write `body` to `markerName` under `root` via temp-then-rename,
+    * throwing when the FS refuses the rename (Hadoop reports failure
+    * by RETURNING false, not throwing).
+    *
+    * NOT safe for REPLACING a marker whose old content is still
+    * load-bearing: when the destination exists it is deleted first,
+    * and a crash between the delete and the rename leaves NO marker.
+    * (`FileContext`'s `Options.Rename.OVERWRITE` does not help —
+    * `AbstractFileSystem`'s default `renameInternal(…, overwrite)` is
+    * itself delete-then-rename, and the local/posix implementations
+    * don't override it; only HDFS renames over atomically. It also
+    * demands an `fs.AbstractFileSystem.<scheme>.impl` binding plain
+    * `FileSystem` stores don't need.) Callers for whom that window
+    * matters must write each generation to a FRESH name instead
+    * (`SeriesMart.journalTouchedKeys` does); the two callers that do
+    * replace accept it — the pending-deletes journal is always healed
+    * (absent) before a write, and a mart meta lost to the window just
+    * forces the self-healing full rebuild.
     */
   def writeMarkerAtomic(fs: FileSystem, root: Path, markerName: String,
       body: String): Unit = {
     val marker = new Path(root, markerName)
     val tmp = new Path(root, markerName + ".tmp")
-    // The tmp is created through the SAME FileContext that renames it:
-    // mixing FileSystem.create (checksummed on local FS — writes a
-    // .crc sidecar) with a raw FileContext rename would strand stale
-    // checksum files that poison later reads of the marker path.
-    val fc = org.apache.hadoop.fs.FileContext
-      .getFileContext(fs.getUri, fs.getConf)
-    val out = fc.create(tmp,
-      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-        org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    val out = fs.create(tmp, true)
     try out.write(body.getBytes("UTF-8"))
     finally out.close()
-    fc.rename(tmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    if (fs.exists(marker)) fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new java.io.IOException(
+        s"atomic marker rename failed: $tmp -> $marker")
   }
 
   /** Journal `rels` (paths relative to `root`) atomically, delete them,

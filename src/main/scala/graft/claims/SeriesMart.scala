@@ -283,50 +283,71 @@ object SeriesMart {
     * and the completed mart refresh, a retry re-probes the ALREADY-
     * MERGED hub, finds only the claims' NEW locations, and the vacated
     * document would stay stale forever. [[refreshIncremental]] unions
-    * any journaled keys into its touched set and clears the journal
-    * once the refresh (either path) completes — regenerating an
-    * already-fresh document is idempotent, so replaying a stale
-    * journal entry is harmless.
+    * every journaled generation into its touched set and clears
+    * exactly the generations it read once the refresh completes —
+    * regenerating an already-fresh document is idempotent, so
+    * replaying a stale journal entry is harmless. This is the marker
+    * PREFIX: each call writes a fresh `<prefix>.<suffix>` generation
+    * (see [[journalTouchedKeys]] for why replace is not an option).
+    * Writers to one mart dir are expected to serialize (any
+    * non-table-format parquet maintenance shares that constraint; the
+    * streaming ingester's foreachBatch does so per query) — the
+    * generation scheme additionally keeps a RACING upload's journal
+    * from being clobbered or prematurely cleared, but concurrent
+    * refreshes of one mart remain undefined.
     */
   private[claims] val touchedJournalFile = "_graft_mart_pending_touch"
 
   def journalTouchedKeys(spark: org.apache.spark.sql.SparkSession,
       dir: String, keys: Set[String]): Unit = {
+    if (keys.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) fs.mkdirs(root)
-    // UNION with whatever is already journaled, never overwrite: a
-    // crashed upload's retry re-probes the MERGED hub (new locations
-    // only) and re-journals — replacing the file would destroy the
-    // pre-move keys the crashed attempt recorded, the very thing this
-    // journal exists to preserve. Stale extra keys only cost an
-    // idempotent regeneration at the next refresh.
+    // APPEND-ONLY generations, never a replace: each call writes its
+    // keys to a FRESH marker name, because replacing one journal file
+    // is not crash-atomic on non-HDFS stores (delete-then-rename — see
+    // DeleteJournal.writeMarkerAtomic) and a crashed upload's retry
+    // MUST NOT be able to destroy the pre-move keys the crashed
+    // attempt recorded. Readers union every generation; the refresh
+    // deletes exactly the generations it read, so a generation written
+    // by a racing upload after the read survives for its own refresh.
+    // One base64 line per key (key text comes from raw claim values —
+    // the line format must not trust it to be newline-free).
     val b64 = java.util.Base64.getEncoder
-    DeleteJournal.writeMarkerAtomic(fs, root, touchedJournalFile,
-      (keys ++ readTouchedJournal(fs, dir)).toSeq.sorted
+    DeleteJournal.writeMarkerAtomic(fs, root,
+      touchedJournalFile + "." +
+        java.util.UUID.randomUUID().toString.take(8),
+      keys.toSeq.sorted
         .map(k => b64.encodeToString(k.getBytes("UTF-8")))
         .mkString("\n"))
   }
 
-  private def readTouchedJournal(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Set[String] = {
-    val marker = new org.apache.hadoop.fs.Path(dir, touchedJournalFile)
-    if (!fs.exists(marker)) return Set.empty
-    val in = fs.open(marker)
+  /** Every journaled generation: (union of keys, the marker paths
+    * read). Torn `.tmp` files are skipped — they were never renamed
+    * into place, so their content was never acted on.
+    */
+  private def readTouchedJournals(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): (Set[String], Seq[org.apache.hadoop.fs.Path]) = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (!fs.exists(root)) return (Set.empty, Nil)
+    val markers = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.startsWith(touchedJournalFile) &&
+        !p.getName.endsWith(".tmp")).toSeq
     val b64 = java.util.Base64.getDecoder
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty)
-      .map(l => new String(b64.decode(l), "UTF-8")).toSet
-    finally in.close()
+    val keys = markers.flatMap { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty)
+        .map(l => new String(b64.decode(l), "UTF-8")).toList
+      finally in.close()
+    }.toSet
+    (keys, markers)
   }
 
-  private def clearTouchedJournal(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String): Unit = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(new org.apache.hadoop.fs.Path(root, touchedJournalFile), false)
-    fs.delete(new org.apache.hadoop.fs.Path(root,
-      touchedJournalFile + ".tmp"), false)
-  }
+  private def clearTouchedJournals(fs: org.apache.hadoop.fs.FileSystem,
+      read: Seq[org.apache.hadoop.fs.Path]): Unit =
+    read.foreach(fs.delete(_, false))
 
   /** Journal of vacated-bucket deletes in flight ([[DeleteJournal]]):
     * an incremental refresh whose touched bucket ends up with ZERO
@@ -433,7 +454,7 @@ object SeriesMart {
       // "rebuild again" (self-healing).
       writeBucketedMart(build(hub, asOf), dir, buckets)
       writeMartMeta(fs, dir, buckets, spineOpt)
-      clearTouchedJournal(fs, dir)
+      clearTouchedJournals(fs, readTouchedJournals(fs, dir)._2)
       false
     }
     if (firstBuild || spineOpt.isEmpty) return fullRebuild()
@@ -447,12 +468,16 @@ object SeriesMart {
     // the keys its claims were previously filed under (`priorKeys`),
     // plus any keys a CRASHED upload journaled before its hub upsert
     // ([[journalTouchedKeys]]) — the retry's own probe cannot refind
-    // those in the merged hub.
+    // those in the merged hub. Only the generations READ here are
+    // cleared at completion.
+    val (journaled, journalFiles) = readTouchedJournals(fs, dir)
     val touchedKeys = batch
       .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
       .distinct().collect().map(_.getString(0)).toSet ++
-      priorKeys ++ readTouchedJournal(fs, dir)
-    if (touchedKeys.isEmpty) { clearTouchedJournal(fs, dir); return true }
+      priorKeys ++ journaled
+    if (touchedKeys.isEmpty) {
+      clearTouchedJournals(fs, journalFiles); return true
+    }
     val existing = spark.read.parquet(dir)
     // Buckets of the touched keys, computed by the SAME xxhash64
     // expression the writer uses — never a hand-rolled reimplementation
@@ -480,9 +505,10 @@ object SeriesMart {
         .map(b => s"$bucketCol=$b")
       DeleteJournal.journalThenDelete(fs, martRoot,
         martPendingDeletesFile, vacated)
-      // The refresh is complete: the in-flight upload's durable
-      // touched-keys record (if any) has been honored.
-      clearTouchedJournal(fs, dir)
+      // The refresh is complete: every journal generation read at the
+      // start has been honored (a generation a racing upload wrote
+      // AFTER the read survives for that upload's own refresh).
+      clearTouchedJournals(fs, journalFiles)
     } finally graft.Checkpoint.release(out)
     true
   }

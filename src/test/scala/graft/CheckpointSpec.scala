@@ -172,4 +172,21 @@ class CheckpointSpec extends AnyFunSuite {
     Checkpoint.release(pinned)
     assert(rdds.forall(_.getStorageLevel == StorageLevel.NONE))
   }
+
+  test("isPinned demands a materialized checkpoint, not any RDD-backed frame") {
+    import spark.implicits._
+    // A bare createDataFrame(rdd) frame is a LogicalRDD with NOTHING
+    // persisted — treating it as pinned would let a callee skip its
+    // defensive pin and recompute a possibly nondeterministic lineage
+    // per consuming job.
+    val bare = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L))),
+      new org.apache.spark.sql.types.StructType()
+        .add("v", org.apache.spark.sql.types.LongType))
+    assert(!Checkpoint.isPinned(bare))
+    assert(!Checkpoint.isPinned(spark.range(5).toDF("v")))
+    val pinned = Checkpoint.pinTransient(spark.range(5).toDF("v"))
+    try assert(Checkpoint.isPinned(pinned))
+    finally Checkpoint.release(pinned)
+  }
 }

@@ -246,8 +246,9 @@ class SeriesMartSpec extends AnyFunSuite {
     assert(martDocs(dir) ==
       SeriesMart.build(hub1, "2024-03-01").toJSON.collect().toSet,
       "the journaled key regenerates the document the claim left")
-    assert(!new java.io.File(dir, SeriesMart.touchedJournalFile).exists,
-      "the honored journal is cleared")
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith(SeriesMart.touchedJournalFile)),
+      "the honored journal generations are cleared")
   }
 
   test("a crashed upload's retry through UploadFlow regenerates the vacated doc") {
@@ -275,7 +276,8 @@ class SeriesMartSpec extends AnyFunSuite {
     assert(martDocs(mart) ==
       SeriesMart.build(hub, "2024-03-01").toJSON.collect().toSet,
       "the retried flow heals the crashed upload's mart state")
-    assert(!new java.io.File(mart, SeriesMart.touchedJournalFile).exists)
+    assert(!new java.io.File(mart).listFiles()
+      .exists(_.getName.startsWith(SeriesMart.touchedJournalFile)))
   }
 
   test("bucket-count drift and a missing meta marker force the full rebuild") {
