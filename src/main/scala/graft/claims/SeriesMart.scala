@@ -345,9 +345,23 @@ object SeriesMart {
     (keys, markers)
   }
 
+  /** Delete the generations `read` plus any orphaned `.tmp` files a
+    * crashed write left (unique names are never re-targeted, so
+    * nothing else ever cleans them). Sweeping a tmp a RACING upload is
+    * writing this instant makes that upload's rename fail LOUDLY —
+    * before its hub upsert, so nothing is half-done — which is the
+    * right failure for the documented single-writer expectation.
+    */
   private def clearTouchedJournals(fs: org.apache.hadoop.fs.FileSystem,
-      read: Seq[org.apache.hadoop.fs.Path]): Unit =
+      dir: String, read: Seq[org.apache.hadoop.fs.Path]): Unit = {
     read.foreach(fs.delete(_, false))
+    val root = new org.apache.hadoop.fs.Path(dir)
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(p => p.getName.startsWith(touchedJournalFile) &&
+          p.getName.endsWith(".tmp"))
+        .foreach(fs.delete(_, false))
+  }
 
   /** Journal of vacated-bucket deletes in flight ([[DeleteJournal]]):
     * an incremental refresh whose touched bucket ends up with ZERO
@@ -454,7 +468,7 @@ object SeriesMart {
       // "rebuild again" (self-healing).
       writeBucketedMart(build(hub, asOf), dir, buckets)
       writeMartMeta(fs, dir, buckets, spineOpt)
-      clearTouchedJournals(fs, readTouchedJournals(fs, dir)._2)
+      clearTouchedJournals(fs, dir, readTouchedJournals(fs, dir)._2)
       false
     }
     if (firstBuild || spineOpt.isEmpty) return fullRebuild()
@@ -476,7 +490,7 @@ object SeriesMart {
       .distinct().collect().map(_.getString(0)).toSet ++
       priorKeys ++ journaled
     if (touchedKeys.isEmpty) {
-      clearTouchedJournals(fs, journalFiles); return true
+      clearTouchedJournals(fs, dir, journalFiles); return true
     }
     val existing = spark.read.parquet(dir)
     // Buckets of the touched keys, computed by the SAME xxhash64
@@ -508,7 +522,7 @@ object SeriesMart {
       // The refresh is complete: every journal generation read at the
       // start has been honored (a generation a racing upload wrote
       // AFTER the read survives for that upload's own refresh).
-      clearTouchedJournals(fs, journalFiles)
+      clearTouchedJournals(fs, dir, journalFiles)
     } finally graft.Checkpoint.release(out)
     true
   }
