@@ -305,6 +305,60 @@ class SeriesMartSpec extends AnyFunSuite {
       "the rebuild self-heals: the next same-spine refresh is incremental")
   }
 
+  test("scale rehearsal: refreshing 1 of 1500 keys rewrites one bucket") {
+    import spark.implicits._
+    // 36k rows, 1500 parent series over a fixed 24-month spine — the
+    // 100 TB posture in miniature: an upload touching ONE series must
+    // cost one bucket rewrite + one delta rebuild, not O(mart).
+    def syntheticHub(n: Long): org.apache.spark.sql.DataFrame =
+      spark.range(n).select(
+        concat(lit("P"), (col("id") % 500).cast("string")).as("플랜트"),
+        concat(lit("C"), ((col("id") % 1500) / 500).cast("int").cast("string"))
+          .as("제품범주2"),
+        lit("M").as("대분류"),
+        concat(lit("S"), (col("id") % 4).cast("string")).as("중분류"),
+        add_months(to_date(lit("2022-01-15")), (col("id") % 24).cast("int"))
+          .as("접수일자"),
+        (col("id") % 3 =!= 0).as("Lag_Valid"),
+        (col("id") % 30).cast("int").as("Lag_Days"))
+    val hub = syntheticHub(36000)
+    val dir = java.nio.file.Files.createTempDirectory("martscale").toString
+    assert(!SeriesMart.refreshIncremental(hub, hub, "2024-01-01", dir))
+    val docs0 = spark.read.parquet(dir)
+    assert(docs0.count() == 1500)
+    val before = parquetListing(dir)
+
+    // One new claim for one series, inside the existing spine.
+    val batch = Seq(("P7", "C0", "M", "S1", "2022-05-20", true, 3))
+      .toDF("플랜트", "제품범주2", "대분류", "중분류", "접수일자",
+        "Lag_Valid", "Lag_Days")
+      .withColumn("접수일자", to_date(col("접수일자")))
+    val hub2 = hub.unionByName(batch)
+    Thread.sleep(1100) // mtime resolution guard
+    assert(SeriesMart.refreshIncremental(hub2, batch, "2024-02-01", dir),
+      "a same-spine single-series batch must take the incremental path")
+
+    // Exactly the touched key's bucket changed; 1499 documents kept
+    // their bytes untouched.
+    val after = parquetListing(dir)
+    val changed = after.keySet.union(before.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    val changedBuckets = changed.flatMap(
+      "key_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).toSet
+    assert(changedBuckets.size == 1,
+      s"one touched key must rewrite one bucket, got: $changedBuckets")
+    // The touched document matches a from-scratch rebuild of hub2.
+    val key = "P7_C0_M"
+    val got = spark.read.parquet(dir).filter(col("key") === key)
+      .drop(bucketColName).toJSON.collect().toSet
+    val want = SeriesMart.build(hub2, "2024-02-01")
+      .filter(col("key") === key).toJSON.collect().toSet
+    assert(got == want, "touched document must equal the full rebuild's")
+    assert(spark.read.parquet(dir).count() == 1500)
+  }
+
+  private val bucketColName = "key_bucket"
+
   test("a spine-extending batch forces the guarded full rebuild") {
     import spark.implicits._
     val hub0 = ClaimsEtl.ingestCsv(spark,
