@@ -60,6 +60,12 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
       buckets: Int = 64): Boolean =
     UploadFlow.run(spark, prepared, hubPath, martDir, asOf.toString, buckets)
 
+  /** The UI's per-series read (the reference opens one JSON document
+    * per key): an O(one bucket) point lookup on the bucketed mart.
+    */
+  def loadSeries(martDir: String, key: String): DataFrame =
+    SeriesMart.readDocument(spark, martDir, key)
+
   def generateNestedSeries(asOf: LocalDate): Long = {
     // One build: unpinned, the write and the count each re-executed
     // the whole multi-join mart DAG (two hub scans, two fill

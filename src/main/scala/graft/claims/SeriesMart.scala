@@ -209,13 +209,55 @@ object SeriesMart {
     * the point.
     */
   def writeBucketedMart(mart: DataFrame, dir: String,
-      buckets: Int = 64, dynamic: Boolean = false): Unit =
+      buckets: Int = 64, dynamic: Boolean = false): Unit = {
     mart.withColumn(bucketCol, pmod(xxhash64(col("key")), lit(buckets)))
       .write
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy(bucketCol)
       .mode("overwrite")
       .parquet(dir)
+    // A static (full) write stamps a buckets-only meta so point
+    // lookups ([[readDocument]]) can prune immediately; the spine
+    // fields stay absent, so [[refreshIncremental]] still treats a
+    // direct write as an unverifiable layout and full-rebuilds (which
+    // re-stamps the complete marker). The incremental (dynamic) path
+    // leaves the meta alone — its caller validated it already.
+    if (!dynamic) {
+      val spark = mart.sparkSession
+      val root = new org.apache.hadoop.fs.Path(dir)
+      writeMartMeta(
+        root.getFileSystem(spark.sparkContext.hadoopConfiguration),
+        dir, buckets, None)
+    }
+  }
+
+  /** O(one bucket) point lookup of a mart document by its key — the
+    * reference UI's per-series read (it opens one JSON file per key;
+    * here the xxhash bucket is the file-system unit). The layout's
+    * bucket count comes from the [[martMetaFile]] marker, never from a
+    * caller's guess; a marker-less layout (foreign/hand-written)
+    * degrades to a key-filtered full scan rather than a wrong-bucket
+    * miss.
+    */
+  def readDocument(spark: org.apache.spark.sql.SparkSession,
+      dir: String, key: String): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = spark.read.parquet(dir)
+    readMartMeta(fs, dir) match {
+      case Some((n, _)) =>
+        val b = {
+          import spark.implicits._
+          Seq(key).toDF("key")
+            .select(pmod(xxhash64(col("key")), lit(n)))
+            .collect()(0).getLong(0)
+        }
+        base.filter(col(bucketCol) === b && col("key") === key)
+          .drop(bucketCol)
+      case None =>
+        base.filter(col("key") === key).drop(bucketCol)
+    }
+  }
 
   /** Mart metadata marker (leading `_` keeps it invisible to the
     * parquet reader, like `_SUCCESS`): the bucket count the layout was

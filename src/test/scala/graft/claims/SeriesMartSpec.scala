@@ -359,6 +359,31 @@ class SeriesMartSpec extends AnyFunSuite {
 
   private val bucketColName = "key_bucket"
 
+  test("point lookup prunes to one bucket and survives a marker-less layout") {
+    val hub0 = ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    val dir = java.nio.file.Files.createTempDirectory("martread").toString
+    SeriesMart.writeBucketedMart(SeriesMart.build(hub0, "2024-02-01"), dir)
+    val want = SeriesMart.build(hub0, "2024-02-01")
+      .filter(col("key") === "PLANT_A_CAT2_X_MAJOR_P")
+      .toJSON.collect().toSet
+
+    val doc = SeriesMart.readDocument(spark, dir, "PLANT_A_CAT2_X_MAJOR_P")
+    assert(doc.toJSON.collect().toSet == want)
+    // The bucketed path must prune the read to the key's partition.
+    assert("PartitionFilters: \\[[^\\]]*key_bucket".r
+      .findFirstIn(doc.queryExecution.executedPlan.toString).isDefined,
+      "point lookup must carry a key_bucket partition filter")
+
+    // A layout with no meta marker degrades to a key-filtered scan,
+    // never a wrong-bucket miss.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, SeriesMart.martMetaFile), false)
+    assert(SeriesMart.readDocument(spark, dir, "PLANT_A_CAT2_X_MAJOR_P")
+      .toJSON.collect().toSet == want)
+  }
+
   test("a spine-extending batch forces the guarded full rebuild") {
     import spark.implicits._
     val hub0 = ClaimsEtl.ingestCsv(spark,
