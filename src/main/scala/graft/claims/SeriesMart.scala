@@ -209,25 +209,27 @@ object SeriesMart {
     * the point.
     */
   def writeBucketedMart(mart: DataFrame, dir: String,
-      buckets: Int = 64, dynamic: Boolean = false): Unit = {
+      buckets: Int = 64, dynamic: Boolean = false,
+      spine: Option[(String, String)] = None): Unit = {
     mart.withColumn(bucketCol, pmod(xxhash64(col("key")), lit(buckets)))
       .write
       .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
       .partitionBy(bucketCol)
       .mode("overwrite")
       .parquet(dir)
-    // A static (full) write stamps a buckets-only meta so point
-    // lookups ([[readDocument]]) can prune immediately; the spine
-    // fields stay absent, so [[refreshIncremental]] still treats a
-    // direct write as an unverifiable layout and full-rebuilds (which
-    // re-stamps the complete marker). The incremental (dynamic) path
+    // A static (full) write stamps the meta AFTER the data commits —
+    // with `spine` when the caller knows it (the guarded full
+    // rebuild), buckets-only otherwise (a direct call) so point
+    // lookups ([[readDocument]]) can still prune while
+    // [[refreshIncremental]] treats the spine-less layout as
+    // unverifiable and full-rebuilds. The incremental (dynamic) path
     // leaves the meta alone — its caller validated it already.
     if (!dynamic) {
       val spark = mart.sparkSession
       val root = new org.apache.hadoop.fs.Path(dir)
       writeMartMeta(
         root.getFileSystem(spark.sparkContext.hadoopConfiguration),
-        dir, buckets, None)
+        dir, buckets, spine)
     }
   }
 
@@ -246,13 +248,12 @@ object SeriesMart {
     val base = spark.read.parquet(dir)
     readMartMeta(fs, dir) match {
       case Some((n, _)) =>
-        val b = {
-          import spark.implicits._
-          Seq(key).toDF("key")
-            .select(pmod(xxhash64(col("key")), lit(n)))
-            .collect()(0).getLong(0)
-        }
-        base.filter(col(bucketCol) === b && col("key") === key)
+        // The key's bucket is the same xxhash64 expression the writer
+        // uses, INLINED over literals — constant folding turns it into
+        // the bucket value at optimization time, so partition pruning
+        // fires without a separate driver job to pre-hash the key.
+        base.filter(col(bucketCol) === pmod(xxhash64(lit(key)), lit(n)) &&
+            col("key") === key)
           .drop(bucketCol)
       case None =>
         base.filter(col("key") === key).drop(bucketCol)
@@ -334,9 +335,13 @@ object SeriesMart {
     * Writers to one mart dir are expected to serialize (any
     * non-table-format parquet maintenance shares that constraint; the
     * streaming ingester's foreachBatch does so per query) — the
-    * generation scheme additionally keeps a RACING upload's journal
-    * from being clobbered or prematurely cleared, but concurrent
-    * refreshes of one mart remain undefined.
+    * generation scheme additionally keeps a racing upload's COMPLETED
+    * journal write from being clobbered or prematurely cleared. A
+    * racing write still IN FLIGHT when a refresh's tmp sweep runs
+    * fails loudly before that upload's hub upsert (see
+    * [[clearTouchedJournals]]) — an availability trade, never a
+    * consistency one; concurrent refreshes of one mart remain
+    * undefined.
     */
   private[claims] val touchedJournalFile = "_graft_mart_pending_touch"
 
@@ -459,12 +464,14 @@ object SeriesMart {
     *
     * VALIDITY GUARDS (any failing one runs the full rebuild instead):
     *  - first build (no mart, or no [[martMetaFile]] marker — a layout
-    *    written before the marker existed, or by a direct
-    *    [[writeBucketedMart]] call — self-heals on the next refresh);
+    *    written before the marker existed — self-heals on the next
+    *    refresh);
     *  - the mart's month spine (from the marker) differs from the
     *    hub's — the spine is GLOBAL (min→max receipt month over the
     *    whole hub), so a batch whose dates extend it changes every
-    *    document's zero-filled history;
+    *    document's zero-filled history. A direct [[writeBucketedMart]]
+    *    layout lands here too: its marker is spine-less, which never
+    *    equals the hub's concrete spine;
     *  - the marker's bucket count differs from this call's `buckets` —
     *    the union of two hash layouts would file keys inconsistently.
     * Returns true when the incremental path ran, false on a full
@@ -504,12 +511,11 @@ object SeriesMart {
     def fullRebuild(): Boolean = {
       // STATIC overwrite: buckets whose documents all disappeared must
       // not survive as ghosts (the wipe also clears both journals —
-      // every document is fresh after it). The meta marker is
-      // re-stamped after the data commits — a crash in between leaves
-      // a stale/absent marker, which the next refresh reads as
-      // "rebuild again" (self-healing).
-      writeBucketedMart(build(hub, asOf), dir, buckets)
-      writeMartMeta(fs, dir, buckets, spineOpt)
+      // every document is fresh after it). The complete meta marker
+      // (buckets + spine) is stamped once, after the data commits —
+      // a crash in between leaves a stale/absent marker, which the
+      // next refresh reads as "rebuild again" (self-healing).
+      writeBucketedMart(build(hub, asOf), dir, buckets, spine = spineOpt)
       clearTouchedJournals(fs, dir, readTouchedJournals(fs, dir)._2)
       false
     }
