@@ -245,6 +245,14 @@ object SeriesMart {
       dir: String, key: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Heal the vacated-bucket delete journal FIRST (r10 review): after
+    // a crash between a refresh's dynamic-overwrite commit and its
+    // vacated-bucket deletes, a drained key's stale files are still on
+    // disk — without the heal a point lookup serves that ghost
+    // document until the next refresh happens to run. Healing here is
+    // one existence check in the common (no-crash) case.
+    DeleteJournal.heal(fs, new org.apache.hadoop.fs.Path(dir),
+      martPendingDeletesFile)
     val base = spark.read.parquet(dir)
     readMartMeta(fs, dir) match {
       case Some((n, _)) =>
@@ -361,10 +369,16 @@ object SeriesMart {
     // by a racing upload after the read survives for its own refresh.
     // One base64 line per key (key text comes from raw claim values —
     // the line format must not trust it to be newline-free).
+    // FULL UUID suffix (r10 review): writeMarkerAtomic delete-then-
+    // renames an existing destination, so a truncated-suffix collision
+    // with a live generation would silently destroy that generation's
+    // journaled keys — the loss this journal exists to prevent. 122
+    // random bits makes the collision practically impossible instead
+    // of merely unlikely.
     val b64 = java.util.Base64.getEncoder
     DeleteJournal.writeMarkerAtomic(fs, root,
       touchedJournalFile + "." +
-        java.util.UUID.randomUUID().toString.take(8),
+        java.util.UUID.randomUUID().toString,
       keys.toSeq.sorted
         .map(k => b64.encodeToString(k.getBytes("UTF-8")))
         .mkString("\n"))

@@ -43,8 +43,17 @@ object StreamingIngest {
   def start(spark: SparkSession, landingDir: String, hubPath: String,
       checkpointDir: String, martDir: Option[String] = None,
       martBuckets: Int = 64,
-      asOfClock: () => String = () => java.time.LocalDate.now().toString)
+      asOfClock: () => String = null)
       : StreamingQuery = {
+    // Default clock resolves "today" in the SESSION timezone
+    // (spark.sql.session.timeZone), not the JVM default — near a
+    // midnight boundary the two differ and the stamped last_updated
+    // date would silently disagree with every other session-timezone
+    // date computation in the engine (r10 review).
+    val clock: () => String =
+      if (asOfClock != null) asOfClock
+      else () => java.time.LocalDate.now(java.time.ZoneId.of(
+        spark.conf.get("spark.sql.session.timeZone"))).toString
     val arrivals = spark.readStream
       .option("maxFilesPerTrigger", "16")
       .text(landingDir)
@@ -85,7 +94,7 @@ object StreamingIngest {
           martDir match {
             case Some(m) =>
               val incremental = graft.claims.UploadFlow.run(
-                sess, prepared, hubPath, m, asOfClock(), martBuckets)
+                sess, prepared, hubPath, m, clock(), martBuckets)
               // Surface guard-forced rebuilds: a stream whose uploads
               // keep extending the month spine regenerates everything
               // per batch — operators should see that, not infer it.

@@ -25,4 +25,49 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsThirdRep(Seq(0.30, 0.44)))
     assert(!Bench.needsThirdRep(Seq(1.0, 1.5)))
   }
+
+  test("cross-round recheck fires on >2x the prior artifact value") {
+    // The r10 failure shape: both reps inflated together (2.32 s for a
+    // 0.33 s entry) — rep agreement is blind, the prior round is not.
+    assert(Bench.needsPriorRecheck(2.32, Some(0.33)))
+    assert(Bench.needsPriorRecheck(7.21, Some(0.45)))
+    // Within 2x of the prior: believed without extra reps.
+    assert(!Bench.needsPriorRecheck(0.60, Some(0.33)))
+    // Microscopic entries never re-rep (2x of 20 ms is jitter).
+    assert(!Bench.needsPriorRecheck(0.06, Some(0.02)))
+    // No prior value (new entry / truncated fast tail): never.
+    assert(!Bench.needsPriorRecheck(9.99, None))
+  }
+
+  test("prior artifact parser reads only the queries map") {
+    val line = """{"metric":"total","value":50.529,"unit":"sec",""" +
+      """"queries":{"q_anomaly_mad":2.58,"q_multimodal_resize":2.32,""" +
+      """"q1_agg":0.08},"dropped":3,"dropped_sum":0.21,"sf":"sf0.1"}"""
+    val m = Bench.parsePriorArtifact(line)
+    assert(m === Map("q_anomaly_mad" -> 2.58,
+      "q_multimodal_resize" -> 2.32, "q1_agg" -> 0.08))
+    // The envelope's own "value" pair must NOT parse as an entry.
+    assert(!m.contains("value"))
+    // Malformed text degrades to empty, never throws.
+    assert(Bench.parsePriorArtifact("not json").isEmpty)
+    assert(Bench.parsePriorArtifact("""{"queries":""").isEmpty)
+  }
+
+  test("prior artifact loader picks the newest round numerically") {
+    val dir = java.nio.file.Files.createTempDirectory("benchspec").toFile
+    def write(name: String, body: String): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(dir, name), "UTF-8")
+      try w.write(body) finally w.close()
+    }
+    // r2 vs r10: lexicographic order would pick r2 — numeric must win.
+    write("BENCH_r2.json", """{"queries":{"q_x":9.0},"sf":"sf0.1"}""")
+    write("BENCH_r10.json", """{"queries":{"q_x":1.0},"sf":"sf0.1"}""")
+    assert(Bench.loadPriorArtifact(dir.getPath) === Map("q_x" -> 1.0))
+    // Same-SF priors load; a different scale factor is discarded
+    // (2x of an sf0.01 value says nothing about an sf0.1 run).
+    assert(Bench.loadPriorArtifact(dir.getPath, "sf0.1") === Map("q_x" -> 1.0))
+    assert(Bench.loadPriorArtifact(dir.getPath, "sf0.01").isEmpty)
+    // A missing directory degrades to empty.
+    assert(Bench.loadPriorArtifact(dir.getPath + "/nope").isEmpty)
+  }
 }
