@@ -36,9 +36,11 @@ object HubStore {
       .parquet(path)
 
   /** Partition column hygiene: int-typed, nulls → 0
-    * (ref: core/storage.py:49-50).
+    * (ref: core/storage.py:49-50). Shared with [[SeriesCounts]], whose
+    * layout mirrors the hub's partitioning so count partitions can be
+    * replaced one-for-one with hub partitions.
     */
-  private def prepPartitionCols(df: DataFrame): DataFrame =
+  private[claims] def prepPartitionCols(df: DataFrame): DataFrame =
     partitionCols.foldLeft(df) { (acc, c) =>
       acc.withColumn(c, coalesce(expr(s"try_cast(`$c` AS INT)"), lit(0)))
     }
@@ -48,7 +50,17 @@ object HubStore {
     * newest (new batch wins over hub; within a batch the highest ingest
     * sequence wins) (ref: core/storage.py:75-130).
     */
-  def upsert(spark: SparkSession, incoming: DataFrame, path: String): Unit = {
+  /** `onAffected` is invoked with the exact partition-value tuples
+    * (in [[ClaimsSchema.partitionCols]] order) this upsert will
+    * rewrite, vacate, or create — AFTER the probe, BEFORE the
+    * overwrite commits. [[UploadFlow]] journals the set durably there
+    * so the [[SeriesCounts]] store can replace exactly those
+    * partitions after the commit, and a crash in between is healed by
+    * replaying the journal against the merged hub. A throwing callback
+    * aborts the upsert with the hub untouched.
+    */
+  def upsert(spark: SparkSession, incoming: DataFrame, path: String,
+      onAffected: Set[Seq[Int]] => Unit = _ => ()): Unit = {
     if (exists(spark, path)) {
       // PARTITION-SCOPED rewrite. The correctness hazard (reproduced in
       // the round-9 review) is a keyed update MOVING a claim across
@@ -138,10 +150,8 @@ object HubStore {
           oldLoc.unionByName(hub.filter(col(keyCol).isNull)))
         val newParts = partSet(incPrepped)
         val affected = oldParts ++ newParts
-        val affectedPred = affected
-          .map(vs => partCols.zip(vs).map { case (c, v) => c === v }
-            .reduce(_ && _))
-          .reduceOption(_ || _).getOrElse(lit(false))
+        onAffected(affected)
+        val affectedPred = partitionPredicate(affected)
         // The merged frame is pinned ([[graft.Checkpoint.pin]], the
         // session policy: under a reliable session a mid-write executor
         // loss re-reads checkpoint files instead of failing the job) so
@@ -168,9 +178,32 @@ object HubStore {
         if (!callerPinned) graft.Checkpoint.release(inc)
         merged.foreach(graft.Checkpoint.release)
       }
-    } else
+    } else {
+      // First write: every partition of the batch is "affected" (it is
+      // being created) — the callback still fires so count maintenance
+      // sees the initial load through the same channel as every
+      // incremental one.
+      val prepped = prepPartitionCols(incoming)
+      onAffected(prepped
+        .select(partitionCols.map(c => col(c).cast("int")): _*)
+        .distinct().collect()
+        .map(r => partitionCols.indices.map(r.getInt)).toSet)
       write(incoming.drop(ingestSeqCol), path)
+    }
   }
+
+  /** OR-of-ANDs partition predicate for an explicit partition-value
+    * set — matches only listed partitions, so Catalyst prunes the scan
+    * to exactly those directories. Shared by the upsert's scoped merge
+    * and the count store's replacement read.
+    */
+  private[graft] def partitionPredicate(
+      parts: Set[Seq[Int]]): org.apache.spark.sql.Column =
+    parts
+      .map(vs => partitionCols.map(col).zip(vs)
+        .map { case (c, v) => c === v }
+        .reduce[org.apache.spark.sql.Column](_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
   /** The affected-partition probe: hub rows currently holding any
     * incoming claim key. Downstream only the partition columns are

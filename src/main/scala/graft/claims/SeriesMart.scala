@@ -106,10 +106,6 @@ object SeriesMart {
       case None => base.filter(col("ym").isNotNull)
         .agg(min("ym").as("lo"), max("ym").as("hi"))
     }
-    val months = bounds.select(explode(sequence(
-      to_date(col("lo"), "yyyy-MM"), to_date(col("hi"), "yyyy-MM"),
-      expr("interval 1 month"))).as("md"))
-      .select(date_format(col("md"), "yyyy-MM").as("ym"))
 
     // child-grain monthly counts (all rows + Lag_Valid-only)
     val childCols = parentKeys :+ childKey
@@ -121,15 +117,84 @@ object SeriesMart {
     // every (child key × month) — keys from ALL rows (a key whose rows
     // are all undated still yields an all-zero history, as in the ref)
     val keys = claims.select(childCols.map(col): _*).distinct()
-    val filled = joinNullSafe(broadcast(months).crossJoin(keys),
-      counts, childCols :+ "ym", "left")
-      .na.fill(0L, Seq("n_all", "n_valid"))
 
-    // per-child lag stats
+    // per-child / per-parent lag stats
     val childLags = claims.groupBy(childCols.map(col): _*)
       .agg(avg(when(col(ClaimsSchema.lagValidCol),
         col(ClaimsSchema.lagDaysCol))).as("avg_lag"))
+    val parentLags = claims.groupBy(parentKeys.map(col): _*)
+      .agg(avg(when(col(ClaimsSchema.lagValidCol),
+        col(ClaimsSchema.lagDaysCol))).as("avg_lag"))
 
+    assemble(fillMonths(bounds, keys, counts), childLags, parentLags, asOf)
+  }
+
+  /** Document assembly from the maintained count store instead of hub
+    * rows ([[SeriesCounts]]) — the O(delta) refresh path. Produces
+    * BIT-IDENTICAL documents to [[build]] over the hub the counts were
+    * derived from (spec-pinned): `n_all`/`n_valid` are exact integer
+    * sums either way, and `sum_lag / n_valid` reproduces Spark's
+    * avg(when(valid, lag)) exactly because Lag_Days is an int (both
+    * sides sum exactly-representable doubles, then divide once).
+    */
+  def buildFromCounts(countRows: DataFrame, asOf: String,
+      spine: Option[(String, String)] = None): DataFrame = {
+    // Collapse the store's partition grain (접수년/접수월 carried from
+    // the hub layout) to pure (child key, ym) — normally 1:1 already,
+    // but a hub row whose partition values disagree with its receipt
+    // date must still count once and only once.
+    val childCols = parentKeys :+ childKey
+    val base = countRows
+      .groupBy((childCols :+ "ym").map(col): _*)
+      .agg(sum("n_all").as("n_all"), sum("n_valid").as("n_valid"),
+        sum("sum_lag").as("sum_lag"))
+
+    val bounds = spine match {
+      case Some((lo, hi)) =>
+        val s = countRows.sparkSession
+        import s.implicits._
+        Seq((lo, hi)).toDF("lo", "hi")
+      case None => base.filter(col("ym").isNotNull)
+        .agg(min("ym").as("lo"), max("ym").as("hi"))
+    }
+    val counts = base.filter(col("ym").isNotNull)
+      .select((childCols :+ "ym" :+ "n_all" :+ "n_valid").map(col): _*)
+    // keys from ALL count rows — the ym-null grain keeps all-undated
+    // keys alive, mirroring build()'s keys-from-all-rows.
+    val keys = base.select(childCols.map(col): _*).distinct()
+
+    def lags(group: Seq[String]): DataFrame = base
+      .groupBy(group.map(col): _*)
+      .agg(sum("sum_lag").as("__sl"), sum("n_valid").as("__nv"))
+      .select(group.map(col) :+
+        when(col("__nv") > 0, col("__sl") / col("__nv"))
+          .as("avg_lag"): _*)
+
+    assemble(fillMonths(bounds, keys, counts), lags(childCols),
+      lags(parentKeys), asOf)
+  }
+
+  /** Zero-filled (child key × month) grid from explicit spine bounds. */
+  private def fillMonths(bounds: DataFrame, keys: DataFrame,
+      counts: DataFrame): DataFrame = {
+    val childCols = parentKeys :+ childKey
+    val months = bounds.select(explode(sequence(
+      to_date(col("lo"), "yyyy-MM"), to_date(col("hi"), "yyyy-MM"),
+      expr("interval 1 month"))).as("md"))
+      .select(date_format(col("md"), "yyyy-MM").as("ym"))
+    joinNullSafe(broadcast(months).crossJoin(keys),
+      counts, childCols :+ "ym", "left")
+      .na.fill(0L, Seq("n_all", "n_valid"))
+  }
+
+  /** The shared document-assembly tail: child series + stats, parent
+    * series + stats, nested struct shape. `filled` is the zero-filled
+    * (child key, ym, n_all, n_valid) grid; `childLags`/`parentLags`
+    * carry `avg_lag` (nullable) at their grains.
+    */
+  private def assemble(filled: DataFrame, childLags: DataFrame,
+      parentLags: DataFrame, asOf: String): DataFrame = {
+    val childCols = parentKeys :+ childKey
     val childSeries = filled
       .groupBy(childCols.map(col): _*)
       .agg(sort_array(collect_list(struct(col("ym"), col("n_all"), col("n_valid"))))
@@ -150,13 +215,10 @@ object SeriesMart {
       .groupBy(parentKeys.map(col): _*)
       .agg(array_sort(collect_list(col("child"))).as("children"))
 
-    // parent-grain series + lag stats
+    // parent-grain series (sums over the zero-filled child grid)
     val pCounts = filled
       .groupBy((parentKeys :+ "ym").map(col): _*)
       .agg(sum("n_all").as("n_all"), sum("n_valid").as("n_valid"))
-    val parentLags = claims.groupBy(parentKeys.map(col): _*)
-      .agg(avg(when(col(ClaimsSchema.lagValidCol),
-        col(ClaimsSchema.lagDaysCol))).as("avg_lag"))
 
     val parents = pCounts
       .groupBy(parentKeys.map(col): _*)
@@ -358,71 +420,30 @@ object SeriesMart {
     if (keys.isEmpty) return
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) fs.mkdirs(root)
-    // APPEND-ONLY generations, never a replace: each call writes its
-    // keys to a FRESH marker name, because replacing one journal file
-    // is not crash-atomic on non-HDFS stores (delete-then-rename — see
-    // DeleteJournal.writeMarkerAtomic) and a crashed upload's retry
-    // MUST NOT be able to destroy the pre-move keys the crashed
-    // attempt recorded. Readers union every generation; the refresh
-    // deletes exactly the generations it read, so a generation written
-    // by a racing upload after the read survives for its own refresh.
     // One base64 line per key (key text comes from raw claim values —
-    // the line format must not trust it to be newline-free).
-    // FULL UUID suffix (r10 review): writeMarkerAtomic delete-then-
-    // renames an existing destination, so a truncated-suffix collision
-    // with a live generation would silently destroy that generation's
-    // journaled keys — the loss this journal exists to prevent. 122
-    // random bits makes the collision practically impossible instead
-    // of merely unlikely.
+    // the line format must not trust it to be newline-free); the
+    // generation lifecycle (fresh full-UUID names, union-read, sweep
+    // of orphaned tmps) lives in [[GenerationJournal]].
     val b64 = java.util.Base64.getEncoder
-    DeleteJournal.writeMarkerAtomic(fs, root,
-      touchedJournalFile + "." +
-        java.util.UUID.randomUUID().toString,
-      keys.toSeq.sorted
-        .map(k => b64.encodeToString(k.getBytes("UTF-8")))
-        .mkString("\n"))
+    GenerationJournal.append(fs, root, touchedJournalFile,
+      keys.toSeq.sorted.map(k => b64.encodeToString(k.getBytes("UTF-8"))))
   }
 
   /** Every journaled generation: (union of keys, the marker paths
-    * read). Torn `.tmp` files are skipped — they were never renamed
-    * into place, so their content was never acted on.
+    * read).
     */
   private def readTouchedJournals(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): (Set[String], Seq[org.apache.hadoop.fs.Path]) = {
-    val root = new org.apache.hadoop.fs.Path(dir)
-    if (!fs.exists(root)) return (Set.empty, Nil)
-    val markers = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.startsWith(touchedJournalFile) &&
-        !p.getName.endsWith(".tmp")).toSeq
     val b64 = java.util.Base64.getDecoder
-    val keys = markers.flatMap { p =>
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .map(_.trim).filter(_.nonEmpty)
-        .map(l => new String(b64.decode(l), "UTF-8")).toList
-      finally in.close()
-    }.toSet
-    (keys, markers)
+    val (lines, markers) = GenerationJournal.readAll(fs,
+      new org.apache.hadoop.fs.Path(dir), touchedJournalFile)
+    (lines.map(l => new String(b64.decode(l), "UTF-8")).toSet, markers)
   }
 
-  /** Delete the generations `read` plus any orphaned `.tmp` files a
-    * crashed write left (unique names are never re-targeted, so
-    * nothing else ever cleans them). Sweeping a tmp a RACING upload is
-    * writing this instant makes that upload's rename fail LOUDLY —
-    * before its hub upsert, so nothing is half-done — which is the
-    * right failure for the documented single-writer expectation.
-    */
   private def clearTouchedJournals(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, read: Seq[org.apache.hadoop.fs.Path]): Unit = {
-    read.foreach(fs.delete(_, false))
-    val root = new org.apache.hadoop.fs.Path(dir)
-    if (fs.exists(root))
-      fs.listStatus(root).map(_.getPath)
-        .filter(p => p.getName.startsWith(touchedJournalFile) &&
-          p.getName.endsWith(".tmp"))
-        .foreach(fs.delete(_, false))
-  }
+      dir: String, read: Seq[org.apache.hadoop.fs.Path]): Unit =
+    GenerationJournal.clear(fs, new org.apache.hadoop.fs.Path(dir),
+      touchedJournalFile, read)
 
   /** Journal of vacated-bucket deletes in flight ([[DeleteJournal]]):
     * an incremental refresh whose touched bucket ends up with ZERO
@@ -508,13 +529,6 @@ object SeriesMart {
       dir: String, buckets: Int = 64,
       priorKeys: Set[String] = Set.empty): Boolean = {
     val spark = hub.sparkSession
-    val martRoot = new org.apache.hadoop.fs.Path(dir)
-    val fs = martRoot
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // First build = no mart yet; an existing-but-empty directory (a
-    // caller's fresh mkdir) counts as absent, like HubStore.exists.
-    val firstBuild =
-      !fs.exists(martRoot) || fs.listStatus(martRoot).isEmpty
     val hubSpine = hub
       .withColumn("ym", date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
       .filter(col("ym").isNotNull)
@@ -522,6 +536,62 @@ object SeriesMart {
     val spineOpt =
       if (hubSpine.isNullAt(0)) None
       else Some((hubSpine.getString(0), hubSpine.getString(1)))
+    refreshCore(spark, batch, dir, buckets, priorKeys, spineOpt,
+      buildAll = () => build(hub, asOf),
+      buildTouched = (keys, spine) =>
+        build(touchedRows(hub, keys), asOf, Some(spine)))
+  }
+
+  /** The O(delta) refresh ([[graft.claims.UploadFlow]]'s path): same
+    * semantics and guards as [[refreshIncremental]], with every
+    * document rebuilt from the maintained [[SeriesCounts]] store —
+    * NO hub argument at all, so no refresh-time hub scan exists to
+    * mis-scope. The two previously-O(hub) costs become counts-bounded:
+    *  - the global-spine probe aggregates count rows, not hub rows;
+    *  - a spine-EXTENDING batch (the first upload of every month — the
+    *    most common production event) still rewrites every document
+    *    (all histories gain a month, so all buckets must change), but
+    *    assembles them from #keys × #months count rows instead of
+    *    rescanning the entire hub. It still returns false: every
+    *    document was rebuilt and re-stamped, which is what the return
+    *    value reports.
+    * `counts` must be current with the merged hub
+    * ([[SeriesCounts.applyPending]] first — UploadFlow orders this).
+    */
+  def refreshFromCounts(spark: org.apache.spark.sql.SparkSession,
+      counts: DataFrame, batch: DataFrame, asOf: String,
+      dir: String, buckets: Int = 64,
+      priorKeys: Set[String] = Set.empty): Boolean = {
+    val spineRow = counts.filter(col("ym").isNotNull)
+      .agg(min("ym"), max("ym")).collect()(0)
+    val spineOpt =
+      if (spineRow.isNullAt(0)) None
+      else Some((spineRow.getString(0), spineRow.getString(1)))
+    refreshCore(spark, batch, dir, buckets, priorKeys, spineOpt,
+      buildAll = () => buildFromCounts(counts, asOf, spineOpt),
+      buildTouched = (keys, spine) => buildFromCounts(
+        counts.filter(concat_ws("_", parentKeys.map(pyStr): _*)
+          .isin(keys.toSeq: _*)),
+        asOf, Some(spine)))
+  }
+
+  /** Shared refresh skeleton: guards, journals, touched-set assembly,
+    * keep∪rebuilt dynamic write, vacated-bucket deletes. `buildAll`
+    * produces the full mart for the guard-forced rebuild;
+    * `buildTouched(keys, spine)` the touched keys' documents only.
+    */
+  private def refreshCore(spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame, dir: String, buckets: Int,
+      priorKeys: Set[String], spineOpt: Option[(String, String)],
+      buildAll: () => DataFrame,
+      buildTouched: (Set[String], (String, String)) => DataFrame): Boolean = {
+    val martRoot = new org.apache.hadoop.fs.Path(dir)
+    val fs = martRoot
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // First build = no mart yet; an existing-but-empty directory (a
+    // caller's fresh mkdir) counts as absent, like HubStore.exists.
+    val firstBuild =
+      !fs.exists(martRoot) || fs.listStatus(martRoot).isEmpty
     def fullRebuild(): Boolean = {
       // STATIC overwrite: buckets whose documents all disappeared must
       // not survive as ghosts (the wipe also clears both journals —
@@ -529,7 +599,7 @@ object SeriesMart {
       // (buckets + spine) is stamped once, after the data commits —
       // a crash in between leaves a stale/absent marker, which the
       // next refresh reads as "rebuild again" (self-healing).
-      writeBucketedMart(build(hub, asOf), dir, buckets, spine = spineOpt)
+      writeBucketedMart(buildAll(), dir, buckets, spine = spineOpt)
       clearTouchedJournals(fs, dir, readTouchedJournals(fs, dir)._2)
       false
     }
@@ -564,7 +634,7 @@ object SeriesMart {
         .select(pmod(xxhash64(col("key")), lit(buckets)))
         .collect().map(_.getLong(0)).toSet
     }
-    val rebuilt = build(touchedRows(hub, touchedKeys), asOf, Some(spine))
+    val rebuilt = buildTouched(touchedKeys, spine)
     val keep = keepRows(existing, touchedBuckets, touchedKeys)
     val out = graft.Checkpoint.pinTransient(
       keep.unionByName(rebuilt.select(keep.columns.map(col): _*)))

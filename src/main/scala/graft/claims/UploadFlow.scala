@@ -15,21 +15,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  2. journal those keys durably into the mart dir
   *     ([[SeriesMart.journalTouchedKeys]]) so a crash between the hub
   *     commit and the completed refresh is recoverable by replay;
-  *  3. upsert the hub (partition-scoped, crash-journaled);
-  *  4. refresh the bucketed mart incrementally from the merged truth.
+  *  3. upsert the hub (partition-scoped, crash-journaled), journaling
+  *     the affected partitions into the count store's dir BEFORE the
+  *     commit (the upsert's `onAffected` hook);
+  *  4. bring the [[SeriesCounts]] store up to date by replacing
+  *     exactly the journaled partitions from the merged hub
+  *     (partition-pruned, batch-sized — never a full hub pass);
+  *  5. refresh the bucketed mart incrementally FROM THE COUNTS
+  *     ([[SeriesMart.refreshFromCounts]]) — the refresh reads no hub
+  *     rows at all, closing the r10 verdict's last O(hub)-per-upload
+  *     item (including the spine-extending first upload of a month,
+  *     which now reassembles documents from count rows).
   *
   * Replaying the same batch after a crash at ANY point is idempotent:
-  * the upsert's keyed merge converges, and the refresh regenerates
-  * from the merged hub with the journaled keys unioned in.
+  * the upsert's keyed merge converges, the count replacement derives
+  * from hub state (journaled partitions re-derive, never
+  * double-apply), and the refresh regenerates from the counts with
+  * the journaled keys unioned in.
+  *
+  * The count store is maintained ONLY through this flow (and
+  * [[SeriesCounts.rebuild]]): writing the hub around it
+  * (`HubStore.write`/`upsert` directly) leaves counts stale until the
+  * next [[SeriesCounts.rebuild]] — the same single-maintenance-path
+  * contract the bucketed mart itself has always had.
   */
 object UploadFlow {
 
   /** Returns true when the mart refresh took the incremental path
     * (false = a guard forced the full rebuild; see
-    * [[SeriesMart.refreshIncremental]]).
+    * [[SeriesMart.refreshFromCounts]] — with the count store the
+    * rebuild is counts-bounded, not a hub rescan).
     */
   def run(spark: SparkSession, prepared: DataFrame, hubPath: String,
       martDir: String, asOf: String, buckets: Int = 64): Boolean = {
+    val countsDir = SeriesCounts.dirFor(martDir)
     // The batch lineage (CSV read + canonicalize + preprocess shuffle)
     // is consumed by three stages — pin it once. Transient: the frame
     // dies with this call; a retry replays the whole flow.
@@ -41,9 +60,14 @@ object UploadFlow {
         else Set.empty[String]
       if (priors.nonEmpty)
         SeriesMart.journalTouchedKeys(spark, martDir, priors)
-      HubStore.upsert(spark, batch, hubPath)
-      SeriesMart.refreshIncremental(HubStore.read(spark, hubPath), batch,
-        asOf, martDir, buckets, priors)
+      HubStore.upsert(spark, batch, hubPath,
+        onAffected = parts =>
+          SeriesCounts.journalParts(spark, countsDir, parts))
+      val merged = HubStore.read(spark, hubPath)
+      SeriesCounts.applyPending(spark, merged, countsDir)
+      SeriesMart.refreshFromCounts(spark,
+        SeriesCounts.read(spark, countsDir), batch, asOf, martDir,
+        buckets, priors)
     } finally graft.Checkpoint.release(batch)
   }
 }

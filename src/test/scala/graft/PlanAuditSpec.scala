@@ -295,6 +295,39 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("count replacement reads only the journaled hub partitions, narrow") {
+    import org.apache.spark.sql.functions._
+    // The delta-bounded maintenance story (round 11): per upload, the
+    // ONLY hub read the mart pipeline performs beyond the upsert's own
+    // probe is the count replacement — and it must be pruned BOTH ways:
+    // partition-pruned to the journaled (접수년,접수월) set and
+    // column-pruned to the seven count inputs. The refresh itself
+    // takes no hub argument (refreshFromCounts), so there is no
+    // refresh-time hub scan left to audit.
+    val dir = java.nio.file.Files.createTempDirectory("cntplan").toString
+    val hub0 = graft.claims.ClaimsEtl.ingestCsv(spark,
+      getClass.getResource("/claims_fixture.csv").getPath)
+    graft.claims.HubStore.write(hub0.drop(
+      graft.claims.ClaimsSchema.ingestSeqCol), dir)
+    val frame = graft.claims.SeriesCounts.aggregate(
+      spark.read.parquet(dir).filter(
+        graft.claims.HubStore.partitionPredicate(Set(Seq(2023, 11)))))
+    frame.collect()
+    val plan = frame.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*접수년".r.findFirstIn(plan).isDefined,
+      s"count replacement must prune to the journaled partitions:\n${plan.take(600)}")
+    val allowed = Set("플랜트", "제품범주2", "대분류", "중분류",
+      "접수일자", "Lag_Valid", "Lag_Days")
+    val readSchemas = "ReadSchema: struct<([^\n]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(readSchemas.nonEmpty, plan.take(400))
+    readSchemas.foreach { s =>
+      val fields = s.split(",").map(_.split(":")(0).trim).toSet
+      assert(fields.subsetOf(allowed),
+        s"count replacement scan must be pruned to count inputs, got: $s")
+    }
+  }
+
   test("mart refresh's keep read prunes to the touched bucket partitions") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("martkeep").toString

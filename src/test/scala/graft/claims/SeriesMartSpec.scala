@@ -265,7 +265,8 @@ class SeriesMartSpec extends AnyFunSuite {
       ("C003", "2023", "11", "15", "PLANT_B", "CAT2_Y", "MAJOR_S")))
     SeriesMart.journalTouchedKeys(spark, mart,
       SeriesMart.priorParentKeys(HubStore.read(spark, hubPath), batch))
-    HubStore.upsert(spark, batch, hubPath)
+    HubStore.upsert(spark, batch, hubPath, onAffected = p =>
+      SeriesCounts.journalParts(spark, SeriesCounts.dirFor(mart), p))
 
     // The retry is the REAL flow end-to-end. Its own probe sees only
     // the claim's NEW location in the merged hub and re-journals —
