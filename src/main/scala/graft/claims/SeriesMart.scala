@@ -588,10 +588,16 @@ object SeriesMart {
     val martRoot = new org.apache.hadoop.fs.Path(dir)
     val fs = martRoot
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // First build = no mart yet; an existing-but-empty directory (a
-    // caller's fresh mkdir) counts as absent, like HubStore.exists.
-    val firstBuild =
-      !fs.exists(martRoot) || fs.listStatus(martRoot).isEmpty
+    // First build = no mart DATA yet; an existing-but-empty directory
+    // (a caller's fresh mkdir) counts as absent, like HubStore.exists,
+    // and so does one holding only `_`/`.`-prefixed markers — the
+    // lease, journals, and meta land in this directory before the
+    // first data write does.
+    val firstBuild = !fs.exists(martRoot) ||
+      !fs.listStatus(martRoot).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
     def fullRebuild(): Boolean = {
       // STATIC overwrite: buckets whose documents all disappeared must
       // not survive as ghosts (the wipe also clears both journals —

@@ -47,7 +47,21 @@ object UploadFlow {
     * rebuild is counts-bounded, not a hub rescan).
     */
   def run(spark: SparkSession, prepared: DataFrame, hubPath: String,
-      martDir: String, asOf: String, buckets: Int = 64): Boolean = {
+      martDir: String, asOf: String, buckets: Int = 64): Boolean =
+    // Single-writer lease over the whole flow ([[MaintenanceLease]]):
+    // a second concurrent flow against the same mart fails loudly
+    // HERE — before its probe, journal writes, or hub upsert — instead
+    // of corrupting the non-table-format layouts silently. A crashed
+    // holder is taken over after the TTL; every crash window inside
+    // the flow stays journaled and replayable independent of the
+    // lease.
+    MaintenanceLease.withLease(spark, martDir) {
+      runUnlocked(spark, prepared, hubPath, martDir, asOf, buckets)
+    }
+
+  private def runUnlocked(spark: SparkSession, prepared: DataFrame,
+      hubPath: String, martDir: String, asOf: String,
+      buckets: Int): Boolean = {
     val countsDir = SeriesCounts.dirFor(martDir)
     // The batch lineage (CSV read + canonicalize + preprocess shuffle)
     // is consumed by three stages — pin it once. Transient: the frame
