@@ -82,12 +82,16 @@ private[claims] object DeleteJournal {
   private def deleteDir(fs: FileSystem, root: Path, rel: String): Unit = {
     val dir = new Path(root, rel)
     if (fs.exists(dir)) fs.delete(dir, true)
-    // Prune an emptied intermediate level too (hive `접수년=Y/접수월=M`
-    // layouts leave an empty year dir when its last month goes) — a
-    // flat layout's parent IS the root, so the check skips it.
-    val parent = dir.getParent
-    if (parent != root && fs.exists(parent) &&
-        fs.listStatus(parent).isEmpty)
+    // Prune emptied intermediate levels all the way up to (never
+    // including) the root: hive `접수년=Y/접수월=M` leaves an empty
+    // year dir when its last month goes, and the three-level bucketed
+    // hub (`접수년/접수월/_key_bucket`) leaves an empty month AND year
+    // when a bucket delete drains them.
+    var parent = dir.getParent
+    while (parent != null && parent != root && fs.exists(parent) &&
+        fs.listStatus(parent).isEmpty) {
       fs.delete(parent, false)
+      parent = parent.getParent
+    }
   }
 }

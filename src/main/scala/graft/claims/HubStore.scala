@@ -101,6 +101,14 @@ object HubStore {
       val root = new org.apache.hadoop.fs.Path(path)
       val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
       DeleteJournal.heal(fs, root, pendingDeletesFile)
+      // Layout detection: a [[writeBucketedHub]] layout carries a meta
+      // marker naming its key-hash bucket count. The scoped upsert then
+      // works at (접수년, 접수월, _key_bucket) grain — the probe prunes
+      // to the batch keys' BUCKET partitions instead of scanning the
+      // whole hub's key column, and byte-identity extends to untouched
+      // buckets within a touched month.
+      val hubBuckets = readHubMeta(fs, root)
+      val layoutCols = partitionCols ++ hubBuckets.map(_ => bucketPartCol)
       val hub = read(spark, path)
       // The batch is consumed by FOUR jobs below (key probe, null-key
       // probe, target-partition listing, the merge itself); a caller's
@@ -125,14 +133,15 @@ object HubStore {
       // deterministic release beats waiting for GC + ContextCleaner.
       var merged: Option[DataFrame] = None
       try {
-        val incPrepped = prepPartitionCols(inc)
-        val partCols = partitionCols.map(col)
+        val incPrepped = hubBuckets.foldLeft(prepPartitionCols(inc))(
+          (df, b) => withBucketCol(df, b))
+        val partCols = layoutCols.map(col)
         // Partition values read back as strings when a caller session
         // disables partitionColumnTypeInference — cast in the plan so
         // the probe is conf-independent instead of crashing on getInt.
         def partSet(df: DataFrame): Set[Seq[Int]] =
           df.select(partCols.map(_.cast("int")): _*).distinct().collect()
-            .map(r => partitionCols.indices.map(r.getInt)).toSet
+            .map(r => layoutCols.indices.map(r.getInt)).toSet
         // Null keys never match an equality semi-join, but the merge's
         // groupBy collapses ALL null-key rows it sees (SQL null
         // grouping) into one winner. The full-rewrite semantics this
@@ -141,36 +150,51 @@ object HubStore {
         // affected set joined the merge, multiplicity would depend on
         // which unrelated partition a batch happened to touch. So the
         // hub's null-key partitions are ALWAYS part of the scope (a
-        // narrow key-column probe; empty for the common hub whose
-        // ingest filters null keys — P2).
+        // narrow key-column probe — for the bucketed layout that probe
+        // is partition-pruned to the null sentinel bucket; empty for
+        // the common hub whose ingest filters null keys — P2).
         val keys = inc.filter(col(keyCol).isNotNull)
           .select(col(keyCol)).distinct()
-        val oldLoc = oldLocations(hub, keys)
-        val oldParts = partSet(
-          oldLoc.unionByName(hub.filter(col(keyCol).isNull)))
+        val oldLoc = hubBuckets match {
+          case Some(b) => oldLocationsBucketed(hub, keys, b)
+          case None => oldLocations(hub, keys)
+        }
+        val nullKeyRows = hubBuckets match {
+          // Bucketed: null keys live ONLY in the sentinel bucket —
+          // a partition filter, no key-column scan at all.
+          case Some(_) => hub.filter(col(bucketPartCol) === nullBucket)
+          case None => hub.filter(col(keyCol).isNull)
+        }
+        val oldParts = partSet(oldLoc.unionByName(nullKeyRows))
         val newParts = partSet(incPrepped)
         val affected = oldParts ++ newParts
         onAffected(affected)
-        val affectedPred = partitionPredicate(affected)
+        val affectedPred = partitionPredicate(affected, layoutCols)
         // The merged frame is pinned ([[graft.Checkpoint.pin]], the
         // session policy: under a reliable session a mid-write executor
         // loss re-reads checkpoint files instead of failing the job) so
         // its lineage no longer reads the path being overwritten —
         // which also makes the vacated-set computation below a cheap
         // re-read of the pinned blocks, not a recompute.
-        val m = graft.Checkpoint.pin(prepPartitionCols(
-          merge(hub.filter(affectedPred), inc)
-            .drop(ingestSeqCol, batchCol)))
+        // For the bucketed layout the bucket column is RECOMPUTED from
+        // the merged keys (incoming rows carry none, and a winner's
+        // bucket is a pure function of its key), never trusted from
+        // the union.
+        val mergedRaw = merge(hub.filter(affectedPred), inc)
+          .drop(ingestSeqCol, batchCol)
+        val m = graft.Checkpoint.pin(
+          hubBuckets.foldLeft(prepPartitionCols(
+            mergedRaw.drop(bucketPartCol)))((df, b) => withBucketCol(df, b)))
         merged = Some(m)
         // Vacated partitions: affected but with no surviving merged
         // rows (dynamic overwrite never visits them). Known BEFORE the
         // write.
         val vacated = (affected -- partSet(m)).toSeq
-          .map(vs => partitionCols.zip(vs)
+          .map(vs => layoutCols.zip(vs)
             .map { case (c, v) => s"$c=$v" }.mkString("/"))
         m.write
           .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(partitionCols: _*)
+          .partitionBy(layoutCols: _*)
           .mode("overwrite")
           .parquet(path)
         DeleteJournal.journalThenDelete(fs, root, pendingDeletesFile, vacated)
@@ -195,15 +219,111 @@ object HubStore {
   /** OR-of-ANDs partition predicate for an explicit partition-value
     * set — matches only listed partitions, so Catalyst prunes the scan
     * to exactly those directories. Shared by the upsert's scoped merge
-    * and the count store's replacement read.
+    * and the count store's replacement read (which always works at the
+    * two-level year/month grain; a bucketed hub's count replacement
+    * reads whole months, so `parts` tuples longer than `cols` would be
+    * a caller bug — hence the exact-arity zip via require).
     */
-  private[graft] def partitionPredicate(
-      parts: Set[Seq[Int]]): org.apache.spark.sql.Column =
+  private[graft] def partitionPredicate(parts: Set[Seq[Int]],
+      cols: Seq[String] = partitionCols): org.apache.spark.sql.Column = {
+    parts.foreach(vs => require(vs.length == cols.length,
+      s"partition tuple ${vs.mkString(",")} does not match $cols"))
     parts
-      .map(vs => partitionCols.map(col).zip(vs)
+      .map(vs => cols.map(col).zip(vs)
         .map { case (c, v) => c === v }
         .reduce[org.apache.spark.sql.Column](_ && _))
       .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  // ---- key-hash bucketed hub layout (round-11: bucket-pruned upsert) ----
+
+  /** Third partition level of the bucketed hub layout. Named with a
+    * leading underscore-free form is NOT possible here — partition
+    * DIRECTORY names must be readable (`_key_bucket=7`), and Spark's
+    * hidden-file filter applies to file names, not partition dir
+    * names, so the underscore prefix is safe and keeps the column
+    * visibly synthetic in schemas.
+    */
+  private[graft] val bucketPartCol = "_key_bucket"
+
+  /** Bucket value for null-key rows (xxhash64 of null is null, which
+    * would otherwise land in the HIVE default partition): a sentinel
+    * that makes the null-collapse scope a pure partition filter.
+    */
+  private[claims] val nullBucket = -1
+
+  /** Layout marker: bucket count the hub was written with. Its
+    * presence is what [[upsert]] detects; hand-removing it degrades
+    * every later upsert to... nothing good — the three-level dirs
+    * would be merged with two-level writes — so it is written
+    * temp-then-rename and never deleted by this object.
+    */
+  private[claims] val hubMetaFile = "_graft_hub_meta"
+
+  private[claims] def withBucketCol(df: DataFrame, buckets: Int): DataFrame =
+    // EXPLICIT null branch: Spark hash functions are null-tolerant
+    // (xxhash64(null) is the seed hash, NOT null), so a coalesce-style
+    // sentinel would silently file null keys into a real bucket and
+    // the null-collapse scope's sentinel filter would miss them.
+    df.withColumn(bucketPartCol,
+      when(col(keyCol).isNull, lit(nullBucket.toLong))
+        .otherwise(pmod(xxhash64(col(keyCol)), lit(buckets))))
+
+  /** Write the hub in the key-hash bucketed layout:
+    * `접수년=Y/접수월=M/_key_bucket=B/` with B = xxhash64(상담번호) mod
+    * `buckets`. Everything the flat layout gives (month pruning for
+    * reads, dynamic month overwrite) is preserved — the extra level
+    * buys the upsert a bucket-pruned key probe and bucket-granular
+    * rewrites: at 100 TB a batch touching k keys reads ~k/buckets of
+    * each touched month for the probe and merge instead of the whole
+    * month's key column. STATIC overwrite + meta marker, like the
+    * mart's bucketed writer.
+    */
+  def writeBucketedHub(df: DataFrame, path: String,
+      buckets: Int = 32): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    val spark = df.sparkSession
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withBucketCol(prepPartitionCols(df.drop(ingestSeqCol)), buckets)
+      .write
+      .option("partitionOverwriteMode", "static")
+      .partitionBy((partitionCols :+ bucketPartCol): _*)
+      .mode("overwrite")
+      .parquet(path)
+    DeleteJournal.writeMarkerAtomic(fs, root, hubMetaFile,
+      s"buckets=$buckets\n")
+  }
+
+  private[claims] def readHubMeta(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Option[Int] = {
+    val marker = new org.apache.hadoop.fs.Path(root, hubMetaFile)
+    if (!fs.exists(marker)) return None
+    val in = fs.open(marker)
+    val kv =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap(_.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }).toMap
+      finally in.close()
+    kv.get("buckets").flatMap(_.toIntOption).filter(_ > 0)
+  }
+
+  /** Bucket-pruned old-locations probe: the batch keys' bucket set is
+    * batch-sized (computed with the SAME xxhash64 expression the
+    * writer uses), and the `isin` lands on the partition column — the
+    * scan visits only those buckets' files, reading the key column
+    * alone (PlanAuditSpec pins both prunings).
+    */
+  private[graft] def oldLocationsBucketed(hub: DataFrame, keys: DataFrame,
+      buckets: Int): DataFrame = {
+    val bucketSet = keys
+      .select(pmod(xxhash64(col(keyCol)), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getLong(0))
+    hub.filter(col(bucketPartCol).isin(bucketSet: _*))
+      .join(broadcast(keys), Seq(keyCol), "left_semi")
+  }
 
   /** The affected-partition probe: hub rows currently holding any
     * incoming claim key. Downstream only the partition columns are

@@ -74,9 +74,14 @@ object UploadFlow {
         else Set.empty[String]
       if (priors.nonEmpty)
         SeriesMart.journalTouchedKeys(spark, martDir, priors)
+      // A bucketed hub reports three-level (year, month, bucket)
+      // tuples; the count store always works at (year, month) grain —
+      // truncate so its replacement re-derives whole touched months.
+      val grain = ClaimsSchema.partitionCols.length
       HubStore.upsert(spark, batch, hubPath,
         onAffected = parts =>
-          SeriesCounts.journalParts(spark, countsDir, parts))
+          SeriesCounts.journalParts(spark, countsDir,
+            parts.map(_.take(grain))))
       val merged = HubStore.read(spark, hubPath)
       SeriesCounts.applyPending(spark, merged, countsDir)
       SeriesMart.refreshFromCounts(spark,

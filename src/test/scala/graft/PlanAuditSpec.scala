@@ -295,6 +295,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed hub probe prunes to the batch keys' buckets, key column only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // The round-10 verdict's item 3: the flat layout's old-locations
+    // probe scans the whole hub's key column per upsert. On the
+    // bucketed layout the probe must carry a _key_bucket PARTITION
+    // filter (only the batch keys' buckets are visited) on top of the
+    // key-only ReadSchema.
+    val dir = java.nio.file.Files.createTempDirectory("hubbp").toString
+    val wide = graft.claims.ClaimsEtl.preprocess(
+      graft.claims.ClaimsEtl.canonicalize54(
+        graft.claims.ClaimsEtl.withIngestSeq(
+          spark.range(64).select(
+            concat(lit("K"), col("id")).as("상담번호"),
+            lit("2023").as("접수년"), lit("10").as("접수월"),
+            (col("id") % 28 + 1).cast("string").as("접수일")))))
+    graft.claims.HubStore.writeBucketedHub(wide, dir, buckets = 8)
+    val probe = graft.claims.HubStore.oldLocationsBucketed(
+        spark.read.parquet(dir), Seq("K7").toDF("상담번호"), 8)
+      .select("접수년", "접수월", "_key_bucket").distinct()
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_key_bucket".r
+      .findFirstIn(plan).isDefined,
+      s"probe must prune to the batch keys' buckets:\n${plan.take(600)}")
+    val readSchemas = "ReadSchema: ([^\n]*)".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(readSchemas.nonEmpty, plan.take(400))
+    assert(readSchemas.forall(_ == "struct<상담번호:string>"),
+      s"bucketed probe must read only the key column, got: $readSchemas")
+  }
+
   test("count replacement reads only the journaled hub partitions, narrow") {
     import org.apache.spark.sql.functions._
     // The delta-bounded maintenance story (round 11): per upload, the

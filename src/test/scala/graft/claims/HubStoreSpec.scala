@@ -250,4 +250,107 @@ class HubStoreSpec extends AnyFunSuite {
     val merged = HubStore.merge(a, a)
     assert(merged.count() == a.count())
   }
+
+  private def mkBatch(rows: Seq[(String, String, String, String)]) = {
+    import spark.implicits._
+    ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(rows
+        .toDF("상담번호", "접수년", "접수월", "접수일"))))
+  }
+
+  private def walkListing(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getPath.stripPrefix(dir) -> (f.lastModified(), f.length()))
+      .toMap
+  }
+
+  test("bucket-layout upsert matches the flat upsert row-for-row") {
+    // Same initial load + same batch through both layouts: the hash
+    // bucket level must be invisible to the merged CONTENT — including
+    // cross-month moves and fresh keys.
+    val flat = Files.createTempDirectory("hubp1").toString
+    val bkt = Files.createTempDirectory("hubp2").toString
+    HubStore.write(ingest(), flat)
+    HubStore.writeBucketedHub(ingest(), bkt, buckets = 4)
+    val batch = mkBatch(Seq(
+      ("C001", "2023", "10", "20"), // in-place update
+      ("C003", "2024", "3", "5"),   // cross-month move
+      ("C777", "2024", "2", "1"))) // brand new
+    HubStore.upsert(spark, batch, flat)
+    HubStore.upsert(spark, batch, bkt)
+    val f = spark.read.parquet(flat)
+    val b = spark.read.parquet(bkt).drop(HubStore.bucketPartCol)
+    assert(f.count() == b.count())
+    assert(f.select(b.columns.map(col): _*).exceptAll(b).isEmpty &&
+      b.exceptAll(f.select(b.columns.map(col): _*)).isEmpty,
+      "bucketed and flat upserts must converge to identical rows")
+    // The moved claim's old (y, m, bucket) partition is gone, and the
+    // emptied month/year levels are pruned (2023-11 still has C004's
+    // bucket, so only the bucket level goes there if C003 shared none).
+    assert(!new java.io.File(s"$bkt/접수년=2024/접수월=3").exists() ||
+      spark.read.parquet(bkt).filter(col("상담번호") === "C003")
+        .count() == 1)
+  }
+
+  test("bucket-layout upsert keeps untouched buckets byte-identical") {
+    import spark.implicits._
+    // 64 keys over 8 buckets in ONE month: an update to a single key
+    // must rewrite that key's bucket dir only — the other buckets of
+    // the same month keep their bytes. This is the probe+rewrite
+    // granularity the flat layout cannot give (it rewrites the whole
+    // touched month).
+    val dir = Files.createTempDirectory("hubb").toString
+    val wide = ClaimsEtl.preprocess(ClaimsEtl.canonicalize54(
+      ClaimsEtl.withIngestSeq(
+        spark.range(64).select(
+          concat(lit("K"), col("id")).as("상담번호"),
+          lit("2023").as("접수년"), lit("10").as("접수월"),
+          (col("id") % 28 + 1).cast("string").as("접수일")))))
+    HubStore.writeBucketedHub(wide, dir, buckets = 8)
+    val before = walkListing(dir)
+    Thread.sleep(1100) // mtime resolution guard
+    HubStore.upsert(spark, mkBatch(Seq(("K7", "2023", "10", "9"))), dir)
+    val after = walkListing(dir)
+    val changed = after.keySet.union(before.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    val changedBuckets = changed.flatMap(
+      "_key_bucket=(-?\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(changedBuckets.size == 1,
+      s"one key must rewrite exactly its own bucket, got: $changedBuckets")
+    val untouched = before.keySet -- changed
+    assert(untouched.nonEmpty && untouched.forall(k => after(k) == before(k)),
+      "the other buckets keep their bytes")
+    assert(spark.read.parquet(dir).count() == 64)
+    assert(spark.read.parquet(dir).filter(col("상담번호") === "K7")
+      .select("접수일").collect()(0).getInt(0) == 9)
+  }
+
+  test("bucket-layout null-key collapse matches the flat semantics") {
+    import spark.implicits._
+    // Null-key rows land in the sentinel bucket; every upsert must
+    // still collapse them hub-wide to one winner, exactly like the
+    // flat layout's key-null scan does.
+    val raw = ClaimsEtl.canonicalize54(ClaimsEtl.withIngestSeq(Seq(
+      ("C001", "2023", "10", "1"), (null, "2023", "10", "2"),
+      (null, "2023", "11", "3"))
+      .toDF("상담번호", "접수년", "접수월", "접수일")))
+    val flat = Files.createTempDirectory("hubn1").toString
+    val bkt = Files.createTempDirectory("hubn2").toString
+    HubStore.write(raw, flat)
+    HubStore.writeBucketedHub(raw, bkt, buckets = 4)
+    val batch = mkBatch(Seq(("C002", "2024", "1", "1")))
+    HubStore.upsert(spark, batch, flat)
+    HubStore.upsert(spark, batch, bkt)
+    def nullCount(d: String) =
+      spark.read.parquet(d).filter(col("상담번호").isNull).count()
+    assert(nullCount(flat) == 1 && nullCount(bkt) == 1,
+      "both layouts collapse null-key rows to one winner per upsert")
+    assert(spark.read.parquet(bkt)
+      .filter(col("상담번호").isNull)
+      .select(col(HubStore.bucketPartCol).cast("int")).collect()(0)
+      .getInt(0) == -1, "null keys live in the sentinel bucket")
+  }
 }

@@ -180,6 +180,28 @@ class SeriesCountsSpec extends AnyFunSuite {
       docs(SeriesMart.build(hub, "2024-03-01")))
   }
 
+  test("upload flow over a bucketed hub matches the flat-layout flow") {
+    // The round-11 bucketed hub layout must be transparent to the
+    // whole maintenance pipeline: same batches, same mart documents,
+    // same counts — with the upsert's three-level affected tuples
+    // truncated to the count store's month grain.
+    val base = java.nio.file.Files.createTempDirectory("cntbkt").toString
+    val batch = mkBatch(Seq(
+      ("C003", "2023", "12", "15", "PLANT_B", "CAT2_Y", "MAJOR_S"),
+      ("C950", "2023", "10", "2", "PLANT_A", "CAT2_X", "MAJOR_P")))
+    HubStore.write(fixture, s"$base/hubF")
+    HubStore.writeBucketedHub(fixture, s"$base/hubB", buckets = 4)
+    assert(UploadFlow.run(spark, batch, s"$base/hubF", s"$base/martF",
+      "2024-03-01") ==
+      UploadFlow.run(spark, batch, s"$base/hubB", s"$base/martB",
+        "2024-03-01"))
+    assert(docs(spark.read.parquet(s"$base/martF").drop("key_bucket")) ==
+      docs(spark.read.parquet(s"$base/martB").drop("key_bucket")),
+      "bucketed- and flat-hub flows must produce identical marts")
+    assertCountsCurrent(SeriesCounts.dirFor(s"$base/martB"),
+      HubStore.read(spark, s"$base/hubB"))
+  }
+
   test("a spine-extending batch rebuilds every doc from counts, hub untouched") {
     val base = java.nio.file.Files.createTempDirectory("cnt5").toString
     val hubPath = s"$base/hub"
