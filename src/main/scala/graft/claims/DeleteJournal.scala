@@ -18,7 +18,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * unread — the interrupted writer's retry rediscovers its vacated set
   * from its own probe.
   */
-private[claims] object DeleteJournal {
+private[graft] object DeleteJournal {
 
   /** Write `body` to `markerName` under `root` via temp-then-rename,
     * throwing when the FS refuses the rename (Hadoop reports failure

@@ -268,17 +268,30 @@ object VectorQueries extends QueryModule {
     graft.vector.SemDedup.soundViolations(Tables.embeddings(s, d),
       "vec_id", "embedding", k = 16, tau = 0.45, datasetKey = d)
 
-  /** IVF-bucketed ANN top-10 (k-means cells, probe 6 of 16). The index
-    * is built once per (session, dataset) and cached — every IVF query
-    * in the session reads the same persisted assignment, the local
-    * analog of a partitioned-by-cell index layout.
+  /** IVF-bucketed ANN top-10 (k-means cells, probe 10 of 16). The
+    * index PERSISTS across sessions (round 11): centroids +
+    * cell-partitioned assignments live under a derived index dir with
+    * a config+corpus-fingerprint marker — a second session LOADS the
+    * layout instead of re-fitting the quantizer and re-scanning the
+    * corpus, and the probe's isin(cells) filter partition-prunes the
+    * persisted read to nprobe/k of the files. Per-session the handle
+    * is additionally session-cached.
     */
   private def topkIvf(s: SparkSession, d: String): DataFrame = {
-    val (assigned, centroids) = IvfIndex.assignCached(
-      Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
+    val (assigned, centroids) = IvfIndex.loadOrBuildCached(
+      Tables.embeddings(s, d), "vec_id", "embedding", k = 16,
+      dir = ivfIndexDir(d))
     IvfIndex.topK(assigned, centroids, queryVec(s, d),
       "vec_id", "embedding", k = 10, nprobe = 10)
   }
+
+  /** Index home for a dataset dir: OUTSIDE the read-only corpus, named
+    * by the corpus path so every session of every round converges on
+    * one layout (the fingerprint in the marker revalidates it).
+    */
+  private def ivfIndexDir(d: String): String =
+    sys.props("java.io.tmpdir") + "/graft-index/ivf-" +
+      d.replaceAll("[^A-Za-z0-9._-]", "_") + "-vec_id-embedding-k16"
 
   /** Exact 1-NN label accuracy per label — the standard embedding-QA
     * eval (kNN classification purity: does a vector's nearest neighbor
@@ -370,8 +383,9 @@ object VectorQueries extends QueryModule {
     try {
       val lsh = VectorOps.annTopKCosine(Tables.embeddings(s, d), queryVec(s, d),
         "vec_id", "embedding", k = 10, dim = DIM).select(col("vec_id"))
-      val (assigned, centroids) = IvfIndex.assignCached(
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 16, datasetKey = d)
+      val (assigned, centroids) = IvfIndex.loadOrBuildCached(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 16,
+        dir = ivfIndexDir(d))
       val ivf = IvfIndex.topK(assigned, centroids, queryVec(s, d),
         "vec_id", "embedding", k = 10, nprobe = 10).select(col("vec_id"))
       def recallOf(name: String, approx: DataFrame) =

@@ -174,25 +174,26 @@ object IvfIndex {
   /** Top-k cosine restricted to the `nprobe` cells nearest the query
     * under the assignment metric (L2 in normalized space: rank by
     * |c|² − 2·q̂·c, the |q̂|² term being constant).
+    *
+    * The probed cell ids are collected (≤ nprobe ints — ranking runs
+    * on the driver against the already-driver-side centroid array) and
+    * applied as an `isin` FILTER rather than a broadcast join: over
+    * the persisted cell-partitioned layout ([[loadOrBuild]]) that is a
+    * static PartitionFilter — the scan visits nprobe/k of the index
+    * directories, which is the entire point of IVF at 100 TB.
     */
   def topK(assigned: DataFrame, centroids: Array[Array[Double]],
       query: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    val centroidDf = centroids.zipWithIndex
-      .map { case (c, i) => (i, c, c.map(x => x * x).sum) }
-      .toSeq.toDF("cell", "centroid", "cnorm2")
-    val probeCells = query
-      .withColumn("qn", normalizeUdf(col("qvec").cast("array<double>")))
-      .crossJoin(broadcast(centroidDf))
-      .withColumn("dist",
-        col("cnorm2") - VectorOps.dot(col("qn"), col("centroid")) * 2)
-      .orderBy(col("dist"), col("cell"))
-      .limit(nprobe)
-      .select(col("cell"))
+    val q = query.select(normalizeUdf(col("qvec").cast("array<double>"))
+      .as("qn")).collect()(0).getSeq[Double](0).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        (c.map(x => x * x).sum - 2 * c.zip(q).map(t => t._1 * t._2).sum, i)
+      }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
     assigned
-      .join(broadcast(probeCells), Seq("cell"))
+      .filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(query))
       .select(col(idCol),
         round(VectorOps.cosine(col(vecCol).cast("array<double>"),
@@ -200,4 +201,80 @@ object IvfIndex {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  // ---- persisted index (round-11: survives sessions) ----
+
+  private[vector] val metaFile = "_graft_ivf_meta"
+
+  /** Cross-session persisted index: `dir/centroids` (cell → vector) +
+    * `dir/assignments` (the corpus with its `cell` column, hive-
+    * partitioned BY cell so a probe's isin filter partition-prunes to
+    * nprobe/k of the files) + a meta marker carrying the build config
+    * and a corpus fingerprint. A later session with the same corpus
+    * loads in O(centroids); config or corpus drift rebuilds. The
+    * marker is stamped temp-then-rename AFTER both datasets commit, so
+    * a crashed build is re-run, never half-loaded.
+    *
+    * The fingerprint is (row count, Σ xxhash64(id)) over the non-null-
+    * vector rows — a narrow id-column pass per call, orders cheaper
+    * than the rebuild's full-vector scan it guards. Mutating a
+    * vector's CONTENT under an unchanged id set is invisible to it by
+    * design (ids are the corpus identity everywhere else in this
+    * library); force `rebuild = true` after such surgery.
+    */
+  def loadOrBuild(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, dir: String, seed: Long = 42L, sampleN: Int = 20000,
+      iters: Int = 10, rebuild: Boolean = false)
+      : (DataFrame, Array[Array[Double]]) = {
+    val spark = vectors.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = vectors.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)), sum(xxhash64(col(idCol)))).collect()(0)
+    val want = Seq(
+      s"k=$k", s"id=$idCol", s"vec=$vecCol", s"seed=$seed",
+      s"sampleN=$sampleN", s"iters=$iters",
+      s"n=${fp.getLong(0)}", s"idsum=${if (fp.isNullAt(1)) 0L else fp.getLong(1)}")
+      .mkString("\n") + "\n"
+    val marker = new org.apache.hadoop.fs.Path(root, metaFile)
+    val fresh = !rebuild && fs.exists(marker) && {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      got == want
+    }
+    if (fresh) {
+      val centroids = spark.read.parquet(s"$dir/centroids")
+        .orderBy("cell").collect()
+        .map(_.getSeq[Double](1).toArray)
+      (spark.read.parquet(s"$dir/assignments"), centroids)
+    } else {
+      val (assigned, centroids) = assign(vectors, idCol, vecCol, k,
+        seed, sampleN, iters)
+      assigned.write.mode("overwrite")
+        .partitionBy("cell").parquet(s"$dir/assignments")
+      import spark.implicits._
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cell", "centroid")
+        .write.mode("overwrite").parquet(s"$dir/centroids")
+      // Marker last: its presence asserts both datasets are complete.
+      graft.claims.DeleteJournal.writeMarkerAtomic(fs, root, metaFile, want)
+      (spark.read.parquet(s"$dir/assignments"), centroids)
+    }
+  }
+
+  /** [[loadOrBuild]] behind the session cache: the fingerprint probe
+    * and the assignment read happen once per (session, dir); repeated
+    * IVF queries share one loaded handle, and a NEW session re-reads
+    * the persisted layout instead of re-fitting the quantizer.
+    */
+  def loadOrBuildCached(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, dir: String): (DataFrame, Array[Array[Double]]) =
+    graft.SessionCache.getOrBuild(vectors.sparkSession,
+      s"ivfp|$dir|$idCol|$vecCol|k=$k") {
+      val (assigned, centroids) = loadOrBuild(vectors, idCol, vecCol, k, dir)
+      val persisted = assigned.persist()
+      ((persisted, centroids), Seq(persisted))
+    }
 }
