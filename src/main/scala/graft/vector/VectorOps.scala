@@ -308,27 +308,56 @@ object VectorOps {
     */
   def annTopKCosine(vectors: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
-      planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame = {
+      planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame =
+    annTopKCosineIndexed(lshBucketize(vectors, idCol, vecCol, dim,
+      planes, tables), query, idCol, vecCol, k, dim, planes, tables,
+      probeRadius)
+
+  /** The LSH index rows: one (tbl, bucket) entry per vector per table.
+    * This is the frame [[lshIndexLoadOrBuild]] persists.
+    */
+  private def lshBucketize(vectors: DataFrame, idCol: String,
+      vecCol: String, dim: Int, planes: Int, tables: Int): DataFrame =
     // null embeddings excluded (the hashing UDF dereferences the array)
-    val bucketed = vectors.filter(col(vecCol).isNotNull)
+    vectors.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol),
-      posexplode_outer(lshBuckets(col(vecCol), dim, planes, tables))
-        .as(Seq("tbl", "bucket")))
+        posexplode_outer(lshBuckets(col(vecCol), dim, planes, tables))
+          .as(Seq("tbl", "bucket")))
       .filter(col("bucket").isNotNull)
+
+  /** Score the probed buckets of a prepared (in-memory or persisted)
+    * index. The probe set — every (tbl, bucket) within Hamming radius
+    * of the query's signatures — is collected driver-side (tables ×
+    * Σ_{i≤r} C(planes, i) pairs, 296 at the defaults; the query side
+    * was always broadcast-sized) and applied as an OR-of-ANDs FILTER:
+    * over the persisted tbl-partitioned, bucket-sorted layout that
+    * prunes partitions on `tbl` and row groups on `bucket` min/max,
+    * so a probe reads a sliver of the index instead of scanning it.
+    */
+  def annTopKCosineIndexed(index: DataFrame, query: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame = {
     // XOR masks for all sign-flip sets of size ≤ probeRadius, built
     // driver-side (combinatorial in probeRadius, never in data).
     val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
       (0 until planes).combinations(r)
         .map(_.foldLeft(0L)((a, b) => a | (1L << b))).toSeq)
-    val qb = query.select(col("qvec"),
+    val pairs = query.select(
       posexplode_outer(lshBuckets(col("qvec"), dim, planes, tables))
         .as(Seq("tbl", "qb0")))
       .filter(col("qb0").isNotNull)
-      .select(col("qvec"), col("tbl"), explode(
-        transform(typedlit(masks), m => col("qb0").bitwiseXOR(m)))
-        .as("qbucket"))
-    bucketed
-      .join(broadcast(qb), col("bucket") === col("qbucket") && bucketed("tbl") === qb("tbl"))
+      .collect()
+      .flatMap(r => masks.map(m => (r.getInt(0), r.getLong(1) ^ m)))
+      .toSet
+    val pred = pairs
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, ps) =>
+        col("tbl") === t &&
+          col("bucket").isin(ps.map(_._2).toSeq.sorted: _*)
+      }
+      .reduceOption[Column](_ || _).getOrElse(lit(false))
+    index.filter(pred)
+      .crossJoin(broadcast(query))
       .select(col(idCol),
         round(cosine(col(vecCol).cast("array<double>"),
           col("qvec").cast("array<double>")), 4).as("cos_sim"))
@@ -336,4 +365,63 @@ object VectorOps {
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
+
+  private[vector] val lshMetaFile = "_graft_lsh_meta"
+
+  /** Cross-session persisted LSH index (round 11, the counterpart of
+    * [[IvfIndex.loadOrBuild]]): the bucketized corpus written
+    * partitioned by `tbl` and SORTED by `bucket` within each table —
+    * the probe's per-table bucket isin prunes partitions on tbl and
+    * parquet row groups on the bucket statistics. Hyperplanes are
+    * seed-derived ([[hyperplanes]]) so only config + corpus identity
+    * need validating: the marker carries (dim, planes, tables) and the
+    * same (count, Σ xxhash64(id)) fingerprint as the IVF index, with
+    * the same stamped-last crash semantics and the same documented
+    * blind spot (vector mutation under an unchanged id set).
+    */
+  def lshIndexLoadOrBuild(vectors: DataFrame, idCol: String,
+      vecCol: String, dim: Int, dir: String,
+      planes: Int = 8, tables: Int = 8): DataFrame = {
+    val spark = vectors.sparkSession
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = vectors.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)), sum(xxhash64(col(idCol)))).collect()(0)
+    val want = Seq(
+      s"dim=$dim", s"planes=$planes", s"tables=$tables",
+      s"id=$idCol", s"vec=$vecCol",
+      s"n=${fp.getLong(0)}",
+      s"idsum=${if (fp.isNullAt(1)) 0L else fp.getLong(1)}")
+      .mkString("\n") + "\n"
+    val marker = new org.apache.hadoop.fs.Path(root, lshMetaFile)
+    val fresh = fs.exists(marker) && {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      got == want
+    }
+    if (!fresh) {
+      lshBucketize(vectors, idCol, vecCol, dim, planes, tables)
+        .repartition(col("tbl"))
+        .sortWithinPartitions(col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("tbl")
+        .parquet(s"$dir/buckets")
+      graft.claims.DeleteJournal.writeMarkerAtomic(fs, root, lshMetaFile, want)
+    }
+    spark.read.parquet(s"$dir/buckets")
+  }
+
+  /** [[lshIndexLoadOrBuild]] behind the session cache, like
+    * [[IvfIndex.loadOrBuildCached]]: the fingerprint probe runs once
+    * per (session, dir).
+    */
+  def lshIndexCached(vectors: DataFrame, idCol: String, vecCol: String,
+      dim: Int, dir: String): DataFrame =
+    graft.SessionCache.getOrBuild(vectors.sparkSession,
+      s"lshp|$dir|$idCol|$vecCol|dim=$dim") {
+      val ix = lshIndexLoadOrBuild(vectors, idCol, vecCol, dim, dir)
+      (ix, Nil)
+    }
 }

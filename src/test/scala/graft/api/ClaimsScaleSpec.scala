@@ -68,4 +68,103 @@ class ClaimsScaleSpec extends AnyFunSuite {
     info(f"end-to-end claims pipeline on ${n} rows: $secs%.1f s")
     assert(secs < 300, s"pipeline too slow: $secs s")
   }
+
+  private def walkListing(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getPath.stripPrefix(dir) -> (f.lastModified(), f.length()))
+      .toMap
+  }
+
+  test("fleet rehearsal at reference cardinality: 5k parents / 40k children") {
+    // The shipped reference mart is 4,774 parents × ≤8 children over 49
+    // months (docs/project_master.md scale); rehearse ABOVE it — 5,000
+    // parents × 8 중분류 over a 49-month spine, 200k claims — and pin
+    // the maintenance I/O bounds at that width: one same-spine upload
+    // touches ONE mart bucket of 64 and ONE count month partition, and
+    // the risk scan plans the same exchange count as at fixture size
+    // (width changes data volume, never the shuffle shape).
+    val rows = 200000L
+    val hub0 = spark.range(rows).select(
+      concat(lit("K"), col("id")).as(ClaimsSchema.keyCol),
+      concat(lit("P"), (col("id") % 5000 % 100).cast("string")).as("플랜트"),
+      concat(lit("C"), (((col("id") % 5000) / 100).cast("int") % 10)
+        .cast("string")).as("제품범주2"),
+      concat(lit("M"), ((col("id") % 5000) / 1000).cast("int").cast("string"))
+        .as("대분류"),
+      concat(lit("S"), (col("id") % 8).cast("string")).as("중분류"),
+      add_months(to_date(lit("2021-01-15")), ((col("id") * 31) % 49).cast("int"))
+        .as(ClaimsSchema.receiptDateCol),
+      (col("id") % 3 =!= 0).as(ClaimsSchema.lagValidCol),
+      (col("id") % 30).cast("int").as(ClaimsSchema.lagDaysCol))
+      .withColumn("접수년", year(col(ClaimsSchema.receiptDateCol)))
+      .withColumn("접수월", month(col(ClaimsSchema.receiptDateCol)))
+
+    val base = Files.createTempDirectory("fleet").toString
+    val hubPath = s"$base/hub"
+    val martDir = s"$base/mart"
+    val countsDir = SeriesCounts.dirFor(martDir)
+    val t0 = System.nanoTime()
+    assert(!UploadFlow.run(spark, hub0, hubPath, martDir, "2026-01-01"))
+    val built = (System.nanoTime() - t0) / 1e9
+    assert(spark.read.parquet(martDir).count() == 5000)
+    // The count store is grain-bounded: ≤ #children × #months (+ some
+    // child×month grains absent), orders under the 200k hub rows.
+    val countRows = SeriesCounts.read(spark, countsDir).count()
+    assert(countRows <= 40000L * 49 && countRows > 40000,
+      s"count store must be grain-sized, got $countRows")
+
+    // One same-spine claim for one series.
+    val batch = spark.range(1).select(
+      lit("K_new").as(ClaimsSchema.keyCol),
+      lit("P7").as("플랜트"), lit("C0").as("제품범주2"),
+      lit("M0").as("대분류"), lit("S1").as("중분류"),
+      to_date(lit("2022-05-20")).as(ClaimsSchema.receiptDateCol),
+      lit(true).as(ClaimsSchema.lagValidCol),
+      lit(3).as(ClaimsSchema.lagDaysCol))
+      .withColumn("접수년", lit(2022)).withColumn("접수월", lit(5))
+    val beforeMart = walkListing(martDir)
+    val beforeCounts = walkListing(countsDir)
+    Thread.sleep(1100) // mtime resolution guard
+    val t1 = System.nanoTime()
+    assert(UploadFlow.run(spark, batch, hubPath, martDir, "2026-02-01"),
+      "a same-spine single-series upload takes the incremental path")
+    val inc = (System.nanoTime() - t1) / 1e9
+    info(f"full build: $built%.1f s; incremental upload: $inc%.1f s")
+
+    val afterMart = walkListing(martDir)
+    val changedBuckets = afterMart.keySet.union(beforeMart.keySet)
+      .filter(k => beforeMart.get(k) != afterMart.get(k))
+      .flatMap("key_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(changedBuckets.size == 1,
+      s"one touched series must rewrite one mart bucket, got: $changedBuckets")
+    val changedCountParts = walkListing(countsDir).toSet
+      .union(beforeCounts.toSet)
+      .diff(walkListing(countsDir).toSet.intersect(beforeCounts.toSet))
+      .map(_._1).flatMap(
+        "접수년=(\\d+)/접수월=(\\d+)".r.findFirstMatchIn(_)
+          .map(m => (m.group(1), m.group(2))))
+    assert(changedCountParts == Set(("2022", "5")),
+      s"only the touched month's count partition may change, got: $changedCountParts")
+    assert(spark.read.parquet(martDir).count() == 5000)
+
+    // Shuffle-shape width-independence: the risk scan over the 40k-wide
+    // hub plans exactly as many exchanges as over the 6-row fixture.
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllMatchIn(
+        df.queryExecution.executedPlan.toString).size
+    val wide = RiskScanJob.scan(HubStore.read(spark, hubPath),
+      Seq("플랜트", "대분류"), ClaimsSchema.receiptDateCol, None,
+      LocalDate.of(2026, 1, 1))
+    val tiny = RiskScanJob.scan(
+      ClaimsEtl.ingestCsv(spark,
+        getClass.getResource("/claims_fixture.csv").getPath),
+      Seq("플랜트", "대분류"), ClaimsSchema.receiptDateCol, None,
+      LocalDate.of(2026, 1, 1))
+    assert(exchanges(wide) <= exchanges(tiny),
+      "risk-scan shuffle shape must not grow with key width")
+    assert(wide.count() > 0)
+  }
 }

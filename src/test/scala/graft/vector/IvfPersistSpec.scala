@@ -88,6 +88,46 @@ class IvfPersistSpec extends AnyFunSuite {
       s"persisted IVF probe must prune to the probed cells:\n${plan.take(600)}")
   }
 
+  test("LSH index: identical top-k, load-not-rebuild, drift, pruned probe") {
+    val dir = java.nio.file.Files.createTempDirectory("lshp").toString + "/ix"
+    val c = corpus(500)
+    def top(ix: DataFrame): Seq[(Long, Double)] =
+      VectorOps.annTopKCosineIndexed(ix, query, "vec_id", "embedding",
+        k = 5, dim = dim)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val inMemory = VectorOps.annTopKCosine(c, query, "vec_id", "embedding",
+      k = 5, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ix1 = VectorOps.lshIndexLoadOrBuild(c, "vec_id", "embedding", dim, dir)
+    assert(top(ix1) == inMemory,
+      "persisted-index probe must equal the in-memory ANN")
+    def listing(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+        else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+      walk(new java.io.File(dir))
+        .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+    }
+    val before = listing()
+    Thread.sleep(1100)
+    val ix2 = VectorOps.lshIndexLoadOrBuild(c, "vec_id", "embedding", dim, dir)
+    assert(listing() == before, "an up-to-date LSH index must load, not rebuild")
+    assert(top(ix2) == inMemory)
+    // Probe plan: partition-pruned on tbl, bucket filter pushed to the
+    // parquet reader (row-group skipping over the sorted buckets).
+    val probe = VectorOps.annTopKCosineIndexed(ix2, query, "vec_id",
+      "embedding", k = 5, dim = dim)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tbl".r.findFirstIn(plan).isDefined,
+      s"LSH probe must prune table partitions:\n${plan.take(600)}")
+    assert("PushedFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"LSH probe must push the bucket filter:\n${plan.take(600)}")
+    // Corpus drift rebuilds.
+    VectorOps.lshIndexLoadOrBuild(corpus(501), "vec_id", "embedding", dim, dir)
+    assert(listing() != before, "corpus drift must rebuild the LSH index")
+  }
+
   test("a torn build (no marker) is rebuilt, never half-loaded") {
     val dir = java.nio.file.Files.createTempDirectory("ivft").toString + "/ix"
     val c = corpus(200)
