@@ -497,6 +497,12 @@ object SeriesMart {
     * the `batch` touches and rewrites only their hash buckets; every
     * other document keeps its bytes.
     *
+    * This is the HUB-SCAN form, kept for callers without a maintained
+    * count store: its touched rebuild and spine probe each read the
+    * (column-pruned) hub. [[UploadFlow]] routes through
+    * [[refreshFromCounts]] instead, whose reads are counts-bounded —
+    * prefer that path wherever a [[SeriesCounts]] store exists.
+    *
     * VALIDITY GUARDS (any failing one runs the full rebuild instead):
     *  - first build (no mart, or no [[martMetaFile]] marker — a layout
     *    written before the marker existed — self-heals on the next

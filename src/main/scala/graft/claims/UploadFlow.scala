@@ -47,15 +47,19 @@ object UploadFlow {
     * rebuild is counts-bounded, not a hub rescan).
     */
   def run(spark: SparkSession, prepared: DataFrame, hubPath: String,
-      martDir: String, asOf: String, buckets: Int = 64): Boolean =
+      martDir: String, asOf: String, buckets: Int = 64,
+      leaseTtlMs: Long = MaintenanceLease.defaultTtlMs): Boolean =
     // Single-writer lease over the whole flow ([[MaintenanceLease]]):
     // a second concurrent flow against the same mart fails loudly
     // HERE — before its probe, journal writes, or hub upsert — instead
     // of corrupting the non-table-format layouts silently. A crashed
-    // holder is taken over after the TTL; every crash window inside
-    // the flow stays journaled and replayable independent of the
-    // lease.
-    MaintenanceLease.withLease(spark, martDir) {
+    // holder is taken over after `leaseTtlMs`; every crash window
+    // inside the flow stays journaled and replayable independent of
+    // the lease. The TTL is the crash-restart availability dial: a
+    // process that dies holding the lease blocks the next flow for at
+    // most the TTL — deployments that restart fast (the streaming
+    // ingester) pass a TTL just above their longest healthy batch.
+    MaintenanceLease.withLease(spark, martDir, leaseTtlMs) {
       runUnlocked(spark, prepared, hubPath, martDir, asOf, buckets)
     }
 

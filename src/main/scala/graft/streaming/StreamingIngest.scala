@@ -43,7 +43,8 @@ object StreamingIngest {
   def start(spark: SparkSession, landingDir: String, hubPath: String,
       checkpointDir: String, martDir: Option[String] = None,
       martBuckets: Int = 64,
-      asOfClock: () => String = null)
+      asOfClock: () => String = null,
+      leaseTtlMs: Long = 5L * 60 * 1000)
       : StreamingQuery = {
     // Default clock resolves "today" in the SESSION timezone
     // (spark.sql.session.timeZone), not the JVM default — near a
@@ -93,8 +94,14 @@ object StreamingIngest {
             ClaimsEtl.withIngestSeq(canon))
           martDir match {
             case Some(m) =>
+              // A 5-minute default lease TTL (vs the interactive flow's
+              // 30): the engine restarts a crashed stream quickly, and
+              // a dead holder's lease must not block every retried
+              // batch for half an hour — batches here are bounded by
+              // maxFilesPerTrigger and finish in seconds.
               val incremental = graft.claims.UploadFlow.run(
-                sess, prepared, hubPath, m, clock(), martBuckets)
+                sess, prepared, hubPath, m, clock(), martBuckets,
+                leaseTtlMs = leaseTtlMs)
               // Surface guard-forced rebuilds: a stream whose uploads
               // keep extending the month spine regenerates everything
               // per batch — operators should see that, not infer it.

@@ -229,8 +229,13 @@ object IvfIndex {
     val spark = vectors.sparkSession
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bit_xor, not sum: order-independent like a sum but cannot
+    // overflow — a LongType sum of ~1e10 64-bit hashes overflows,
+    // which wraps silently with ANSI off and THROWS in an ANSI
+    // session. XOR cancellation needs a duplicated id to matter, and
+    // ids are the corpus identity.
     val fp = vectors.filter(col(vecCol).isNotNull)
-      .agg(count(lit(1)), sum(xxhash64(col(idCol)))).collect()(0)
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64(`$idCol`))")).collect()(0)
     val want = Seq(
       s"k=$k", s"id=$idCol", s"vec=$vecCol", s"seed=$seed",
       s"sampleN=$sampleN", s"iters=$iters",

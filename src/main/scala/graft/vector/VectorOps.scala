@@ -385,8 +385,10 @@ object VectorOps {
     val spark = vectors.sparkSession
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // bit_xor, not sum — see IvfIndex.loadOrBuild: overflow-free and
+    // order-independent.
     val fp = vectors.filter(col(vecCol).isNotNull)
-      .agg(count(lit(1)), sum(xxhash64(col(idCol)))).collect()(0)
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64(`$idCol`))")).collect()(0)
     val want = Seq(
       s"dim=$dim", s"planes=$planes", s"tables=$tables",
       s"id=$idCol", s"vec=$vecCol",
