@@ -27,13 +27,25 @@ object HubStore {
     * overwrite semantics of every other partitioned write in the
     * process for the rest of the session).
     */
-  def write(df: DataFrame, path: String): Unit =
+  def write(df: DataFrame, path: String): Unit = {
+    // Loud layout guard: a two-level dynamic write into a bucketed
+    // (three-level) layout would interleave partition depths and make
+    // the whole dataset unreadable — refuse up front instead.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (readHubMeta(fs, root).isDefined)
+      throw new IllegalStateException(
+        s"$path carries the bucketed-hub layout marker ($hubMetaFile); " +
+          "use upsert (layout-detecting) or writeBucketedHub, not the " +
+          "flat write")
     prepPartitionCols(df)
       .write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
+  }
 
   /** Partition column hygiene: int-typed, nulls → 0
     * (ref: core/storage.py:49-50). Shared with [[SeriesCounts]], whose

@@ -328,6 +328,18 @@ class HubStoreSpec extends AnyFunSuite {
       .select("접수일").collect()(0).getInt(0) == 9)
   }
 
+  test("a flat write onto a bucketed layout fails loudly") {
+    val dir = Files.createTempDirectory("hubguard").toString
+    HubStore.writeBucketedHub(ingest(), dir, buckets = 4)
+    val e = intercept[IllegalStateException] {
+      HubStore.write(ingest(), dir)
+    }
+    assert(e.getMessage.contains("bucketed-hub layout"))
+    // upsert on the same path keeps working (layout-detecting).
+    HubStore.upsert(spark, mkBatch(Seq(("C900", "2024", "2", "1"))), dir)
+    assert(spark.read.parquet(dir).count() == 7)
+  }
+
   test("bucket-layout null-key collapse matches the flat semantics") {
     import spark.implicits._
     // Null-key rows land in the sentinel bucket; every upsert must
