@@ -60,6 +60,15 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
       buckets: Int = 64): Boolean =
     UploadFlow.run(spark, prepared, hubPath, martDir, asOf.toString, buckets)
 
+  /** Maintenance verb: rebuild the mart's child-grain count store from
+    * the hub wholesale ([[SeriesCounts.rebuild]] — one narrow hub
+    * scan). Needed only after writing the hub AROUND the upload flow
+    * (direct `upsertHub`/`HubStore.write` calls leave the counts
+    * stale); the flow itself maintains the store incrementally.
+    */
+  def rebuildSeriesCounts(martDir: String): Unit =
+    SeriesCounts.rebuild(spark, loadHub(), SeriesCounts.dirFor(martDir))
+
   /** The UI's per-series read (the reference opens one JSON document
     * per key): an O(one bucket) point lookup on the bucketed mart.
     */

@@ -79,5 +79,20 @@ class ClaimAnalysisEngineSpec extends AnyFunSuite {
       .toJSON.collect().toSet
     assert(docs == full,
       "the incremental mart equals a full rebuild of the merged hub")
+
+    // A write AROUND the flow leaves the counts stale; the maintenance
+    // verb re-derives them and the next upload is incremental again.
+    engine.upsertHub(graft.claims.ClaimsEtl.preprocess(
+      graft.claims.ClaimsEtl.canonicalize54(
+        graft.claims.ClaimsEtl.withIngestSeq(Seq(
+          ("C905", "2023", "10", "3", "PLANT_A", "CAT2_X", "MAJOR_P"))
+          .toDF("상담번호", "접수년", "접수월", "접수일", "플랜트",
+            "제품범주2", "대분류")))))
+    engine.rebuildSeriesCounts(mart)
+    val countsDir = graft.claims.SeriesCounts.dirFor(mart)
+    val stored = graft.claims.SeriesCounts.read(spark, countsDir)
+      .agg(sum("n_all")).collect()(0).getLong(0)
+    assert(stored == engine.loadHub().count(),
+      "rebuilt counts cover every hub row")
   }
 }
