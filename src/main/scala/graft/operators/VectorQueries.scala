@@ -39,8 +39,7 @@ object VectorQueries extends QueryModule {
       queryVec(s, d), "vec_id", "embedding", k = 10, dim = DIM)
 
   private def lshIndexDir(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft-index/lsh-" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + "-vec_id-embedding-8x8"
+    graft.vector.IndexDirs.lsh(d, "vec_id", "embedding", 8, 8)
 
   /** Per-label centroid cosine spread — a groupBy over vectors
     * (array aggregation via posexplode, the scalable elementwise-mean
@@ -294,13 +293,14 @@ object VectorQueries extends QueryModule {
       "vec_id", "embedding", k = 10, nprobe = 10)
   }
 
-  /** Index home for a dataset dir: OUTSIDE the read-only corpus, named
-    * by the corpus path so every session of every round converges on
-    * one layout (the fingerprint in the marker revalidates it).
+  /** Index home for a dataset dir ([[graft.vector.IndexDirs]]):
+    * OUTSIDE the read-only corpus, named by corpus path + full config
+    * so every consumer — this entry, the recall audit, SemDeDup —
+    * converges on ONE layout per session AND per round (the marker
+    * fingerprint revalidates it).
     */
   private def ivfIndexDir(d: String): String =
-    sys.props("java.io.tmpdir") + "/graft-index/ivf-" +
-      d.replaceAll("[^A-Za-z0-9._-]", "_") + "-vec_id-embedding-k16"
+    graft.vector.IndexDirs.ivf(d, "vec_id", "embedding", 16)
 
   /** Exact 1-NN label accuracy per label — the standard embedding-QA
     * eval (kNN classification purity: does a vector's nearest neighbor

@@ -125,8 +125,11 @@ object SemDedup {
 
   private def assignedSlim(vectors: DataFrame, idCol: String,
       vecCol: String, k: Int, datasetKey: String): DataFrame = {
-    val (assigned, _) =
-      IvfIndex.assignCached(vectors, idCol, vecCol, k, datasetKey)
+    // The PERSISTED quantizer (round 11): same config key as the IVF
+    // ANN entries, so SemDeDup shares their on-disk index — a new
+    // session loads the cell assignment instead of re-fitting it.
+    val (assigned, _) = IvfIndex.loadOrBuildCached(vectors, idCol,
+      vecCol, k, IndexDirs.ivf(datasetKey, idCol, vecCol, k))
     assigned.select(col("cell"), col(idCol),
       col(vecCol).cast("array<double>").as("__v"))
   }
