@@ -139,10 +139,19 @@ object Bench {
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
       if (files.isEmpty) Map.empty
       else {
-        val text = new String(
+        val raw = new String(
           java.nio.file.Files.readAllBytes(files.maxBy(f =>
             "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0)).toPath),
           "UTF-8")
+        // The DRIVER's artifact is an ENVELOPE ({"n":…,"tail":"…"})
+        // whose tail carries this object's bench line with its quotes
+        // backslash-escaped — unescape so one parser covers both the
+        // raw line and the envelope (round-11 review: the first cut
+        // only matched the raw shape, which no committed artifact
+        // has, so the stabilizer never fired).
+        val text =
+          if (raw.contains("\\\"queries\\\":{")) raw.replace("\\\"", "\"")
+          else raw
         if (sfTag.nonEmpty && !text.contains(s""""sf":"$sfTag"""")) Map.empty
         else parsePriorArtifact(text)
       }

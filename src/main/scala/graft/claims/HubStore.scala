@@ -122,6 +122,21 @@ object HubStore {
       val hubBuckets = readHubMeta(fs, root)
       val layoutCols = partitionCols ++ hubBuckets.map(_ => bucketPartCol)
       val hub = read(spark, path)
+      // Torn-layout guard (round-11 review): writeBucketedHub stamps
+      // its marker AFTER the static overwrite commits, so a crash
+      // mid-write leaves three-level `_key_bucket=` dirs with NO
+      // marker. Detecting flat by marker absence alone would then
+      // interleave two-level writes into the torn layout — the
+      // unreadable-dataset state. The inferred schema is the ground
+      // truth: a mismatch in either direction fails loudly with the
+      // heal (re-run writeBucketedHub) named.
+      if (hub.columns.contains(bucketPartCol) != hubBuckets.isDefined)
+        throw new IllegalStateException(
+          s"$path layout/marker mismatch: bucket partition dirs " +
+            s"${if (hubBuckets.isDefined) "absent" else "present"} but " +
+            s"$hubMetaFile ${if (hubBuckets.isDefined) "present" else "absent"}" +
+            " — a writeBucketedHub crashed mid-write; re-run " +
+            "writeBucketedHub on this path to restore the layout")
       // The batch is consumed by FOUR jobs below (key probe, null-key
       // probe, target-partition listing, the merge itself); a caller's
       // lineage often carries a shuffle (preprocess keyed dedup), so

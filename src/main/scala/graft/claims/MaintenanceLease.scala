@@ -10,15 +10,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * rename race that happened to fail loudly. The lease turns the
   * undefined case into a deterministic, pre-upsert failure.
   *
-  * Mechanics: a create-EXCLUSIVE marker (`_graft_lease`) in the mart
-  * dir — `FileSystem.create(path, overwrite = false)` throws when the
-  * file exists, which is atomic on HDFS and posix filesystems (object
-  * stores without atomic create-exclusive keep the documented
-  * single-writer contract; the lease is then best-effort detection,
-  * not mutual exclusion). The marker carries the holder's epoch-ms
-  * and owner id; a holder that died without releasing is taken over
-  * once the marker is older than `ttlMs` (delete + re-create-
-  * exclusive, so two racing takeovers still serialize on the create).
+  * The marker lives BESIDE the mart dir (`<martDir>_lease`), never
+  * inside it: the full-rebuild path static-overwrites the mart dir —
+  * which deletes everything in it — and a lease stored there would be
+  * destroyed MID-FLOW by its own holder, reopening the race it exists
+  * to close (round-11 review).
+  *
+  * Mechanics: create-EXCLUSIVE (`FileSystem.create(path, overwrite =
+  * false)` throws when the file exists), atomic on HDFS and posix
+  * filesystems (object stores without atomic create-exclusive keep
+  * the documented single-writer contract; the lease is then
+  * best-effort detection, not mutual exclusion). The marker carries
+  * the holder's epoch-ms and owner id; a holder that died without
+  * releasing is taken over once the marker is older than `ttlMs`.
+  * Takeover re-reads the marker IMMEDIATELY before deleting and
+  * aborts if its content changed since the staleness check — two
+  * racing takeovers then serialize on the create except for the
+  * residual read→delete window (milliseconds against a TTL of
+  * minutes; closing it entirely needs a compare-and-swap no plain
+  * FileSystem offers — the table-format adjudication in COVERAGE).
   *
   * This is an AVAILABILITY trade only: a crashed flow blocks new
   * uploads for at most the TTL, and every crash window inside the
@@ -26,7 +36,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object MaintenanceLease {
 
-  private[claims] val leaseFile = "_graft_lease"
+  /** Lease marker path for a protected directory: a SIBLING file. */
+  private[claims] def leasePathFor(dir: String): Path =
+    new Path(dir.stripSuffix("/") + "_lease")
 
   /** Default takeover TTL — long enough that no healthy upload flow
     * (probe + upsert + count replacement + refresh) outlives it.
@@ -39,18 +51,34 @@ object MaintenanceLease {
     */
   def withLease[A](spark: org.apache.spark.sql.SparkSession, dir: String,
       ttlMs: Long = defaultTtlMs)(body: => A): A = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = leasePathFor(dir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val owner = java.util.UUID.randomUUID().toString
-    acquire(fs, root, owner, ttlMs)
+    acquire(fs, marker, owner, ttlMs)
     try body
-    finally release(fs, root, owner)
+    finally release(fs, marker, owner)
   }
 
-  private[claims] def acquire(fs: FileSystem, root: Path, owner: String,
+  /** Like [[withLease]] but returns None instead of throwing when
+    * another writer holds a live lease — for callers with a correct
+    * degraded path (the persisted vector indexes fall back to an
+    * in-memory build while a concurrent session writes the layout).
+    */
+  def tryWithLease[A](spark: org.apache.spark.sql.SparkSession,
+      dir: String, ttlMs: Long = defaultTtlMs)(body: => A): Option[A] = {
+    val marker = leasePathFor(dir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val owner = java.util.UUID.randomUUID().toString
+    try acquire(fs, marker, owner, ttlMs)
+    catch { case _: IllegalStateException => return None }
+    try Some(body)
+    finally release(fs, marker, owner)
+  }
+
+  private[graft] def acquire(fs: FileSystem, marker: Path, owner: String,
       ttlMs: Long): Unit = {
-    if (!fs.exists(root)) fs.mkdirs(root)
-    val marker = new Path(root, leaseFile)
+    val parent = marker.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
     def tryCreate(): Boolean =
       try {
         val out = fs.create(marker, false)
@@ -59,24 +87,30 @@ object MaintenanceLease {
         finally out.close()
         true
       } catch { case _: java.io.IOException => false }
+    def fail(): Nothing = throw new IllegalStateException(
+      s"another maintenance writer holds the lease at $marker; " +
+        "concurrent hub/mart maintenance is single-writer " +
+        s"(stale takeover after ${ttlMs} ms)")
     if (tryCreate()) return
-    // Held: live → fail loudly; stale (holder died > TTL ago, or the
-    // marker is torn/unreadable and old enough by mtime) → take over.
-    val ageOk =
-      readEpoch(fs, marker).orElse(
-        try Some(fs.getFileStatus(marker).getModificationTime)
-        catch { case _: java.io.IOException => None })
-        .forall(e => System.currentTimeMillis() - e > ttlMs)
-    if (!ageOk || { fs.delete(marker, false); !tryCreate() })
-      throw new IllegalStateException(
-        s"another maintenance writer holds the lease at $marker; " +
-          "concurrent hub/mart maintenance is single-writer " +
-          s"(stale takeover after ${ttlMs} ms)")
+    // Held. Live → fail loudly. Stale (holder died > TTL ago, or the
+    // marker is torn/unreadable and old enough by mtime) → take over,
+    // but ONLY if the marker still holds the exact content the
+    // staleness decision was made on — a racing takeover's fresh
+    // lease must never be deleted by a decision made against the
+    // stale one.
+    val first = readLines(fs, marker)
+    val epoch = parseEpoch(first).orElse(
+      try Some(fs.getFileStatus(marker).getModificationTime)
+      catch { case _: java.io.IOException => None })
+    val stale = epoch.forall(e => System.currentTimeMillis() - e > ttlMs)
+    if (!stale) fail()
+    if (readLines(fs, marker) != first) fail()
+    fs.delete(marker, false)
+    if (!tryCreate()) fail()
   }
 
-  private[claims] def release(fs: FileSystem, root: Path,
+  private[graft] def release(fs: FileSystem, marker: Path,
       owner: String): Unit = {
-    val marker = new Path(root, leaseFile)
     // Delete only OUR lease: a stale takeover may have replaced it,
     // and deleting the new holder's marker would un-serialize them.
     if (fs.exists(marker) && readOwner(fs, marker).contains(owner))
@@ -90,11 +124,9 @@ object MaintenanceLease {
       finally in.close()
     } catch { case _: java.io.IOException => Nil }
 
-  private def readEpoch(fs: FileSystem, marker: Path): Option[Long] =
-    readLines(fs, marker)
-      .collectFirst { case l if l.startsWith("epoch=") =>
-        l.stripPrefix("epoch=") }
-      .flatMap(_.toLongOption)
+  private def parseEpoch(lines: Seq[String]): Option[Long] =
+    lines.collectFirst { case l if l.startsWith("epoch=") =>
+      l.stripPrefix("epoch=") }.flatMap(_.toLongOption)
 
   private def readOwner(fs: FileSystem, marker: Path): Option[String] =
     readLines(fs, marker)

@@ -127,13 +127,24 @@ object SeriesCounts {
   /** Durably record partitions an in-flight upsert is about to change
     * — written BEFORE the hub commit so a crash between the commit and
     * the count replacement is healed by the next [[applyPending]].
+    *
+    * Tuples longer than the store's (접수년, 접수월) grain — a
+    * BUCKETED hub's (year, month, bucket) triples wired straight from
+    * `upsert`'s `onAffected` — are truncated HERE (round-11 review:
+    * truncating only in UploadFlow let a direct caller journal
+    * three-field lines that replay would have had to reject, silently
+    * losing the crash heal). Shorter tuples are a caller bug and
+    * throw before anything is written.
     */
   def journalParts(spark: SparkSession, dir: String,
       parts: Set[Seq[Int]]): Unit = {
+    val grain = partitionCols.length
+    parts.foreach(vs => require(vs.length >= grain,
+      s"partition tuple ${vs.mkString(",")} shorter than $partitionCols"))
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     GenerationJournal.append(fs, root, pendingPartsFile,
-      parts.toSeq.map(_.mkString(",")).sorted)
+      parts.map(_.take(grain)).toSeq.map(_.mkString(",")).sorted.distinct)
   }
 
   /** Bring the store up to date with the (post-upsert) hub: replace
@@ -152,13 +163,20 @@ object SeriesCounts {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     DeleteJournal.heal(fs, root, pendingDeletesFile)
     val (lines, gens) = GenerationJournal.readAll(fs, root, pendingPartsFile)
+    // STRICT parse: a line this replay cannot understand means the
+    // journal protocol was violated (journalParts normalizes arity at
+    // write time) — failing loudly preserves the generations for a
+    // fixed reader, where dropping them would silently discard the
+    // crash heal the journal exists for (round-11 review).
     val parts: Set[Seq[Int]] = lines
-      .flatMap { l =>
+      .map { l =>
         val vs = l.split(",", -1).toSeq
-        if (vs.length == partitionCols.length &&
-            vs.forall(_.matches("-?\\d+")))
-          Some(vs.map(_.toInt))
-        else None
+        require(vs.length == partitionCols.length &&
+          vs.forall(_.matches("-?\\d+")),
+          s"unparseable count-journal line '$l' under $root — refusing " +
+            "to clear the journal; fix the generation files or rebuild " +
+            "the store")
+        vs.map(_.toInt)
       }.toSet
     if (parts.isEmpty) {
       GenerationJournal.clear(fs, root, pendingPartsFile, gens); return

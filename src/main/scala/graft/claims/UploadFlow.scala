@@ -79,13 +79,12 @@ object UploadFlow {
       if (priors.nonEmpty)
         SeriesMart.journalTouchedKeys(spark, martDir, priors)
       // A bucketed hub reports three-level (year, month, bucket)
-      // tuples; the count store always works at (year, month) grain —
-      // truncate so its replacement re-derives whole touched months.
-      val grain = ClaimsSchema.partitionCols.length
+      // tuples; journalParts itself truncates to the count store's
+      // (year, month) grain, so its replacement re-derives whole
+      // touched months.
       HubStore.upsert(spark, batch, hubPath,
         onAffected = parts =>
-          SeriesCounts.journalParts(spark, countsDir,
-            parts.map(_.take(grain))))
+          SeriesCounts.journalParts(spark, countsDir, parts))
       val merged = HubStore.read(spark, hubPath)
       SeriesCounts.applyPending(spark, merged, countsDir)
       SeriesMart.refreshFromCounts(spark,

@@ -185,8 +185,14 @@ object IvfIndex {
   def topK(assigned: DataFrame, centroids: Array[Array[Double]],
       query: DataFrame, idCol: String, vecCol: String,
       k: Int, nprobe: Int): DataFrame = {
-    val q = query.select(normalizeUdf(col("qvec").cast("array<double>"))
-      .as("qn")).collect()(0).getSeq[Double](0).toArray
+    val qRows = query.select(normalizeUdf(col("qvec").cast("array<double>"))
+      .as("qn")).collect()
+    // An empty query frame returns an empty top-k (the pre-round-11
+    // broadcast-join form's behavior), never a driver crash.
+    if (qRows.isEmpty)
+      return assigned.select(col(idCol),
+        lit(0.0).cast("double").as("cos_sim")).limit(0)
+    val q = qRows(0).getSeq[Double](0).toArray
     val probeCells = centroids.zipWithIndex
       .map { case (c, i) =>
         (c.map(x => x * x).sum - 2 * c.zip(q).map(t => t._1 * t._2).sum, i)
@@ -227,34 +233,12 @@ object IvfIndex {
       iters: Int = 10, rebuild: Boolean = false)
       : (DataFrame, Array[Array[Double]]) = {
     val spark = vectors.sparkSession
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bit_xor, not sum: order-independent like a sum but cannot
-    // overflow — a LongType sum of ~1e10 64-bit hashes overflows,
-    // which wraps silently with ANSI off and THROWS in an ANSI
-    // session. XOR cancellation needs a duplicated id to matter, and
-    // ids are the corpus identity.
-    val fp = vectors.filter(col(vecCol).isNotNull)
-      .agg(count(lit(1)), expr(s"bit_xor(xxhash64(`$idCol`))")).collect()(0)
+    val (n, idsum) = PersistedLayout.fingerprint(vectors, idCol, vecCol)
     val want = Seq(
       s"k=$k", s"id=$idCol", s"vec=$vecCol", s"seed=$seed",
-      s"sampleN=$sampleN", s"iters=$iters",
-      s"n=${fp.getLong(0)}", s"idsum=${if (fp.isNullAt(1)) 0L else fp.getLong(1)}")
+      s"sampleN=$sampleN", s"iters=$iters", s"n=$n", s"idsum=$idsum")
       .mkString("\n") + "\n"
-    val marker = new org.apache.hadoop.fs.Path(root, metaFile)
-    val fresh = !rebuild && fs.exists(marker) && {
-      val in = fs.open(marker)
-      val got =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      got == want
-    }
-    if (fresh) {
-      val centroids = spark.read.parquet(s"$dir/centroids")
-        .orderBy("cell").collect()
-        .map(_.getSeq[Double](1).toArray)
-      (spark.read.parquet(s"$dir/assignments"), centroids)
-    } else {
+    PersistedLayout.ensure(spark, dir, metaFile, want, rebuild) {
       val (assigned, centroids) = assign(vectors, idCol, vecCol, k,
         seed, sampleN, iters)
       assigned.write.mode("overwrite")
@@ -263,9 +247,17 @@ object IvfIndex {
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
         .toDF("cell", "centroid")
         .write.mode("overwrite").parquet(s"$dir/centroids")
-      // Marker last: its presence asserts both datasets are complete.
-      graft.claims.DeleteJournal.writeMarkerAtomic(fs, root, metaFile, want)
-      (spark.read.parquet(s"$dir/assignments"), centroids)
+    } match {
+      case PersistedLayout.Busy =>
+        // Another session is writing this layout right now: serve
+        // this call from an in-memory fit (identical results — the
+        // fit is deterministic) instead of reading a half-built dir.
+        assign(vectors, idCol, vecCol, k, seed, sampleN, iters)
+      case _ =>
+        val centroids = spark.read.parquet(s"$dir/centroids")
+          .orderBy("cell").collect()
+          .map(_.getSeq[Double](1).toArray)
+        (spark.read.parquet(s"$dir/assignments"), centroids)
     }
   }
 

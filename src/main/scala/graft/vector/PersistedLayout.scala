@@ -1,0 +1,87 @@
+package graft.vector
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The shared persist-or-load protocol of the vector indexes (IVF
+  * cells, LSH buckets) — one implementation of the fingerprint
+  * marker, the stamp-last crash semantics, and the concurrent-builder
+  * guard, so the two indexes cannot drift (round-11 review: the first
+  * cut duplicated ~30 lines of this in each).
+  *
+  * Freshness = the marker file's content equals the caller's `want`
+  * string (full build config + corpus fingerprint). The build runs
+  * under a best-effort create-exclusive lease BESIDE the index dir
+  * ([[graft.claims.MaintenanceLease]]): two sessions racing to build
+  * the same layout would otherwise interleave their overwrites and
+  * the last marker stamp would certify a mixed directory — with the
+  * lease, one session builds while the other reports [[Busy]] and
+  * serves its query from an in-memory build this once. The marker is
+  * stamped temp-then-rename AFTER the datasets commit, so a crashed
+  * build is re-run, never half-loaded.
+  */
+private[vector] object PersistedLayout {
+
+  sealed trait State
+  /** Layout on disk matches `want` — load it. */
+  case object Fresh extends State
+  /** `build` ran under the lease and the marker is stamped — load. */
+  case object Built extends State
+  /** Another session is building this layout right now — fall back
+    * to the in-memory path for this call.
+    */
+  case object Busy extends State
+
+  /** Corpus fingerprint over the non-null-vector rows: (row count,
+    * bit_xor of id hashes). bit_xor, not a sum — order-independent
+    * but overflow-free (a LongType sum of ~1e10 64-bit hashes wraps
+    * silently with ANSI off and THROWS in an ANSI session); XOR
+    * cancellation needs a duplicated id, and ids are the corpus
+    * identity. Content mutation under an unchanged id set is
+    * invisible by design — force a rebuild after such surgery.
+    */
+  def fingerprint(vectors: DataFrame, idCol: String,
+      vecCol: String): (Long, Long) = {
+    val fp = vectors.filter(col(vecCol).isNotNull)
+      .agg(count(lit(1)), expr(s"bit_xor(xxhash64(`$idCol`))")).collect()(0)
+    (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
+  }
+
+  private def markerMatches(spark: SparkSession, dir: String,
+      metaFile: String, want: String): Boolean = {
+    val marker = new Path(dir, metaFile)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(marker) && {
+      val in = fs.open(marker)
+      val got =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      got == want
+    }
+  }
+
+  /** A 10-minute lease TTL: index builds are one corpus pass — far
+    * under the interactive flow's 30-minute dial — and a crashed
+    * builder should not park every other session on the in-memory
+    * fallback for longer than that.
+    */
+  private val buildTtlMs = 10L * 60 * 1000
+
+  def ensure(spark: SparkSession, dir: String, metaFile: String,
+      want: String, rebuild: Boolean)(build: => Unit): State = {
+    if (!rebuild && markerMatches(spark, dir, metaFile, want)) return Fresh
+    graft.claims.MaintenanceLease.tryWithLease(spark, dir, buildTtlMs) {
+      // Re-check INSIDE the lease: the builder we raced may have
+      // finished between the first check and our acquisition.
+      if (!rebuild && markerMatches(spark, dir, metaFile, want)) Fresh
+      else {
+        build
+        val root = new Path(dir)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        graft.claims.DeleteJournal.writeMarkerAtomic(fs, root, metaFile, want)
+        Built
+      }
+    }.getOrElse(Busy)
+  }
+}

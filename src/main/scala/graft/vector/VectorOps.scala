@@ -383,36 +383,26 @@ object VectorOps {
       vecCol: String, dim: Int, dir: String,
       planes: Int = 8, tables: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
-    val root = new org.apache.hadoop.fs.Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // bit_xor, not sum — see IvfIndex.loadOrBuild: overflow-free and
-    // order-independent.
-    val fp = vectors.filter(col(vecCol).isNotNull)
-      .agg(count(lit(1)), expr(s"bit_xor(xxhash64(`$idCol`))")).collect()(0)
+    val (n, idsum) = PersistedLayout.fingerprint(vectors, idCol, vecCol)
     val want = Seq(
       s"dim=$dim", s"planes=$planes", s"tables=$tables",
-      s"id=$idCol", s"vec=$vecCol",
-      s"n=${fp.getLong(0)}",
-      s"idsum=${if (fp.isNullAt(1)) 0L else fp.getLong(1)}")
+      s"id=$idCol", s"vec=$vecCol", s"n=$n", s"idsum=$idsum")
       .mkString("\n") + "\n"
-    val marker = new org.apache.hadoop.fs.Path(root, lshMetaFile)
-    val fresh = fs.exists(marker) && {
-      val in = fs.open(marker)
-      val got =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      got == want
-    }
-    if (!fresh) {
+    PersistedLayout.ensure(spark, dir, lshMetaFile, want,
+      rebuild = false) {
       lshBucketize(vectors, idCol, vecCol, dim, planes, tables)
         .repartition(col("tbl"))
         .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite")
         .partitionBy("tbl")
         .parquet(s"$dir/buckets")
-      graft.claims.DeleteJournal.writeMarkerAtomic(fs, root, lshMetaFile, want)
+    } match {
+      case PersistedLayout.Busy =>
+        // A concurrent session is writing the layout: serve this call
+        // from the in-memory bucketize (identical rows).
+        lshBucketize(vectors, idCol, vecCol, dim, planes, tables)
+      case _ => spark.read.parquet(s"$dir/buckets")
     }
-    spark.read.parquet(s"$dir/buckets")
   }
 
   /** [[lshIndexLoadOrBuild]] behind the session cache, like

@@ -70,4 +70,25 @@ class BenchSpec extends AnyFunSuite {
     // A missing directory degrades to empty.
     assert(Bench.loadPriorArtifact(dir.getPath + "/nope").isEmpty)
   }
+
+  test("loader parses the DRIVER's envelope artifact format") {
+    // The committed artifacts are envelopes with the bench line
+    // backslash-escaped inside a "tail" string — the loader must read
+    // that shape, or the cross-round stabilizer is dead code (the
+    // round-11 review caught exactly this).
+    val dir = java.nio.file.Files.createTempDirectory("benchenv").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "BENCH_r9.json"), "UTF-8")
+    try w.write("""{"n": 10, "rc": 0, "sf": 0.1, "tail": "noise\n[info] """ +
+      """{\"metric\":\"total\",\"value\":50.4,\"unit\":\"sec\",""" +
+      """\"queries\":{\"q_a\":3.42,\"q_b\":0.33},\"dropped\":2,""" +
+      """\"dropped_sum\":0.2,\"sf\":\"sf0.1\"}\n", "parsed": null}""")
+    finally w.close()
+    assert(Bench.loadPriorArtifact(dir.getPath, "sf0.1") ===
+      Map("q_a" -> 3.42, "q_b" -> 0.33))
+    assert(Bench.loadPriorArtifact(dir.getPath, "sf0.01").isEmpty)
+    // The strongest pin: the REAL committed artifact must load.
+    val real = Bench.loadPriorArtifact("/root/repo", "sf0.1")
+    assert(real.nonEmpty && real.contains("q_anomaly_mad"),
+      s"the committed BENCH_r*.json must parse, got ${real.size} entries")
+  }
 }

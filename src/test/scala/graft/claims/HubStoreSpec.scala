@@ -328,6 +328,26 @@ class HubStoreSpec extends AnyFunSuite {
       .select("접수일").collect()(0).getInt(0) == 9)
   }
 
+  test("a torn bucketed layout (marker missing) fails the next upsert loudly") {
+    // writeBucketedHub stamps its marker after the data commits; a
+    // crash mid-write leaves _key_bucket= dirs with no marker. The
+    // next upsert must refuse (naming the heal), NOT silently treat
+    // the path as flat and interleave two-level writes into it.
+    val dir = Files.createTempDirectory("hubtorn").toString
+    HubStore.writeBucketedHub(ingest(), dir, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, HubStore.hubMetaFile), false)
+    val e = intercept[IllegalStateException] {
+      HubStore.upsert(spark, mkBatch(Seq(("C900", "2024", "2", "1"))), dir)
+    }
+    assert(e.getMessage.contains("writeBucketedHub"))
+    // The named heal restores the layout and upserts work again.
+    HubStore.writeBucketedHub(ingest(), dir, buckets = 4)
+    HubStore.upsert(spark, mkBatch(Seq(("C900", "2024", "2", "1"))), dir)
+    assert(spark.read.parquet(dir).count() == 7)
+  }
+
   test("a flat write onto a bucketed layout fails loudly") {
     val dir = Files.createTempDirectory("hubguard").toString
     HubStore.writeBucketedHub(ingest(), dir, buckets = 4)

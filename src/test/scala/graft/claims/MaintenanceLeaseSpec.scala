@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The single-writer contract made loud: a second concurrent upload
-  * flow against one mart fails cleanly BEFORE touching any state.
+  * flow against one mart fails cleanly BEFORE touching any state, and
+  * the lease marker survives everything the flow itself does —
+  * including the full-rebuild static overwrite of the mart dir.
   */
 class MaintenanceLeaseSpec extends AnyFunSuite {
 
@@ -27,62 +29,102 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     val base = java.nio.file.Files.createTempDirectory("lease1").toString
     val hubPath = s"$base/hub"
     val martDir = s"$base/mart"
+    val marker = MaintenanceLease.leasePathFor(martDir)
     // Writer A is mid-flow: it holds a live lease.
-    MaintenanceLease.acquire(fs, new Path(martDir), "writer-a",
+    MaintenanceLease.acquire(fs, marker, "writer-a",
       MaintenanceLease.defaultTtlMs)
     // Writer B's whole flow must fail up front...
     val e = intercept[IllegalStateException] {
       UploadFlow.run(spark, fixture, hubPath, martDir, "2024-02-01")
     }
     assert(e.getMessage.contains("lease"))
-    // ...with NOTHING half-done: no hub, no mart data, no journals.
+    // ...with NOTHING half-done: no hub, no mart, no count journals.
     assert(!new java.io.File(hubPath).exists,
       "the blocked flow must not have touched the hub")
-    assert(!new java.io.File(martDir).listFiles()
-      .exists(f => !f.getName.startsWith("_") && !f.getName.startsWith(".")),
-      "the blocked flow must not have written mart data")
+    assert(!new java.io.File(martDir).exists,
+      "the blocked flow must not have created mart state")
     assert(!new java.io.File(SeriesCounts.dirFor(martDir)).exists,
       "the blocked flow must not have journaled count partitions")
     // Writer A finishes and releases → B's retry succeeds.
-    MaintenanceLease.release(fs, new Path(martDir), "writer-a")
+    MaintenanceLease.release(fs, marker, "writer-a")
     assert(!UploadFlow.run(spark, fixture, hubPath, martDir, "2024-02-01"))
     assert(new java.io.File(martDir).listFiles()
       .exists(_.getName.startsWith("key_bucket=")))
   }
 
+  test("the lease survives the flow's own full-rebuild static overwrite") {
+    // Round-11 review: a lease INSIDE the mart dir was deleted by
+    // writeBucketedMart's static overwrite — by its own holder,
+    // mid-flow — so the first-build/spine-extension path (the most
+    // common production event) silently dropped mutual exclusion. The
+    // sibling marker must still be held when the rebuild finishes.
+    val base = java.nio.file.Files.createTempDirectory("lease4").toString
+    val martDir = s"$base/mart"
+    val marker = MaintenanceLease.leasePathFor(martDir)
+    var heldDuring = false
+    MaintenanceLease.withLease(spark, martDir) {
+      // The full-rebuild write wipes the mart dir completely.
+      SeriesMart.writeBucketedMart(
+        SeriesMart.build(fixture, "2024-02-01"), martDir)
+      heldDuring = fs.exists(marker)
+    }
+    assert(heldDuring,
+      "the static overwrite must not delete the holder's own lease")
+    assert(!fs.exists(marker), "released after the body")
+  }
+
   test("a crashed holder's stale lease is taken over after the TTL") {
     val base = java.nio.file.Files.createTempDirectory("lease2").toString
     val martDir = s"$base/mart"
+    val marker = MaintenanceLease.leasePathFor(martDir)
     // A holder that died 1h ago (no release) must not block forever.
-    val root = new Path(martDir)
-    fs.mkdirs(root)
-    val out = fs.create(new Path(root, MaintenanceLease.leaseFile), false)
+    fs.mkdirs(new Path(base))
+    val out = fs.create(marker, false)
     out.write((s"epoch=${System.currentTimeMillis() - 3600 * 1000}\n" +
       "owner=dead-writer\n").getBytes("UTF-8"))
     out.close()
     assert(!UploadFlow.run(spark, fixture, s"$base/hub", martDir,
       "2024-02-01"), "the takeover flow runs to completion")
-    assert(!new java.io.File(martDir, MaintenanceLease.leaseFile).exists,
+    assert(!fs.exists(marker),
       "the completed flow releases its own (taken-over) lease")
+  }
+
+  test("a takeover aborts when the marker changed since the staleness check") {
+    // The narrowed check-then-act window: whoever re-reads the marker
+    // and finds fresh content must fail, not delete the new holder's
+    // lease. Simulated by racing a fresh lease in before the second
+    // acquire's staleness decision can be stale-based.
+    val base = java.nio.file.Files.createTempDirectory("lease5").toString
+    val marker = MaintenanceLease.leasePathFor(s"$base/mart")
+    MaintenanceLease.acquire(fs, marker, "fresh-holder",
+      MaintenanceLease.defaultTtlMs)
+    // A fresh (non-stale) lease: any acquire must fail without
+    // touching it.
+    intercept[IllegalStateException] {
+      MaintenanceLease.acquire(fs, marker, "latecomer", 1000L * 3600)
+    }
+    assert(fs.exists(marker), "the live lease survives the failed acquire")
+    MaintenanceLease.release(fs, marker, "fresh-holder")
   }
 
   test("withLease releases on failure; release ignores a foreign lease") {
     val base = java.nio.file.Files.createTempDirectory("lease3").toString
-    val root = new Path(s"$base/mart")
+    val dir = s"$base/mart"
+    val marker = MaintenanceLease.leasePathFor(dir)
     intercept[RuntimeException] {
-      MaintenanceLease.withLease(spark, root.toString) {
+      MaintenanceLease.withLease(spark, dir) {
         throw new RuntimeException("body failed")
       }
     }
-    assert(!fs.exists(new Path(root, MaintenanceLease.leaseFile)),
+    assert(!fs.exists(marker),
       "a failing body must still release the lease")
     // A release by a writer that LOST its lease to takeover must not
     // delete the new holder's marker.
-    MaintenanceLease.acquire(fs, root, "new-holder",
+    MaintenanceLease.acquire(fs, marker, "new-holder",
       MaintenanceLease.defaultTtlMs)
-    MaintenanceLease.release(fs, root, "old-holder")
-    assert(fs.exists(new Path(root, MaintenanceLease.leaseFile)),
+    MaintenanceLease.release(fs, marker, "old-holder")
+    assert(fs.exists(marker),
       "a foreign release must not delete the live holder's lease")
-    MaintenanceLease.release(fs, root, "new-holder")
+    MaintenanceLease.release(fs, marker, "new-holder")
   }
 }
