@@ -37,7 +37,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object MaintenanceLease {
 
   /** Lease marker path for a protected directory: a SIBLING file. */
-  private[claims] def leasePathFor(dir: String): Path =
+  private[graft] def leasePathFor(dir: String): Path =
     new Path(dir.stripSuffix("/") + "_lease")
 
   /** Default takeover TTL — long enough that no healthy upload flow

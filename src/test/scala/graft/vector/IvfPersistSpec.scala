@@ -128,6 +128,30 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(listing() != before, "corpus drift must rebuild the LSH index")
   }
 
+  test("a held build lease degrades to the in-memory path, persisting nothing") {
+    // Two sessions racing to build one index dir: the loser must not
+    // interleave writes into the winner's layout — it serves its query
+    // from a deterministic in-memory fit and leaves the dir alone.
+    val dir = java.nio.file.Files.createTempDirectory("ivfbusy").toString + "/ix"
+    val c = corpus(300)
+    val marker = graft.claims.MaintenanceLease.leasePathFor(dir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.claims.MaintenanceLease.acquire(fs, marker, "other-builder",
+      60L * 60 * 1000)
+    try {
+      val (aBusy, csBusy) = IvfIndex.loadOrBuild(c, "vec_id", "embedding", 8, dir)
+      val (a0, cs0) = IvfIndex.assign(c, "vec_id", "embedding", 8)
+      assert(topIds(aBusy, csBusy) == topIds(a0, cs0),
+        "the busy fallback serves identical results")
+      assert(!new java.io.File(dir, IvfIndex.metaFile).exists &&
+        !new java.io.File(s"$dir/assignments").exists,
+        "a busy builder must not write into the contested layout")
+    } finally graft.claims.MaintenanceLease.release(fs, marker, "other-builder")
+    // Lease released: the next call builds and persists normally.
+    IvfIndex.loadOrBuild(c, "vec_id", "embedding", 8, dir)
+    assert(new java.io.File(dir, IvfIndex.metaFile).exists)
+  }
+
   test("a torn build (no marker) is rebuilt, never half-loaded") {
     val dir = java.nio.file.Files.createTempDirectory("ivft").toString + "/ix"
     val c = corpus(200)
