@@ -150,6 +150,35 @@ class ClaimsScaleSpec extends AnyFunSuite {
       s"only the touched month's count partition may change, got: $changedCountParts")
     assert(spark.read.parquet(martDir).count() == 5000)
 
+    // Spine-extending upload at width (the first upload of a new
+    // month — the most common production event): previously an
+    // O(hub + mart) rebuild, now assembled from #keys × #months count
+    // rows with NO hub read (refreshFromCounts takes no hub
+    // argument). Still reports the full-rebuild path (every history
+    // gains a month, every doc re-stamps) and must stay in the same
+    // cost class as the initial build, not above it.
+    val extend = spark.range(1).select(
+      lit("K_ext").as(ClaimsSchema.keyCol),
+      lit("P3").as("플랜트"), lit("C1").as("제품범주2"),
+      lit("M1").as("대분류"), lit("S2").as("중분류"),
+      to_date(lit("2025-03-10")).as(ClaimsSchema.receiptDateCol),
+      lit(true).as(ClaimsSchema.lagValidCol),
+      lit(5).as(ClaimsSchema.lagDaysCol))
+      .withColumn("접수년", lit(2025)).withColumn("접수월", lit(3))
+    val t2 = System.nanoTime()
+    assert(!UploadFlow.run(spark, extend, hubPath, martDir, "2026-03-01"),
+      "a spine-extending upload reports the (counts-bounded) rebuild path")
+    val ext = (System.nanoTime() - t2) / 1e9
+    info(f"spine-extending upload at 5k/40k width: $ext%.1f s")
+    // (P3, C1, M1) is an existing parent — the doc count holds.
+    assert(spark.read.parquet(martDir).count() == 5000)
+    assert(spark.read.parquet(martDir)
+      .select(element_at(col("data.history"), -1).getField("date").as("d"))
+      .collect().forall(_.getString(0) == "2025-03"),
+      "every document's history extends through the new month")
+    assert(ext < built * 3 + 30,
+      s"counts-bounded rebuild must stay in the initial build's cost class: $ext s vs $built s")
+
     // Shuffle-shape width-independence: the risk scan over the 40k-wide
     // hub plans exactly as many exchanges as over the 6-row fixture.
     def exchanges(df: org.apache.spark.sql.DataFrame): Int =
