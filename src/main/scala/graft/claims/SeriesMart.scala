@@ -389,6 +389,29 @@ object SeriesMart {
       .distinct().collect().map(_.getString(0)).toSet
   }
 
+  /** Path-aware [[priorParentKeys]]: on a bucketed hub layout the
+    * probe prunes to the batch keys' bucket partitions (the same
+    * [[HubStore.oldLocationsBucketed]] pruning the upsert's own probe
+    * gets), turning the flow's last full-hub narrow scan into a
+    * touched-buckets read. Falls back to the flat probe when the
+    * layout carries no bucket marker.
+    */
+  def priorParentKeys(spark: org.apache.spark.sql.SparkSession,
+      hubPath: String, batch: DataFrame): Set[String] = {
+    val root = new org.apache.hadoop.fs.Path(hubPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hub = HubStore.read(spark, hubPath)
+    HubStore.readHubMeta(fs, root) match {
+      case Some(b) =>
+        val keys = batch.filter(col(ClaimsSchema.keyCol).isNotNull)
+          .select(col(ClaimsSchema.keyCol)).distinct()
+        HubStore.oldLocationsBucketed(hub, keys, b)
+          .select(concat_ws("_", parentKeys.map(pyStr): _*).as("key"))
+          .distinct().collect().map(_.getString(0)).toSet
+      case None => priorParentKeys(hub, batch)
+    }
+  }
+
   /** Durable record of the parent keys an IN-FLIGHT upload touches —
     * written BEFORE the hub upsert ([[graft.api.ClaimAnalysisEngine
     * .uploadBatch]]). The pre-upsert [[priorParentKeys]] probe exists

@@ -74,7 +74,8 @@ object UploadFlow {
     try {
       val priors =
         if (HubStore.exists(spark, hubPath))
-          SeriesMart.priorParentKeys(HubStore.read(spark, hubPath), batch)
+          // Path-aware probe: bucket-pruned on a bucketed hub layout.
+          SeriesMart.priorParentKeys(spark, hubPath, batch)
         else Set.empty[String]
       if (priors.nonEmpty)
         SeriesMart.journalTouchedKeys(spark, martDir, priors)
