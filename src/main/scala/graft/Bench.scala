@@ -137,24 +137,29 @@ object Bench {
     try {
       val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array())
         .filter(f => f.getName.matches("BENCH_r\\d+\\.json"))
-      if (files.isEmpty) Map.empty
-      else {
-        val raw = new String(
-          java.nio.file.Files.readAllBytes(files.maxBy(f =>
-            "\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0)).toPath),
-          "UTF-8")
-        // The DRIVER's artifact is an ENVELOPE ({"n":…,"tail":"…"})
-        // whose tail carries this object's bench line with its quotes
-        // backslash-escaped — unescape so one parser covers both the
-        // raw line and the envelope (round-11 review: the first cut
-        // only matched the raw shape, which no committed artifact
-        // has, so the stabilizer never fired).
-        val text =
-          if (raw.contains("\\\"queries\\\":{")) raw.replace("\\\"", "\"")
-          else raw
-        if (sfTag.nonEmpty && !text.contains(s""""sf":"$sfTag"""")) Map.empty
-        else parsePriorArtifact(text)
-      }
+        .sortBy(f => -"\\d+".r.findFirstIn(f.getName).map(_.toInt).getOrElse(0))
+      // Newest round first, falling back past artifacts that carry no
+      // usable per-entry map (a failed round's tail has no bench
+      // line; a different-SF round's numbers are incomparable) — an
+      // older comparable prior beats no prior.
+      files.iterator.map { f =>
+        try {
+          val raw = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          // The DRIVER's artifact is an ENVELOPE ({"n":…,"tail":"…"})
+          // whose tail carries this object's bench line with its
+          // quotes backslash-escaped — unescape so one parser covers
+          // both the raw line and the envelope (round-11 review: the
+          // first cut only matched the raw shape, which no committed
+          // artifact has, so the stabilizer never fired).
+          val text =
+            if (raw.contains("\\\"queries\\\":{")) raw.replace("\\\"", "\"")
+            else raw
+          if (sfTag.nonEmpty && !text.contains(s""""sf":"$sfTag""""))
+            Map.empty[String, Double]
+          else parsePriorArtifact(text)
+        } catch { case _: Throwable => Map.empty[String, Double] }
+      }.find(_.nonEmpty).getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
   /** Extract the `"queries":{...}` per-entry map from an artifact line

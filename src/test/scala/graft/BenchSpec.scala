@@ -63,6 +63,11 @@ class BenchSpec extends AnyFunSuite {
     write("BENCH_r2.json", """{"queries":{"q_x":9.0},"sf":"sf0.1"}""")
     write("BENCH_r10.json", """{"queries":{"q_x":1.0},"sf":"sf0.1"}""")
     assert(Bench.loadPriorArtifact(dir.getPath) === Map("q_x" -> 1.0))
+    // A malformed newest artifact (a failed round's tail carries no
+    // bench line) falls back to the newest PARSEABLE one.
+    write("BENCH_r11.json", """{"n":10,"rc":1,"tail":"sbt blew up"}""")
+    assert(Bench.loadPriorArtifact(dir.getPath) === Map("q_x" -> 1.0))
+    new java.io.File(dir, "BENCH_r11.json").delete()
     // Same-SF priors load; a different scale factor is discarded
     // (2x of an sf0.01 value says nothing about an sf0.1 run).
     assert(Bench.loadPriorArtifact(dir.getPath, "sf0.1") === Map("q_x" -> 1.0))
