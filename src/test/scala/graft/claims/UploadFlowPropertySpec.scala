@@ -58,7 +58,10 @@ class UploadFlowPropertySpec extends AnyFunSuite {
     docs.map(_.replaceAll("\"last_updated\":\"[^\"]*\"", ""))
 
   test("random upload sequences: flow state equals from-scratch state after every batch") {
-    val rnd = new scala.util.Random(20260814L)
+    // Fixed seed for the repeatable suite; GRAFT_PROP_SEED sweeps
+    // fresh sequences in exploratory runs without touching the code.
+    val rnd = new scala.util.Random(sys.env.get("GRAFT_PROP_SEED")
+      .flatMap(_.toLongOption).getOrElse(20260814L))
     val base = java.nio.file.Files.createTempDirectory("flowprop").toString
     val hubPath = s"$base/hub"
     val martDir = s"$base/mart"
