@@ -113,17 +113,20 @@ object Bench {
     times.max > 1.5 * times.min
 
   /** Cross-round re-rep policy, factored out so the spec can pin it:
-    * an entry whose best time this run is >2x its previous-round
+    * an entry whose best time this run is >1.5x its previous-round
     * artifact value is suspect (sustained load inflates agreeing reps
-    * together — the shape rep-disagreement cannot see). The 50 ms
-    * absolute floor keeps microscopic entries (where 2x is scheduler
-    * jitter) from paying extra reps; entries absent from the prior
-    * artifact (new, renamed, or in its truncated fast tail) are never
-    * re-repped on this policy.
+    * together — the shape rep-disagreement cannot see). 1.5x, not the
+    * original 2x: BENCH_r11 carried two entries at 1.7-1.9x of their
+    * r10 values that a judge re-run measured at or below r10 — the 2x
+    * trigger had a blind window sub-2x load drift sailed through. The
+    * 50 ms absolute floor keeps microscopic entries (where 1.5x is
+    * scheduler jitter) from paying extra reps; entries absent from the
+    * prior artifact (new, renamed, or in its truncated fast tail) are
+    * never re-repped on this policy.
     */
   private[graft] def needsPriorRecheck(best: Double,
       prior: Option[Double]): Boolean =
-    prior.exists(p => best > 2.0 * p && best - p > 0.05)
+    prior.exists(p => best > 1.5 * p && best - p > 0.05)
 
   /** Per-entry values from the newest `BENCH_r*.json` in the working
     * directory (the driver writes one per round into the repo root,

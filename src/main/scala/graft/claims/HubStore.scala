@@ -39,6 +39,18 @@ object HubStore {
         s"$path carries the bucketed-hub layout marker ($hubMetaFile); " +
           "use upsert (layout-detecting) or writeBucketedHub, not the " +
           "flat write")
+    // Torn-bucketed guard (round-11 advice): a writeBucketedHub that
+    // crashed after committing `_key_bucket=` dirs but before stamping
+    // the marker leaves bucket dirs with NO marker — the marker check
+    // above is blind to it, and a flat write would interleave two-level
+    // partitions into the torn layout. Probe the directory names
+    // (#years × #months listings, driver-side, the same cost any read's
+    // partition discovery pays) and name the heal.
+    if (hasBucketDirs(fs, root))
+      throw new IllegalStateException(
+        s"$path holds $bucketPartCol= partition dirs without the " +
+          s"$hubMetaFile marker — a writeBucketedHub crashed mid-write; " +
+          "re-run writeBucketedHub on this path to restore the layout")
     prepPartitionCols(df)
       .write
       .option("partitionOverwriteMode", "dynamic")
@@ -71,8 +83,17 @@ object HubStore {
     * replaying the journal against the merged hub. A throwing callback
     * aborts the upsert with the hub untouched.
     */
+  /** `firstWriteBuckets`: when the path holds no hub yet, Some(b)
+    * creates the key-hash BUCKETED layout ([[writeBucketedHub]])
+    * instead of the flat one — how [[UploadFlow]] makes bucketed the
+    * default for hubs it births without changing the behavior of
+    * direct upsert callers (None, the default, keeps the flat first
+    * write every existing spec pins). Ignored when the hub exists —
+    * layout comes from the marker then.
+    */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
-      onAffected: Set[Seq[Int]] => Unit = _ => ()): Unit = {
+      onAffected: Set[Seq[Int]] => Unit = _ => (),
+      firstWriteBuckets: Option[Int] = None): Unit = {
     if (exists(spark, path)) {
       // PARTITION-SCOPED rewrite. The correctness hazard (reproduced in
       // the round-9 review) is a keyed update MOVING a claim across
@@ -239,7 +260,10 @@ object HubStore {
         .select(partitionCols.map(c => col(c).cast("int")): _*)
         .distinct().collect()
         .map(r => partitionCols.indices.map(r.getInt)).toSet)
-      write(incoming.drop(ingestSeqCol), path)
+      firstWriteBuckets match {
+        case Some(b) => writeBucketedHub(incoming, path, b)
+        case None => write(incoming.drop(ingestSeqCol), path)
+      }
     }
   }
 
@@ -306,21 +330,114 @@ object HubStore {
     * month's key column. STATIC overwrite + meta marker, like the
     * mart's bucketed writer.
     */
+  /** Default bucket count for hubs the upload flow births bucketed and
+    * for [[migrateToBucketed]]: sized so one bucket of one month stays
+    * a few files at fleet cardinality, while a typical batch's key set
+    * still prunes to a strict subset of buckets.
+    */
+  val defaultHubBuckets: Int = 32
+
   def writeBucketedHub(df: DataFrame, path: String,
-      buckets: Int = 32): Unit = {
+      buckets: Int = defaultHubBuckets): Unit = {
     require(buckets > 0, s"buckets must be positive: $buckets")
     val spark = df.sparkSession
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    withBucketCol(prepPartitionCols(df.drop(ingestSeqCol)), buckets)
-      .write
-      .option("partitionOverwriteMode", "static")
-      .partitionBy((partitionCols :+ bucketPartCol): _*)
-      .mode("overwrite")
-      .parquet(path)
-    DeleteJournal.writeMarkerAtomic(fs, root, hubMetaFile,
-      s"buckets=$buckets\n")
+    // Leased (round-11 verdict item 4): the static overwrite below
+    // deletes the whole dataset before its job commits — interleaving
+    // with a running UploadFlow on the same hub must fail loudly, not
+    // corrupt. Reentrant: the flow's own first-write lands here
+    // already holding this lease.
+    MaintenanceLease.withLease(spark, path) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      withBucketCol(prepPartitionCols(df.drop(ingestSeqCol)), buckets)
+        .write
+        .option("partitionOverwriteMode", "static")
+        .partitionBy((partitionCols :+ bucketPartCol): _*)
+        .mode("overwrite")
+        .parquet(path)
+      DeleteJournal.writeMarkerAtomic(fs, root, hubMetaFile,
+        s"buckets=$buckets\n")
+    }
   }
+
+  /** Staging sibling of an in-flight [[migrateToBucketed]]. */
+  private[claims] def migrationStaging(path: String)
+      : org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(path.stripSuffix("/") + "__migrating")
+
+  /** Migrate an existing FLAT hub to the key-hash bucketed layout in
+    * place (round-11 verdict item 1: the flat default paid a full
+    * narrow key-column scan per upload; the bucket-pruned probe
+    * existed only for hubs born bucketed). One lease-guarded rewrite;
+    * rows, schema, and every downstream artifact (mart, counts) are
+    * unchanged — only the directory layout (and therefore the upsert's
+    * probe cost) changes. Idempotent: a hub already bucketed at
+    * `buckets` is a no-op; a different existing bucket count throws
+    * (re-bucketing is a deliberate second migration from the READ
+    * data, not something to trip into).
+    *
+    * Crash safety — the naive form (static overwrite of the hub from a
+    * frame reading the hub) loses the entire hub to a mid-job crash,
+    * so the rewrite STAGES: (1) write the full bucketed layout to a
+    * sibling `<path>__migrating` dir, marker stamped last; (2) delete
+    * the original; (3) rename staging into place. A crash before (2)
+    * leaves the original untouched (re-run restarts staging); a crash
+    * between (2) and (3) leaves a complete marker-stamped staging and
+    * no hub — re-running the migration detects exactly that state and
+    * finishes the rename without reading any data. The delete→rename
+    * window is the one non-atomic moment and it is heal-by-rerun,
+    * never data loss.
+    */
+  def migrateToBucketed(spark: SparkSession, path: String,
+      buckets: Int = defaultHubBuckets): Unit = {
+    require(buckets > 0, s"buckets must be positive: $buckets")
+    MaintenanceLease.withLease(spark, path) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val staging = migrationStaging(path)
+      val stagingComplete =
+        fs.exists(new org.apache.hadoop.fs.Path(staging, hubMetaFile))
+      if (!exists(spark, path)) {
+        // Either a crashed migration's delete→rename window (finish
+        // the rename) or a caller bug (nothing to migrate).
+        require(stagingComplete, s"nothing to migrate at $path")
+        require(fs.rename(staging, root),
+          s"could not rename $staging to $root")
+        return
+      }
+      readHubMeta(fs, root) match {
+        case Some(b) if b == buckets => return // already migrated
+        case Some(b) => throw new IllegalStateException(
+          s"$path is already bucketed at $b buckets; re-bucketing to " +
+            s"$buckets is a deliberate operation — read the hub and " +
+            "writeBucketedHub to a new path")
+        case None => ()
+      }
+      // Finish any in-flight vacated-partition deletes first so the
+      // staged copy never resurrects superseded files.
+      DeleteJournal.heal(fs, root, pendingDeletesFile)
+      if (fs.exists(staging)) fs.delete(staging, true)
+      // A torn bucketed layout (bucket dirs, no marker — a crashed
+      // writeBucketedHub) still READS correctly; drop the partition
+      // column so the staged write re-derives buckets from keys.
+      val hub = read(spark, path).drop(bucketPartCol)
+      writeBucketedHub(hub, staging.toString, buckets)
+      fs.delete(root, true)
+      require(fs.rename(staging, root),
+        s"could not rename $staging to $root — re-run migrateToBucketed" +
+          " to finish the swap")
+    }
+  }
+
+  /** True when any third-level partition dir carries the bucket
+    * column — the signature of a (possibly torn) bucketed layout.
+    */
+  private[claims] def hasBucketDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(root) && fs.listStatus(root).filter(_.isDirectory).exists(y =>
+      fs.listStatus(y.getPath).filter(_.isDirectory).exists(m =>
+        fs.listStatus(m.getPath).exists(
+          _.getPath.getName.startsWith(bucketPartCol + "="))))
 
   private[claims] def readHubMeta(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Option[Int] = {

@@ -45,18 +45,40 @@ object MaintenanceLease {
     */
   val defaultTtlMs: Long = 30L * 60 * 1000
 
+  /** Leases held by the CURRENT THREAD (qualified marker URIs), making
+    * [[withLease]] reentrant like a ReentrantLock: round-12 wraps the
+    * individual maintenance verbs (mart refresh, counts rebuild,
+    * bucketed-hub writes) in their own leases so DIRECT callers
+    * serialize against a running [[UploadFlow]] — and the flow, which
+    * already holds the lease, calls those same verbs. Per-THREAD, not
+    * per-process: two threads of one JVM racing the same mart must
+    * still exclude each other (the corruption is the same as two
+    * processes'). Driver-side maintenance code runs on one thread;
+    * Spark's executor threads never touch this object.
+    */
+  private val held = new ThreadLocal[scala.collection.mutable.Set[String]] {
+    override def initialValue() = scala.collection.mutable.Set.empty[String]
+  }
+
+  private def qualified(fs: FileSystem, marker: Path): String =
+    fs.makeQualified(marker).toUri.toString
+
   /** Acquire, run `body`, release. Throws IllegalStateException —
     * BEFORE any state is touched — when another writer holds a live
-    * lease.
+    * lease. Reentrant: a thread already holding this lease runs `body`
+    * directly (the outermost holder owns the marker lifecycle).
     */
   def withLease[A](spark: org.apache.spark.sql.SparkSession, dir: String,
       ttlMs: Long = defaultTtlMs)(body: => A): A = {
     val marker = leasePathFor(dir)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = qualified(fs, marker)
+    if (held.get.contains(key)) return body
     val owner = java.util.UUID.randomUUID().toString
     acquire(fs, marker, owner, ttlMs)
+    held.get += key
     try body
-    finally release(fs, marker, owner)
+    finally { held.get -= key; release(fs, marker, owner) }
   }
 
   /** Like [[withLease]] but returns None instead of throwing when
@@ -68,11 +90,14 @@ object MaintenanceLease {
       dir: String, ttlMs: Long = defaultTtlMs)(body: => A): Option[A] = {
     val marker = leasePathFor(dir)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = qualified(fs, marker)
+    if (held.get.contains(key)) return Some(body)
     val owner = java.util.UUID.randomUUID().toString
     try acquire(fs, marker, owner, ttlMs)
     catch { case _: IllegalStateException => return None }
+    held.get += key
     try Some(body)
-    finally release(fs, marker, owner)
+    finally { held.get -= key; release(fs, marker, owner) }
   }
 
   private[graft] def acquire(fs: FileSystem, marker: Path, owner: String,

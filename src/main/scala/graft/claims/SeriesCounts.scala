@@ -71,6 +71,17 @@ object SeriesCounts {
   def dirFor(martDir: String): String =
     martDir.stripSuffix("/") + "_counts"
 
+  /** Inverse of [[dirFor]] — the mart dir whose [[MaintenanceLease]]
+    * serializes maintenance of this count store. A custom dir that
+    * never came from dirFor leases on itself: still single-writer,
+    * just keyed apart from any mart (which such a store is).
+    */
+  private def leaseDirFor(countsDir: String): String =
+    countsDir.stripSuffix("/").stripSuffix("_counts") match {
+      case "" => countsDir
+      case mart => mart
+    }
+
   /** The count rows for a claims frame — exact, one narrow aggregation
     * (Catalyst prunes the input scan to grain + the three lag/date
     * inputs). Input must be preprocessed (ClaimsEtl) claims.
@@ -90,7 +101,13 @@ object SeriesCounts {
     * commits (a crash in between leaves no marker → rebuild again).
     * Clears both journals: everything they recorded is subsumed.
     */
-  def rebuild(spark: SparkSession, hub: DataFrame, dir: String): Unit = {
+  def rebuild(spark: SparkSession, hub: DataFrame, dir: String): Unit =
+   // Leased on the owning MART dir (round-11 advice: an unleased
+   // rebuild racing a live UploadFlow could static-overwrite + clear a
+   // pending-parts generation the flow's onAffected hook just wrote,
+   // leaving the store silently stale after the flow's commit). The
+   // flow's own applyPending→rebuild bootstrap re-enters.
+   MaintenanceLease.withLease(spark, leaseDirFor(dir)) {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     aggregate(hub)
@@ -104,7 +121,7 @@ object SeriesCounts {
     if (fs.exists(new Path(root, pendingDeletesFile)))
       fs.delete(new Path(root, pendingDeletesFile), false)
     DeleteJournal.writeMarkerAtomic(fs, root, metaFile, "v=1\n")
-  }
+   }
 
   def isValid(spark: SparkSession, dir: String): Boolean = {
     val root = new Path(dir)
@@ -157,7 +174,9 @@ object SeriesCounts {
     * Idempotent under replay at every point: replacement derives from
     * hub state; re-running after any crash converges.
     */
-  def applyPending(spark: SparkSession, hub: DataFrame, dir: String): Unit = {
+  def applyPending(spark: SparkSession, hub: DataFrame, dir: String): Unit =
+   // Leased like [[rebuild]] — a direct replay is a store writer too.
+   MaintenanceLease.withLease(spark, leaseDirFor(dir)) {
     if (!isValid(spark, dir)) { rebuild(spark, hub, dir); return }
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -206,5 +225,5 @@ object SeriesCounts {
         .map { case (c, v) => s"$c=$v" }.mkString("/")).sorted
     DeleteJournal.journalThenDelete(fs, root, pendingDeletesFile, vacated)
     GenerationJournal.clear(fs, root, pendingPartsFile, gens)
-  }
+   }
 }

@@ -556,7 +556,11 @@ object SeriesMart {
     */
   def refreshIncremental(hub: DataFrame, batch: DataFrame, asOf: String,
       dir: String, buckets: Int = 64,
-      priorKeys: Set[String] = Set.empty): Boolean = {
+      priorKeys: Set[String] = Set.empty): Boolean =
+   // Leased (round-11 verdict item 4): a direct refresh racing a live
+   // UploadFlow interleaved with its journal lifecycle silently; the
+   // flow itself re-enters (it already holds the mart lease).
+   MaintenanceLease.withLease(hub.sparkSession, dir) {
     val spark = hub.sparkSession
     val hubSpine = hub
       .withColumn("ym", date_format(col(ClaimsSchema.receiptDateCol), "yyyy-MM"))
@@ -569,7 +573,7 @@ object SeriesMart {
       buildAll = () => build(hub, asOf),
       buildTouched = (keys, spine) =>
         build(touchedRows(hub, keys), asOf, Some(spine)))
-  }
+   }
 
   /** The O(delta) refresh ([[graft.claims.UploadFlow]]'s path): same
     * semantics and guards as [[refreshIncremental]], with every
@@ -590,7 +594,9 @@ object SeriesMart {
   def refreshFromCounts(spark: org.apache.spark.sql.SparkSession,
       counts: DataFrame, batch: DataFrame, asOf: String,
       dir: String, buckets: Int = 64,
-      priorKeys: Set[String] = Set.empty): Boolean = {
+      priorKeys: Set[String] = Set.empty): Boolean =
+   // Leased like [[refreshIncremental]]; the flow re-enters.
+   MaintenanceLease.withLease(spark, dir) {
     val spineRow = counts.filter(col("ym").isNotNull)
       .agg(min("ym"), max("ym")).collect()(0)
     val spineOpt =
@@ -602,7 +608,7 @@ object SeriesMart {
         counts.filter(concat_ws("_", parentKeys.map(pyStr): _*)
           .isin(keys.toSeq: _*)),
         asOf, Some(spine)))
-  }
+   }
 
   /** Shared refresh skeleton: guards, journals, touched-set assembly,
     * keep∪rebuilt dynamic write, vacated-bucket deletes. `buildAll`

@@ -48,7 +48,8 @@ object UploadFlow {
     */
   def run(spark: SparkSession, prepared: DataFrame, hubPath: String,
       martDir: String, asOf: String, buckets: Int = 64,
-      leaseTtlMs: Long = MaintenanceLease.defaultTtlMs): Boolean =
+      leaseTtlMs: Long = MaintenanceLease.defaultTtlMs,
+      hubBuckets: Option[Int] = Some(HubStore.defaultHubBuckets)): Boolean =
     // Single-writer lease over the whole flow ([[MaintenanceLease]]):
     // a second concurrent flow against the same mart fails loudly
     // HERE — before its probe, journal writes, or hub upsert — instead
@@ -59,13 +60,27 @@ object UploadFlow {
     // process that dies holding the lease blocks the next flow for at
     // most the TTL — deployments that restart fast (the streaming
     // ingester) pass a TTL just above their longest healthy batch.
+    //
+    // TWO leases, mart then hub (round-11 advice): the mart lease
+    // alone let two flows pointed at DIFFERENT marts but the SAME hub
+    // (a legal call shape) race the hub upsert and each other's
+    // delete-journal heal silently. Acquisition order is fixed
+    // (mart, then hub) and acquisition is try-fail, never blocking —
+    // the loser of a hub race throws and its finally releases the mart
+    // lease, so no deadlock is possible. Reentrant per thread: the
+    // verbs the flow calls (refresh, counts, bucketed writes) take the
+    // same leases and simply re-enter.
     MaintenanceLease.withLease(spark, martDir, leaseTtlMs) {
-      runUnlocked(spark, prepared, hubPath, martDir, asOf, buckets)
+      MaintenanceLease.withLease(spark, hubPath, leaseTtlMs) {
+        runUnlocked(spark, prepared, hubPath, martDir, asOf, buckets,
+          hubBuckets)
+      }
     }
 
   private def runUnlocked(spark: SparkSession, prepared: DataFrame,
       hubPath: String, martDir: String, asOf: String,
-      buckets: Int): Boolean = {
+      buckets: Int, hubBuckets: Option[Int]): Boolean = {
+
     val countsDir = SeriesCounts.dirFor(martDir)
     // The batch lineage (CSV read + canonicalize + preprocess shuffle)
     // is consumed by three stages — pin it once. Transient: the frame
@@ -83,9 +98,18 @@ object UploadFlow {
       // tuples; journalParts itself truncates to the count store's
       // (year, month) grain, so its replacement re-derives whole
       // touched months.
+      // The flow's FIRST hub write creates the key-hash BUCKETED
+      // layout by default (round-11 verdict: the flat default paid a
+      // full narrow key-column scan per upload in the probe and
+      // priorParentKeys; the bucket-pruned path existed only for hubs
+      // born bucketed). Existing hubs keep their layout — the upsert
+      // detects it — and `HubStore.migrateToBucketed` converts a flat
+      // one in place. `hubBuckets = None` opts a flow back into the
+      // flat first-write.
       HubStore.upsert(spark, batch, hubPath,
         onAffected = parts =>
-          SeriesCounts.journalParts(spark, countsDir, parts))
+          SeriesCounts.journalParts(spark, countsDir, parts),
+        firstWriteBuckets = hubBuckets)
       val merged = HubStore.read(spark, hubPath)
       SeriesCounts.applyPending(spark, merged, countsDir)
       SeriesMart.refreshFromCounts(spark,

@@ -4,8 +4,18 @@ package graft.vector
   * from the dataset key (usually the corpus dir) + the full index
   * config, so EVERY consumer with the same (corpus, id, vec, config)
   * converges on one shared layout — the IVF ANN entry, the recall
-  * audit, and SemDeDup all reuse a single `ivf-…-k16` index. Lives
-  * under the JVM tmpdir, never beside the (read-only) corpus; the
+  * audit, and SemDeDup all reuse a single `ivf-…-k16` index.
+  *
+  * ROOT: `graft.index.root` (system property, else the env var
+  * `GRAFT_INDEX_ROOT`) when set — a deployment should point this at a
+  * durable location beside its warehouse, since tmp cleaners silently
+  * drop the index (rebuild is correct but O(corpus); COVERAGE
+  * documents the trade). The fallback is a PER-USER directory under
+  * the JVM tmpdir: the shared `/tmp/graft-index` of the first cut let
+  * another user on a multi-user host pre-create or poison the layout
+  * (query results trust marker + parquet bytes with no ownership
+  * check) and made cross-user permission collisions break the build
+  * path (round-11 advice). Never beside the (read-only) corpus; the
   * marker fingerprint revalidates the layout on every session.
   */
 object IndexDirs {
@@ -13,8 +23,11 @@ object IndexDirs {
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private def root: String =
-    sys.props("java.io.tmpdir") + "/graft-index"
+  private[vector] def root: String =
+    sys.props.get("graft.index.root")
+      .orElse(sys.env.get("GRAFT_INDEX_ROOT"))
+      .getOrElse(sys.props("java.io.tmpdir") + "/graft-index-" +
+        sanitize(sys.props.getOrElse("user.name", "anon")))
 
   def ivf(datasetKey: String, idCol: String, vecCol: String,
       k: Int): String =

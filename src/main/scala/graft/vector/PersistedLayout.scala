@@ -28,6 +28,10 @@ private[vector] object PersistedLayout {
   case object Fresh extends State
   /** `build` ran under the lease and the marker is stamped — load. */
   case object Built extends State
+  /** The caller's incremental hook brought the stale layout to `want`
+    * (an index APPEND) and the marker is stamped — load.
+    */
+  case object Appended extends State
   /** Another session is building this layout right now — fall back
     * to the in-memory path for this call.
     */
@@ -48,18 +52,21 @@ private[vector] object PersistedLayout {
     (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
   }
 
-  private def markerMatches(spark: SparkSession, dir: String,
-      metaFile: String, want: String): Boolean = {
+  private[vector] def readMarker(spark: SparkSession, dir: String,
+      metaFile: String): Option[String] = {
     val marker = new Path(dir, metaFile)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(marker) && {
+    if (!fs.exists(marker)) None
+    else {
       val in = fs.open(marker)
-      val got =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      got == want
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
     }
   }
+
+  private def markerMatches(spark: SparkSession, dir: String,
+      metaFile: String, want: String): Boolean =
+    readMarker(spark, dir, metaFile).contains(want)
 
   /** A 10-minute lease TTL: index builds are one corpus pass — far
     * under the interactive flow's 30-minute dial — and a crashed
@@ -69,18 +76,46 @@ private[vector] object PersistedLayout {
   private val buildTtlMs = 10L * 60 * 1000
 
   def ensure(spark: SparkSession, dir: String, metaFile: String,
-      want: String, rebuild: Boolean)(build: => Unit): State = {
+      want: String, rebuild: Boolean)(build: => Unit): State =
+    ensureWith(spark, dir, metaFile, want, rebuild)(_ => false)(build)
+
+  /** [[ensure]] with an incremental escape hatch: when a marker EXISTS
+    * but mismatches `want`, `incremental(oldMarkerContent)` runs first
+    * (under the lease, AFTER the old marker is invalidated) and may
+    * bring the layout to the `want` state cheaper than a full build —
+    * the index APPEND path. Returning false (config drift, deletion,
+    * torn layout, growth past the refit threshold) falls through to
+    * the full `build`. Neither hook stamps the marker — this method
+    * does, once, after the datasets commit.
+    *
+    * Marker discipline (round-11 advice): the OLD marker is deleted
+    * BEFORE either hook touches the datasets. `build` mode-overwrites
+    * the index in place, so a crash mid-build under a surviving old
+    * marker would leave a marker certifying torn data — fatal exactly
+    * when `want` is unchanged (the documented `rebuild = true` use
+    * after in-place vector mutation, which the content-blind
+    * fingerprint cannot see) or when the corpus fingerprint reverts.
+    * Invalidate-first + stamp-last means every crash window reads as
+    * "stale → rebuild", mirroring the claims-side markers.
+    */
+  def ensureWith(spark: SparkSession, dir: String, metaFile: String,
+      want: String, rebuild: Boolean)(incremental: String => Boolean)(
+      build: => Unit): State = {
     if (!rebuild && markerMatches(spark, dir, metaFile, want)) return Fresh
     graft.claims.MaintenanceLease.tryWithLease(spark, dir, buildTtlMs) {
       // Re-check INSIDE the lease: the builder we raced may have
       // finished between the first check and our acquisition.
       if (!rebuild && markerMatches(spark, dir, metaFile, want)) Fresh
       else {
-        build
         val root = new Path(dir)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val old = readMarker(spark, dir, metaFile)
+        val marker = new Path(root, metaFile)
+        if (fs.exists(marker)) fs.delete(marker, false)
+        val appended = !rebuild && old.exists(incremental)
+        if (!appended) build
         graft.claims.DeleteJournal.writeMarkerAtomic(fs, root, metaFile, want)
-        Built
+        if (appended) Appended else Built
       }
     }.getOrElse(Busy)
   }

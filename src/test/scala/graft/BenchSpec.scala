@@ -26,14 +26,18 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsThirdRep(Seq(1.0, 1.5)))
   }
 
-  test("cross-round recheck fires on >2x the prior artifact value") {
+  test("cross-round recheck fires on >1.5x the prior artifact value") {
     // The r10 failure shape: both reps inflated together (2.32 s for a
     // 0.33 s entry) — rep agreement is blind, the prior round is not.
     assert(Bench.needsPriorRecheck(2.32, Some(0.33)))
     assert(Bench.needsPriorRecheck(7.21, Some(0.45)))
-    // Within 2x of the prior: believed without extra reps.
-    assert(!Bench.needsPriorRecheck(0.60, Some(0.33)))
-    // Microscopic entries never re-rep (2x of 20 ms is jitter).
+    // The r11 blind window: 1.7-1.9x drift (q_string_quantiles 1.20 s
+    // vs a 0.64 s prior; judge re-run 0.46 s) must now re-rep.
+    assert(Bench.needsPriorRecheck(1.20, Some(0.64)))
+    assert(Bench.needsPriorRecheck(1.62, Some(0.96)))
+    // Within 1.5x of the prior: believed without extra reps.
+    assert(!Bench.needsPriorRecheck(0.45, Some(0.33)))
+    // Microscopic entries never re-rep (1.5x of 20 ms is jitter).
     assert(!Bench.needsPriorRecheck(0.06, Some(0.02)))
     // No prior value (new entry / truncated fast tail): never.
     assert(!Bench.needsPriorRecheck(9.99, None))

@@ -327,6 +327,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucketed probe must read only the key column, got: $readSchemas")
   }
 
+  test("a MIGRATED hub's probe gets the same bucket pruning as one born bucketed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // Round-11 verdict item 1: the bucket-pruned probe must not be a
+    // privilege of hubs born bucketed — after migrateToBucketed, the
+    // facade's existing flat hub pays the same nprobe-of-buckets I/O.
+    val dir = java.nio.file.Files.createTempDirectory("hubmig").toString
+    val wide = graft.claims.ClaimsEtl.preprocess(
+      graft.claims.ClaimsEtl.canonicalize54(
+        graft.claims.ClaimsEtl.withIngestSeq(
+          spark.range(64).select(
+            concat(lit("K"), col("id")).as("상담번호"),
+            lit("2023").as("접수년"), lit("10").as("접수월"),
+            (col("id") % 28 + 1).cast("string").as("접수일")))))
+    graft.claims.HubStore.write(wide.drop(
+      graft.claims.ClaimsSchema.ingestSeqCol), dir)  // born FLAT
+    graft.claims.HubStore.migrateToBucketed(spark, dir, buckets = 8)
+    val probe = graft.claims.HubStore.oldLocationsBucketed(
+        spark.read.parquet(dir), Seq("K7").toDF("상담번호"), 8)
+      .select("접수년", "접수월", "_key_bucket").distinct()
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*_key_bucket".r
+      .findFirstIn(plan).isDefined,
+      s"migrated hub's probe must prune to buckets:\n${plan.take(600)}")
+    val readSchemas = "ReadSchema: ([^\n]*)".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(
+      _ == "struct<상담번호:string>"),
+      s"migrated probe must read only the key column, got: $readSchemas")
+  }
+
   test("count replacement reads only the journaled hub partitions, narrow") {
     import org.apache.spark.sql.functions._
     // The delta-bounded maintenance story (round 11): per upload, the

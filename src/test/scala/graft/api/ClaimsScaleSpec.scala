@@ -127,12 +127,27 @@ class ClaimsScaleSpec extends AnyFunSuite {
       .withColumn("접수년", lit(2022)).withColumn("접수월", lit(5))
     val beforeMart = walkListing(martDir)
     val beforeCounts = walkListing(countsDir)
+    val beforeHub = walkListing(hubPath)
     Thread.sleep(1100) // mtime resolution guard
     val t1 = System.nanoTime()
     assert(UploadFlow.run(spark, batch, hubPath, martDir, "2026-02-01"),
       "a same-spine single-series upload takes the incremental path")
     val inc = (System.nanoTime() - t1) / 1e9
     info(f"full build: $built%.1f s; incremental upload: $inc%.1f s")
+
+    // Round-12: the flow births the key-hash BUCKETED hub layout by
+    // default — pin the upsert's write I/O at width: one new claim
+    // rewrites exactly its (year, month, bucket) partition, nothing
+    // else (the probe side is pinned by PlanAuditSpec).
+    val changedHub = walkListing(hubPath).toSet.union(beforeHub.toSet)
+      .diff(walkListing(hubPath).toSet.intersect(beforeHub.toSet)).map(_._1)
+    assert(changedHub.nonEmpty &&
+      changedHub.forall(_.matches(
+        ".*접수년=2022/접수월=5/_key_bucket=\\d+/.*")),
+      s"one upload must rewrite one hub month-bucket, got: $changedHub")
+    assert(changedHub.flatMap(
+      "_key_bucket=(\\d+)".r.findFirstMatchIn(_).map(_.group(1))).size == 1,
+      "a single-key batch touches a single hub bucket")
 
     val afterMart = walkListing(martDir)
     val changedBuckets = afterMart.keySet.union(beforeMart.keySet)
@@ -178,6 +193,66 @@ class ClaimsScaleSpec extends AnyFunSuite {
       "every document's history extends through the new month")
     assert(ext < built * 3 + 30,
       s"counts-bounded rebuild must stay in the initial build's cost class: $ext s vs $built s")
+
+    // Parent-key MOVE at width (round-11 verdict item 6 — the hardest
+    // maintenance case): claim K123 (P23/C1/M0, 2024-05) re-filed
+    // under (P7/C0/M0), same receipt date. Exactly TWO mart buckets
+    // may rewrite — the vacated document's and the receiving one's —
+    // the vacated history shrinks by one at that month, the receiver
+    // grows by one, and the count store still replaces only the one
+    // touched month partition.
+    import spark.implicits._
+    val oldKey = "P23_C1_M0"
+    val newKey = "P7_C0_M0"
+    def histCount(key: String, ym: String): Int =
+      spark.read.parquet(martDir).filter(col("key") === key)
+        .select(explode(col("data.history")).as("h"))
+        .filter(col("h.date") === ym)
+        .select(col("h.count")).collect()(0).getInt(0)
+    val oldBefore = histCount(oldKey, "2024-05")
+    val newBefore = histCount(newKey, "2024-05")
+    assert(oldBefore > 0, "K123 must be counted in its original doc")
+    val expectedMartBuckets = Seq(oldKey, newKey).toDF("key")
+      .select(pmod(xxhash64(col("key")), lit(64)))
+      .collect().map(_.getLong(0)).toSet
+    assert(expectedMartBuckets.size == 2,
+      "fixture sanity: the two docs must hash to distinct buckets")
+    val move = spark.range(1).select(
+      lit("K123").as(ClaimsSchema.keyCol),
+      lit("P7").as("플랜트"), lit("C0").as("제품범주2"),
+      lit("M0").as("대분류"), lit("S3").as("중분류"),
+      to_date(lit("2024-05-15")).as(ClaimsSchema.receiptDateCol),
+      lit(false).as(ClaimsSchema.lagValidCol),
+      lit(3).cast("int").as(ClaimsSchema.lagDaysCol))
+      .withColumn("접수년", lit(2024)).withColumn("접수월", lit(5))
+    val beforeMart2 = walkListing(martDir)
+    val beforeCounts2 = walkListing(countsDir)
+    Thread.sleep(1100) // mtime resolution guard
+    val t3 = System.nanoTime()
+    assert(UploadFlow.run(spark, move, hubPath, martDir, "2026-04-01"),
+      "a same-spine parent-key move takes the incremental path")
+    info(f"parent-key move at 5k/40k width: ${(System.nanoTime() - t3) / 1e9}%.1f s")
+    val afterMart2 = walkListing(martDir)
+    val movedBuckets = afterMart2.keySet.union(beforeMart2.keySet)
+      .filter(k => beforeMart2.get(k) != afterMart2.get(k))
+      .flatMap("key_bucket=(\\d+)".r.findFirstMatchIn(_)
+        .map(_.group(1).toLong))
+    assert(movedBuckets == expectedMartBuckets,
+      s"a move rewrites exactly the vacated + receiving buckets, " +
+        s"got $movedBuckets vs $expectedMartBuckets")
+    assert(histCount(oldKey, "2024-05") == oldBefore - 1,
+      "the vacated document's history shrinks at the moved month")
+    assert(histCount(newKey, "2024-05") == newBefore + 1,
+      "the receiving document's history grows at the moved month")
+    val movedCountParts = walkListing(countsDir).toSet
+      .union(beforeCounts2.toSet)
+      .diff(walkListing(countsDir).toSet.intersect(beforeCounts2.toSet))
+      .map(_._1).flatMap(
+        "접수년=(\\d+)/접수월=(\\d+)".r.findFirstMatchIn(_)
+          .map(m => (m.group(1), m.group(2))))
+    assert(movedCountParts == Set(("2024", "5")),
+      s"a move replaces only the touched month's counts, got: $movedCountParts")
+    assert(spark.read.parquet(martDir).count() == 5000)
 
     // Shuffle-shape width-independence: the risk scan over the 40k-wide
     // hub plans exactly as many exchanges as over the 6-row fixture.

@@ -360,6 +360,116 @@ class HubStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 7)
   }
 
+  test("a flat write onto a TORN bucketed layout (no marker) fails loudly") {
+    // Round-11 advice: write()'s guard keyed only on the marker, so a
+    // crashed writeBucketedHub (bucket dirs committed, marker not yet
+    // stamped) let a flat write interleave two-level partitions into
+    // the torn three-level layout — the unreadable-dataset state.
+    val dir = Files.createTempDirectory("hubtornw").toString
+    HubStore.writeBucketedHub(ingest(), dir, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, HubStore.hubMetaFile), false)
+    val e = intercept[IllegalStateException] { HubStore.write(ingest(), dir) }
+    assert(e.getMessage.contains("writeBucketedHub"),
+      "the guard must name the heal")
+  }
+
+  test("migrateToBucketed preserves rows and the next upsert bucket-prunes") {
+    // Round-11 verdict item 1: the bucket-pruned probe existed only
+    // for hubs BORN bucketed. Migration must be a pure layout change —
+    // row-for-row equal before/after — and convert the default flat
+    // hub every facade user already has.
+    val flat = Files.createTempDirectory("hubm1").toString
+    val mig = Files.createTempDirectory("hubm2").toString
+    HubStore.write(ingest(), flat)
+    HubStore.write(ingest(), mig)
+    // Pre-migration history: an upsert with a cross-month move, so the
+    // migrated layout starts from real (post-delete-journal) state.
+    val pre = mkBatch(Seq(("C003", "2024", "3", "5")))
+    HubStore.upsert(spark, pre, flat)
+    HubStore.upsert(spark, pre, mig)
+    HubStore.migrateToBucketed(spark, mig, buckets = 4)
+    val f = spark.read.parquet(flat)
+    val b = spark.read.parquet(mig).drop(HubStore.bucketPartCol)
+    assert(f.count() == b.count())
+    assert(f.select(b.columns.map(col): _*).exceptAll(b).isEmpty &&
+      b.exceptAll(f.select(b.columns.map(col): _*)).isEmpty,
+      "migration must be row-for-row identical to the flat hub")
+    // Idempotent at the same bucket count; loud at a different one.
+    HubStore.migrateToBucketed(spark, mig, buckets = 4)
+    val e = intercept[IllegalStateException] {
+      HubStore.migrateToBucketed(spark, mig, buckets = 8)
+    }
+    assert(e.getMessage.contains("already bucketed"))
+    // The staging sibling is gone after a completed migration.
+    assert(!new java.io.File(
+      HubStore.migrationStaging(mig).toString).exists())
+    // Post-migration maintenance converges with the flat control.
+    val batch = mkBatch(Seq(
+      ("C001", "2023", "10", "20"), ("C777", "2024", "2", "1")))
+    HubStore.upsert(spark, batch, flat)
+    HubStore.upsert(spark, batch, mig)
+    val f2 = spark.read.parquet(flat)
+    val b2 = spark.read.parquet(mig).drop(HubStore.bucketPartCol)
+    assert(f2.exceptAll(b2.select(f2.columns.map(col): _*)).isEmpty &&
+      b2.select(f2.columns.map(col): _*).exceptAll(f2).isEmpty,
+      "upserts after migration must match the flat control")
+  }
+
+  test("migrateToBucketed heals its own delete-to-rename crash window") {
+    // The staged swap's one non-atomic moment: original deleted,
+    // completed staging not yet renamed. A re-run must detect the
+    // marker-stamped staging and finish the rename without data.
+    val dir = Files.createTempDirectory("hubm3").toString
+    HubStore.write(ingest(), dir)
+    val staging = HubStore.migrationStaging(dir)
+    HubStore.writeBucketedHub(ingest(), staging.toString, buckets = 4)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true) // the crash state
+    HubStore.migrateToBucketed(spark, dir, buckets = 4)
+    assert(spark.read.parquet(dir).count() == 6)
+    assert(new java.io.File(dir, HubStore.hubMetaFile).exists())
+    assert(!new java.io.File(staging.toString).exists())
+    // And with NO staging either, there is nothing to migrate: loud.
+    val empty = Files.createTempDirectory("hubm4").toString + "/hub"
+    intercept[IllegalArgumentException] {
+      HubStore.migrateToBucketed(spark, empty)
+    }
+  }
+
+  test("the upload flow births a bucketed hub; mart and counts match a flat flow") {
+    // Round-11 verdict item 1 (second half): bucketed is the FLOW
+    // default now — and the layout must be invisible to everything
+    // downstream (mart documents, count store).
+    val base = Files.createTempDirectory("hubm5").toString
+    assert(!UploadFlow.run(spark, ingest(), s"$base/hubB", s"$base/martB",
+      "2024-02-01"))
+    assert(!UploadFlow.run(spark, ingest(), s"$base/hubF", s"$base/martF",
+      "2024-02-01", hubBuckets = None))
+    assert(new java.io.File(s"$base/hubB", HubStore.hubMetaFile).exists(),
+      "the flow's first write must create the bucketed layout")
+    assert(!new java.io.File(s"$base/hubF", HubStore.hubMetaFile).exists(),
+      "hubBuckets = None keeps the flat first write")
+    // Within-spine batch (2023-10 and 2024-01 both exist in the
+    // fixture) so both flows take the incremental path.
+    val batch = mkBatch(Seq(
+      ("C001", "2023", "10", "20"), ("C777", "2024", "1", "5")))
+    assert(UploadFlow.run(spark, batch, s"$base/hubB", s"$base/martB",
+      "2024-03-01"))
+    assert(UploadFlow.run(spark, batch, s"$base/hubF", s"$base/martF",
+      "2024-03-01", hubBuckets = None))
+    val mb = spark.read.parquet(s"$base/martB").drop("key_bucket")
+    val mf = spark.read.parquet(s"$base/martF").drop("key_bucket")
+    assert(mb.exceptAll(mf).isEmpty && mf.exceptAll(mb).isEmpty,
+      "mart documents must not depend on the hub layout")
+    val cb = SeriesCounts.read(spark, SeriesCounts.dirFor(s"$base/martB"))
+    val cf = SeriesCounts.read(spark, SeriesCounts.dirFor(s"$base/martF"))
+    assert(cb.exceptAll(cf).isEmpty && cf.exceptAll(cb).isEmpty,
+      "count stores must not depend on the hub layout")
+  }
+
   test("bucket-layout null-key collapse matches the flat semantics") {
     import spark.implicits._
     // Null-key rows land in the sentinel bucket; every upsert must

