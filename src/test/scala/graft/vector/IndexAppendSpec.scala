@@ -1,0 +1,199 @@
+package graft.vector
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental vector-index maintenance (round 12): an append-only
+  * corpus grows the persisted IVF/LSH layouts in place — new ids are
+  * assigned to the EXISTING cell/bucket geometry and append-written,
+  * touching only their partitions — instead of the full refit + full
+  * rewrite a fingerprint mismatch used to force. Pins: (1) result
+  * equivalence of the append-grown index with a from-scratch build on
+  * the grown corpus, (2) old index files byte-untouched and new files
+  * confined to the appended rows' partitions, (3) every non-append
+  * drift shape (deletion, replacement, config change, growth past the
+  * refit threshold) still escalates to the full rebuild.
+  */
+class IndexAppendSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private val dim = 8
+
+  private def corpus(from: Int, until: Int): DataFrame = {
+    import spark.implicits._
+    (from until until).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def query: DataFrame = {
+    import spark.implicits._
+    Seq(Tuple1(Seq.fill(dim)(0.5))).toDF("qvec")
+  }
+
+  /** (path → (mtime, length)) of every parquet file under `dir`. */
+  private def listing(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+  }
+
+  test("IVF append: old files untouched, new files only in touched cells, " +
+      "top-k equals a from-scratch build") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfa").toString + "/ix"
+    val base = corpus(0, 400)
+    val grown = corpus(0, 480) // +20% — under the 25% refit threshold
+    val (_, cs0) = IvfIndex.loadOrBuild(base, "vec_id", "embedding", 8, dir)
+    val before = listing(dir)
+    Thread.sleep(1100) // mtime resolution guard
+    val (a1, cs1) = IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, dir)
+    // The quantizer is NOT refitted on an append — appended rows join
+    // the existing cell geometry the layout already partitions by.
+    assert(cs1.map(_.toSeq).toSeq == cs0.map(_.toSeq).toSeq,
+      "append must keep the existing centroids")
+    val after = listing(dir)
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "append must leave every pre-existing index file byte-untouched")
+    // New files land ONLY in the appended rows' cell partitions.
+    val touchedCells = IvfIndex.assignWithCentroids(
+        corpus(400, 480), "vec_id", "embedding", cs1)
+      .select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val newFiles = after.keySet.diff(before.keySet)
+    assert(newFiles.nonEmpty, "an append must write new files")
+    val newCells = newFiles.flatMap(
+      "cell=(\\d+)".r.findFirstMatchIn(_).map(_.group(1).toInt))
+    assert(newFiles.size == newCells.size && newCells == touchedCells,
+      s"append files must cover exactly the touched cells: " +
+        s"$newCells vs $touchedCells")
+    // Grown index content ≡ a from-scratch assignment of the grown
+    // corpus against the same centroids, and the all-cells probe (the
+    // exact setting) returns the same top-k as a fresh full build.
+    assert(a1.count() == 480)
+    val freshDir = java.nio.file.Files.createTempDirectory("ivfaf")
+      .toString + "/ix"
+    val (a2, cs2) = IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8,
+      freshDir)
+    def top(a: DataFrame, cs: Array[Array[Double]]): Seq[(Long, Double)] =
+      IvfIndex.topK(a, cs, query, "vec_id", "embedding", k = 10,
+        nprobe = cs.length)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top(a1, cs1) == top(a2, cs2),
+      "append-grown top-k must equal the full-rebuild top-k")
+  }
+
+  test("IVF: deletion, replacement, config drift, and >25% growth " +
+      "escalate to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfr").toString + "/ix"
+    IvfIndex.loadOrBuild(corpus(0, 400), "vec_id", "embedding", 8, dir)
+
+    def assignmentFiles(): Set[String] =
+      listing(dir).keySet.filter(_.contains("assignments"))
+
+    // Growth past the refit threshold: 400 → 600 is +50%.
+    val preGrow = assignmentFiles()
+    val (aG, _) = IvfIndex.loadOrBuild(corpus(0, 600), "vec_id",
+      "embedding", 8, dir)
+    assert(aG.count() == 600)
+    assert(preGrow.intersect(assignmentFiles()).isEmpty,
+      ">threshold growth must rewrite the assignments from scratch")
+
+    // Deletion (a shrunk id set) can never append.
+    val preShrink = assignmentFiles()
+    val (aS, _) = IvfIndex.loadOrBuild(corpus(0, 550), "vec_id",
+      "embedding", 8, dir)
+    assert(aS.count() == 550)
+    assert(preShrink.intersect(assignmentFiles()).isEmpty,
+      "deletion must rewrite the assignments from scratch")
+
+    // Replacement at constant count (ids shifted by one): the id-set
+    // fingerprint moves but n does not — still a full rebuild, and the
+    // stale id 0 must be gone from the stored assignments.
+    val preSwap = assignmentFiles()
+    val (aR, _) = IvfIndex.loadOrBuild(corpus(1, 551), "vec_id",
+      "embedding", 8, dir)
+    assert(preSwap.intersect(assignmentFiles()).isEmpty,
+      "replacement must rewrite the assignments from scratch")
+    assert(aR.count() == 550 &&
+      aR.filter(col("vec_id") === 0L).isEmpty,
+      "the replaced id must not survive in the rebuilt index")
+
+    // Config drift (k) refits even at an identical corpus.
+    val preK = assignmentFiles()
+    val (_, cs4) = IvfIndex.loadOrBuild(corpus(1, 551), "vec_id",
+      "embedding", 4, dir)
+    assert(cs4.length == 4 && preK.intersect(assignmentFiles()).isEmpty,
+      "config drift must refit")
+  }
+
+  test("LSH append: bit-identical to a fresh build, old files untouched, " +
+      "appended files sorted for row-group pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("lsha").toString + "/ix"
+    val base = corpus(0, 400)
+    val grown = corpus(0, 480)
+    VectorOps.lshIndexLoadOrBuild(base, "vec_id", "embedding", dim, dir)
+    val before = listing(dir)
+    Thread.sleep(1100)
+    val ix = VectorOps.lshIndexLoadOrBuild(grown, "vec_id", "embedding",
+      dim, dir)
+    val after = listing(dir)
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "append must leave every pre-existing LSH file byte-untouched")
+    assert(after.keySet.diff(before.keySet).nonEmpty)
+    // Hyperplanes derive from config alone, so the append-grown index
+    // must hold EXACTLY the rows a from-scratch build would: compare
+    // against a fresh build in a clean dir.
+    val freshDir = java.nio.file.Files.createTempDirectory("lshaf")
+      .toString + "/ix"
+    val fresh = VectorOps.lshIndexLoadOrBuild(grown, "vec_id", "embedding",
+      dim, freshDir)
+    assert(ix.count() == fresh.count())
+    assert(ix.select("vec_id", "tbl", "bucket")
+      .exceptAll(fresh.select("vec_id", "tbl", "bucket")).isEmpty,
+      "append-grown LSH rows must be bit-identical to a fresh build's")
+    // Probe equivalence with the in-memory path on the grown corpus.
+    def ids(df: DataFrame): Seq[(Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(
+      ids(VectorOps.annTopKCosineIndexed(ix, query, "vec_id", "embedding",
+        k = 5, dim = dim)) ==
+      ids(VectorOps.annTopKCosine(grown, query, "vec_id", "embedding",
+        k = 5, dim = dim)),
+      "append-grown probe must equal the in-memory ANN on the grown corpus")
+    // Every appended file keeps the bucket-sorted invariant the
+    // row-group pruning relies on.
+    after.keySet.diff(before.keySet).foreach { f =>
+      val buckets = spark.read.parquet(f).select("bucket")
+        .collect().map(_.getLong(0)).toSeq
+      assert(buckets == buckets.sorted,
+        s"appended LSH file must stay bucket-sorted: $f")
+    }
+  }
+
+  test("LSH: deletion and config drift escalate to a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("lshr").toString + "/ix"
+    VectorOps.lshIndexLoadOrBuild(corpus(0, 400), "vec_id", "embedding",
+      dim, dir)
+    val pre = listing(dir).keySet
+    val ix = VectorOps.lshIndexLoadOrBuild(corpus(0, 300), "vec_id",
+      "embedding", dim, dir)
+    assert(pre.intersect(listing(dir).keySet).isEmpty,
+      "deletion must rewrite the LSH buckets from scratch")
+    assert(ix.select("vec_id").distinct().count() == 300)
+    val pre2 = listing(dir).keySet
+    VectorOps.lshIndexLoadOrBuild(corpus(0, 300), "vec_id", "embedding",
+      dim, dir, planes = 6)
+    assert(pre2.intersect(listing(dir).keySet).isEmpty,
+      "config drift must rewrite the LSH buckets from scratch")
+  }
+}

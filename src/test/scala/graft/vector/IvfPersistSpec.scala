@@ -65,10 +65,12 @@ class IvfPersistSpec extends AnyFunSuite {
     assert(listing() == before, "an up-to-date index must load, not rebuild")
     assert(topIds(a2, cs2) == topIds(a1, cs1))
 
-    // Corpus drift (one appended vector) must rebuild.
+    // Corpus drift (one appended vector) must refresh the layout —
+    // since round 12 via the append path (IndexAppendSpec pins its
+    // touched-partitions I/O; here only staleness-is-detected).
     val grown = corpus(501)
     IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, dir)
-    assert(listing() != before, "corpus drift must rebuild the index")
+    assert(listing() != before, "corpus drift must refresh the index")
     assert(spark.read.parquet(s"$dir/assignments").count() == 501)
 
     // Config drift (different k) must rebuild too.
@@ -123,9 +125,9 @@ class IvfPersistSpec extends AnyFunSuite {
       s"LSH probe must prune table partitions:\n${plan.take(600)}")
     assert("PushedFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
       s"LSH probe must push the bucket filter:\n${plan.take(600)}")
-    // Corpus drift rebuilds.
+    // Corpus drift refreshes (round 12: via the append path).
     VectorOps.lshIndexLoadOrBuild(corpus(501), "vec_id", "embedding", dim, dir)
-    assert(listing() != before, "corpus drift must rebuild the LSH index")
+    assert(listing() != before, "corpus drift must refresh the LSH index")
   }
 
   test("a held build lease degrades to the in-memory path, persisting nothing") {
