@@ -250,6 +250,38 @@ object TextQueries extends QueryModule {
       .select(col("doc_id"), col("fp"))
   }
 
+  /** The persisted dedup-digest store over the standing corpus
+    * (doc_id % 10 < 8, the slice every incremental entry treats as
+    * already ingested): one store serves the fp dump and the
+    * store-backed batch screen below (see [[graft.text.DedupStore]]).
+    */
+  private def corpusStore(s: SparkSession, d: String): DataFrame =
+    graft.text.DedupStore.loadOrBuildCached(
+      Tables.documents(s, d).filter(col("doc_id") % 10 < 8),
+      "doc_id", "text",
+      graft.vector.IndexDirs.textDigests(s"$d|corpus8", "doc_id", "text",
+        32, 8, 3))
+
+  /** Dump of the PERSISTED fingerprint store (round-12): the oracle
+    * recomputes every fingerprint from text, so green means the
+    * stored bytes equal a fresh recompute — the store's correctness
+    * contract, checked at the driver gate.
+    */
+  private def dedupStoreFp(s: SparkSession, d: String): DataFrame =
+    corpusStore(s, d).select(col("doc_id"), col("fp")).orderBy("doc_id")
+
+  /** Store-backed incremental ingest dedup (round-12): same semantics
+    * as [[dedupIncremental]], but the corpus side reads the persisted
+    * digest store — fp parquet, never corpus text. The one semantic
+    * delta is deliberate: null-text docs carry no digest (a null
+    * fingerprint is "unknown", not "identical") and are excluded from
+    * BOTH sides, mirrored in the oracle's WHERE text IS NOT NULL.
+    */
+  private def dedupIncrementalStore(s: SparkSession, d: String): DataFrame =
+    graft.text.DedupStore.screenExactSurvivors(
+      Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
+      "doc_id", "text", corpusStore(s, d))
+
   /** Exact vocabulary heavy hitters — the top-20 corpus tokens by
     * total frequency (deterministic (count desc, token asc) order).
     * The exact counterpart of the `q_heavy_hitters_sound` sketch
@@ -683,6 +715,19 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents)
+         |SELECT min(o.doc_id) AS doc_id, o.fp FROM t o
+         |WHERE o.m >= 8 AND NOT EXISTS (
+         |  SELECT 1 FROM t WHERE t.m < 8 AND t.fp = o.fp)
+         |GROUP BY o.fp""".stripMargin)),
+    QueryDef("q_dedup_store_fp", dedupStoreFp, Some(
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents WHERE text IS NOT NULL AND doc_id % 10 < 8
+         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_incremental_store", dedupIncrementalStore, Some(
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents WHERE text IS NOT NULL)
          |SELECT min(o.doc_id) AS doc_id, o.fp FROM t o
          |WHERE o.m >= 8 AND NOT EXISTS (
          |  SELECT 1 FROM t WHERE t.m < 8 AND t.fp = o.fp)

@@ -132,18 +132,18 @@ object DedupJobs {
     else verified.select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  private def buildMinhashPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, shingleN: Int,
-      threshold: Double, maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
-
-    // Fused tokens→shingles→signature→band-buckets kernel: shingle
-    // strings and the k-length signature live only inside the UDF call
-    // (never materialized as plan arrays — caching/carrying them was
-    // the measured cost, not the hashing). Output: one bucket key per
-    // band.
+  /** Fused tokens→shingles→signature→band-buckets kernel: shingle
+    * strings and the k-length signature live only inside the UDF call
+    * (never materialized as plan arrays — caching/carrying them was
+    * the measured cost, not the hashing). Output: one bucket key per
+    * band. Shared by the in-session pair search and the persisted
+    * digest store ([[DedupStore]]) so stored band buckets are
+    * bit-identical to recomputed ones — one definition, no drift.
+    */
+  private[text] def bandBucketsUdf(k: Int, bands: Int, shingleN: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val rows = k / bands
-    val bandsUdf = udf { toks: Seq[String] =>
+    udf { toks: Seq[String] =>
       val sig = Array.fill(k)(Long.MaxValue)
       if (toks.nonEmpty) {
         // Each token hashed ONCE; a shingle's base hash is the mix64
@@ -185,6 +185,14 @@ object DedupJobs {
         h
       }
     }
+  }
+
+  private def buildMinhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int,
+      threshold: Double, maxBucket: Int): (DataFrame, Seq[DataFrame]) = {
+
+    val bandsUdf = bandBucketsUdf(k, bands, shingleN)
 
     // The corpus is tokenized exactly ONCE into this cached frame,
     // feeding both the signature stage and the verification-shingle

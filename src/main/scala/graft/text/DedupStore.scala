@@ -1,0 +1,149 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.vector.PersistedLayout
+
+/** Maintained dedup-digest store (round-12, verdict item 3): the
+  * per-document exact fingerprint ([[TextFunctions.fingerprint]] —
+  * md5 of the sorted distinct token set) and the MinHash-LSH band
+  * buckets ([[DedupJobs.bandBucketsUdf]] — the SAME fused kernel the
+  * in-session pair search runs, so stored buckets are bit-identical
+  * to recomputed ones), persisted beside the corpus under the
+  * [[PersistedLayout]] protocol the vector indexes use: fingerprint
+  * marker, stamp-last crash semantics, concurrent-builder Busy
+  * degrade, and an APPEND path for a grown corpus.
+  *
+  * Why it exists: q_dedup_incremental and the ingest near-dup screen
+  * recomputed corpus digests from TEXT on every run — at 100 TB that
+  * is a full-corpus tokenize+hash per arriving batch. With the store,
+  * a batch screen reads (id, fp, bands) parquet — digests, never
+  * corpus text — and an arriving batch APPENDS its own digests
+  * (computed from batch text only) instead of rebuilding the store.
+  *
+  * Unlike the IVF index there is NO growth-refit threshold: digests
+  * are per-document and independent, so appends never degrade store
+  * quality — the store grows for the corpus lifetime.
+  */
+object DedupStore {
+
+  private[text] val metaFile = "_graft_fp_meta"
+
+  /** The digest rows for a document frame: (id, fp, bands). Null-text
+    * docs are excluded — they carry a null fingerprint (unknown, not
+    * identical: the exactDupGroups convention) and no shingles, so
+    * they can neither match nor be matched.
+    */
+  private def digestsOf(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        TextFunctions.fingerprint(col(textCol)).as("fp"),
+        DedupJobs.bandBucketsUdf(k, bands, shingleN)(
+          TextFunctions.tokens(col(textCol))).as("bands"))
+
+  /** Load the digest store for `docs`, building or append-growing it
+    * as needed. Marker = config + (count, bit_xor id-hash) corpus
+    * fingerprint; an unchanged config whose corpus strictly grew
+    * appends ONLY the new ids' digests — proven append-only exactly
+    * like the vector indexes (|corpus ∖ store| from one narrow id
+    * anti-join must equal the count delta). Deletions, replacements,
+    * config drift, or any old-layout read failure rebuild from
+    * scratch. Returns (id, fp, bands).
+    */
+  def loadOrBuild(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3)
+      : DataFrame = {
+    val spark = docs.sparkSession
+    val (n, idsum) = PersistedLayout.fingerprint(docs, idCol, textCol)
+    val config = Seq(
+      s"k=$k", s"bands=$bands", s"shingleN=$shingleN",
+      s"id=$idCol", s"text=$textCol")
+    val want = (config ++ Seq(s"n=$n", s"idsum=$idsum"))
+      .mkString("\n") + "\n"
+    PersistedLayout.ensureWith(spark, dir, metaFile, want,
+      rebuild = false) { old =>
+      try {
+        val oldLines = old.split("\n").toSeq
+        val oldN = oldLines.collectFirst {
+          case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
+        oldLines.filterNot(s =>
+            s.startsWith("n=") || s.startsWith("idsum=")) == config &&
+        oldN > 0 && n > oldN && {
+          val stored = spark.read.parquet(s"$dir/digests")
+            .select(col(idCol))
+          val appended = docs.filter(col(textCol).isNotNull)
+            .join(stored, Seq(idCol), "left_anti")
+          appended.count() == n - oldN && {
+            digestsOf(appended, idCol, textCol, k, bands, shingleN)
+              .write.mode("append").parquet(s"$dir/digests")
+            true
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => false }
+    } {
+      digestsOf(docs, idCol, textCol, k, bands, shingleN)
+        .write.mode("overwrite").parquet(s"$dir/digests")
+    } match {
+      case PersistedLayout.Busy =>
+        // A concurrent session is writing the layout: serve this call
+        // from the in-memory digests (identical rows).
+        digestsOf(docs, idCol, textCol, k, bands, shingleN)
+      case _ => spark.read.parquet(s"$dir/digests")
+    }
+  }
+
+  /** [[loadOrBuild]] behind the session cache: the fingerprint probe
+    * runs once per (session, dir); every screen in the session shares
+    * one loaded handle.
+    */
+  def loadOrBuildCached(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3)
+      : DataFrame =
+    graft.SessionCache.getOrBuild(docs.sparkSession,
+      s"fpstore|$dir|$idCol|$textCol|k=$k|b=$bands|n=$shingleN") {
+      (loadOrBuild(docs, idCol, textCol, dir, k, bands, shingleN), Nil)
+    }
+
+  /** Exact-dedup screen of an arriving batch against the store: the
+    * surviving batch docs — not exact-duplicating any stored doc, and
+    * deduplicated within the batch (min id per fingerprint). Batch
+    * fingerprints come from batch text; the corpus side reads ONLY
+    * the store's fp column — both shuffles carry 32-byte digests, so
+    * at 100 TB the screen's corpus cost is one digest-column scan,
+    * never a text scan.
+    */
+  def screenExactSurvivors(batch: DataFrame, idCol: String,
+      textCol: String, store: DataFrame): DataFrame =
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .join(store.select("fp"), Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fp"))
+
+  /** Near-dup CANDIDATE screen of a batch against the store via the
+    * shared MinHash band buckets: a batch doc is a candidate of every
+    * stored doc it shares ≥1 band bucket with (the standard LSH
+    * S-curve screen; verify candidates exactly afterwards by fetching
+    * ONLY the matched ids' text with an id semi-join). Reads stored
+    * band buckets, never corpus text. Returns
+    * (id, match_id, n_bands) with n_bands = shared-bucket count.
+    */
+  def screenNearCandidates(batch: DataFrame, idCol: String,
+      textCol: String, store: DataFrame,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    def explodeBands(df: DataFrame, idAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+        posexplode_outer(col("bands")).as(Seq("band", "bucket")))
+        .filter(col("bucket").isNotNull)
+    val batchBands = explodeBands(
+      digestsOf(batch, idCol, textCol, k, bands, shingleN), "__bid")
+    val storeBands = explodeBands(store, "match_id")
+    batchBands.join(storeBands, Seq("band", "bucket"))
+      .filter(col("__bid") =!= col("match_id"))
+      .groupBy(col("__bid"), col("match_id"))
+      .agg(count(lit(1)).as("n_bands"))
+      .select(col("__bid").as(idCol), col("match_id"), col("n_bands"))
+  }
+}

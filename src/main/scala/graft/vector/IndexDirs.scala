@@ -38,4 +38,13 @@ object IndexDirs {
       planes: Int, tables: Int): String =
     s"$root/lsh-${sanitize(datasetKey)}-${sanitize(idCol)}-" +
       s"${sanitize(vecCol)}-${planes}x$tables"
+
+  /** Persisted text-dedup digest store ([[graft.text.DedupStore]]):
+    * same root, same fingerprint-marker revalidation — the text twin
+    * of the vector index homes.
+    */
+  def textDigests(datasetKey: String, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int): String =
+    s"$root/fp-${sanitize(datasetKey)}-${sanitize(idCol)}-" +
+      s"${sanitize(textCol)}-k$k-b$bands-n$shingleN"
 }

@@ -21,7 +21,7 @@ import org.apache.spark.sql.functions._
   * stamped temp-then-rename AFTER the datasets commit, so a crashed
   * build is re-run, never half-loaded.
   */
-private[vector] object PersistedLayout {
+private[graft] object PersistedLayout {
 
   sealed trait State
   /** Layout on disk matches `want` — load it. */
@@ -52,7 +52,7 @@ private[vector] object PersistedLayout {
     (fp.getLong(0), if (fp.isNullAt(1)) 0L else fp.getLong(1))
   }
 
-  private[vector] def readMarker(spark: SparkSession, dir: String,
+  private[graft] def readMarker(spark: SparkSession, dir: String,
       metaFile: String): Option[String] = {
     val marker = new Path(dir, metaFile)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -1,0 +1,151 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The maintained dedup-digest store (round 12): persisted
+  * fingerprints + MinHash band buckets are bit-identical to a fresh
+  * recompute, a grown corpus APPENDS only the new ids' digests (no
+  * growth-refit threshold — digests are per-document), and the batch
+  * screens read digests, never corpus text.
+  */
+class DedupStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docs(from: Int, until: Int): DataFrame = {
+    import spark.implicits._
+    (from until until).map { i =>
+      // Every 10th doc repeats an earlier text (exact dups to catch);
+      // doc 7 carries null text (must be digestless, not md5("")).
+      val text =
+        if (i == 7) null
+        else if (i % 10 == 9) s"common shared text body number ${i / 20}"
+        else s"unique document $i with some words " +
+          (0 to i % 5).map(j => s"tok$j").mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+  }
+
+  private def listing(dir: String): Map[String, (Long, Long)] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    walk(new java.io.File(dir))
+      .map(f => f.getPath -> (f.lastModified(), f.length())).toMap
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String, Seq[Long])] =
+    df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getSeq[Long](2))).toSet
+
+  test("stored digests are bit-identical to a recompute; a second call " +
+      "loads; a grown corpus appends without touching old files") {
+    val dir = java.nio.file.Files.createTempDirectory("fpstore")
+      .toString + "/store"
+    val base = docs(0, 100)
+    val s1 = DedupStore.loadOrBuild(base, "doc_id", "text", dir)
+    // In-memory recompute (the Busy fallback path builds the same
+    // frame) ≡ persisted bytes.
+    val fresh2 = java.nio.file.Files.createTempDirectory("fpstore2")
+      .toString + "/store"
+    assert(rows(s1) == rows(DedupStore.loadOrBuild(base, "doc_id", "text",
+      fresh2)))
+    assert(s1.filter(col("doc_id") === 7L).isEmpty,
+      "null-text docs carry no digest")
+    assert(s1.count() == 99)
+
+    val before = listing(dir)
+    Thread.sleep(1100)
+    DedupStore.loadOrBuild(base, "doc_id", "text", dir)
+    assert(listing(dir) == before, "an up-to-date store must load, not rebuild")
+
+    // +150% growth still appends: digests are per-document, so unlike
+    // the IVF quantizer there is no quality argument for a refit.
+    val grown = docs(0, 250)
+    val sGrown = DedupStore.loadOrBuild(grown, "doc_id", "text", dir)
+    val after = listing(dir)
+    assert(before.forall { case (p, sig) => after.get(p).contains(sig) },
+      "append must leave every pre-existing store file byte-untouched")
+    assert(after.keySet.diff(before.keySet).nonEmpty)
+    // Append-grown content ≡ a from-scratch build on the grown corpus.
+    val freshDir = java.nio.file.Files.createTempDirectory("fpstoref")
+      .toString + "/store"
+    assert(rows(sGrown) ==
+      rows(DedupStore.loadOrBuild(grown, "doc_id", "text", freshDir)),
+      "append-grown store must equal a from-scratch build")
+  }
+
+  test("deletion and config drift rebuild from scratch") {
+    val dir = java.nio.file.Files.createTempDirectory("fpstore3")
+      .toString + "/store"
+    DedupStore.loadOrBuild(docs(0, 100), "doc_id", "text", dir)
+    val pre = listing(dir).keySet
+    val shrunk = DedupStore.loadOrBuild(docs(0, 80), "doc_id", "text", dir)
+    assert(pre.intersect(listing(dir).keySet).isEmpty,
+      "deletion must rewrite the store from scratch")
+    assert(shrunk.count() == 79)
+    val pre2 = listing(dir).keySet
+    DedupStore.loadOrBuild(docs(0, 80), "doc_id", "text", dir, bands = 4)
+    assert(pre2.intersect(listing(dir).keySet).isEmpty,
+      "config drift must rewrite the store from scratch")
+  }
+
+  test("batch screens read the store's digests, never corpus text") {
+    val tmp = java.nio.file.Files.createTempDirectory("fpscan").toString
+    val corpusPath = s"$tmp/corpus"
+    val storeDir = s"$tmp/store"
+    docs(0, 100).write.parquet(corpusPath)
+    val corpus = spark.read.parquet(corpusPath)
+    DedupStore.loadOrBuild(corpus, "doc_id", "text", storeDir)
+    // A later session: store loaded from disk, corpus text NOT in hand.
+    val store = spark.read.parquet(s"$storeDir/digests")
+    val batch = docs(100, 120)
+      // doc 109 repeats corpus text ("...number 5" = docs 100-119 use
+      // i/20 = 5; the corpus's doc 99 used 99/20 = 4) — make a true
+      // cross-set exact dup explicitly:
+      .unionByName(docs(89, 90).withColumn("doc_id", lit(500L)))
+
+    val survivors = DedupStore.screenExactSurvivors(batch, "doc_id",
+      "text", store)
+    survivors.collect()
+    val plan = survivors.queryExecution.executedPlan.toString
+    assert(!plan.contains(corpusPath),
+      s"the screen must not scan the corpus:\n${plan.take(800)}")
+    assert(!"ReadSchema:[^\\n]*text".r.findFirstIn(plan).isDefined,
+      s"no file scan of the screen may read a text column:\n${plan.take(800)}")
+    // Semantics vs a brute recompute from both texts.
+    val brute = {
+      val fp = (df: DataFrame) => df.filter(col("text").isNotNull)
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      fp(batch).join(fp(docs(0, 100)).select("fp"), Seq("fp"), "left_anti")
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select(col("doc_id"), col("fp"))
+    }
+    assert(survivors.exceptAll(brute).isEmpty &&
+      brute.exceptAll(survivors).isEmpty,
+      "store-backed screen must equal the text recompute")
+    assert(survivors.filter(col("doc_id") === 500L).isEmpty,
+      "the cross-set exact dup must be screened out")
+
+    // Near-dup candidate screen: an exact dup shares ALL band buckets
+    // with its stored twin — and the plan again reads no text column.
+    val near = DedupStore.screenNearCandidates(batch, "doc_id", "text",
+      store)
+    val hit = near.filter(col("doc_id") === 500L && col("match_id") === 89L)
+      .collect()
+    assert(hit.length == 1 && hit(0).getLong(2) == 8L,
+      "an exact dup must share all 8 band buckets with its stored twin")
+    val nearPlan = near.queryExecution.executedPlan.toString
+    assert(!nearPlan.contains(corpusPath) &&
+      !"ReadSchema:[^\\n]*text".r.findFirstIn(nearPlan).isDefined,
+      s"the near screen must not read corpus text:\n${nearPlan.take(800)}")
+  }
+}
