@@ -40,6 +40,17 @@ final class ClaimAnalysisEngine(spark: SparkSession, hubPath: String,
   def loadHub(year: Option[Int] = None, month: Option[Int] = None): DataFrame =
     HubStore.read(spark, hubPath, year, month)
 
+  /** One-time layout upgrade for a hub born flat (pre-round-12
+    * deployments): convert in place to the key-hash bucketed layout so
+    * every later upload's key probe bucket-prunes instead of scanning
+    * the hub's key column ([[HubStore.migrateToBucketed]] — staged,
+    * lease-guarded, idempotent; rows and downstream artifacts
+    * unchanged). Hubs the upload flow births are bucketed already.
+    */
+  def migrateHubToBucketed(
+      buckets: Int = HubStore.defaultHubBuckets): Unit =
+    HubStore.migrateToBucketed(spark, hubPath, buckets)
+
   def availablePeriods(): DataFrame = HubStore.catalog(spark, hubPath)
 
   /** The upload page's whole save flow as one verb (ref:

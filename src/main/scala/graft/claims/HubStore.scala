@@ -93,7 +93,13 @@ object HubStore {
     */
   def upsert(spark: SparkSession, incoming: DataFrame, path: String,
       onAffected: Set[Seq[Int]] => Unit = _ => (),
-      firstWriteBuckets: Option[Int] = None): Unit = {
+      firstWriteBuckets: Option[Int] = None): Unit =
+   // Leased on the hub path (round-12 self-review): every other
+   // maintenance verb serializes against a running UploadFlow, but a
+   // DIRECT upsert caller could still interleave with the flow's
+   // journal heal/sweep on the same hub silently. The flow itself
+   // (which takes the hub lease up front) re-enters.
+   MaintenanceLease.withLease(spark, path) {
     if (exists(spark, path)) {
       // PARTITION-SCOPED rewrite. The correctness hazard (reproduced in
       // the round-9 review) is a keyed update MOVING a claim across
@@ -265,7 +271,7 @@ object HubStore {
         case None => write(incoming.drop(ingestSeqCol), path)
       }
     }
-  }
+   }
 
   /** OR-of-ANDs partition predicate for an explicit partition-value
     * set — matches only listed partitions, so Catalyst prunes the scan

@@ -36,12 +36,21 @@ object DedupStore {
     * they can neither match nor be matched.
     */
   private def digestsOf(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, shingleN: Int): DataFrame =
+      k: Int, bands: Int, shingleN: Int): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         TextFunctions.fingerprint(col(textCol)).as("fp"),
-        DedupJobs.bandBucketsUdf(k, bands, shingleN)(
-          TextFunctions.tokens(col(textCol))).as("bands"))
+        // Zero-token docs carry NULL bands, mirroring the pair
+        // search's `size(__toks) > 0` exclusion: an empty token set
+        // has the degenerate all-MaxValue signature, and at corpus
+        // scale every whitespace-only doc would otherwise share one
+        // mega-bucket in the band screen. They still dedup exactly —
+        // their fp (md5 of the empty set) matches other empty docs.
+        when(size(toks) > 0,
+          DedupJobs.bandBucketsUdf(k, bands, shingleN)(toks))
+          .as("bands"))
+  }
 
   /** Load the digest store for `docs`, building or append-growing it
     * as needed. Marker = config + (count, bit_xor id-hash) corpus
