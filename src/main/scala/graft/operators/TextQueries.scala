@@ -282,6 +282,50 @@ object TextQueries extends QueryModule {
       Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
       "doc_id", "text", corpusStore(s, d))
 
+  /** STREAMING ingest dedup against the maintained digest store
+    * (round-12): the arriving slice (doc_id % 10 ≥ 8) flows in as a
+    * structured stream and each micro-batch is screened via
+    * [[graft.text.DedupStore.ingestBatch]] — fingerprint anti-join
+    * against the persisted corpus store PLUS previously streamed
+    * batches, survivors written batchId-keyed (replay-idempotent,
+    * restart-safe without a journal). Same oracle as the batch form
+    * (q_dedup_incremental_store): the streaming decomposition must be
+    * invisible in the result. The screen's corpus side reads digests,
+    * never text — the 100 TB ingest shape, where the standing corpus
+    * is touched only through its digest store.
+    */
+  private def streamDedupStore(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamdedupstore|$d") {
+      val store = corpusStore(s, d)
+      val streamDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-fp").toString + "/out"
+      val rawSchema = Tables.table(s, d, "documents").schema
+      val step: (DataFrame, Long) => Unit = (b, id) =>
+        graft.text.DedupStore.ingestBatch(b, "doc_id", "text", store,
+          streamDir, id)
+      // State-store/shuffle sizing as in BoundedStream: the per-batch
+      // screen joins digest slivers; CPU-count shuffle partitions
+      // would dominate with task overhead.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(d)
+          .filter(col("doc_id") % 10 >= 8)
+          .select(col("doc_id"), col("text"))
+          .writeStream
+          .foreachBatch(step)
+          .option("checkpointLocation", streamDir + "_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val out = s.read.parquet(streamDir)
+        .select(col("doc_id"), col("fp")).persist()
+      out.count()
+      (out, Seq(out))
+    }
+
   /** Exact vocabulary heavy hitters — the top-20 corpus tokens by
     * total frequency (deterministic (count desc, token asc) order).
     * The exact counterpart of the `q_heavy_hitters_sound` sketch
@@ -725,6 +769,14 @@ object TextQueries extends QueryModule {
          |FROM documents WHERE text IS NOT NULL AND doc_id % 10 < 8
          |ORDER BY doc_id""".stripMargin)),
     QueryDef("q_dedup_incremental_store", dedupIncrementalStore, Some(
+      s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
+         |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+         |FROM documents WHERE text IS NOT NULL)
+         |SELECT min(o.doc_id) AS doc_id, o.fp FROM t o
+         |WHERE o.m >= 8 AND NOT EXISTS (
+         |  SELECT 1 FROM t WHERE t.m < 8 AND t.fp = o.fp)
+         |GROUP BY o.fp""".stripMargin)),
+    QueryDef("q_stream_dedup_store", streamDedupStore, Some(
       s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents WHERE text IS NOT NULL)

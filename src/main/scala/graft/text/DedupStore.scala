@@ -131,6 +131,49 @@ object DedupStore {
       .groupBy("fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
 
+  /** Digests streamed so far into `streamDir` (the per-batch dirs
+    * [[ingestBatch]] writes); empty-with-schema before the first
+    * batch commits.
+    */
+  private def streamedDigests(spark: SparkSession, streamDir: String,
+      idCol: String): DataFrame =
+    try spark.read.parquet(streamDir)
+      .select(col(idCol), col("fp"), col("batch_id").cast("long"))
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        spark.range(0).select(col("id").as(idCol),
+          lit(null).cast("string").as("fp"), col("id").as("batch_id"))
+    }
+
+  /** One micro-batch step of the STREAMING ingest screen — the
+    * production shape of exact dedup at ingest, wired for
+    * `foreachBatch`: the batch's survivors (fingerprint not in the
+    * standing corpus store NOR in any previously streamed batch, then
+    * min-id within the batch) are written to a batchId-KEYED directory
+    * under `streamDir`. The keying is the idempotence mechanism: a
+    * replayed batch (foreachBatch is at-least-once) overwrites its own
+    * directory with identical content instead of double-appending —
+    * exactly-once results without a journal. The union of the batch
+    * dirs IS both the stream's dedup state for later batches and its
+    * final output; all shuffles carry digests, never text.
+    */
+  def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
+      corpusStore: DataFrame, streamDir: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    // A replayed batch must not screen against its OWN previous
+    // output (it would empty itself); earlier batches' digests are
+    // the stream state, its own dir is the output being rewritten.
+    val seen = corpusStore.select("fp")
+      .unionByName(streamedDigests(spark, streamDir, idCol)
+        .filter(col("batch_id") =!= batchId).select("fp"))
+    batch.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .join(seen, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fp"))
+      .write.mode("overwrite").parquet(s"$streamDir/batch_id=$batchId")
+  }
+
   /** Near-dup CANDIDATE screen of a batch against the store via the
     * shared MinHash band buckets: a batch doc is a candidate of every
     * stored doc it shares ≥1 band bucket with (the standard LSH

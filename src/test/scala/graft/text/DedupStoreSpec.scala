@@ -98,6 +98,47 @@ class DedupStoreSpec extends AnyFunSuite {
       "config drift must rewrite the store from scratch")
   }
 
+  test("streaming ingest steps: cross-batch state, replay idempotence") {
+    val tmp = java.nio.file.Files.createTempDirectory("fpingest").toString
+    val storeDir = s"$tmp/store"
+    val streamDir = s"$tmp/stream"
+    val corpus = docs(0, 50)
+    DedupStore.loadOrBuild(corpus, "doc_id", "text", storeDir)
+    val store = spark.read.parquet(s"$storeDir/digests")
+
+    import spark.implicits._
+    // Batch 0: one corpus dup (screened), one fresh doc, one internal
+    // dup pair (min id survives).
+    val b0 = Seq(
+      (100L, "unique document 3 with some words tok0 tok1 tok2 tok3"), // = corpus doc 3
+      (101L, "fresh text one"),
+      (102L, "fresh text two"),
+      (103L, "fresh text two")).toDF("doc_id", "text")
+    DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    def survivors(): Set[(Long, String)] =
+      spark.read.parquet(streamDir).select("doc_id", "fp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s0 = survivors()
+    assert(s0.map(_._1) == Set(101L, 102L),
+      s"batch 0: corpus dup out, internal dup collapses to min id: $s0")
+
+    // Batch 1: a dup of a batch-0 SURVIVOR must be screened by the
+    // streamed state, not just the corpus store.
+    val b1 = Seq(
+      (110L, "fresh text one"),  // dup of 101's content
+      (111L, "fresh text three")).toDF("doc_id", "text")
+    DedupStore.ingestBatch(b1, "doc_id", "text", store, streamDir, 1L)
+    assert(survivors().map(_._1) == Set(101L, 102L, 111L),
+      "batch 1: earlier batches' digests are stream state")
+
+    // Replay of batch 0 (at-least-once foreachBatch): its own prior
+    // output must NOT screen it — identical content, no loss.
+    val before = survivors()
+    DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    assert(survivors() == before,
+      "a replayed batch overwrites its own dir with identical content")
+  }
+
   test("batch screens read the store's digests, never corpus text") {
     val tmp = java.nio.file.Files.createTempDirectory("fpscan").toString
     val corpusPath = s"$tmp/corpus"
