@@ -27,7 +27,12 @@ object HubStore {
     * overwrite semantics of every other partitioned write in the
     * process for the rest of the session).
     */
-  def write(df: DataFrame, path: String): Unit = {
+  def write(df: DataFrame, path: String): Unit =
+   // Leased like every other hub writer (round-12 self-review closed
+   // the last gap): a direct flat write racing a running UploadFlow's
+   // merge window replaced month partitions underneath it silently.
+   // upsert's first-write path re-enters.
+   MaintenanceLease.withLease(df.sparkSession, path) {
     // Loud layout guard: a two-level dynamic write into a bucketed
     // (three-level) layout would interleave partition depths and make
     // the whole dataset unreadable — refuse up front instead.
@@ -57,7 +62,7 @@ object HubStore {
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)
-  }
+   }
 
   /** Partition column hygiene: int-typed, nulls → 0
     * (ref: core/storage.py:49-50). Shared with [[SeriesCounts]], whose

@@ -72,9 +72,14 @@ object SeriesCounts {
     martDir.stripSuffix("/") + "_counts"
 
   /** Inverse of [[dirFor]] — the mart dir whose [[MaintenanceLease]]
-    * serializes maintenance of this count store. A custom dir that
-    * never came from dirFor leases on itself: still single-writer,
-    * just keyed apart from any mart (which such a store is).
+    * serializes maintenance of this count store (the flow holds the
+    * MART lease, so count writers must key on the mart to re-enter
+    * it). The mapping is purely syntactic: ANY dir ending in
+    * `_counts` leases its stripped prefix — a standalone store that
+    * merely happens to share that suffix next to an unrelated
+    * same-prefix mart would spuriously exclude against it (fail-safe:
+    * a loud extra exclusion, never a missed one). A dir not ending in
+    * `_counts` leases on itself.
     */
   private def leaseDirFor(countsDir: String): String =
     countsDir.stripSuffix("/").stripSuffix("_counts") match {

@@ -289,10 +289,17 @@ object TextQueries extends QueryModule {
     * against the persisted corpus store PLUS previously streamed
     * batches, survivors written batchId-keyed (replay-idempotent,
     * restart-safe without a journal). Same oracle as the batch form
-    * (q_dedup_incremental_store): the streaming decomposition must be
-    * invisible in the result. The screen's corpus side reads digests,
-    * never text — the 100 TB ingest shape, where the standing corpus
-    * is touched only through its digest store.
+    * (q_dedup_incremental_store) — with the precondition stated
+    * honestly: streaming dedup is FIRST-ARRIVAL-wins (exactly like
+    * q_stream_dedup's dropDuplicates), which coincides with the
+    * oracle's min-id-per-fp form only while arrival order is
+    * ascending in doc_id. This source is one parquet file → one
+    * AvailableNow batch, so the property holds by construction; a
+    * future source whose batch splits break id order would turn this
+    * gate red LOUDLY rather than silently reordering survivors. The
+    * screen's corpus side reads digests, never text — the 100 TB
+    * ingest shape, where the standing corpus is touched only through
+    * its digest store.
     */
   private def streamDedupStore(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamdedupstore|$d") {

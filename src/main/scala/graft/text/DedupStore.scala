@@ -30,6 +30,16 @@ object DedupStore {
 
   private[text] val metaFile = "_graft_fp_meta"
 
+  /** Same guard as `DedupJobs.minhashCandidatePairs`, for the same
+    * kernel: bands > k would hash ZERO signature slots per band (every
+    * doc in one constant bucket per band — the near screen degenerates
+    * to a cross product), and k % bands != 0 silently ignores the
+    * signature tail, changing the LSH operating threshold.
+    */
+  private def requireBandsDivideK(k: Int, bands: Int): Unit =
+    require(bands >= 1 && k >= bands && k % bands == 0,
+      s"bands must divide k (k=$k, bands=$bands)")
+
   /** The digest rows for a document frame: (id, fp, bands). Null-text
     * docs are excluded — they carry a null fingerprint (unknown, not
     * identical: the exactDupGroups convention) and no shingles, so
@@ -64,6 +74,7 @@ object DedupStore {
   def loadOrBuild(docs: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3)
       : DataFrame = {
+    requireBandsDivideK(k, bands)
     val spark = docs.sparkSession
     val (n, idsum) = PersistedLayout.fingerprint(docs, idCol, textCol)
     val config = Seq(
@@ -71,26 +82,19 @@ object DedupStore {
       s"id=$idCol", s"text=$textCol")
     val want = (config ++ Seq(s"n=$n", s"idsum=$idsum"))
       .mkString("\n") + "\n"
+    // No growth-refit threshold (maxGrowFrac = ∞): digests are
+    // per-document and independent, so appends never degrade store
+    // quality — unlike the IVF quantizer, this store grows for the
+    // corpus lifetime.
     PersistedLayout.ensureWith(spark, dir, metaFile, want,
       rebuild = false) { old =>
-      try {
-        val oldLines = old.split("\n").toSeq
-        val oldN = oldLines.collectFirst {
-          case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
-        oldLines.filterNot(s =>
-            s.startsWith("n=") || s.startsWith("idsum=")) == config &&
-        oldN > 0 && n > oldN && {
-          val stored = spark.read.parquet(s"$dir/digests")
-            .select(col(idCol))
-          val appended = docs.filter(col(textCol).isNotNull)
-            .join(stored, Seq(idCol), "left_anti")
-          appended.count() == n - oldN && {
-            digestsOf(appended, idCol, textCol, k, bands, shingleN)
-              .write.mode("append").parquet(s"$dir/digests")
-            true
-          }
-        }
-      } catch { case scala.util.control.NonFatal(_) => false }
+      PersistedLayout.appendIfGrown(docs, idCol, textCol, old, config,
+        n, Double.PositiveInfinity,
+        spark.read.parquet(s"$dir/digests").select(col(idCol))) {
+        appended =>
+          digestsOf(appended, idCol, textCol, k, bands, shingleN)
+            .write.mode("append").parquet(s"$dir/digests")
+      }
     } {
       digestsOf(docs, idCol, textCol, k, bands, shingleN)
         .write.mode("overwrite").parquet(s"$dir/digests")
@@ -181,10 +185,17 @@ object DedupStore {
     * ONLY the matched ids' text with an id semi-join). Reads stored
     * band buckets, never corpus text. Returns
     * (id, match_id, n_bands) with n_bands = shared-bucket count.
+    *
+    * (k, bands, shingleN) MUST equal the store's build config — the
+    * batch's buckets are recomputed here, and a mismatched hash space
+    * silently shares ~no buckets with the stored ones (near-zero
+    * candidates, silent recall loss). The store's marker records its
+    * config; a caller holding only the frame is trusted to know it.
     */
   def screenNearCandidates(batch: DataFrame, idCol: String,
       textCol: String, store: DataFrame,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    requireBandsDivideK(k, bands)
     def explodeBands(df: DataFrame, idAs: String): DataFrame =
       df.select(col(idCol).as(idAs),
         posexplode_outer(col("bands")).as(Seq("band", "bucket")))

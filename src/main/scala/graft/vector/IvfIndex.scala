@@ -263,45 +263,36 @@ object IvfIndex {
     // assigns only the NEW ids to the EXISTING centroids and
     // append-writes them, touching only their cell partitions, instead
     // of the full refit + full `assignments` rewrite a fingerprint
-    // mismatch used to force. Append-only-ness is proven, not assumed:
-    // |corpus ∖ index| (one narrow id anti-join against the index's id
-    // column — O(index ids), orders under the rewrite it saves) must
-    // equal n − oldN, which holds iff the indexed ids are a subset of
-    // the corpus. Deletions, replacements, config drift, growth past
-    // [[appendRefitFrac]], or ANY failure reading the old layout fall
-    // through to the full rebuild — always correct, never cheaper.
+    // mismatch used to force. The shared proven-append guard
+    // ([[PersistedLayout.appendIfGrown]]) pins append-only-ness;
+    // growth past [[appendRefitFrac]] escalates to the refit because
+    // the quantizer was fitted on the OLD corpus.
     PersistedLayout.ensureWith(spark, dir, metaFile, want, rebuild) { old =>
-      try {
-        val oldLines = old.split("\n").toSeq
-        val oldN = oldLines.collectFirst {
-          case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
-        oldLines.filterNot(s =>
-            s.startsWith("n=") || s.startsWith("idsum=")) == config &&
-        oldN > 0 && n > oldN && (n - oldN) <= appendRefitFrac * oldN && {
-          val indexed = spark.read.parquet(s"$dir/assignments")
-            .select(col(idCol))
-          val appended = vectors.filter(col(vecCol).isNotNull)
-            .join(indexed, Seq(idCol), "left_anti")
-          appended.count() == n - oldN && {
-            val centroids = spark.read.parquet(s"$dir/centroids")
-              .orderBy("cell").collect()
-              .map(_.getSeq[Double](1).toArray)
-            // One file per touched cell per append (repartition
-            // collocates a cell's rows in one task) — without it every
-            // shuffle partition would splinter each cell into its own
-            // small file, and at 100 TB appends are frequent.
-            assignWithCentroids(appended, idCol, vecCol, centroids)
-              .repartition(col("cell"))
-              .write.mode("append")
-              .partitionBy("cell").parquet(s"$dir/assignments")
-            true
-          }
-        }
-      } catch { case scala.util.control.NonFatal(_) => false }
+      PersistedLayout.appendIfGrown(vectors, idCol, vecCol, old, config,
+        n, appendRefitFrac,
+        spark.read.parquet(s"$dir/assignments").select(col(idCol))) {
+        appended =>
+          val centroids = spark.read.parquet(s"$dir/centroids")
+            .orderBy("cell").collect()
+            .map(_.getSeq[Double](1).toArray)
+          // One file per touched cell per append (repartition
+          // collocates a cell's rows in one task) — without it every
+          // shuffle partition would splinter each cell into its own
+          // small file, and at 100 TB appends are frequent.
+          assignWithCentroids(appended, idCol, vecCol, centroids)
+            .repartition(col("cell"))
+            .write.mode("append")
+            .partitionBy("cell").parquet(s"$dir/assignments")
+      }
     } {
       val (assigned, centroids) = assign(vectors, idCol, vecCol, k,
         seed, sampleN, iters)
+      // partitionOverwriteMode scoped to static: a session running
+      // dynamic overwrite would otherwise keep the files of any cell
+      // the rebuild no longer populates (e.g. rebuild-after-shrink),
+      // and the marker would then certify deleted ids as live.
       assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
         .partitionBy("cell").parquet(s"$dir/assignments")
       import spark.implicits._
       centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq

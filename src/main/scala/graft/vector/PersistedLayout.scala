@@ -98,6 +98,38 @@ private[graft] object PersistedLayout {
     * Invalidate-first + stamp-last means every crash window reads as
     * "stale → rebuild", mirroring the claims-side markers.
     */
+  /** The proven-append precondition shared by every persisted store's
+    * incremental hook (IVF cells, LSH buckets, dedup digests) — ONE
+    * definition of the crash-safety-critical guard instead of three
+    * drifting copies: the old marker's config lines must equal
+    * `config` exactly, the corpus must have strictly GROWN (bounded by
+    * `maxGrowFrac` of the old size — pass infinity for stores whose
+    * quality never degrades with appends), and append-only-ness is
+    * proven, not assumed: |corpus ∖ roster| (the caller's narrow id
+    * anti-join against the store's id roster) must equal the
+    * fingerprint count delta, which holds iff the stored ids are a
+    * subset of the corpus. Only then does `write(appended)` run. Any
+    * failure — config drift, deletion, replacement, over-threshold
+    * growth, unreadable old layout — returns false and the caller
+    * falls through to the full rebuild, which is always correct.
+    */
+  private[graft] def appendIfGrown(corpus: DataFrame, idCol: String,
+      valCol: String, old: String, config: Seq[String], n: Long,
+      maxGrowFrac: Double, roster: => DataFrame)(
+      write: DataFrame => Unit): Boolean =
+    try {
+      val oldLines = old.split("\n").toSeq
+      val oldN = oldLines.collectFirst {
+        case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
+      oldLines.filterNot(s =>
+          s.startsWith("n=") || s.startsWith("idsum=")) == config &&
+      oldN > 0 && n > oldN && (n - oldN) <= maxGrowFrac * oldN && {
+        val appended = corpus.filter(col(valCol).isNotNull)
+          .join(roster, Seq(idCol), "left_anti")
+        appended.count() == n - oldN && { write(appended); true }
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
+
   def ensureWith(spark: SparkSession, dir: String, metaFile: String,
       want: String, rebuild: Boolean)(incremental: String => Boolean)(
       build: => Unit): State = {

@@ -403,29 +403,17 @@ object VectorOps {
     // failure fall through to the full rebuild.
     PersistedLayout.ensureWith(spark, dir, lshMetaFile, want,
       rebuild = false) { old =>
-      try {
-        val oldLines = old.split("\n").toSeq
-        val oldN = oldLines.collectFirst {
-          case s if s.startsWith("n=") => s.drop(2).toLong }.getOrElse(-1L)
-        oldLines.filterNot(s =>
-            s.startsWith("n=") || s.startsWith("idsum=")) == config &&
-        oldN > 0 && n > oldN &&
-        (n - oldN) <= IvfIndex.appendRefitFrac * oldN && {
-          val indexed = spark.read.parquet(s"$dir/buckets")
-            .filter(col("tbl") === 0).select(col(idCol))
-          val appended = vectors.filter(col(vecCol).isNotNull)
-            .join(indexed, Seq(idCol), "left_anti")
-          appended.count() == n - oldN && {
-            lshBucketize(appended, idCol, vecCol, dim, planes, tables)
-              .repartition(col("tbl"))
-              .sortWithinPartitions(col("tbl"), col("bucket"))
-              .write.mode("append")
-              .partitionBy("tbl")
-              .parquet(s"$dir/buckets")
-            true
-          }
-        }
-      } catch { case scala.util.control.NonFatal(_) => false }
+      PersistedLayout.appendIfGrown(vectors, idCol, vecCol, old, config,
+        n, IvfIndex.appendRefitFrac,
+        spark.read.parquet(s"$dir/buckets")
+          .filter(col("tbl") === 0).select(col(idCol))) { appended =>
+        lshBucketize(appended, idCol, vecCol, dim, planes, tables)
+          .repartition(col("tbl"))
+          .sortWithinPartitions(col("tbl"), col("bucket"))
+          .write.mode("append")
+          .partitionBy("tbl")
+          .parquet(s"$dir/buckets")
+      }
     } {
       lshBucketize(vectors, idCol, vecCol, dim, planes, tables)
         // Sorted by (tbl, bucket), not bucket alone: the dynamic-
@@ -437,6 +425,10 @@ object VectorOps {
         .repartition(col("tbl"))
         .sortWithinPartitions(col("tbl"), col("bucket"))
         .write.mode("overwrite")
+        // static overwrite scoped here for the same reason as the IVF
+        // rebuild: a dynamic-overwrite session would keep stale table
+        // partitions across a rebuild-after-shrink.
+        .option("partitionOverwriteMode", "static")
         .partitionBy("tbl")
         .parquet(s"$dir/buckets")
     } match {
