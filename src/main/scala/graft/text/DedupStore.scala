@@ -178,6 +178,57 @@ object DedupStore {
       .write.mode("overwrite").parquet(s"$streamDir/batch_id=$batchId")
   }
 
+  /** Compact the stream's batchId-keyed survivor dirs into one
+    * generation: at ingest scale the per-batch dirs ARE the
+    * small-files problem (one dir per micro-batch, forever), and
+    * screening cost grows with file count, not digest count.
+    *
+    * Compacted generations use NEGATIVE batch ids counting downward
+    * (−1, −2, …) — never a real foreachBatch id — and the new
+    * generation is staged beside the stream dir, renamed in under the
+    * next unused negative id, and only then are all OTHER dirs
+    * deleted. Nothing is ever deleted before its contents exist under
+    * the new generation, so every crash window leaves at worst
+    * DUPLICATE fingerprints across generations — which the screen's
+    * anti-join is insensitive to — and re-running compaction
+    * converges. Replay stays idempotent across compaction too: a
+    * replayed batch N finds its fingerprints in the compacted
+    * generation (not excluded by its own-dir rule), anti-joins to
+    * empty, and rewrites an empty dir. Leased on the stream dir —
+    * compaction racing a live ingest would merge a half-written batch.
+    */
+  def compactStream(spark: SparkSession, streamDir: String,
+      idCol: String): Unit =
+   graft.claims.MaintenanceLease.withLease(spark, streamDir) {
+    val root = new org.apache.hadoop.fs.Path(streamDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(root)) {
+      val gens = fs.listStatus(root).filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("batch_id="))
+      val genIds = gens.map(_.getName.stripPrefix("batch_id=").toLong)
+      if (gens.length > 1 || genIds.exists(_ >= 0)) {
+        val nextId = math.min(genIds.min, 0L) - 1
+        val all = streamedDigests(spark, streamDir, idCol)
+          .select(col(idCol), col("fp"))
+          // Crashed earlier compactions can leave duplicate fps; one
+          // survivor per fp, min id — the same pick the screens'
+          // first-arrival semantics produced within each generation.
+          .groupBy("fp").agg(min(col(idCol)).as(idCol))
+          .select(col(idCol), col("fp"))
+        val staging = new org.apache.hadoop.fs.Path(
+          streamDir + "__compacting")
+        if (fs.exists(staging)) fs.delete(staging, true)
+        all.write.mode("overwrite").parquet(staging.toString)
+        val target = new org.apache.hadoop.fs.Path(root,
+          s"batch_id=$nextId")
+        require(fs.rename(staging, target),
+          s"could not rename $staging into $target")
+        gens.foreach(d => fs.delete(d, true))
+      }
+    }
+   }
+
   /** Near-dup CANDIDATE screen of a batch against the store via the
     * shared MinHash band buckets: a batch doc is a candidate of every
     * stored doc it shares ≥1 band bucket with (the standard LSH

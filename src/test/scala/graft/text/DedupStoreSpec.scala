@@ -137,6 +137,33 @@ class DedupStoreSpec extends AnyFunSuite {
     DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
     assert(survivors() == before,
       "a replayed batch overwrites its own dir with identical content")
+
+    // Compaction folds the per-batch dirs into one negative-id
+    // generation with identical content; ingest and replay still work
+    // against the compacted state.
+    def gens(): Set[String] =
+      new java.io.File(streamDir).listFiles().toSeq
+        .filter(_.isDirectory).map(_.getName)
+        .filter(_.startsWith("batch_id=")).toSet
+    DedupStore.compactStream(spark, streamDir, "doc_id")
+    assert(gens() == Set("batch_id=-1"),
+      s"compaction leaves exactly one negative generation: ${gens()}")
+    assert(survivors() == before, "compaction must not change survivors")
+    // Re-run: single compacted generation → no-op.
+    DedupStore.compactStream(spark, streamDir, "doc_id")
+    assert(gens() == Set("batch_id=-1") && survivors() == before)
+    // Post-compaction replay of batch 0: its fps live in the compacted
+    // generation now (not excluded), so it rewrites an EMPTY dir.
+    DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    assert(survivors() == before,
+      "post-compaction replay must not resurrect or lose survivors")
+    // A genuinely new batch still screens against the compacted state.
+    val b2 = Seq(
+      (120L, "fresh text three"), // dup of 111 (now compacted)
+      (121L, "fresh text four")).toDF("doc_id", "text")
+    DedupStore.ingestBatch(b2, "doc_id", "text", store, streamDir, 2L)
+    assert(survivors().map(_._1) == before.map(_._1) + 121L,
+      "ingest after compaction screens against the compacted state")
   }
 
   test("batch screens read the store's digests, never corpus text") {
