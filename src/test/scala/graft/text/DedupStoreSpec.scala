@@ -189,6 +189,11 @@ class DedupStoreSpec extends AnyFunSuite {
       s"the screen must not scan the corpus:\n${plan.take(800)}")
     assert(!"ReadSchema:[^\\n]*text".r.findFirstIn(plan).isDefined,
       s"no file scan of the screen may read a text column:\n${plan.take(800)}")
+    // Column pruning must reach the store scan: the exact screen needs
+    // only fp — reading bands (8 longs/row) too would triple the
+    // store-side I/O at corpus scale.
+    assert("ReadSchema: struct<fp:string>".r.findFirstIn(plan).isDefined,
+      s"the store scan must be pruned to fp alone:\n${plan.take(800)}")
     // Semantics vs a brute recompute from both texts.
     val brute = {
       val fp = (df: DataFrame) => df.filter(col("text").isNotNull)
