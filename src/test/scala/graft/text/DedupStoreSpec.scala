@@ -83,6 +83,25 @@ class DedupStoreSpec extends AnyFunSuite {
       "append-grown store must equal a from-scratch build")
   }
 
+  test("a held build lease degrades the store to in-memory digests") {
+    val dir = java.nio.file.Files.createTempDirectory("fpbusy")
+      .toString + "/store"
+    val marker = graft.claims.MaintenanceLease.leasePathFor(dir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.claims.MaintenanceLease.acquire(fs, marker, "other-builder",
+      60L * 60 * 1000)
+    try {
+      val busy = DedupStore.loadOrBuild(docs(0, 50), "doc_id", "text", dir)
+      assert(busy.count() == 49, "the busy fallback serves identical rows")
+      assert(!new java.io.File(dir).exists(),
+        "a busy builder must not write into the contested layout")
+    } finally graft.claims.MaintenanceLease.release(fs, marker,
+      "other-builder")
+    // Lease released: the next call builds and persists normally.
+    DedupStore.loadOrBuild(docs(0, 50), "doc_id", "text", dir)
+    assert(new java.io.File(s"$dir/digests").exists())
+  }
+
   test("deletion and config drift rebuild from scratch") {
     val dir = java.nio.file.Files.createTempDirectory("fpstore3")
       .toString + "/store"

@@ -180,6 +180,32 @@ class IndexAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("a crashed append (partial files, no marker) rebuilds cleanly") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfc").toString + "/ix"
+    val base = corpus(0, 400)
+    val grown = corpus(0, 450)
+    IvfIndex.loadOrBuild(base, "vec_id", "embedding", 8, dir)
+    // Simulate the crash window: the old marker is gone
+    // (invalidate-first) and SOME appended rows committed before the
+    // writer died — extra files in one cell dir, no marker.
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, IvfIndex.metaFile), false)
+    corpus(400, 420).withColumn("cell", lit(3))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$dir/assignments")
+    // Next load on the grown corpus: marker absent → old marker None →
+    // no append hook → FULL rebuild; overwrite wipes the partial files.
+    val (a, cs) = IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, dir)
+    assert(a.count() == 450 && cs.length == 8)
+    assert(a.groupBy("vec_id").count()
+      .filter(col("count") > 1).isEmpty,
+      "the rebuild must not carry the crashed append's partial rows")
+    // And the rebuilt layout loads fresh next time.
+    val (a2, _) = IvfIndex.loadOrBuild(grown, "vec_id", "embedding", 8, dir)
+    assert(a2.count() == 450)
+  }
+
   test("LSH: deletion and config drift escalate to a full rebuild") {
     val dir = java.nio.file.Files.createTempDirectory("lshr").toString + "/ix"
     VectorOps.lshIndexLoadOrBuild(corpus(0, 400), "vec_id", "embedding",
