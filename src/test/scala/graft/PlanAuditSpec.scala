@@ -91,6 +91,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"rank<=k no longer pushes a group limit below the exchange:\n${plan.take(600)}")
   }
 
+  test("batched vector top-k broadcasts queries and keeps the " +
+      "WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("q_vector_topk_batch")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-query rank<=k must prune before the exchange:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the query block must broadcast:\n${plan.take(600)}")
+  }
+
   test("reservoir sample keeps the WindowGroupLimit pushdown") {
     val plan = SparkEntry.queries("q_sample_reservoir")(spark, sf)
       .queryExecution.executedPlan.toString
