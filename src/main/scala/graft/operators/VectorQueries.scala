@@ -52,6 +52,52 @@ object VectorQueries extends QueryModule {
       .filter(col("rk") <= 5)
   }
 
+  /** The same query block as [[topkBatch]], as (query_id, qvec). */
+  private def queryBlock(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qvec"))
+
+  /** Batched ANN over the persisted LSH index
+    * ([[VectorOps.annTopKCosineBatch]]): one shared index scan serves
+    * the whole query block — the eval-scale counterpart of the
+    * interactive pruned point probe. Rows-only (LSH is not
+    * SQL-expressible); the paired q_vector_ann_batch_floor audit
+    * hash-checks its recall against the exact batch.
+    */
+  private def topkAnnBatch(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"annbatch|$d") {
+      // The SAME persisted index the single-query entry probes — one
+      // layout serves both access patterns; the query rows themselves
+      // are filtered out of the candidate side, not re-indexed.
+      val index = VectorOps.lshIndexCached(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = DIM, dir = lshIndexDir(d))
+        .filter(col("vec_id") % 50 =!= 0)
+      val out = VectorOps.annTopKCosineBatch(index, queryBlock(s, d),
+        "vec_id", "embedding", k = 5, dim = DIM)
+        .persist()
+      out.count()
+      (out, Seq(out))
+    }
+
+  /** Recall floor of the batched ANN vs the exact batched top-k
+    * (q_vector_topk_batch, oracle-green): MEAN recall@5 over the query
+    * block must clear 0.8 — per-query recall varies with bucket
+    * luck, the block-level mean is the eval-quality contract. Emits
+    * the violation; the oracle asserts EMPTY.
+    */
+  private def annBatchFloor(s: SparkSession, d: String): DataFrame = {
+    val exact = topkBatch(s, d).select(col("query_id"), col("vec_id"))
+    val approx = topkAnnBatch(s, d).select(col("query_id"), col("vec_id"))
+    val hit = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(round(col("n_hit") / col("n_exact"), 3).as("recall_at_5"),
+        lit(0.8).as("floor"))
+      .filter(col("recall_at_5") < col("floor"))
+  }
+
   /** Multi-table multi-probe LSH ANN top-10 (same query; candidates
     * limited to vectors whose per-table bucket lies within Hamming
     * distance 2 of the query's). Like the IVF entry, the bucketized
@@ -557,6 +603,10 @@ object VectorQueries extends QueryModule {
         |SELECT query_id, vec_id, cos_sim, CAST(rn AS INT) AS rk
         |FROM r WHERE rn <= 5""".stripMargin)),
     QueryDef("q_vector_ann", topkAnn, None),
+    QueryDef("q_vector_ann_batch", topkAnnBatch, None),
+    QueryDef("q_vector_ann_batch_floor", annBatchFloor, Some(
+      """SELECT CAST(NULL AS DOUBLE) AS recall_at_5,
+        |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_centroids", labelCentroids, Some(
       """WITH e AS (
         |  SELECT label, u.pos, u.v FROM embeddings,

@@ -366,6 +366,52 @@ object VectorOps {
       .limit(k)
   }
 
+  /** BATCHED multi-query ANN over a prepared LSH index: one shared
+    * index pass serves the whole query block. The single-query probe
+    * ([[annTopKCosineIndexed]]) collects its ~296 probe pairs and
+    * partition/row-group-prunes the persisted layout — right when
+    * queries arrive one at a time. At BATCH sizes the trade flips:
+    * |queries| × 296 probe pairs stop pruning anything (every bucket
+    * is probed by someone), so this path instead broadcasts the probe
+    * table — (query_id, tbl, bucket, qvec), |queries| × tables ×
+    * Σ C(planes, ≤r) rows, still broadcast-sized by construction —
+    * and hash-joins it INTO one index scan. Per-(query, candidate)
+    * dedup across tables, then per-query rank ≤ k compiles to
+    * WindowGroupLimit: the exchanges carry candidates and top-k rows,
+    * never the corpus. One scan amortized over the block is the 100 TB
+    * eval shape; the pruned point probe remains the interactive one.
+    *
+    * `queries`: (query_id, qvec) — one row per probe vector.
+    */
+  def annTopKCosineBatch(index: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int, dim: Int,
+      planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame = {
+    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((a, b) => a | (1L << b))).toSeq)
+    val probes = queries
+      .select(col("query_id"), col("qvec"),
+        posexplode_outer(lshBuckets(col("qvec"), dim, planes, tables))
+          .as(Seq("tbl", "qb0")))
+      .filter(col("qb0").isNotNull)
+      .select(col("query_id"), col("qvec"), col("tbl"),
+        explode(array(masks.map(m =>
+          col("qb0").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    index.join(broadcast(probes), Seq("tbl", "bucket"))
+      // Same (query, candidate) pair surfaces once per matching
+      // table/probe; every duplicate row carries identical vectors, so
+      // the arbitrary-row dedup is deterministic in value.
+      .dropDuplicates("query_id", idCol)
+      .select(col("query_id"), col(idCol),
+        round(cosine(col(vecCol).cast("array<double>"),
+          col("qvec").cast("array<double>")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   private[vector] val lshMetaFile = "_graft_lsh_meta"
 
   /** Cross-session persisted LSH index (round 11, the counterpart of
