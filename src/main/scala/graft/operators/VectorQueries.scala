@@ -81,15 +81,16 @@ object VectorQueries extends QueryModule {
       (out, Seq(out))
     }
 
-  /** Recall floor of the batched ANN vs the exact batched top-k
-    * (q_vector_topk_batch, oracle-green): MEAN recall@5 over the query
-    * block must clear 0.8 — per-query recall varies with bucket
-    * luck, the block-level mean is the eval-quality contract. Emits
-    * the violation; the oracle asserts EMPTY.
+  /** MEAN recall@5 of a batched approximate search vs the exact
+    * batched top-k (q_vector_topk_batch, oracle-green), floored at
+    * 0.8 — per-query recall varies with bucket/cell luck, the
+    * block-level mean is the eval-quality contract. Emits the
+    * violation; the oracle asserts EMPTY.
     */
-  private def annBatchFloor(s: SparkSession, d: String): DataFrame = {
-    val exact = topkBatch(s, d).select(col("query_id"), col("vec_id"))
-    val approx = topkAnnBatch(s, d).select(col("query_id"), col("vec_id"))
+  private def batchRecallFloor(exactDf: DataFrame, approxDf: DataFrame)
+      : DataFrame = {
+    val exact = exactDf.select(col("query_id"), col("vec_id"))
+    val approx = approxDf.select(col("query_id"), col("vec_id"))
     val hit = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
@@ -97,6 +98,34 @@ object VectorQueries extends QueryModule {
         lit(0.8).as("floor"))
       .filter(col("recall_at_5") < col("floor"))
   }
+
+  private def annBatchFloor(s: SparkSession, d: String): DataFrame =
+    batchRecallFloor(topkBatch(s, d), topkAnnBatch(s, d))
+
+  /** Batched IVF probe over the persisted cell index
+    * ([[IvfIndex.topKBatch]]): per-query nprobe cells ranked
+    * executor-side, one shared assignments scan for the whole query
+    * block. The query rows are excluded from the candidate side, same
+    * split as the exact batch. Rows-only; the paired floor entry
+    * audits recall.
+    */
+  private def topkIvfBatch(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"ivfbatch|$d") {
+      // The SAME persisted layout the single-query q_vector_ivf probes
+      // — one index serves both access patterns.
+      val (assigned, centroids) = IvfIndex.loadOrBuildCached(
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 16,
+        dir = ivfIndexDir(d))
+      val out = IvfIndex.topKBatch(
+        assigned.filter(col("vec_id") % 50 =!= 0), centroids,
+        queryBlock(s, d), "vec_id", "embedding", k = 5, nprobe = 10)
+        .persist()
+      out.count()
+      (out, Seq(out))
+    }
+
+  private def ivfBatchFloor(s: SparkSession, d: String): DataFrame =
+    batchRecallFloor(topkBatch(s, d), topkIvfBatch(s, d))
 
   /** Multi-table multi-probe LSH ANN top-10 (same query; candidates
     * limited to vectors whose per-table bucket lies within Hamming
@@ -605,6 +634,10 @@ object VectorQueries extends QueryModule {
     QueryDef("q_vector_ann", topkAnn, None),
     QueryDef("q_vector_ann_batch", topkAnnBatch, None),
     QueryDef("q_vector_ann_batch_floor", annBatchFloor, Some(
+      """SELECT CAST(NULL AS DOUBLE) AS recall_at_5,
+        |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
+    QueryDef("q_vector_ivf_batch", topkIvfBatch, None),
+    QueryDef("q_vector_ivf_batch_floor", ivfBatchFloor, Some(
       """SELECT CAST(NULL AS DOUBLE) AS recall_at_5,
         |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_centroids", labelCentroids, Some(

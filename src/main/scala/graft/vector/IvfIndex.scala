@@ -219,6 +219,53 @@ object IvfIndex {
       .limit(k)
   }
 
+  /** BATCHED multi-query IVF probe — the cell-index counterpart of
+    * [[graft.vector.VectorOps.annTopKCosineBatch]]. The single-query
+    * [[topK]] ranks centroids on the driver and partition-prunes the
+    * persisted layout with a static `isin(cells)` filter — right for
+    * interactive probes. At batch sizes the union of per-query probe
+    * sets covers most cells, so pruning buys nothing; this path
+    * instead ranks each query's nprobe cells EXECUTOR-side against
+    * the (small, closure-shipped) centroid array, broadcasts the
+    * exploded (query_id, cell, qvec) probe table — |queries| × nprobe
+    * rows — and hash-joins it into ONE shared scan of the
+    * assignments. A candidate lives in exactly one cell, so no
+    * cross-table dedup is needed (unlike the LSH batch); per-query
+    * rank ≤ k compiles to WindowGroupLimit, so the exchange carries
+    * top-k rows per query, never the corpus.
+    */
+  def topKBatch(assigned: DataFrame, centroids: Array[Array[Double]],
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cs = centroids
+    val np = nprobe
+    val probeCellsUdf = udf { v: Seq[Double] =>
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      val q = (if (n > 0) v.map(_ / n) else v).toArray
+      // Rank by |c|² − 2·q̂·c — same order as L2 distance to q̂, the
+      // |q̂|² term being constant per query (the [[topK]] metric).
+      cs.zipWithIndex.map { case (c, i2) =>
+        (c.map(x => x * x).sum - 2.0 * c.zip(q).map(t => t._1 * t._2).sum,
+          i2)
+      }.sortBy(identity).take(np).map(_._2)
+    }
+    val probes = queries.select(col("query_id"), col("qvec"),
+      explode(probeCellsUdf(col("qvec").cast("array<double>")))
+        .as("cell"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col(idCol))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col(idCol),
+        round(VectorOps.cosine(col(vecCol).cast("array<double>"),
+          col("qvec").cast("array<double>")), 4).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
   // ---- persisted index (round-11: survives sessions) ----
 
   private[vector] val metaFile = "_graft_ivf_meta"
