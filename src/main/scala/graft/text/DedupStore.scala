@@ -164,6 +164,12 @@ object DedupStore {
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       corpusStore: DataFrame, streamDir: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // Same lease as [[compactStream]]: a compaction racing a live
+    // micro-batch could snapshot this batch's dir mid-overwrite (or
+    // delete it after merging a stale copy) — one of the two writers
+    // must fail loudly instead. Reentrant for a caller already holding
+    // the stream lease.
+    graft.claims.MaintenanceLease.withLease(spark, streamDir) {
     // A replayed batch must not screen against its OWN previous
     // output (it would empty itself); earlier batches' digests are
     // the stream state, its own dir is the output being rewritten.
@@ -176,6 +182,7 @@ object DedupStore {
       .groupBy("fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
       .write.mode("overwrite").parquet(s"$streamDir/batch_id=$batchId")
+    }
   }
 
   /** Compact the stream's batchId-keyed survivor dirs into one
@@ -197,6 +204,16 @@ object DedupStore {
     * empty, and rewrites an empty dir. Leased on the stream dir —
     * compaction racing a live ingest would merge a half-written batch.
     */
+  /** Compaction staging dir — a SIBLING of the stream root, never
+    * inside it: with a trailing slash `streamDir + "__compacting"`
+    * would land a non-partition dir inside the partitioned root, and
+    * a crash before the rename would wedge every later read of the
+    * stream (mixed partition/non-partition dirs). Same normalization
+    * as MaintenanceLease.leasePathFor.
+    */
+  private[text] def stagingFor(streamDir: String): String =
+    streamDir.stripSuffix("/") + "__compacting"
+
   def compactStream(spark: SparkSession, streamDir: String,
       idCol: String): Unit =
    graft.claims.MaintenanceLease.withLease(spark, streamDir) {
@@ -216,8 +233,7 @@ object DedupStore {
           // first-arrival semantics produced within each generation.
           .groupBy("fp").agg(min(col(idCol)).as(idCol))
           .select(col(idCol), col("fp"))
-        val staging = new org.apache.hadoop.fs.Path(
-          streamDir + "__compacting")
+        val staging = new org.apache.hadoop.fs.Path(stagingFor(streamDir))
         if (fs.exists(staging)) fs.delete(staging, true)
         all.write.mode("overwrite").parquet(staging.toString)
         val target = new org.apache.hadoop.fs.Path(root,

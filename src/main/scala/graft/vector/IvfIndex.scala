@@ -32,15 +32,34 @@ object IvfIndex {
 
   /** Tight-loop L2 normalization (zero vectors pass through). A Column
     * lambda would re-evaluate the norm aggregate per element after
-    * CollapseProject inlining.
+    * CollapseProject inlining. Shared by the UDF form below and the
+    * batch probe's executor-side kernel.
     */
-  private val normalizeUdf = udf { v: Seq[Double] =>
+  private def normalize(v: Seq[Double]): Seq[Double] = {
     var s = 0.0
     var i = 0
     while (i < v.length) { s += v(i) * v(i); i += 1 }
     val n = math.sqrt(s)
     if (n > 0) v.map(_ / n) else v
   }
+
+  private val normalizeUdf = udf { v: Seq[Double] => normalize(v) }
+
+  /** The nprobe nearest cells to a normalized query, ranked by
+    * |c|² − 2·q̂·c (same order as L2 distance to q̂, the |q̂|² term
+    * being constant per query). ONE definition shared by the
+    * single-query probe ([[topK]]) and the batch probe
+    * ([[topKBatch]]) so the two paths can never rank different cells
+    * for the same query.
+    */
+  private def rankCells(cs: Array[Array[Double]], q: Array[Double],
+      nprobe: Int): Seq[Int] =
+    cs.zipWithIndex
+      .map { case (c, i) =>
+        (c.map(x => x * x).sum - 2.0 * c.zip(q).map(t => t._1 * t._2).sum,
+          i)
+      }
+      .sortBy(identity).take(nprobe).map(_._2).toSeq
 
   private def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
@@ -204,11 +223,7 @@ object IvfIndex {
       return assigned.select(col(idCol),
         lit(0.0).cast("double").as("cos_sim")).limit(0)
     val q = qRows(0).getSeq[Double](0).toArray
-    val probeCells = centroids.zipWithIndex
-      .map { case (c, i) =>
-        (c.map(x => x * x).sum - 2 * c.zip(q).map(t => t._1 * t._2).sum, i)
-      }
-      .sortBy(identity).take(nprobe).map(_._2).toSeq
+    val probeCells = rankCells(centroids, q, nprobe)
     assigned
       .filter(col("cell").isin(probeCells: _*))
       .crossJoin(broadcast(query))
@@ -240,21 +255,15 @@ object IvfIndex {
     val cs = centroids
     val np = nprobe
     val probeCellsUdf = udf { v: Seq[Double] =>
-      var s = 0.0
-      var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      val q = (if (n > 0) v.map(_ / n) else v).toArray
-      // Rank by |c|² − 2·q̂·c — same order as L2 distance to q̂, the
-      // |q̂|² term being constant per query (the [[topK]] metric).
-      cs.zipWithIndex.map { case (c, i2) =>
-        (c.map(x => x * x).sum - 2.0 * c.zip(q).map(t => t._1 * t._2).sum,
-          i2)
-      }.sortBy(identity).take(np).map(_._2)
+      rankCells(cs, normalize(v).toArray, np)
     }
-    val probes = queries.select(col("query_id"), col("qvec"),
-      explode(probeCellsUdf(col("qvec").cast("array<double>")))
-        .as("cell"))
+    val probes = queries
+      // null query vectors carry no geometry and the ranking kernel
+      // dereferences the array — excluded, the assign() convention
+      .filter(col("qvec").isNotNull)
+      .select(col("query_id"), col("qvec"),
+        explode(probeCellsUdf(col("qvec").cast("array<double>")))
+          .as("cell"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col(idCol))

@@ -334,14 +334,22 @@ object VectorOps {
     * prunes partitions on `tbl` and row groups on `bucket` min/max,
     * so a probe reads a sliver of the index instead of scanning it.
     */
+  /** XOR masks for every sign-flip set of size ≤ probeRadius, built
+    * driver-side (combinatorial in probeRadius, never in data). ONE
+    * definition shared by the point probe and the batch probe so both
+    * paths walk the same Hamming ball — a probe-strategy change (e.g.
+    * escalating to r=3) cannot leave the two at different recall
+    * operating points.
+    */
+  private def probeMasks(planes: Int, probeRadius: Int): Seq[Long] =
+    (0 to probeRadius).flatMap(r =>
+      (0 until planes).combinations(r)
+        .map(_.foldLeft(0L)((a, b) => a | (1L << b))).toSeq)
+
   def annTopKCosineIndexed(index: DataFrame, query: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame = {
-    // XOR masks for all sign-flip sets of size ≤ probeRadius, built
-    // driver-side (combinatorial in probeRadius, never in data).
-    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
-      (0 until planes).combinations(r)
-        .map(_.foldLeft(0L)((a, b) => a | (1L << b))).toSeq)
+    val masks = probeMasks(planes, probeRadius)
     val pairs = query.select(
       posexplode_outer(lshBuckets(col("qvec"), dim, planes, tables))
         .as(Seq("tbl", "qb0")))
@@ -386,10 +394,11 @@ object VectorOps {
   def annTopKCosineBatch(index: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int, dim: Int,
       planes: Int = 8, tables: Int = 8, probeRadius: Int = 2): DataFrame = {
-    val masks: Seq[Long] = (0 to probeRadius).flatMap(r =>
-      (0 until planes).combinations(r)
-        .map(_.foldLeft(0L)((a, b) => a | (1L << b))).toSeq)
+    val masks = probeMasks(planes, probeRadius)
     val probes = queries
+      // null query vectors carry no geometry and the hashing UDF
+      // dereferences the array — excluded, the lshBucketize convention
+      .filter(col("qvec").isNotNull)
       .select(col("query_id"), col("qvec"),
         posexplode_outer(lshBuckets(col("qvec"), dim, planes, tables))
           .as(Seq("tbl", "qb0")))

@@ -102,6 +102,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the query block must broadcast:\n${plan.take(600)}")
   }
 
+  test("batched ANN probes broadcast the probe table and keep the " +
+      "WindowGroupLimit pushdown") {
+    // Both persisted-index batch paths: the probe table broadcasts
+    // into one shared index scan, and per-query rank<=k prunes before
+    // the query-key exchange. (The entries are session-cached; the
+    // InMemoryRelation's stringification carries the cached child
+    // plan, so the pins see the real shape either way.)
+    for (q <- Seq("q_vector_ann_batch", "q_vector_ivf_batch")) {
+      val plan = SparkEntry.queries(q)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("WindowGroupLimit"),
+        s"$q: per-query rank<=k must prune before the exchange:\n${plan.take(600)}")
+      assert(plan.contains("BroadcastExchange"),
+        s"$q: the probe table must broadcast:\n${plan.take(600)}")
+    }
+  }
+
   test("reservoir sample keeps the WindowGroupLimit pushdown") {
     val plan = SparkEntry.queries("q_sample_reservoir")(spark, sf)
       .queryExecution.executedPlan.toString

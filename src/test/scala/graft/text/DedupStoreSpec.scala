@@ -240,4 +240,60 @@ class DedupStoreSpec extends AnyFunSuite {
       !"ReadSchema:[^\\n]*text".r.findFirstIn(nearPlan).isDefined,
       s"the near screen must not read corpus text:\n${nearPlan.take(800)}")
   }
+
+  test("ingest and compaction share the stream lease: a foreign holder fails both loudly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fplease").toString
+    val storeDir = s"$tmp/store"
+    val streamDir = s"$tmp/stream"
+    DedupStore.loadOrBuild(docs(0, 20), "doc_id", "text", storeDir)
+    val store = spark.read.parquet(s"$storeDir/digests")
+    val b0 = Seq((100L, "fresh text one")).toDF("doc_id", "text")
+    // A compaction (or any other writer) holds the stream lease:
+    // ingestBatch must fail loudly BEFORE any write — a silent merge
+    // of a half-written batch dir is the race the lease closes.
+    val marker = graft.claims.MaintenanceLease.leasePathFor(streamDir)
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.claims.MaintenanceLease.acquire(fs, marker, "live-compactor",
+      graft.claims.MaintenanceLease.defaultTtlMs)
+    intercept[IllegalStateException] {
+      DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    }
+    intercept[IllegalStateException] {
+      DedupStore.compactStream(spark, streamDir, "doc_id")
+    }
+    assert(!new java.io.File(streamDir).exists(),
+      "the blocked ingest must not have written anything")
+    graft.claims.MaintenanceLease.release(fs, marker, "live-compactor")
+    DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    assert(spark.read.parquet(streamDir).count() == 1L,
+      "after release the same ingest succeeds")
+  }
+
+  test("compaction staging stays a SIBLING of the root, trailing slash included") {
+    // With a trailing slash the old `streamDir + \"__compacting\"`
+    // landed INSIDE the partitioned root; a crash before the rename
+    // then wedged every later stream read (mixed partition and
+    // non-partition dirs under one root).
+    assert(DedupStore.stagingFor("/x/stream") == "/x/stream__compacting")
+    assert(DedupStore.stagingFor("/x/stream/") == "/x/stream__compacting")
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("fpslash").toString
+    val storeDir = s"$tmp/store"
+    val streamDir = s"$tmp/stream"
+    DedupStore.loadOrBuild(docs(0, 20), "doc_id", "text", storeDir)
+    val store = spark.read.parquet(s"$storeDir/digests")
+    val b0 = Seq((100L, "fresh text one")).toDF("doc_id", "text")
+    val b1 = Seq((101L, "fresh text two")).toDF("doc_id", "text")
+    DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    DedupStore.ingestBatch(b1, "doc_id", "text", store, streamDir, 1L)
+    // Trailing-slash call converges and leaves nothing inside the root
+    // but the compacted generation.
+    DedupStore.compactStream(spark, s"$streamDir/", "doc_id")
+    val entries = new java.io.File(streamDir).listFiles().toSeq
+      .map(_.getName).filterNot(_.startsWith("_")).toSet
+    assert(entries == Set("batch_id=-1"),
+      s"only the compacted generation remains under the root: $entries")
+    assert(spark.read.parquet(streamDir).count() == 2L)
+  }
 }
