@@ -413,6 +413,102 @@ object VectorQueries extends QueryModule {
   private def ivfIndexDir(d: String): String =
     graft.vector.IndexDirs.ivf(d, "vec_id", "embedding", 16)
 
+  /** STREAM-MAINTAINED persisted ANN index (round 12): micro-batches
+    * of arriving vectors land in a batchId-keyed corpus generation
+    * (the dedup-ingest idempotence pattern — a replayed batch
+    * overwrites its own generation, and the unchanged id set then
+    * makes the index maintenance a no-op via the fingerprint marker)
+    * and each batch append-grows the persisted LSH layout through
+    * [[VectorOps.lshIndexLoadOrBuild]]'s incremental path: assignment
+    * under the EXISTING seed-derived hyperplanes, touched tbl
+    * partitions only, never a refit. This is the production
+    * composition at 100 TB — the index is maintained AT INGEST, so
+    * the first query after an append pays a warm probe, not an
+    * O(corpus) rebuild. Returns the maintained index rows; the topk
+    * entry probes them and the `_sound` audit pins them bit-equal to
+    * a one-shot build over the same final corpus.
+    */
+  private def streamMaintainedIndex(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamvecindex|$d") {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-stream-vec").toString
+      val corpusDir = s"$tmp/corpus"
+      val indexDir = s"$tmp/index"
+      def corpus = s.read.parquet(corpusDir)
+        .select(col("vec_id"), col("embedding"))
+      // Standing corpus (~90% of ids) + its index, built once; the
+      // stream delivers the remaining ids.
+      Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+        .filter(col("vec_id") % 10 =!= 9)
+        .select(col("vec_id"), col("embedding"))
+        .write.parquet(s"$corpusDir/batch_id=-1")
+      VectorOps.lshIndexLoadOrBuild(corpus, "vec_id", "embedding",
+        DIM, indexDir)
+      val rawSchema = Tables.table(s, d, "embeddings").schema
+      val step: (DataFrame, Long) => Unit = (b, id) => {
+        b.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$id")
+        VectorOps.lshIndexLoadOrBuild(
+          b.sparkSession.read.parquet(corpusDir)
+            .select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", DIM, indexDir)
+        ()
+      }
+      // Shuffle sizing as in the other stream entries: per-batch
+      // appends move slivers; CPU-count partitions would be all
+      // task overhead.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(d)
+          .filter(col("embedding").isNotNull && col("vec_id") % 10 === 9)
+          .select(col("vec_id"), col("embedding"))
+          .writeStream
+          .foreachBatch(step)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      val out = s.read.parquet(s"$indexDir/buckets")
+        .select(col("vec_id"), col("embedding"), col("tbl"),
+          col("bucket"))
+        .persist()
+      out.count()
+      (out, Seq(out))
+    }
+
+  /** Top-10 probe of the stream-maintained index — the same probe
+    * code as q_vector_ann, a different index LIFECYCLE. Rows-only;
+    * paired with the `_sound` bit-equality audit.
+    */
+  private def streamVectorIndexTopk(s: SparkSession, d: String): DataFrame =
+    VectorOps.annTopKCosineIndexed(streamMaintainedIndex(s, d),
+      queryVec(s, d), "vec_id", "embedding", k = 10, dim = DIM)
+
+  /** Bit-equality of the stream-maintained index vs the one-shot
+    * persisted index over the same final corpus (the one q_vector_ann
+    * probes): LSH hyperplanes are seed-derived from config alone, so
+    * the two (vec_id, tbl, bucket) row sets must be IDENTICAL — any
+    * difference is a maintenance bug, not approximation noise. Emits
+    * differing rows; the oracle asserts EMPTY.
+    */
+  private def streamVectorIndexSound(s: SparkSession, d: String): DataFrame = {
+    val keys = Seq("vec_id", "tbl", "bucket")
+    def rows(df: DataFrame): DataFrame =
+      df.select(col("vec_id"), col("tbl").cast("int").as("tbl"),
+        col("bucket"))
+    val maintained = rows(streamMaintainedIndex(s, d))
+    val oneShot = rows(VectorOps.lshIndexCached(Tables.embeddings(s, d),
+      "vec_id", "embedding", dim = DIM, dir = lshIndexDir(d)))
+    maintained.join(oneShot, keys, "left_anti")
+      .select(lit("stream_only").as("side"), col("vec_id"), col("tbl"),
+        col("bucket"))
+      .unionByName(oneShot.join(maintained, keys, "left_anti")
+        .select(lit("oneshot_only").as("side"), col("vec_id"),
+          col("tbl"), col("bucket")))
+  }
+
   /** Exact 1-NN label accuracy per label — the standard embedding-QA
     * eval (kNN classification purity: does a vector's nearest neighbor
     * share its label?). Executed as a BROADCAST nested join + map-side
@@ -645,6 +741,11 @@ object VectorQueries extends QueryModule {
     QueryDef("q_vector_ann_batch_floor", annBatchFloor, Some(
       """SELECT CAST(NULL AS DOUBLE) AS recall_at_5,
         |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
+    QueryDef("q_stream_vector_index", streamVectorIndexTopk, None),
+    QueryDef("q_stream_vector_index_sound", streamVectorIndexSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS side,
+        |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS INT) AS tbl,
+        |  CAST(NULL AS BIGINT) AS bucket WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_ivf_batch", topkIvfBatch, None),
     QueryDef("q_vector_ivf_batch_floor", ivfBatchFloor, Some(
       """SELECT CAST(NULL AS DOUBLE) AS recall_at_5,
