@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized equivalence for the streaming dedup-digest ingest: a
+  * seeded sequence of hostile micro-batches — duplicate texts within
+  * a batch, across batches, against the standing corpus, null texts,
+  * at-least-once REPLAYS of earlier batches, and compactions at
+  * random points — driven through the real [[DedupStore.ingestBatch]]
+  * must leave, after EVERY step, exactly the survivors the one-shot
+  * batch computation produces over everything ingested so far:
+  * fingerprint not in the corpus store, then min doc_id per
+  * fingerprint in first-arrival batch order. The generative
+  * counterpart of DedupStoreSpec's constructed scenarios: any drift
+  * in the generation algebra (replay, negative compaction ids,
+  * crash-duplicate handling) shows up without having to predict the
+  * failing interleaving.
+  */
+class StreamDedupPropertySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  // A small text pool makes cross-batch duplicates COMMON, which is
+  // the point: the interesting transitions are dup-of-corpus,
+  // dup-of-earlier-batch, dup-within-batch, and dup-of-replayed.
+  private val pool: IndexedSeq[String] =
+    (0 until 12).map(i => s"pooled text body number $i with words") :+
+      null
+
+  private def corpusDocs: DataFrame = {
+    import spark.implicits._
+    (0 until 6).map(i => (i.toLong, pool(i))).toDF("doc_id", "text")
+  }
+
+  test("random batch/replay/compaction sequences converge to the batch semantics") {
+    import spark.implicits._
+    val seed = sys.env.get("GRAFT_PROP_SEED").map(_.toLong).getOrElse(11L)
+    val rnd = new scala.util.Random(seed)
+    val tmp = java.nio.file.Files.createTempDirectory("fpprop").toString
+    DedupStore.loadOrBuild(corpusDocs, "doc_id", "text", s"$tmp/store")
+    val store = spark.read.parquet(s"$tmp/store/digests")
+    val corpusFps = corpusDocs.filter(col("text").isNotNull)
+      .select(TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(_.getString(0)).toSet
+
+    val streamDir = s"$tmp/stream"
+    // Pool text → fingerprint, computed ONCE through the real kernel
+    // (the model must agree on bytes, not re-derive them).
+    val fpOf: Map[String, String] = pool.filter(_ != null).map { t =>
+      t -> spark.range(1)
+        .select(TextFunctions.fingerprint(lit(t)).as("fp"))
+        .collect()(0).getString(0)
+    }.toMap
+    // The reference model: batches in ingest order, exactly as first
+    // delivered (replays carry identical content by contract).
+    var delivered = Vector.empty[(Long, Seq[(Long, String)])]
+    var nextDoc = 100L
+
+    def freshBatch(id: Long): Seq[(Long, String)] = {
+      val rows = (0 until 1 + rnd.nextInt(4)).map { _ =>
+        val doc = nextDoc; nextDoc += 1
+        (doc, pool(rnd.nextInt(pool.length)))
+      }
+      delivered :+= (id, rows)
+      rows
+    }
+
+    /** Survivors the ONE-SHOT batch semantics produce over everything
+      * delivered so far: walk batches in order, keep (min doc_id per
+      * fp) of rows whose fp is neither in the corpus store nor won by
+      * an earlier batch.
+      */
+    def expected(): Set[(Long, String)] = {
+      var seen = corpusFps
+      var out = Set.empty[(Long, String)]
+      for ((_, rows) <- delivered.sortBy(_._1)) {
+        val withFp = rows.filter(_._2 != null)
+          .map { case (id, t) => (id, fpOf(t)) }
+        val fresh = withFp.filterNot(r => seen.contains(r._2))
+          .groupBy(_._2).map { case (fp, rs) => (rs.map(_._1).min, fp) }
+        out ++= fresh
+        seen ++= fresh.map(_._2)
+      }
+      out
+    }
+
+    def actual(): Set[(Long, String)] =
+      spark.read.parquet(streamDir).select("doc_id", "fp")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    var maxId = -1L
+    for (step <- 0 until 18) {
+      rnd.nextInt(5) match {
+        case 0 | 1 | 2 => // fresh batch
+          maxId += 1
+          val rows = freshBatch(maxId)
+          DedupStore.ingestBatch(rows.toDF("doc_id", "text"),
+            "doc_id", "text", store, streamDir, maxId)
+        case 3 if delivered.nonEmpty => // at-least-once replay
+          val (id, rows) = delivered(rnd.nextInt(delivered.length))
+          DedupStore.ingestBatch(rows.toDF("doc_id", "text"),
+            "doc_id", "text", store, streamDir, id)
+        case _ if maxId >= 0 => // compaction mid-stream
+          DedupStore.compactStream(spark, streamDir, "doc_id")
+        case _ =>
+          maxId += 1
+          val rows = freshBatch(maxId)
+          DedupStore.ingestBatch(rows.toDF("doc_id", "text"),
+            "doc_id", "text", store, streamDir, maxId)
+      }
+      assert(actual() == expected(),
+        s"seed=$seed step=$step: stream state diverged from the batch semantics")
+    }
+    // Final compaction must preserve the converged state exactly.
+    DedupStore.compactStream(spark, streamDir, "doc_id")
+    assert(actual() == expected(), s"seed=$seed: final compaction drifted")
+  }
+}
