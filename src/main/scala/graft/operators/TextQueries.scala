@@ -301,6 +301,69 @@ object TextQueries extends QueryModule {
     * ingest shape, where the standing corpus is touched only through
     * its digest store.
     */
+  private def ccStoreDir(d: String): String =
+    graft.vector.IndexDirs.textComponents(s"$d|ccevo", "doc_id", "text",
+      32, 8, 3, 0.5)
+
+  /** Maintained transitive dup groups ([[graft.text.ComponentStore]]):
+    * the corpus evolves 80% → 90% → 100% and each step APPENDS to the
+    * persisted component store — the batch is screened against the
+    * digest store (digests only), candidates are exact-verified on
+    * candidate text alone, and merges land as path-compressed remap
+    * rows over the append-only members. Dup groups at ingest without
+    * ever re-running the corpus pair search — the group-level
+    * counterpart of q_dedup_incremental_store. Rows-only (the minhash
+    * pair criterion is not SQL-expressible); the paired `_sound`
+    * audit re-derives the components from the store's own
+    * accepted-edge log and must match exactly.
+    */
+  private def dedupCcStore(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"ccstore|$d") {
+      val fpDir = graft.vector.IndexDirs.textDigests(s"$d|ccevo",
+        "doc_id", "text", 32, 8, 3)
+      def step(docs: DataFrame): DataFrame = {
+        val store = graft.text.DedupStore.loadOrBuild(docs,
+          "doc_id", "text", fpDir)
+        graft.text.ComponentStore.loadOrBuild(docs, "doc_id", "text",
+          ccStoreDir(d), store)
+      }
+      val all = Tables.documents(s, d)
+      // Warm session (the store already certifies the FULL corpus):
+      // load directly — re-running the 80→90→100 build-up would see
+      // the 80% slice as a shrink and rebuild for nothing. Cold
+      // session: evolve, exercising two real appends.
+      if (!graft.text.ComponentStore.isFresh(all, "doc_id", "text",
+          ccStoreDir(d))) {
+        step(all.filter(col("doc_id") % 10 < 8))
+        step(all.filter(col("doc_id") % 10 < 9))
+      }
+      val out = step(all).orderBy("doc_id").persist()
+      out.count()
+      (out, Seq(out))
+    }
+
+  /** Internal-consistency audit of the maintained component store:
+    * components re-derived from the store's own accepted-edge log
+    * (the append-only `edges` dataset) must equal [[ComponentStore
+    * .resolve]]'s members⋈remap view EXACTLY — any drift is a bug in
+    * the union-find/remap persistence algebra, which is the novel
+    * part. Emits differing rows; the oracle asserts EMPTY.
+    */
+  private def dedupCcStoreSound(s: SparkSession, d: String): DataFrame = {
+    val resolved = dedupCcStore(s, d)
+      .select(col("doc_id"), col("component"))
+    val ref = graft.text.DedupJobs.connectedComponents(
+      graft.text.ComponentStore.storedEdges(s, ccStoreDir(d)))
+      .select(col("doc_id"), col("component"))
+    val keys = Seq("doc_id", "component")
+    resolved.join(ref, keys, "left_anti")
+      .select(lit("store_only").as("side"), col("doc_id"),
+        col("component"))
+      .unionByName(ref.join(resolved, keys, "left_anti")
+        .select(lit("edges_only").as("side"), col("doc_id"),
+          col("component")))
+  }
+
   private def streamDedupStore(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamdedupstore|$d") {
       val store = corpusStore(s, d)
@@ -775,6 +838,11 @@ object TextQueries extends QueryModule {
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
          |FROM documents WHERE text IS NOT NULL AND doc_id % 10 < 8
          |ORDER BY doc_id""".stripMargin)),
+    QueryDef("q_dedup_cc_store", dedupCcStore, None),
+    QueryDef("q_dedup_cc_store_sound", dedupCcStoreSound, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS side,
+        |  CAST(NULL AS BIGINT) AS doc_id,
+        |  CAST(NULL AS BIGINT) AS component WHERE FALSE""".stripMargin)),
     QueryDef("q_dedup_incremental_store", dedupIncrementalStore, Some(
       s"""WITH t AS (SELECT doc_id, doc_id % 10 AS m,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

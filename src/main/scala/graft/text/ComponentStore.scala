@@ -1,0 +1,263 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.vector.PersistedLayout
+
+/** Maintained transitive dup-group store (round 12): connected
+  * components over the MinHash-verified near-dup pair graph
+  * ([[DedupJobs.minhashCandidatePairs]]'s criterion — band-bucket
+  * candidates, exact-Jaccard verified), persisted and APPEND-
+  * maintained so dup groups are available at ingest without ever
+  * re-running the corpus pair search. The text-side closing of the
+  * same gap the digest store closed for pair SCREENS: q_dedup_cc
+  * recomputes its components from the full pair graph per run; this
+  * store pays O(batch × candidates) per arriving batch.
+  *
+  * Layout (beside the other persisted stores, same marker protocol):
+  *   - `members` (doc_id, orig_root): APPEND-ONLY — one row per doc
+  *     that has ever appeared in a verified pair, stamped with its
+  *     component root AT INSERT. Never rewritten: later merges go
+  *     through the remap.
+  *   - `remap` (old_root, new_root): the component merges, kept fully
+  *     PATH-COMPRESSED at write time (new_root is final, never itself
+  *     remapped) so resolution is ONE broadcast join, not an
+  *     iteration. Tiny — one row per root ever merged away — and
+  *     rewritten whole per append.
+  *   - `edges` (id_a, id_b): append-only log of every verified pair
+  *     the store has accepted; the `_sound` audit re-derives the
+  *     components from it and must match [[resolve]] exactly.
+  *   - `ids` (doc_id): the fingerprinted roster (all non-null-text
+  *     docs, paired or not) — the append path's growth detector.
+  *
+  * Component ids are CANONICAL min-labels (the smallest doc id
+  * reachable through verified pairs — [[DedupJobs.connectedComponents]]'
+  * fixpoint), and stay canonical across appends: an old root is the
+  * minimum of its component, so the merged root — the minimum over
+  * merged old roots and new doc ids — is the minimum of the merged
+  * component.
+  *
+  * Append semantics are MONOTONE (components only ever merge): an
+  * arriving batch is screened against the up-to-date digest store —
+  * delta-internal and delta-vs-corpus candidates in one pass, digests
+  * only — then exact-verified by fetching ONLY the candidate ids'
+  * text. Old-old pairs cannot newly appear (their buckets are
+  * unchanged; any such pair was found when the newer doc was itself
+  * the delta). One deliberate asymmetry vs a from-scratch build: the
+  * full build applies [[DedupJobs.minhashCandidatePairs]]'s
+  * `maxBucket` skew cap corpus-wide, while the batch screen's
+  * candidates are bounded by the batch itself — a bucket pushed past
+  * the cap by late arrivals keeps the edges it contributed while
+  * under it. Monotone accumulation is the honest streaming
+  * semantics; the `_sound` audit therefore checks the store against
+  * its OWN accepted-edge log, and ComponentStoreSpec pins equality
+  * with the from-scratch components where the cap doesn't bite.
+  *
+  * Crash safety is inherited from [[PersistedLayout.ensureWith]]:
+  * the marker is invalidated before any dataset is touched and
+  * stamped last, so every torn append state is rebuilt, never
+  * half-loaded.
+  */
+object ComponentStore {
+
+  private[text] val metaFile = "_graft_cc_meta"
+
+  /** Driver bound on the edges a single append may collect — the same
+    * rationale (and default) as [[DedupJobs.connectedComponents]]'
+    * hybrid split: verified near-dup edges are the OUTPUT of dedup
+    * detection, orders smaller than the corpus, and a batch's edge
+    * set is further bounded by the batch. Exceeding it fails loudly
+    * rather than silently degrading.
+    */
+  private val driverEdgeLimit = 2000000L
+
+  private def wantFor(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int, threshold: Double,
+      maxBucket: Int): (Seq[String], String, Long) = {
+    val (n, idsum) = PersistedLayout.fingerprint(docs, idCol, textCol)
+    val config = Seq(
+      s"k=$k", s"bands=$bands", s"shingleN=$shingleN", s"t=$threshold",
+      s"mb=$maxBucket", s"id=$idCol", s"text=$textCol")
+    (config, (config ++ Seq(s"n=$n", s"idsum=$idsum"))
+      .mkString("\n") + "\n", n)
+  }
+
+  /** Whether the persisted layout already certifies EXACTLY this
+    * (corpus, config) — lets an entry skip its build-up evolution on
+    * a warm session (one narrow fingerprint pass, no pair search).
+    */
+  def isFresh(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 100): Boolean = {
+    val (_, want, _) = wantFor(docs, idCol, textCol, k, bands, shingleN,
+      threshold, maxBucket)
+    PersistedLayout.readMarker(docs.sparkSession, dir, metaFile)
+      .contains(want)
+  }
+
+  /** Load the maintained components, appending the corpus delta (or
+    * building from scratch) as needed. `digestStore` must be the
+    * dedup-digest store over the SAME (grown) corpus, already brought
+    * up to date — the entry wiring calls [[DedupStore.loadOrBuild]]
+    * immediately before this; it is by-name so the Fresh path never
+    * forces it.
+    */
+  def loadOrBuild(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, digestStore: => DataFrame,
+      k: Int = 32, bands: Int = 8, shingleN: Int = 3,
+      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+    val spark = docs.sparkSession
+    val (config, want, n) = wantFor(docs, idCol, textCol, k, bands,
+      shingleN, threshold, maxBucket)
+    def pairsOf(frame: DataFrame): DataFrame =
+      DedupJobs.minhashCandidatePairs(frame, idCol, textCol, k, bands,
+        shingleN, threshold, maxBucket)
+    PersistedLayout.ensureWith(spark, dir, metaFile, want,
+      rebuild = false) { old =>
+      PersistedLayout.appendIfGrown(docs, idCol, textCol, old, config,
+        n, Double.PositiveInfinity,
+        spark.read.parquet(s"$dir/ids").select(col(idCol))) { delta =>
+        appendStep(docs, delta, idCol, textCol, dir, digestStore,
+          k, bands, shingleN, threshold)
+      }
+    } {
+      val comps = DedupJobs.connectedComponents(pairsOf(docs))
+      comps.select(col("doc_id").as(idCol), col("component").as("orig_root"))
+        .write.mode("overwrite").parquet(s"$dir/members")
+      emptyRemap(spark).write.mode("overwrite").parquet(s"$dir/remap")
+      pairsOf(docs).select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/edges")
+      docs.filter(col(textCol).isNotNull).select(col(idCol))
+        .write.mode("overwrite").parquet(s"$dir/ids")
+    } match {
+      case PersistedLayout.Busy =>
+        // A concurrent session is writing the layout: serve this call
+        // from an in-memory from-scratch build (the cap caveat above
+        // applies, documented; the degrade is loud in the plan, not
+        // in results at non-adversarial bucket sizes).
+        DedupJobs.connectedComponents(pairsOf(docs))
+          .select(col("doc_id").as(idCol), col("component"))
+      case _ => resolve(spark, dir, idCol)
+    }
+  }
+
+  /** The maintained components: (idCol, component), one row per doc
+    * that has ever appeared in a verified pair. ONE broadcast join —
+    * the remap is fully path-compressed by construction.
+    */
+  def resolve(spark: SparkSession, dir: String, idCol: String): DataFrame = {
+    val members = spark.read.parquet(s"$dir/members")
+    val remap = spark.read.parquet(s"$dir/remap")
+    members.join(broadcast(remap),
+        members("orig_root") === remap("old_root"), "left")
+      .select(col(idCol),
+        coalesce(col("new_root"), col("orig_root")).as("component"))
+  }
+
+  /** The accepted-edge log — the `_sound` audit's ground truth. */
+  def storedEdges(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/edges")
+
+  private def emptyRemap(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("old_root"),
+      col("id").as("new_root"))
+
+  /** One append: screen the delta against the digest store, verify
+    * candidates exactly on candidate text only, then fold the new
+    * edges into the persisted state — append members/edges/ids,
+    * rewrite the (tiny) remap.
+    */
+  private def appendStep(docs: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String, dir: String, store: DataFrame,
+      k: Int, bands: Int, shingleN: Int, threshold: Double): Unit = {
+    val spark = docs.sparkSession
+    // Candidates in ONE pass: the store already holds the delta's own
+    // digests, so batch-vs-store covers delta-internal AND
+    // delta-vs-old pairs; old-old pairs cannot newly appear.
+    val cand = DedupStore.screenNearCandidates(delta, idCol, textCol,
+        store, k, bands, shingleN)
+      .select(least(col(idCol), col("match_id")).cast("long").as("id_a"),
+        greatest(col(idCol), col("match_id")).cast("long").as("id_b"))
+      .distinct()
+    // Exact verification fetches ONLY candidate ids' text — the same
+    // candidates-then-verify split as the pair search; the corpus at
+    // large contributes digests, never text.
+    val candIds = cand.select(col("id_a").as("cid"))
+      .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    val sh = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("cid"),
+        TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .join(candIds, Seq("cid"), "left_semi")
+      .select(col("cid"),
+        TextFunctions.shinglesOf(col("__toks"), shingleN).as("sh"))
+    val verified = cand
+      .join(sh.select(col("cid").as("id_a"), col("sh").as("sh_a")),
+        Seq("id_a"))
+      .join(sh.select(col("cid").as("id_b"), col("sh").as("sh_b")),
+        Seq("id_b"))
+      .filter(DedupJobs.jaccardUdf(col("sh_a"), col("sh_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val lim = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+    val fetched = verified.limit(lim + 1).collect()
+    require(fetched.length <= lim,
+      s"ComponentStore append: batch produced more than $lim verified " +
+        "edges — split the batch")
+    val newEdges = fetched.map(r => (r.getLong(0), r.getLong(1)))
+
+    // Current roots of every endpoint already in the store (an
+    // endpoint absent from members is a new doc or an old singleton:
+    // its current root is itself).
+    import spark.implicits._
+    val endpointIds = newEdges.flatMap(e => Seq(e._1, e._2)).distinct.toSeq
+    val known: Array[(Long, Long)] =
+      if (endpointIds.isEmpty) Array.empty
+      else resolve(spark, dir, idCol)
+        .join(broadcast(endpointIds.toDF(idCol)), Seq(idCol), "left_semi")
+        .select(col(idCol).cast("long"), col("component").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+    // Driver union-find by MIN label over the new edges plus each
+    // known endpoint's (doc → current root) link — the same hybrid
+    // split as connectedComponents' driver path.
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    newEdges.foreach { case (a, b) => union(a, b) }
+    known.foreach { case (id, root) => union(id, root) }
+
+    val knownIds = known.map(_._1).toSet
+    val newMembers = endpointIds.filterNot(knownIds).map(id => (id, find(id)))
+    // Remap: every current root displaced by the merge, PLUS the
+    // existing entries re-pointed through the new merges so the table
+    // stays path-compressed (new_root is always final).
+    val oldRemap = spark.read.parquet(s"$dir/remap")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def finalOf(x: Long): Long = if (parent.contains(x)) find(x) else x
+    val displaced = known.map(_._2).distinct
+      .collect { case r if finalOf(r) != r => (r, finalOf(r)) }
+    val mergedRemap = (oldRemap.map { case (o, nr) => (o, finalOf(nr)) }
+      ++ displaced).distinct
+
+    if (newEdges.nonEmpty)
+      newEdges.toSeq.toDF("id_a", "id_b")
+        .write.mode("append").parquet(s"$dir/edges")
+    if (newMembers.nonEmpty)
+      newMembers.toSeq.toDF(idCol, "orig_root")
+        .write.mode("append").parquet(s"$dir/members")
+    mergedRemap.toSeq.toDF("old_root", "new_root")
+      .write.mode("overwrite").parquet(s"$dir/remap")
+    delta.select(col(idCol)).write.mode("append").parquet(s"$dir/ids")
+  }
+}

@@ -34,7 +34,7 @@ object DedupJobs {
     * value as size(∩)/size(∪) on distinct arrays, ~10× the Column
     * array_intersect/array_union path on large candidate sets.
     */
-  private val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
+  private[text] val jaccardUdf = udf { (a: Seq[String], b: Seq[String]) =>
     if (a.isEmpty && b.isEmpty) 0.0
     else {
       val sa = new java.util.HashSet[String](a.length * 2)

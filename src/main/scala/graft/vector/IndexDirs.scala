@@ -47,4 +47,12 @@ object IndexDirs {
       k: Int, bands: Int, shingleN: Int): String =
     s"$root/fp-${sanitize(datasetKey)}-${sanitize(idCol)}-" +
       s"${sanitize(textCol)}-k$k-b$bands-n$shingleN"
+
+  /** Maintained dup-group component store
+    * ([[graft.text.ComponentStore]]): same root and protocol.
+    */
+  def textComponents(datasetKey: String, idCol: String, textCol: String,
+      k: Int, bands: Int, shingleN: Int, threshold: Double): String =
+    s"$root/cc-${sanitize(datasetKey)}-${sanitize(idCol)}-" +
+      s"${sanitize(textCol)}-k$k-b$bands-n$shingleN-t${sanitize(threshold.toString)}"
 }
