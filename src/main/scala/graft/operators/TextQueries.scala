@@ -282,6 +282,10 @@ object TextQueries extends QueryModule {
       Tables.documents(s, d).filter(col("doc_id") % 10 >= 8),
       "doc_id", "text", corpusStore(s, d))
 
+  private def ccStoreDir(d: String): String =
+    graft.vector.IndexDirs.textComponents(s"$d|ccevo", "doc_id", "text",
+      32, 8, 3, 0.5, 100)
+
   /** STREAMING ingest dedup against the maintained digest store
     * (round-12): the arriving slice (doc_id % 10 ≥ 8) flows in as a
     * structured stream and each micro-batch is screened via
@@ -301,10 +305,6 @@ object TextQueries extends QueryModule {
     * ingest shape, where the standing corpus is touched only through
     * its digest store.
     */
-  private def ccStoreDir(d: String): String =
-    graft.vector.IndexDirs.textComponents(s"$d|ccevo", "doc_id", "text",
-      32, 8, 3, 0.5)
-
   /** Maintained transitive dup groups ([[graft.text.ComponentStore]]):
     * the corpus evolves 80% → 90% → 100% and each step APPENDS to the
     * persisted component store — the batch is screened against the
@@ -321,12 +321,14 @@ object TextQueries extends QueryModule {
     graft.SessionCache.getOrBuild(s, s"ccstore|$d") {
       val fpDir = graft.vector.IndexDirs.textDigests(s"$d|ccevo",
         "doc_id", "text", 32, 8, 3)
-      def step(docs: DataFrame): DataFrame = {
-        val store = graft.text.DedupStore.loadOrBuild(docs,
-          "doc_id", "text", fpDir)
+      // The digest store is passed BY NAME: a fresh component store
+      // loads without touching it; the append path forces it first,
+      // which brings it up to date over the grown corpus right before
+      // the screen reads it.
+      def step(docs: DataFrame): DataFrame =
         graft.text.ComponentStore.loadOrBuild(docs, "doc_id", "text",
-          ccStoreDir(d), store)
-      }
+          ccStoreDir(d),
+          graft.text.DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir))
       val all = Tables.documents(s, d)
       // Warm session (the store already certifies the FULL corpus):
       // load directly — re-running the 80→90→100 build-up would see

@@ -430,8 +430,14 @@ object VectorQueries extends QueryModule {
     */
   private def streamMaintainedIndex(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamvecindex|$d") {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-stream-vec").toString
+      // A deterministic, REUSED slot under the index root, wiped at
+      // the start of each evolution — a fresh createTempDirectory per
+      // session would accumulate full corpus copies plus a second
+      // index in tmp until the disk fills.
+      val tmp = graft.vector.IndexDirs.streamScratch(s"vecingest|$d")
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
       val corpusDir = s"$tmp/corpus"
       val indexDir = s"$tmp/index"
       def corpus = s.read.parquet(corpusDir)

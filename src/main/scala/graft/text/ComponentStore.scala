@@ -67,8 +67,13 @@ object ComponentStore {
     * rationale (and default) as [[DedupJobs.connectedComponents]]'
     * hybrid split: verified near-dup edges are the OUTPUT of dedup
     * detection, orders smaller than the corpus, and a batch's edge
-    * set is further bounded by the batch. Exceeding it fails loudly
-    * rather than silently degrading.
+    * set is further bounded by the batch. A pathological batch that
+    * exceeds it ESCALATES TO THE FULL REBUILD instead of collecting
+    * unbounded edges to the driver: the limit-guard throw below is
+    * deliberately inside [[PersistedLayout.appendIfGrown]]'s guard,
+    * whose catch turns any failed append attempt into `false` →
+    * from-scratch build — correct components either way, at the
+    * rebuild price the batch's size earned.
     */
   private val driverEdgeLimit = 2000000L
 
@@ -85,7 +90,10 @@ object ComponentStore {
 
   /** Whether the persisted layout already certifies EXACTLY this
     * (corpus, config) — lets an entry skip its build-up evolution on
-    * a warm session (one narrow fingerprint pass, no pair search).
+    * a warm session. The check itself is one narrow fingerprint pass;
+    * the subsequent [[loadOrBuild]] repeats it for its own marker
+    * comparison (fingerprints are deliberately not cached across
+    * calls — the corpus may change between them).
     */
   def isFresh(docs: DataFrame, idCol: String, textCol: String,
       dir: String, k: Int = 32, bands: Int = 8, shingleN: Int = 3,
@@ -199,11 +207,14 @@ object ComponentStore {
         Seq("id_b"))
       .filter(DedupJobs.jaccardUdf(col("sh_a"), col("sh_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    val lim = math.min(driverEdgeLimit, Int.MaxValue - 1L).toInt
+    val lim = driverEdgeLimit.toInt
     val fetched = verified.limit(lim + 1).collect()
+    // Escalation trigger, not an error surface: appendIfGrown's guard
+    // converts this throw into a full-rebuild fallback (see
+    // driverEdgeLimit's doc).
     require(fetched.length <= lim,
       s"ComponentStore append: batch produced more than $lim verified " +
-        "edges — split the batch")
+        "edges — escalating to a full rebuild")
     val newEdges = fetched.map(r => (r.getLong(0), r.getLong(1)))
 
     // Current roots of every endpoint already in the store (an
@@ -218,33 +229,22 @@ object ComponentStore {
         .select(col(idCol).cast("long"), col("component").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
 
-    // Driver union-find by MIN label over the new edges plus each
-    // known endpoint's (doc → current root) link — the same hybrid
-    // split as connectedComponents' driver path.
-    val parent = scala.collection.mutable.LongMap.empty[Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
-      r
-    }
-    def union(a: Long, b: Long): Unit = {
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-    }
-    newEdges.foreach { case (a, b) => union(a, b) }
-    known.foreach { case (id, root) => union(id, root) }
+    // Driver union-find by MIN label ([[DedupJobs.MinUnionFind]] —
+    // the same merge rule as the from-scratch components) over the
+    // new edges plus each known endpoint's (doc → current root) link.
+    val uf = new DedupJobs.MinUnionFind
+    newEdges.foreach { case (a, b) => uf.union(a, b) }
+    known.foreach { case (id, root) => uf.union(id, root) }
 
     val knownIds = known.map(_._1).toSet
-    val newMembers = endpointIds.filterNot(knownIds).map(id => (id, find(id)))
+    val newMembers = endpointIds.filterNot(knownIds)
+      .map(id => (id, uf.find(id)))
     // Remap: every current root displaced by the merge, PLUS the
     // existing entries re-pointed through the new merges so the table
     // stays path-compressed (new_root is always final).
     val oldRemap = spark.read.parquet(s"$dir/remap")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    def finalOf(x: Long): Long = if (parent.contains(x)) find(x) else x
+    def finalOf(x: Long): Long = if (uf.contains(x)) uf.find(x) else x
     val displaced = known.map(_._2).distinct
       .collect { case r if finalOf(r) != r => (r, finalOf(r)) }
     val mergedRemap = (oldRemap.map { case (o, nr) => (o, finalOf(nr)) }

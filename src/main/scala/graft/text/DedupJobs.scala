@@ -334,6 +334,31 @@ object DedupJobs {
     * @return (doc_id, component) for every endpoint; component =
     *         smallest reachable id
     */
+  /** Driver-side union-find with union-by-MIN-label and path
+    * compression — every root is its component's minimum id, the
+    * same fixpoint as the distributed min-label loop. ONE definition
+    * shared by [[connectedComponents]]' hybrid driver path and
+    * [[ComponentStore]]'s append fold, so the maintained store and
+    * the from-scratch components cannot diverge on the merge rule.
+    */
+  private[text] final class MinUnionFind {
+    private val parent = scala.collection.mutable.LongMap.empty[Long]
+    def contains(x: Long): Boolean = parent.contains(x)
+    def nodes: Seq[Long] = parent.keys.toSeq
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+  }
+
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       driverEdgeLimit: Long = 2000000L): DataFrame = {
     // Hybrid execution: the edge set of a near-dup graph is orders of
@@ -357,24 +382,10 @@ object DedupJobs {
       .collect()
     if (fetched.length <= lim) {
       val spark = pairs.sparkSession
-      val edges = fetched.map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.LongMap.empty[Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-        var c = x // path compression
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        // union by MIN label so every root is its component's minimum —
-        // the distributed loop's fixpoint, with no relabeling pass
-        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
-      }
+      val uf = new MinUnionFind
+      fetched.foreach(r => uf.union(r.getLong(0), r.getLong(1)))
       import spark.implicits._
-      return parent.keys.toSeq.map(id => (id, find(id)))
+      return uf.nodes.map(id => (id, uf.find(id)))
         .toDF("doc_id", "component")
     }
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

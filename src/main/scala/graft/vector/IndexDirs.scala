@@ -48,11 +48,20 @@ object IndexDirs {
     s"$root/fp-${sanitize(datasetKey)}-${sanitize(idCol)}-" +
       s"${sanitize(textCol)}-k$k-b$bands-n$shingleN"
 
+  /** Scratch slot for a stream-maintenance rehearsal (one per
+    * dataset key, REUSED and wiped by its owner each run — bounded
+    * tmp usage, unlike a fresh createTempDirectory per session).
+    */
+  def streamScratch(datasetKey: String): String =
+    s"$root/stream-${sanitize(datasetKey)}"
+
   /** Maintained dup-group component store
     * ([[graft.text.ComponentStore]]): same root and protocol.
     */
   def textComponents(datasetKey: String, idCol: String, textCol: String,
-      k: Int, bands: Int, shingleN: Int, threshold: Double): String =
+      k: Int, bands: Int, shingleN: Int, threshold: Double,
+      maxBucket: Int): String =
     s"$root/cc-${sanitize(datasetKey)}-${sanitize(idCol)}-" +
-      s"${sanitize(textCol)}-k$k-b$bands-n$shingleN-t${sanitize(threshold.toString)}"
+      s"${sanitize(textCol)}-k$k-b$bands-n$shingleN" +
+      s"-t${sanitize(threshold.toString)}-mb$maxBucket"
 }

@@ -138,8 +138,9 @@ class ComponentStoreSpec extends AnyFunSuite {
     stepDocs(g3)
     assert(listing(ccDir) == snap, "a fresh store is loaded, not rewritten")
 
-    // Singletons never enter members; gamma doc never paired.
-    assert(!c3.contains(3L) && !c3.contains(12L))
+    // Singletons never enter members (base doc 3 and appended doc 11
+    // are unique texts).
+    assert(!c3.contains(3L) && !c3.contains(11L))
     val g4 = g3 ++ Seq((20L, tC))
     val c4 = stepDocs(g4)
     assert(!c4.contains(20L), "an unpaired append stays out of members")
