@@ -144,5 +144,18 @@ class ComponentStoreSpec extends AnyFunSuite {
     val g4 = g3 ++ Seq((20L, tC))
     val c4 = stepDocs(g4)
     assert(!c4.contains(20L), "an unpaired append stays out of members")
+
+    // Crash window: a torn append (marker already invalidated, remap
+    // half-rewritten to garbage) must be REBUILT on the next call —
+    // the stamp-last discipline means no marker ever certifies the
+    // torn state.
+    import spark.implicits._
+    new java.io.File(s"$ccDir/${ComponentStore.metaFile}").delete()
+    Seq((999L, 777L)).toDF("old_root", "new_root")
+      .write.mode("overwrite").parquet(s"$ccDir/remap")
+    val c5 = stepDocs(g4)
+    assert(c5.toSet == fromScratch(df(g4)),
+      "rebuild discards the torn remap and re-derives clean components")
+    assert(remap().isEmpty, "a fresh build starts with an empty remap")
   }
 }
