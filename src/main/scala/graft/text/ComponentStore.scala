@@ -193,11 +193,15 @@ object ComponentStore {
     // large contributes digests, never text.
     val candIds = cand.select(col("id_a").as("cid"))
       .unionByName(cand.select(col("id_b").as("cid"))).distinct()
+    // Semi-join on the RAW rows first, tokenize after: the tokenize/
+    // shingle kernel must run on candidates only by construction, not
+    // by relying on PushDownLeftSemiAntiJoin to hoist the join above
+    // a UDF projection.
     val sh = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol).cast("long").as("cid"),
-        TextFunctions.tokens(col(textCol)).as("__toks"))
-      .filter(size(col("__toks")) > 0)
+      .select(col(idCol).cast("long").as("cid"), col(textCol))
       .join(candIds, Seq("cid"), "left_semi")
+      .select(col("cid"), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .filter(size(col("__toks")) > 0)
       .select(col("cid"),
         TextFunctions.shinglesOf(col("__toks"), shingleN).as("sh"))
     val verified = cand
