@@ -196,7 +196,11 @@ object ComponentStore {
     // Semi-join on the RAW rows first, tokenize after: the tokenize/
     // shingle kernel must run on candidates only by construction, not
     // by relying on PushDownLeftSemiAntiJoin to hoist the join above
-    // a UDF projection.
+    // a UDF projection. Cost shape at scale: one corpus (id, text)
+    // scan with a BROADCAST semi-join — no shuffle, no per-doc kernel
+    // outside the candidates; an id-bucketed corpus layout would
+    // prune the scan to candidate buckets, the same trade as the
+    // bucketed hub probe.
     val sh = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("cid"), col(textCol))
       .join(candIds, Seq("cid"), "left_semi")

@@ -158,4 +158,24 @@ class ComponentStoreSpec extends AnyFunSuite {
       "rebuild discards the torn remap and re-derives clean components")
     assert(remap().isEmpty, "a fresh build starts with an empty remap")
   }
+
+  test("resolution broadcasts the remap — members never shuffle") {
+    // At corpus scale members is large and the remap tiny (one row
+    // per merged-away root): resolve must be a broadcast join, not a
+    // members-side exchange.
+    val tmp = java.nio.file.Files.createTempDirectory("ccplan").toString
+    import spark.implicits._
+    Seq((1L, 1L), (4L, 1L), (2L, 2L), (7L, 2L))
+      .toDF("doc_id", "orig_root").write.parquet(s"$tmp/members")
+    Seq((2L, 1L)).toDF("old_root", "new_root")
+      .write.parquet(s"$tmp/remap")
+    val resolved = ComponentStore.resolve(spark, tmp, "doc_id")
+    val plan = resolved.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"resolution must broadcast the remap:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"members must not shuffle for resolution:\n${plan.take(600)}")
+    assert(resolved.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == Set((1L, 1L), (4L, 1L), (2L, 1L), (7L, 1L)))
+  }
 }
