@@ -433,8 +433,12 @@ object VectorQueries extends QueryModule {
       // A deterministic, REUSED slot under the index root, wiped at
       // the start of each evolution — a fresh createTempDirectory per
       // session would accumulate full corpus copies plus a second
-      // index in tmp until the disk fills.
+      // index in tmp until the disk fills. The slot is SHARED across
+      // sessions, so the whole wipe→stream→read is leased: a second
+      // session racing this entry fails loudly instead of wiping a
+      // live build.
       val tmp = graft.vector.IndexDirs.streamScratch(s"vecingest|$d")
+      graft.claims.MaintenanceLease.withLease(s, tmp) {
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
         s.sparkContext.hadoopConfiguration)
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
@@ -482,6 +486,7 @@ object VectorQueries extends QueryModule {
         .persist()
       out.count()
       (out, Seq(out))
+      }
     }
 
   /** Top-10 probe of the stream-maintained index — the same probe
