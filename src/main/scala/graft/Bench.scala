@@ -42,7 +42,23 @@ object Bench {
     // the number is believed. A GENUINE regression still shows: two
     // extra agreeing slow reps leave the slow number in the artifact.
     val priorMins = loadPriorArtifact(sfTag = sfDir.split('/').last)
-    val results = headline.map { case (name, fn) =>
+    // Load sentinel (round-12 verdict item 1: BENCH_r12 recorded a
+    // 105.76 s total a judge re-run measured at 43.23 s — sustained
+    // external load inflated every entry together, and the artifact
+    // carried no evidence to adjudicate that without a re-run): a
+    // FIXED single-threaded CPU kernel timed at the start, middle,
+    // and end of the run, recorded verbatim in the artifact line. The
+    // kernel's unloaded time is a machine property (same work every
+    // round), so cross-round comparison of the sentinel values shows
+    // sustained load directly, and within-run divergence shows load
+    // arriving mid-run. Evidence only — values are never rescaled.
+    sentinelKernel(); sentinelKernel() // JIT-compile before timing
+    val sentinels = scala.collection.mutable.ArrayBuffer(sentinelKernel())
+    val repsUsed = scala.collection.mutable.Map.empty[String, Int]
+    val rechecked = scala.collection.mutable.Set.empty[String]
+    val mid = (headline.size + 1) / 2
+    val results = headline.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx == mid) sentinels += sentinelKernel()
       def rep(): Double = {
         val t0 = System.nanoTime()
         // noop write materializes every output row AND column; count()
@@ -70,19 +86,53 @@ object Bench {
       while (extra < 2 && needsPriorRecheck(best, priorMins.get(name))) {
         best = math.min(best, rep()); extra += 1
       }
+      repsUsed(name) = stabilized.size + extra
+      if (extra > 0) rechecked += name
       name -> best
     }
-    // The driver captures only the LAST 2000 chars of output, and sbt's
-    // "[success] Total time ..." epilogue (~80 chars) lands after this
-    // line — so the line itself must stay under ~1900 chars or the JSON
-    // head gets cut and the round's bench is unparseable (BENCH_r01-03
-    // all carry parsed:null scars from this). `value` always totals
-    // EVERY entry; the per-query map lists entries slowest-first until
-    // the budget is spent, dropping the least-informative (fastest)
-    // tail when the surface grows past what 2000 chars can carry.
+    sentinels += sentinelKernel()
+    println(artifactLine(results, sentinels.toSeq, repsUsed.toMap,
+      rechecked.toSet, reps, sfDir.split('/').last))
+    spark.stop()
+  }
+
+  /** The one-line JSON artifact, factored out so BenchSpec can pin the
+    * format. The driver captures only the LAST 2000 chars of output,
+    * and sbt's "[success] Total time ..." epilogue (~80 chars) lands
+    * after this line — so the line itself must stay under ~1900 chars
+    * or the JSON head gets cut and the round's bench is unparseable
+    * (BENCH_r01-03 all carry parsed:null scars from this). `value`
+    * always totals EVERY entry; the per-query map lists entries
+    * slowest-first until the budget is spent, dropping the
+    * least-informative (fastest) tail when the surface grows past
+    * what 2000 chars can carry.
+    *
+    * Self-adjudication fields (round-12 verdict item 1 — evidence,
+    * never rescaling): `sentinel` is the fixed calibration kernel's
+    * [start, middle, end] seconds; `reps_default` the rep count every
+    * entry got; `reps_hist` the rep-count histogram over ALL entries
+    * (count → entries, so "most entries paid a stabilizer rep" is one
+    * glance); `rechecked` the per-entry FINAL rep counts of exactly
+    * the entries the CROSS-ROUND stabilizer distrusted (best > 1.5x
+    * their prior-round value even after the in-run reps) — the load
+    * signal a judge adjudicates, capped at 16 entries with the true
+    * total in `rechecked_n`. Per-entry detail for routine third reps
+    * is deliberately NOT recorded: the first cut did, and 110 of 141
+    * entries paying a warm-up rep at sf0.01 blew the whole queries
+    * map out of the 1900-char window.
+    */
+  private[graft] def artifactLine(results: Seq[(String, Double)],
+      sentinel: Seq[Double], repsUsed: Map[String, Int],
+      rechecked: Set[String], repsDefault: Int, sfTag: String): String = {
     val total = results.map(_._2).sum
-    val sfTag = sfDir.split('/').last
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val sentinelStr = sentinel.map(v => f"$v%.3f").mkString("[", ",", "]")
+    val hist = repsUsed.values.groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (r, xs) => s""""$r":${xs.size}""" }.mkString("{", ",", "}")
+    val recheckSorted = rechecked.toSeq.sorted
+    val recheckStr = recheckSorted.take(16)
+      .map(k => s""""$k":${repsUsed.getOrElse(k, repsDefault)}""")
+      .mkString("{", ",", "}")
     // Explicit "dropped" markers distinguish budget truncation from a
     // removed/renamed query in cross-round diffs (reserved out of the
     // budget up front). dropped_sum carries the aggregate seconds of
@@ -91,7 +141,10 @@ object Bench {
     // them would be invisible across rounds — a regression in the
     // dropped set now moves a visible number.
     def suffix(dropped: Int, droppedSum: Double) =
-      f"""},"dropped":$dropped,"dropped_sum":$droppedSum%.2f,"sf":"$sfTag"}"""
+      f"""},"dropped":$dropped,"dropped_sum":$droppedSum%.2f,""" +
+        s""""sentinel":$sentinelStr,"reps_default":$repsDefault,""" +
+        s""""reps_hist":$hist,"rechecked_n":${recheckSorted.size},""" +
+        s""""rechecked":$recheckStr,"sf":"$sfTag"}"""
     val budget = 1900 - prefix.length - suffix(999, 99999.99).length
     val sorted = results.sortBy { case (k, v) => (-v, k) }
     val parts = sorted.map { case (k, v) => f""""$k":$v%.2f""" }
@@ -99,9 +152,39 @@ object Bench {
       .scanLeft(0)((acc, p) => acc + p.length + 1)
       .tail.takeWhile(_ <= budget).length
     val droppedSum = sorted.drop(keptN).map(_._2).sum
-    println(prefix + parts.take(keptN).mkString(",") +
-      suffix(parts.length - keptN, droppedSum))
-    spark.stop()
+    prefix + parts.take(keptN).mkString(",") +
+      suffix(parts.length - keptN, droppedSum)
+  }
+
+  /** Dead-store sink keeping the JIT from eliding [[sentinelKernel]]'s
+    * loop (volatile write = observable side effect).
+    */
+  @volatile private var sentinelSink: Long = 0L
+
+  /** Spec-visible blackhole: BenchSpec's injected-load threads publish
+    * their loop results here so the JIT cannot elide their spinning.
+    */
+  private[graft] def sentinelBlackhole(x: Long): Unit = sentinelSink ^= x
+
+  /** The load-sentinel calibration kernel: a FIXED amount of
+    * single-threaded, allocation-free integer work (xorshift64 steps),
+    * identical every call and every round, so its wall-clock time is
+    * a direct probe of how much CPU the machine is giving this
+    * process. Unloaded it runs in tens of milliseconds; under the
+    * sustained external load that inflated BENCH_r10/r12 it slows by
+    * roughly the oversubscription factor — which is the evidence the
+    * artifact needs to be adjudicable without a judge re-run.
+    */
+  private[graft] def sentinelKernel(iters: Long = 30000000L): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    sentinelSink ^= x
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** Re-rep policy, factored out so the spec can pin it: two reps

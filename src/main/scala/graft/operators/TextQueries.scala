@@ -369,8 +369,21 @@ object TextQueries extends QueryModule {
   private def streamDedupStore(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamdedupstore|$d") {
       val store = corpusStore(s, d)
-      val streamDir = java.nio.file.Files
-        .createTempDirectory("graft-stream-fp").toString + "/out"
+      // A deterministic, REUSED scratch slot under the index root,
+      // wiped at entry start — a fresh createTempDirectory per session
+      // accumulated stream state and checkpoints in tmp forever
+      // (round-12 verdict item 3; same fix streamMaintainedIndex got a
+      // round earlier). The slot is shared across sessions, so the
+      // whole wipe→stream→read is leased on the SLOT; the per-batch
+      // ingest takes its own (different-path) lease on the out dir
+      // from the stream-execution thread, which same-thread-only
+      // reentrancy never blocks.
+      val tmp = graft.vector.IndexDirs.streamScratch(s"fpingest|$d")
+      graft.claims.MaintenanceLease.withLease(s, tmp) {
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(
+        s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      val streamDir = s"$tmp/out"
       val rawSchema = Tables.table(s, d, "documents").schema
       val step: (DataFrame, Long) => Unit = (b, id) =>
         graft.text.DedupStore.ingestBatch(b, "doc_id", "text", store,
@@ -387,7 +400,7 @@ object TextQueries extends QueryModule {
           .select(col("doc_id"), col("text"))
           .writeStream
           .foreachBatch(step)
-          .option("checkpointLocation", streamDir + "_ckpt")
+          .option("checkpointLocation", s"$tmp/ckpt")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
@@ -396,6 +409,7 @@ object TextQueries extends QueryModule {
         .select(col("doc_id"), col("fp")).persist()
       out.count()
       (out, Seq(out))
+      }
     }
 
   /** Exact vocabulary heavy hitters — the top-20 corpus tokens by

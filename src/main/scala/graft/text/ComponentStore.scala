@@ -16,15 +16,18 @@ import graft.vector.PersistedLayout
   * store pays O(batch × candidates) per arriving batch.
   *
   * Layout (beside the other persisted stores, same marker protocol):
-  *   - `members` (doc_id, orig_root): APPEND-ONLY — one row per doc
-  *     that has ever appeared in a verified pair, stamped with its
-  *     component root AT INSERT. Never rewritten: later merges go
-  *     through the remap.
+  *   - `members` (doc_id, orig_root): one row per doc that has ever
+  *     appeared in a verified pair, stamped with its component root
+  *     AT INSERT. Appends only add rows; later merges go through the
+  *     remap — until the remap crosses [[remapFoldDefault]], when one
+  *     distributed FOLD rewrites members with roots resolved and
+  *     truncates the remap to empty (round-13: the remap otherwise
+  *     grows with roots-ever-merged for the store's lifetime).
   *   - `remap` (old_root, new_root): the component merges, kept fully
   *     PATH-COMPRESSED at write time (new_root is final, never itself
   *     remapped) so resolution is ONE broadcast join, not an
-  *     iteration. Tiny — one row per root ever merged away — and
-  *     rewritten whole per append.
+  *     iteration. Tiny — one row per root merged away since the last
+  *     fold — and rewritten whole per append.
   *   - `edges` (id_a, id_b): append-only log of every verified pair
   *     the store has accepted; the `_sound` audit re-derives the
   *     components from it and must match [[resolve]] exactly.
@@ -111,10 +114,26 @@ object ComponentStore {
     * immediately before this; it is by-name so the Fresh path never
     * forces it.
     */
+  /** Remap-row count past which an append FOLDS the remap into
+    * `members` instead of rewriting it (round-12 verdict item 4): the
+    * remap is driver-collected and rewritten whole per append, so
+    * left unfolded it grows with roots-ever-merged for the store's
+    * LIFETIME — fine at fleet scale, a slow driver leak at
+    * corpus-lifetime web scale. The fold is one distributed
+    * members⋈broadcast(remap) rewrite (amortized O(members) — each
+    * member row is rewritten once per threshold-many merges), after
+    * which the remap is EMPTY and resolution is a zero-row broadcast
+    * join until roots merge again. 4096 rows ≈ 64 KiB on the driver:
+    * far below any collect bound, frequent enough that the remap
+    * broadcast stays trivially small.
+    */
+  private val remapFoldDefault = 4096
+
   def loadOrBuild(docs: DataFrame, idCol: String, textCol: String,
       dir: String, digestStore: => DataFrame,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
-      threshold: Double = 0.5, maxBucket: Int = 100): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 100,
+      remapFoldThreshold: Int = remapFoldDefault): DataFrame = {
     val spark = docs.sparkSession
     val (config, want, n) = wantFor(docs, idCol, textCol, k, bands,
       shingleN, threshold, maxBucket)
@@ -127,7 +146,7 @@ object ComponentStore {
         n, Double.PositiveInfinity,
         spark.read.parquet(s"$dir/ids").select(col(idCol))) { delta =>
         appendStep(docs, delta, idCol, textCol, dir, digestStore,
-          k, bands, shingleN, threshold)
+          k, bands, shingleN, threshold, remapFoldThreshold)
       }
     } {
       val comps = DedupJobs.connectedComponents(pairsOf(docs))
@@ -178,7 +197,8 @@ object ComponentStore {
     */
   private def appendStep(docs: DataFrame, delta: DataFrame,
       idCol: String, textCol: String, dir: String, store: DataFrame,
-      k: Int, bands: Int, shingleN: Int, threshold: Double): Unit = {
+      k: Int, bands: Int, shingleN: Int, threshold: Double,
+      remapFoldThreshold: Int): Unit = {
     val spark = docs.sparkSession
     // Candidates in ONE pass: the store already holds the delta's own
     // digests, so batch-vs-store covers delta-internal AND
@@ -264,8 +284,43 @@ object ComponentStore {
     if (newMembers.nonEmpty)
       newMembers.toSeq.toDF(idCol, "orig_root")
         .write.mode("append").parquet(s"$dir/members")
-    mergedRemap.toSeq.toDF("old_root", "new_root")
-      .write.mode("overwrite").parquet(s"$dir/remap")
+    if (mergedRemap.length >= remapFoldThreshold && remapFoldThreshold > 0)
+      foldRemap(spark, dir, idCol, mergedRemap)
+    else
+      mergedRemap.toSeq.toDF("old_root", "new_root")
+        .write.mode("overwrite").parquet(s"$dir/remap")
     delta.select(col(idCol)).write.mode("append").parquet(s"$dir/ids")
+  }
+
+  /** Fold the remap into `members`: rewrite every member's orig_root
+    * to its CURRENT root through one distributed broadcast join, then
+    * truncate the remap to empty — resolution semantics are identical
+    * (resolve is exactly this join), so the fold is invisible to
+    * readers except that the remap stops growing. Staged beside the
+    * live dataset and swapped by rename; crash windows anywhere in
+    * here are healed by [[PersistedLayout.ensureWith]]'s
+    * invalidate-first/stamp-last marker discipline (the marker is
+    * already gone while appendStep runs — a torn fold reads as
+    * "stale → rebuild", never half-loads).
+    */
+  private def foldRemap(spark: SparkSession, dir: String, idCol: String,
+      remap: Array[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val remapDf = remap.toSeq.toDF("old_root", "new_root")
+    val members = spark.read.parquet(s"$dir/members")
+    val folded = members.join(broadcast(remapDf),
+        members("orig_root") === remapDf("old_root"), "left")
+      .select(col(idCol),
+        coalesce(col("new_root"), col("orig_root")).as("orig_root"))
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(dir, "members")
+    val staging = new org.apache.hadoop.fs.Path(dir, "members__folding")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    folded.write.parquet(staging.toString)
+    fs.delete(live, true)
+    require(fs.rename(staging, live),
+      s"could not rename $staging into $live")
+    emptyRemap(spark).write.mode("overwrite").parquet(s"$dir/remap")
   }
 }

@@ -161,14 +161,34 @@ object DedupStore {
     * dirs IS both the stream's dedup state for later batches and its
     * final output; all shuffles carry digests, never text.
     */
+  /** Generation-dir count past which [[ingestBatch]] compacts inline
+    * (round-12 verdict item 2: `compactStream` existed and was
+    * property-tested but had NO production trigger — per-batch dirs
+    * accumulated forever and the screen's file-listing cost grew with
+    * batch count, not digest count). 16 dirs ≈ one compaction per 16
+    * micro-batches: the merge reads ≤16 survivor slivers, so its
+    * amortized cost per batch is a fraction of the batch screen
+    * itself, while the screen's input stays O(threshold) files plus
+    * one compacted generation.
+    */
+  private[text] val autoCompactDirs = 16
+
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
-      corpusStore: DataFrame, streamDir: String, batchId: Long): Unit = {
+      corpusStore: DataFrame, streamDir: String, batchId: Long,
+      compactThreshold: Int = autoCompactDirs): Unit = {
     val spark = batch.sparkSession
     // Same lease as [[compactStream]]: a compaction racing a live
     // micro-batch could snapshot this batch's dir mid-overwrite (or
     // delete it after merging a stale copy) — one of the two writers
-    // must fail loudly instead. Reentrant for a caller already holding
-    // the stream lease.
+    // must fail loudly instead. Reentrancy is SAME-THREAD ONLY
+    // (MaintenanceLease.held is a ThreadLocal): the inline compaction
+    // below re-enters because it runs on this thread, but a DRIVER
+    // thread must not hold the stream lease across starting a
+    // streaming query whose foreachBatch lands here — micro-batches
+    // run on the stream-execution thread, which the driver's holding
+    // does not cover, and every batch would fail loudly with
+    // IllegalStateException (round-12 advice: the old comment
+    // promised cross-thread reentrancy this object never had).
     graft.claims.MaintenanceLease.withLease(spark, streamDir) {
     // A replayed batch must not screen against its OWN previous
     // output (it would empty itself); earlier batches' digests are
@@ -182,6 +202,20 @@ object DedupStore {
       .groupBy("fp").agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
       .write.mode("overwrite").parquet(s"$streamDir/batch_id=$batchId")
+    // AUTO-COMPACTION: past the threshold, fold the generations here,
+    // under the lease this thread already holds (compactStream's
+    // withLease re-enters same-thread). Runs AFTER this batch's dir
+    // commits, so the compacted generation absorbs it too; a replay
+    // of this batch then anti-joins to empty against the compacted
+    // fps and rewrites an empty own-dir — the documented
+    // replay-across-compaction semantics, unchanged.
+    if (compactThreshold > 0) {
+      val root = new org.apache.hadoop.fs.Path(streamDir)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val gens = fs.listStatus(root).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      if (gens > compactThreshold) compactStream(spark, streamDir, idCol)
+    }
     }
   }
 

@@ -124,12 +124,48 @@ private[graft] object PersistedLayout {
       oldLines.filterNot(s =>
           s.startsWith("n=") || s.startsWith("idsum=")) == config &&
       oldN > 0 && n > oldN && (n - oldN) <= maxGrowFrac * oldN && {
+        // Pinned so the roster anti-join — a full corpus-id-column
+        // scan — runs ONCE per append: the count proof materializes
+        // the (small) delta into the cache and `write`'s actions read
+        // it back, instead of re-scanning the corpus per consuming
+        // action (round-12 review item 7).
         val appended = corpus.filter(col(valCol).isNotNull)
           .join(roster, Seq(idCol), "left_anti")
-        appended.count() == n - oldN && { write(appended); true }
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try appended.count() == n - oldN && { write(appended); true }
+        finally appended.unpersist(blocking = false)
       }
-    } catch { case scala.util.control.NonFatal(_) => false }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        // The fall-through to a full rebuild is CORRECT but O(corpus);
+        // a silently recurring append failure (a bug in a write hook,
+        // persistent I/O trouble) would degrade every load to rebuild
+        // cost with zero signal — log it so the degradation is
+        // observable (round-12 advice). ComponentStore's deliberate
+        // edge-limit escalation lands here too, by design: its message
+        // says so.
+        org.slf4j.LoggerFactory.getLogger("graft.vector.PersistedLayout")
+          .warn(s"append hook failed for config=[${config.mkString(", ")}]" +
+            s" n=$n — escalating to a full rebuild", e)
+        false
+    }
 
+  /** Concurrency note (round-12 advice, documented trade): the Fresh
+    * fast-path reads the marker OUTSIDE the lease, and callers then
+    * read the datasets unleased — a concurrent session's append
+    * (invalidate → append files → restamp) can therefore hand a
+    * reader whose marker check passed just before the invalidation a
+    * listing that includes mid-append files. Concurrent-session reads
+    * during an append are BEST-EFFORT, exactly like the lease itself
+    * (create-exclusive is detection, not mutual exclusion, on object
+    * stores): the rows such a reader can over-see are the appended
+    * delta — real corpus documents, just not yet certified by a
+    * marker — never torn within a parquet file (parquet commits are
+    * file-atomic). Sessions needing a certified snapshot re-call the
+    * loader, whose marker comparison revalidates; serializing every
+    * read against every append would put a lease acquisition on the
+    * hot query path for a race that re-reading already heals.
+    */
   def ensureWith(spark: SparkSession, dir: String, metaFile: String,
       want: String, rebuild: Boolean)(incremental: String => Boolean)(
       build: => Unit): State = {

@@ -43,6 +43,79 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.needsPriorRecheck(9.99, None))
   }
 
+  test("artifact line carries sentinel + rep evidence and stays parseable") {
+    val results = Seq("q_a" -> 3.421, "q_b" -> 0.334, "q_c" -> 0.051)
+    val line = Bench.artifactLine(results,
+      sentinel = Seq(0.0501, 0.0512, 0.0498),
+      repsUsed = Map("q_a" -> 2, "q_b" -> 4, "q_c" -> 3),
+      rechecked = Set("q_b"),
+      repsDefault = 2, sfTag = "sf0.1")
+    // The self-adjudication fields (round-12 verdict item 1): the raw
+    // sentinel triple, the rep-count histogram over all entries, and
+    // per-entry detail for exactly the cross-round-distrusted set.
+    assert(line.contains(""""sentinel":[0.050,0.051,0.050]"""))
+    assert(line.contains(""""reps_default":2"""))
+    assert(line.contains(""""reps_hist":{"2":1,"3":1,"4":1}"""))
+    assert(line.contains(""""rechecked_n":1"""))
+    assert(line.contains(""""rechecked":{"q_b":4}"""))
+    // The queries map still parses with the established parser (the
+    // cross-round stabilizer reads LAST round's artifact — a format
+    // change that broke it would kill the prior-recheck silently).
+    assert(Bench.parsePriorArtifact(line) ===
+      Map("q_a" -> 3.42, "q_b" -> 0.33, "q_c" -> 0.05))
+    assert(line.contains(""""sf":"sf0.1""""))
+  }
+
+  test("artifact line stays under the 1900-char driver window at any surface size") {
+    val many = (1 to 400).map(i => f"q_entry_number_$i%03d" -> (i / 100.0))
+    // The r13 first-cut regression this pins: EVERY entry paying a
+    // stabilizer rep (the sf0.01 warm-up shape) must not evict the
+    // queries map from the budget — the histogram compresses it.
+    val line = Bench.artifactLine(many, Seq(0.05, 0.05, 0.05),
+      many.map(_._1 -> 3).toMap, many.map(_._1).toSet, 2, "sf0.1")
+    assert(line.length <= 1900, s"line is ${line.length} chars")
+    assert(line.contains(""""reps_hist":{"3":400}"""))
+    // The recheck detail is capped; the true count survives.
+    assert(line.contains(""""rechecked_n":400"""))
+    // The queries map keeps a substantive slowest-first head.
+    assert(Bench.parsePriorArtifact(line).size > 20)
+    // Truncation is explicit: the dropped tail is counted and digested.
+    assert(line.contains(""""dropped":"""))
+    assert(!line.contains(""""dropped":0,"""))
+    // Total covers EVERY entry, kept or dropped.
+    val total = """"value":([0-9.]+)""".r.findFirstMatchIn(line)
+      .get.group(1).toDouble
+    assert(math.abs(total - many.map(_._2).sum) < 0.01)
+  }
+
+  test("sentinel kernel is deterministic work that an injected sustained load inflates") {
+    // JIT-compile, then baseline: min of 5 unloaded runs.
+    Bench.sentinelKernel(); Bench.sentinelKernel()
+    val unloaded = (1 to 5).map(_ => Bench.sentinelKernel()).min
+    assert(unloaded > 0.001,
+      "kernel must do real work, or load cannot slow it measurably")
+    // Saturate every core 2x over — the deliberate miniature of the
+    // sustained external load that inflated BENCH_r10/r12 — and the
+    // kernel must visibly slow: that sensitivity is what makes the
+    // recorded [start, middle, end] triple adjudicable evidence.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val threads = (1 to Runtime.getRuntime.availableProcessors() * 2)
+      .map { _ =>
+        val t = new Thread(() => {
+          var x = 12345L
+          while (!stop.get()) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17 }
+          Bench.sentinelBlackhole(x)
+        })
+        t.setDaemon(true); t.start(); t
+      }
+    val loaded =
+      try (1 to 5).map(_ => Bench.sentinelKernel()).min
+      finally { stop.set(true); threads.foreach(_.join(2000)) }
+    assert(loaded > 1.2 * unloaded,
+      f"2x oversubscription must inflate the sentinel: " +
+        f"unloaded=$unloaded%.4f s loaded=$loaded%.4f s")
+  }
+
   test("prior artifact parser reads only the queries map") {
     val line = """{"metric":"total","value":50.529,"unit":"sec",""" +
       """"queries":{"q_anomaly_mad":2.58,"q_multimodal_resize":2.32,""" +
