@@ -129,11 +129,23 @@ object ComponentStore {
     */
   private val remapFoldDefault = 4096
 
+  /** `rebaseline = true` forces a from-scratch build even when the
+    * marker certifies the current corpus — the RE-BASELINE POLICY for
+    * the documented monotone-cap asymmetry: batch appends keep the
+    * edges a bucket contributed while under the skew cap even after
+    * late arrivals push it past the cap, which is honest streaming
+    * semantics but drifts monotonically from the corpus-wide-cap
+    * from-scratch answer. A periodic (ops-scheduled) rebaseline
+    * re-applies the cap corpus-wide and resets that drift; between
+    * rebaselines the `_sound` audit's edge-log ground truth keeps the
+    * store internally consistent.
+    */
   def loadOrBuild(docs: DataFrame, idCol: String, textCol: String,
       dir: String, digestStore: => DataFrame,
       k: Int = 32, bands: Int = 8, shingleN: Int = 3,
       threshold: Double = 0.5, maxBucket: Int = 100,
-      remapFoldThreshold: Int = remapFoldDefault): DataFrame = {
+      remapFoldThreshold: Int = remapFoldDefault,
+      rebaseline: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     val (config, want, n) = wantFor(docs, idCol, textCol, k, bands,
       shingleN, threshold, maxBucket)
@@ -141,7 +153,7 @@ object ComponentStore {
       DedupJobs.minhashCandidatePairs(frame, idCol, textCol, k, bands,
         shingleN, threshold, maxBucket)
     PersistedLayout.ensureWith(spark, dir, metaFile, want,
-      rebuild = false) { old =>
+      rebuild = rebaseline) { old =>
       PersistedLayout.appendIfGrown(docs, idCol, textCol, old, config,
         n, Double.PositiveInfinity,
         spark.read.parquet(s"$dir/ids").select(col(idCol))) { delta =>

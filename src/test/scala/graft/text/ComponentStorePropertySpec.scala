@@ -89,4 +89,100 @@ class ComponentStorePropertySpec extends AnyFunSuite {
       stepAndCheck(s"append $step")
     }
   }
+
+  test("remap fold (threshold=1): resolve-equality holds across every fold, remap returns to 0") {
+    // Round-13 fold: with the threshold at 1, EVERY append that merges
+    // any root immediately folds the remap into members — the same
+    // randomized evolution must stay ≡ from-scratch CC, and the remap
+    // dataset must be EMPTY after every such append (the driver-side
+    // table stops growing with the store's lifetime).
+    val seed = sys.env.get("GRAFT_PROP_SEED").map(_.toLong).getOrElse(7L)
+    val rnd = new scala.util.Random(seed)
+    val tmp = java.nio.file.Files.createTempDirectory("ccfold").toString
+    val fpDir = s"$tmp/fp"
+    val ccDir = s"$tmp/cc"
+
+    // A LARGER pool than the first test's: with 8 groups and common
+    // bridges everything collapses into one component at the base
+    // build, after which every later merge is a no-op and the fold
+    // never fires. 24 groups keep distinct components alive so
+    // cross-component merges (→ displaced roots → folds) land in the
+    // APPEND steps, which is what this pin is about.
+    val bigPool: IndexedSeq[String] = (0 until 24).map(g =>
+      (0 until 12).map(i => s"g${g}w$i").mkString(" "))
+    var corpus = Vector.empty[(Long, String)]
+    var nextId = 0L
+    def newRow(): (Long, String) = {
+      val t = rnd.nextInt(10) match {
+        case 0 => null
+        case 1 | 2 | 3 =>                              // bridge-heavy mix
+          val a = rnd.nextInt(bigPool.length)
+          val b = (a + 1 + rnd.nextInt(bigPool.length - 1)) % bigPool.length
+          s"${bigPool(a)} ${bigPool(b)}"
+        case _ => bigPool(rnd.nextInt(bigPool.length))
+      }
+      val r = (nextId, t); nextId += 1; r
+    }
+
+    def remapCount(): Long = spark.read.parquet(s"$ccDir/remap").count()
+
+    var foldsSeen = 0
+    def stepAndCheck(label: String): Unit = {
+      val docs = df(corpus)
+      val store = DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir,
+        K, B, N)
+      val got = ComponentStore.loadOrBuild(docs, "doc_id", "text",
+        ccDir, store, K, B, N, T, maxBucket = 1000,
+        remapFoldThreshold = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == fromScratch(docs), s"seed=$seed $label diverged")
+      // Edge-log re-derivation must survive folds too.
+      val fromEdges = DedupJobs.connectedComponents(
+        ComponentStore.storedEdges(spark, ccDir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromEdges == got, s"seed=$seed $label: edge log drifted")
+      // The fold contract: the remap never survives an append at
+      // threshold 1 — any merge is folded into members immediately.
+      assert(remapCount() == 0,
+        s"seed=$seed $label: remap has ${remapCount()} rows after fold")
+    }
+
+    def membersNow(): Map[Long, Long] =
+      spark.read.parquet(s"$ccDir/members")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // The base seeds TWO crafted components (groups 20 and 21, two
+    // docs each) alongside the random rows: a fold needs an append
+    // that merges EXISTING components (displaced root → remap row →
+    // fold at threshold 1), and a purely random evolution can spend
+    // every merge on never-paired singletons, which displace nothing.
+    corpus ++= (0 until 10).map(_ => newRow())
+    corpus ++= Seq(bigPool(20), bigPool(20), bigPool(21), bigPool(21))
+      .map { t => val r = (nextId, t); nextId += 1; r }
+    stepAndCheck("base")
+    var prevMembers = membersNow()
+    def foldFired(label: String): Unit = {
+      val now = membersNow()
+      // Only a FOLD rewrites an existing member's stamped root —
+      // plain appends only add rows.
+      if (prevMembers.exists { case (id, root) =>
+          now.get(id).exists(_ != root) }) foldsSeen += 1
+      prevMembers = now
+    }
+    for (step <- 0 until 6) {
+      corpus ++= (0 until 2 + rnd.nextInt(3)).map(_ => newRow())
+      stepAndCheck(s"append $step")
+      foldFired(s"append $step")
+    }
+    // Deterministic finale: one bridge doc merges the two crafted
+    // components — the larger root is displaced, the remap gains a
+    // row, and at threshold 1 the fold MUST rewrite the displaced
+    // members in place.
+    corpus :+= { val r = (nextId, s"${bigPool(20)} ${bigPool(21)}")
+      nextId += 1; r }
+    stepAndCheck("bridge finale")
+    foldFired("bridge finale")
+    assert(foldsSeen > 0, s"seed=$seed: no fold ever fired — " +
+      "the crafted-components bridge must displace a root")
+  }
 }

@@ -159,6 +159,53 @@ class ComponentStoreSpec extends AnyFunSuite {
     assert(remap().isEmpty, "a fresh build starts with an empty remap")
   }
 
+  test("rebaseline re-applies the skew cap corpus-wide, resetting monotone drift") {
+    // The documented cap asymmetry, constructed: a bucket at the cap
+    // (3 dups, maxBucket = 3) contributes its edges at the base build;
+    // two late arrivals push the SAME bucket to 5 — the batch screen
+    // keeps contributing edges (its candidates are batch-bounded, the
+    // honest streaming semantics), while a from-scratch build now
+    // drops the whole bucket. The store therefore drifts MONOTONE from
+    // the from-scratch answer — and `rebaseline = true` is the policy
+    // verb that resets it (round-12 watch-item c).
+    val tmp = java.nio.file.Files.createTempDirectory("ccbase").toString
+    val fpDir = s"$tmp/fp"
+    val ccDir = s"$tmp/cc"
+    val tX = toks("capped", 12)
+    def run(rows: Seq[(Long, String)], rebaseline: Boolean = false) = {
+      val docs = df(rows)
+      val store = DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir,
+        K, B, N)
+      ComponentStore.loadOrBuild(docs, "doc_id", "text", ccDir, store,
+        K, B, N, T, maxBucket = 3, rebaseline = rebaseline)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    def scratch(rows: Seq[(Long, String)]): Set[(Long, Long)] =
+      DedupJobs.connectedComponents(
+        DedupJobs.minhashCandidatePairs(df(rows), "doc_id", "text",
+          K, B, N, T, maxBucket = 3))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val baseRows = Seq((0L, tX), (1L, tX), (2L, tX))
+    assert(run(baseRows) == Set((0L, 0L), (1L, 0L), (2L, 0L)),
+      "at-cap bucket contributes edges at the base build")
+    val grownRows = baseRows ++ Seq((3L, tX), (4L, tX))
+    val appended = run(grownRows)
+    // The drift, pinned positively: the append KEPT the group (and
+    // folded the late arrivals in) while from-scratch now drops it.
+    assert(appended.map(_._1) == Set(0L, 1L, 2L, 3L, 4L),
+      s"append keeps contributed edges under late arrivals: $appended")
+    assert(scratch(grownRows).isEmpty,
+      "from-scratch drops the over-cap bucket entirely")
+    // Rebaseline: same corpus, same marker — the verb forces the
+    // corpus-wide cap back on and the drift resets.
+    assert(run(grownRows, rebaseline = true) == scratch(grownRows),
+      "rebaseline ≡ from-scratch over the current corpus")
+    // And the rebaselined layout serves subsequent loads as-is.
+    assert(run(grownRows) == scratch(grownRows),
+      "post-rebaseline loads are Fresh, not re-appended")
+  }
+
   test("resolution broadcasts the remap — members never shuffle") {
     // At corpus scale members is large and the remap tiny (one row
     // per merged-away root): resolve must be a broadcast join, not a

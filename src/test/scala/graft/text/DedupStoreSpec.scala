@@ -185,6 +185,67 @@ class DedupStoreSpec extends AnyFunSuite {
       "ingest after compaction screens against the compacted state")
   }
 
+  test("stream→corpus promotion: the append path derives exactly the promoted digests") {
+    // COVERAGE claims promotion needs no special verb — streamed
+    // survivors landing in the corpus dataset make the store's append
+    // path derive exactly their digests, from batch text only. This
+    // pins that claim (round-12 verdict item 5): after promotion the
+    // pre-existing digest files are byte-untouched (an append fired,
+    // never a rebuild) and the added rows are precisely the promoted
+    // ids' digests.
+    val tmp = java.nio.file.Files.createTempDirectory("fppromo").toString
+    val storeDir = s"$tmp/store"
+    val streamDir = s"$tmp/stream"
+    val corpus = docs(0, 50)
+    DedupStore.loadOrBuild(corpus, "doc_id", "text", storeDir)
+    val store = spark.read.parquet(s"$storeDir/digests")
+
+    import spark.implicits._
+    val b0 = Seq(
+      (200L, "unique document 3 with some words tok0 tok1 tok2 tok3"),
+      (201L, "promoted text alpha"),
+      (202L, "promoted text beta"),
+      (203L, "promoted text beta")).toDF("doc_id", "text")
+    val b1 = Seq(
+      (210L, "promoted text alpha"),
+      (211L, "promoted text gamma")).toDF("doc_id", "text")
+    DedupStore.ingestBatch(b0, "doc_id", "text", store, streamDir, 0L)
+    DedupStore.ingestBatch(b1, "doc_id", "text", store, streamDir, 1L)
+    val promoted = spark.read.parquet(streamDir)
+      .select("doc_id", "fp")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(promoted.map(_._1) == Set(201L, 202L, 211L))
+
+    // Promote: the survivors' (id, text) rows join the corpus dataset.
+    val promotedDocs = b0.unionByName(b1)
+      .join(spark.read.parquet(streamDir).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+    val grown = corpus.unionByName(promotedDocs)
+
+    val before = listing(s"$storeDir/digests")
+    Thread.sleep(1100) // mtime resolution guard
+    val after = DedupStore.loadOrBuild(grown, "doc_id", "text", storeDir)
+    val afterFiles = listing(s"$storeDir/digests")
+    // Append evidence: every pre-existing file byte-untouched, new
+    // files added (a rebuild replaces the file set wholesale — the
+    // deletion test above shows that shape).
+    assert(before.forall { case (p, sig) => afterFiles.get(p).contains(sig) },
+      "promotion must APPEND: pre-existing digest files byte-untouched")
+    assert(afterFiles.keySet.diff(before.keySet).nonEmpty)
+    // The added digests are exactly the promoted ids', bit-identical
+    // to the streamed fingerprints they were admitted under. (The
+    // pre-promotion roster is collected up front — a lazy re-read of
+    // the store path could list the appended files too.)
+    val preIds = corpus.filter(col("text").isNotNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val added = after.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filterNot { case (id, _) => preIds.contains(id) }.toSet
+    assert(added == promoted,
+      "the appended digests must be exactly the promoted survivors'")
+    assert(after.count() == preIds.size + promoted.size)
+  }
+
   test("batch screens read the store's digests, never corpus text") {
     val tmp = java.nio.file.Files.createTempDirectory("fpscan").toString
     val corpusPath = s"$tmp/corpus"

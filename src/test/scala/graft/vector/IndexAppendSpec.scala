@@ -180,6 +180,71 @@ class IndexAppendSpec extends AnyFunSuite {
     }
   }
 
+  test("recall holds at the append boundary: +24.5% via accumulated appends " +
+      "keeps mean recall@10 over the 0.8 floor") {
+    // Round-12 verdict item 6: the 25% growth-refit threshold was a
+    // heuristic — nothing measured recall drift as appends accumulated
+    // toward it. The threshold is PER-APPEND (each append compares
+    // against the marker it replaces), so three sub-25% appends here
+    // push the corpus 24.5% past the geometry's fit WITHOUT a refit —
+    // the worst stale-centroid state the design permits between
+    // refits — and the floor audit must still clear.
+    val dir = java.nio.file.Files.createTempDirectory("ivfb").toString + "/ix"
+    val (_, cs0) = IvfIndex.loadOrBuild(corpus(0, 400), "vec_id",
+      "embedding", 8, dir)
+    IvfIndex.loadOrBuild(corpus(0, 440), "vec_id", "embedding", 8, dir)
+    IvfIndex.loadOrBuild(corpus(0, 470), "vec_id", "embedding", 8, dir)
+    val (a, cs) = IvfIndex.loadOrBuild(corpus(0, 498), "vec_id",
+      "embedding", 8, dir)
+    // Evidence the growth really rode the append path: the geometry is
+    // still the base fit (a refit would move the centroids).
+    assert(cs.map(_.toSeq).toSeq == cs0.map(_.toSeq).toSeq,
+      "accumulated sub-threshold appends must never refit")
+    assert(a.count() == 498)
+    // Mean recall@10 over 20 seeded queries, nprobe=4 of 8 cells —
+    // the same floor the driver's q_vector_ann_floor audits (≥0.8).
+    import spark.implicits._
+    val grown = corpus(0, 498)
+    val recalls = (0 until 20).map { q =>
+      val rnd = new scala.util.Random(9000 + q)
+      val qv = Seq.fill(dim)(rnd.nextGaussian())
+      val qdf = Seq(Tuple1(qv)).toDF("qvec")
+      val exact = VectorOps.topKCosine(grown, qdf, "vec_id", "embedding",
+        k = 10).collect().map(_.getLong(0)).toSet
+      val approx = IvfIndex.topK(a, cs, qdf, "vec_id", "embedding",
+        k = 10, nprobe = 4).collect().map(_.getLong(0)).toSet
+      exact.intersect(approx).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.8,
+      f"append-boundary mean recall@10 = $mean%.3f — the stale-centroid " +
+        "drift the 25%% threshold permits must stay over the audit floor")
+  }
+
+  test("appendIfGrown pins the delta: the write hook reads a cached frame, " +
+      "one roster anti-join per append") {
+    import spark.implicits._
+    val corpusDf = (0L until 120L).map(i => (i, s"v$i")).toDF("id", "v")
+    val roster = (0L until 100L).map(Tuple1(_)).toDF("id")
+    val old = "cfg=1\nn=100\nidsum=7\n"
+    var captured: org.apache.spark.sql.DataFrame = null
+    var hookCount = -1L
+    val ok = PersistedLayout.appendIfGrown(corpusDf, "id", "v", old,
+      Seq("cfg=1"), n = 120L, maxGrowFrac = 1.0, roster = roster) { d =>
+      // The count proof already materialized the delta into the cache;
+      // this hook's actions must read it back instead of re-running
+      // the corpus-id anti-join (round-12 verdict item 7).
+      captured = d
+      assert(d.storageLevel.useMemory || d.storageLevel.useDisk,
+        "the delta handed to the write hook must be pinned")
+      hookCount = d.count()
+    }
+    assert(ok && hookCount == 20)
+    // And the pin is released once the append returns.
+    assert(captured.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+      "the delta must be unpersisted after the append")
+  }
+
   test("a crashed append (partial files, no marker) rebuilds cleanly") {
     val dir = java.nio.file.Files.createTempDirectory("ivfc").toString + "/ix"
     val base = corpus(0, 400)
