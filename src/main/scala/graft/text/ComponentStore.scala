@@ -161,6 +161,13 @@ object ComponentStore {
           k, bands, shingleN, threshold, remapFoldThreshold)
       }
     } {
+      // A crashed fold can leave its staging dir behind (the marker is
+      // already gone, so the crash lands here); overwrite-mode writes
+      // below never touch it — delete it so it cannot linger for the
+      // store's lifetime.
+      val fsb = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      fsb.delete(new org.apache.hadoop.fs.Path(dir, "members__folding"), true)
       val comps = DedupJobs.connectedComponents(pairsOf(docs))
       comps.select(col("doc_id").as(idCol), col("component").as("orig_root"))
         .write.mode("overwrite").parquet(s"$dir/members")

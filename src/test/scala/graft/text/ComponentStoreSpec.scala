@@ -206,6 +206,43 @@ class ComponentStoreSpec extends AnyFunSuite {
       "post-rebaseline loads are Fresh, not re-appended")
   }
 
+  test("a crashed fold (staging present, members gone, no marker) rebuilds cleanly") {
+    // The fold's delete→rename window: members deleted, staging not
+    // yet renamed in, marker already invalidated (ensureWith deletes
+    // it before appendStep runs). The next load must read that as
+    // stale→rebuild, never consult the orphaned staging, and clean it
+    // up so it cannot linger for the store's lifetime.
+    val tmp = java.nio.file.Files.createTempDirectory("ccfoldcrash").toString
+    val fpDir = s"$tmp/fp"
+    val ccDir = s"$tmp/cc"
+    def run(rows: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val docs = df(rows)
+      val store = DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir,
+        K, B, N)
+      ComponentStore.loadOrBuild(docs, "doc_id", "text", ccDir, store,
+        K, B, N, T, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    run(base)
+    // Simulate the crash window.
+    import spark.implicits._
+    new java.io.File(s"$ccDir/${ComponentStore.metaFile}").delete()
+    val fs = new org.apache.hadoop.fs.Path(ccDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ccDir/members"), true)
+    Seq((999L, 999L)).toDF("doc_id", "orig_root")
+      .write.parquet(s"$ccDir/members__folding")
+    // Heal on the grown corpus: full rebuild, clean components, the
+    // orphaned staging gone.
+    val g = base ++ Seq((10L, tA))
+    assert(run(g) == fromScratch(df(g)),
+      "the rebuild must re-derive clean components, ignoring staging")
+    assert(!new java.io.File(s"$ccDir/members__folding").exists(),
+      "the rebuild must clean up the crashed fold's staging dir")
+    // And the healed layout serves the next load as-is.
+    assert(run(g) == fromScratch(df(g)))
+  }
+
   test("resolution broadcasts the remap — members never shuffle") {
     // At corpus scale members is large and the remap tiny (one row
     // per merged-away root): resolve must be a broadcast join, not a
