@@ -47,13 +47,15 @@ class BenchSpec extends AnyFunSuite {
     val results = Seq("q_a" -> 3.421, "q_b" -> 0.334, "q_c" -> 0.051)
     val line = Bench.artifactLine(results,
       sentinel = Seq(0.0501, 0.0512, 0.0498),
+      scanSentinel = Seq(0.210, 0.215, 0.202),
       repsUsed = Map("q_a" -> 2, "q_b" -> 4, "q_c" -> 3),
       rechecked = Set("q_b"),
       repsDefault = 2, sfTag = "sf0.1")
     // The self-adjudication fields (round-12 verdict item 1): the raw
-    // sentinel triple, the rep-count histogram over all entries, and
-    // per-entry detail for exactly the cross-round-distrusted set.
+    // CPU and scan sentinel triples, the rep-count histogram over all
+    // entries, and per-entry detail for the cross-round-distrusted set.
     assert(line.contains(""""sentinel":[0.050,0.051,0.050]"""))
+    assert(line.contains(""""scan_sentinel":[0.210,0.215,0.202]"""))
     assert(line.contains(""""reps_default":2"""))
     assert(line.contains(""""reps_hist":{"2":1,"3":1,"4":1}"""))
     assert(line.contains(""""rechecked_n":1"""))
@@ -72,6 +74,7 @@ class BenchSpec extends AnyFunSuite {
     // stabilizer rep (the sf0.01 warm-up shape) must not evict the
     // queries map from the budget — the histogram compresses it.
     val line = Bench.artifactLine(many, Seq(0.05, 0.05, 0.05),
+      Seq(0.21, 0.22, 0.21),
       many.map(_._1 -> 3).toMap, many.map(_._1).toSet, 2, "sf0.1")
     assert(line.length <= 1900, s"line is ${line.length} chars")
     assert(line.contains(""""reps_hist":{"3":400}"""))
@@ -89,31 +92,38 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("sentinel kernel is deterministic work that an injected sustained load inflates") {
-    // JIT-compile, then baseline: min of 5 unloaded runs.
-    Bench.sentinelKernel(); Bench.sentinelKernel()
-    val unloaded = (1 to 5).map(_ => Bench.sentinelKernel()).min
-    assert(unloaded > 0.001,
-      "kernel must do real work, or load cannot slow it measurably")
     // Saturate every core 2x over — the deliberate miniature of the
     // sustained external load that inflated BENCH_r10/r12 — and the
     // kernel must visibly slow: that sensitivity is what makes the
     // recorded [start, middle, end] triple adjudicable evidence.
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val threads = (1 to Runtime.getRuntime.availableProcessors() * 2)
-      .map { _ =>
-        val t = new Thread(() => {
-          var x = 12345L
-          while (!stop.get()) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17 }
-          Bench.sentinelBlackhole(x)
-        })
-        t.setDaemon(true); t.start(); t
-      }
-    val loaded =
-      try (1 to 5).map(_ => Bench.sentinelKernel()).min
-      finally { stop.set(true); threads.foreach(_.join(2000)) }
-    assert(loaded > 1.2 * unloaded,
-      f"2x oversubscription must inflate the sentinel: " +
-        f"unloaded=$unloaded%.4f s loaded=$loaded%.4f s")
+    // Retried: if EXTERNAL load happens to saturate the machine during
+    // the baseline phase, unloaded ≈ loaded and the ratio collapses —
+    // that is the machine being busy, not the kernel being insensitive
+    // (it bit exactly once on this box, at 1-min load average 9).
+    Bench.sentinelKernel(); Bench.sentinelKernel() // JIT-compile
+    def attempt(): Boolean = {
+      val unloaded = (1 to 7).map(_ => Bench.sentinelKernel()).min
+      assert(unloaded > 0.001,
+        "kernel must do real work, or load cannot slow it measurably")
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val threads = (1 to Runtime.getRuntime.availableProcessors() * 2)
+        .map { _ =>
+          val t = new Thread(() => {
+            var x = 12345L
+            while (!stop.get()) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17 }
+            Bench.sentinelBlackhole(x)
+          })
+          t.setDaemon(true); t.start(); t
+        }
+      val loaded =
+        try (1 to 5).map(_ => Bench.sentinelKernel()).min
+        finally { stop.set(true); threads.foreach(_.join(2000)) }
+      loaded > 1.2 * unloaded
+    }
+    val ok = (1 to 3).exists(i => attempt() || { Thread.sleep(3000); false })
+    assert(ok,
+      "2x oversubscription must inflate the sentinel on at least one of " +
+        "three attempts")
   }
 
   test("prior artifact parser reads only the queries map") {
