@@ -325,10 +325,18 @@ object TextQueries extends QueryModule {
       // loads without touching it; the append path forces it first,
       // which brings it up to date over the grown corpus right before
       // the screen reads it.
+      // remapFoldThreshold = 1: every merging append FOLDS the remap
+      // into members, so the fold path (the round-13 driver-side remap
+      // bound) is exercised AT THE DRIVER GATE on every cold session —
+      // the q_dedup_cc_store_sound audit then re-derives components
+      // from the edge log over the folded layout. At production scale
+      // the default (4096) amortizes the rewrite; at fixture scale the
+      // rewrite is a few rows and the evidence is worth more.
       def step(docs: DataFrame): DataFrame =
         graft.text.ComponentStore.loadOrBuild(docs, "doc_id", "text",
           ccStoreDir(d),
-          graft.text.DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir))
+          graft.text.DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir),
+          remapFoldThreshold = 1)
       val all = Tables.documents(s, d)
       // Warm session (the store already certifies the FULL corpus):
       // load directly — re-running the 80→90→100 build-up would see
