@@ -48,6 +48,7 @@ class BenchSpec extends AnyFunSuite {
     val line = Bench.artifactLine(results,
       sentinel = Seq(0.0501, 0.0512, 0.0498),
       scanSentinel = Seq(0.210, 0.215, 0.202),
+      parSentinel = Seq(0.330, 0.341, 0.328),
       repsUsed = Map("q_a" -> 2, "q_b" -> 4, "q_c" -> 3),
       rechecked = Set("q_b"),
       repsDefault = 2, sfTag = "sf0.1")
@@ -56,6 +57,7 @@ class BenchSpec extends AnyFunSuite {
     // entries, and per-entry detail for the cross-round-distrusted set.
     assert(line.contains(""""sentinel":[0.050,0.051,0.050]"""))
     assert(line.contains(""""scan_sentinel":[0.210,0.215,0.202]"""))
+    assert(line.contains(""""par_sentinel":[0.330,0.341,0.328]"""))
     assert(line.contains(""""reps_default":2"""))
     assert(line.contains(""""reps_hist":{"2":1,"3":1,"4":1}"""))
     assert(line.contains(""""rechecked_n":1"""))
@@ -74,7 +76,7 @@ class BenchSpec extends AnyFunSuite {
     // stabilizer rep (the sf0.01 warm-up shape) must not evict the
     // queries map from the budget — the histogram compresses it.
     val line = Bench.artifactLine(many, Seq(0.05, 0.05, 0.05),
-      Seq(0.21, 0.22, 0.21),
+      Seq(0.21, 0.22, 0.21), Seq(0.33, 0.34, 0.33),
       many.map(_._1 -> 3).toMap, many.map(_._1).toSet, 2, "sf0.1")
     assert(line.length <= 1900, s"line is ${line.length} chars")
     assert(line.contains(""""reps_hist":{"3":400}"""))
