@@ -60,12 +60,16 @@ object Bench {
     // sees): a FIXED parquet scan-and-aggregate over this SF's
     // lineitem, the same read+decode path every entry pays. Fixed per
     // SF, and the artifact records the SF — cross-round comparable.
+    // A FAILED probe records -1.0, never its (tiny) elapsed time — a
+    // missing table must read as "channel dead", not "channel healthy
+    // and fast".
     def scanSentinel(): Double = {
       val t0 = System.nanoTime()
-      try spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .agg(sum(col("l_quantity"))).collect()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(sum(col("l_quantity"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     // THIRD channel, parallel throughput (added after live runs on
     // this box measured 45 → 61 s on identical binaries and warm
@@ -78,10 +82,11 @@ object Bench {
     // both in the number.
     def parSentinel(): Double = {
       val t0 = System.nanoTime()
-      try spark.range(0L, 4000000000L, 1, 64)
-        .selectExpr("sum(id)").collect()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        spark.range(0L, 4000000000L, 1, 64)
+          .selectExpr("sum(id)").collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     sentinelKernel(); sentinelKernel() // JIT-compile before timing
     scanSentinel()                     // codegen+listing warm, untimed
