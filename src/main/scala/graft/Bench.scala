@@ -185,7 +185,11 @@ object Bench {
     val parStr = parSentinel.map(v => f"$v%.3f").mkString("[", ",", "]")
     val hist = repsUsed.values.groupBy(identity).toSeq.sortBy(_._1)
       .map { case (r, xs) => s""""$r":${xs.size}""" }.mkString("{", ",", "}")
-    val recheckSorted = rechecked.toSeq.sorted
+    // Slowest-first under the cap: when >16 entries were rechecked,
+    // the ones that dominate the total are the ones worth the space.
+    val byTime = results.toMap
+    val recheckSorted = rechecked.toSeq
+      .sortBy(k => (-byTime.getOrElse(k, 0.0), k))
     val recheckStr = recheckSorted.take(16)
       .map(k => s""""$k":${repsUsed.getOrElse(k, repsDefault)}""")
       .mkString("{", ",", "}")
