@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnalyticsQueries, CurationQueries, EventQueries,
-  MlQueries, RelationalQueries, SketchQueries, TextQueries, VectorQueries,
-  WindowQueries}
+  LinkageQueries, MlQueries, RelationalQueries, SketchQueries, TextQueries,
+  VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
     TextQueries,
     CurationQueries,
     VectorQueries,
-    MlQueries
+    MlQueries,
+    LinkageQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {

@@ -237,6 +237,44 @@ object EventQueries extends QueryModule {
       .select(col("event_id"), col("user_id"), col("ts"), col("v_filled"))
   }
 
+  /** Linear interpolation gap-fill (pandas `interpolate(method='time')`
+    * over each user's purchase values): a known point keeps its value;
+    * a row between two known points gets the time-weighted blend; rows
+    * before the first / after the last known point stay null (no
+    * extrapolation — that's [[forwardFill]]'s job). One shuffle: both
+    * bracket lookups are windows over the same (user, time) order —
+    * `last(ignoreNulls)` up to the current row and `first(ignoreNulls)`
+    * from it — so Spark plans a single sort with two frame passes.
+    * Bit-parity with the oracle: the fraction divides two epoch-ms
+    * longs in one IEEE division, the blend mirrors the oracle's
+    * textual op order, and equal bracket timestamps (a null row tied
+    * with its known neighbor) short-circuit to the previous value
+    * instead of dividing 0/0.
+    */
+  private def interpolateLinear(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wp = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val wn = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("value")).as("v"),
+        unix_millis(col("ts").cast("timestamp")).as("t"))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wp))
+      .withColumn("pt",
+        last(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(wp))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wn))
+      .withColumn("nt",
+        first(when(col("v").isNotNull, col("t")), ignoreNulls = true).over(wn))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("v").isNotNull, col("v"))
+          .when(col("pv").isNotNull && col("nv").isNotNull,
+            when(col("nt") === col("pt"), col("pv"))
+              .otherwise(round(col("pv") + (col("nv") - col("pv")) *
+                ((col("t") - col("pt")) / (col("nt") - col("pt"))), 4)))
+          .as("v_interp"))
+  }
+
   /** STREAM-STATIC broadcast join as a structured stream — each event
     * enriched with its user's market segment from the static customer
     * dimension. Stream-static inner joins are STATELESS: every
@@ -468,6 +506,30 @@ object EventQueries extends QueryModule {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS v_filled
         |FROM events ORDER BY event_id""".stripMargin)),
+    QueryDef("q_interpolate_linear", interpolateLinear, Some(
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN value END AS v,
+        |    epoch_ms(ts) AS t FROM events),
+        |f AS (SELECT *,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wn AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wn AS nt
+        |  FROM e
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wn AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         CASE WHEN nt = pt THEN pv
+        |              ELSE round(pv + (nv - pv) * ((t - pt) / (nt - pt)), 4)
+        |         END
+        |  END AS v_interp
+        |FROM f ORDER BY event_id""".stripMargin)),
     QueryDef("q_stream_static_join", streamStaticJoin, Some(
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.ts
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey

@@ -159,6 +159,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
   }
 
+  test("linkage best-match aggregates map-side and prunes the part scan") {
+    val plan = SparkEntry.queries("q_fuzzy_jaro")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Best-match-per-record must be a partial min below the exchange —
+    // the shuffle then carries one candidate struct per record per map
+    // task, never the blocked candidate set (the whole point of the
+    // min(struct) formulation over a row_number window).
+    assert(plan.contains("partial_min("),
+      s"best-match lost its map-side partial aggregate:\n${plan.take(600)}")
+    assert(plan.contains(
+      "ReadSchema: struct<p_partkey:bigint,p_name:string,p_brand:string>"),
+      "part scan reads more than the three linkage columns")
+  }
+
+  test("interpolation's bracket windows share one exchange") {
+    val plan = SparkEntry.queries("q_interpolate_linear")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Both bracket lookups (last-known-before, first-known-after) are
+    // frames over the same (user, time) order — a second user_id
+    // exchange means Catalyst stopped sharing the sort and the event
+    // log shuffles twice.
+    val exchanges = plan.split("Exchange hashpartitioning\\(user_id").length - 1
+    assert(exchanges == 1, s"expected 1 user_id exchange, got $exchanges")
+    assert(plan.contains("Window"), "interpolation lost its window form")
+  }
+
   test("decontamination broadcasts the benchmark gram set (one corpus pass)") {
     val plan = SparkEntry.queries("q_decontaminate")(spark, sf)
       .queryExecution.executedPlan.toString
