@@ -437,6 +437,44 @@ object TextQueries extends QueryModule {
       .groupBy("tok").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("tok")).limit(20)
 
+  /** Collocation mining: adjacent-token bigrams ranked by exact count,
+    * scored with pointwise lift = N·c(xy) / (c(x)·c(y)) (the PMI
+    * argument without the log — the log is libm whose cross-engine
+    * rounding is not guaranteed; the RATIO is one IEEE division of two
+    * exact integer products, bit-reproducible). Selection and ordering
+    * use only exact integers (count desc, then the pair), so the top-20
+    * cut is engine-stable. Plan: one bigram count shuffle + the
+    * unigram counts broadcast onto it twice; the totals row is a 1-row
+    * broadcast. At corpus scale the unigram side exceeds the broadcast
+    * threshold and falls back to a shuffle join on the token — same
+    * shape, still never a pair-table scan.
+    */
+  private def collocLift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(tokens(col("text")).as("t"))
+    val bigrams = toks
+      .select(explode_outer(gramsOf(col("t"), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+      .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+    val unigrams = toks
+      .select(explode_outer(col("t")).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val totals = unigrams.agg(sum("c").as("n_tok"))
+    bigrams
+      .filter(col("c_xy") >= 5)
+      .withColumn("x", split_part(col("bg"), lit(" "), lit(1)))
+      .withColumn("y", split_part(col("bg"), lit(" "), lit(2)))
+      .join(broadcast(unigrams.toDF("x", "c_x")), Seq("x"))
+      .join(broadcast(unigrams.toDF("y", "c_y")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select(col("x"), col("y"), col("c_xy"),
+        ((col("n_tok") * col("c_xy")).cast("double") /
+          (col("c_x") * col("c_y")).cast("double")).as("lift"))
+      .orderBy(desc("c_xy"), asc("x"), asc("y"))
+      .limit(20)
+  }
+
   /** Canonical content fingerprint (md5 of sorted distinct tokens). */
   private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -887,6 +925,24 @@ object TextQueries extends QueryModule {
       s"""WITH t AS (SELECT unnest($toksSql) AS tok FROM documents)
          |SELECT tok, count(*) AS n FROM t GROUP BY 1
          |ORDER BY n DESC, tok LIMIT 20""".stripMargin)),
+    QueryDef("q_colloc_lift", collocLift, Some(
+      s"""WITH t AS (SELECT $toksSql AS t FROM documents),
+         |bg AS (SELECT unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |         ELSE list_transform(range(len(t) - 1),
+         |           i -> t[i+1] || ' ' || t[i+2]) END) AS bg FROM t),
+         |cb AS (SELECT bg, count(*) AS c_xy FROM bg GROUP BY 1
+         |       HAVING count(*) >= 5),
+         |u AS (SELECT unnest(t) AS tok FROM t),
+         |cu AS (SELECT tok, count(*) AS c FROM u GROUP BY 1),
+         |n AS (SELECT sum(c) AS n_tok FROM cu),
+         |b AS (SELECT split_part(bg, ' ', 1) AS x,
+         |        split_part(bg, ' ', 2) AS y, c_xy FROM cb)
+         |SELECT b.x, b.y, b.c_xy,
+         |  CAST(n.n_tok * b.c_xy AS DOUBLE)
+         |    / CAST(cx.c * cy.c AS DOUBLE) AS lift
+         |FROM b JOIN cu cx ON b.x = cx.tok JOIN cu cy ON b.y = cy.tok
+         |CROSS JOIN n
+         |ORDER BY b.c_xy DESC, b.x, b.y LIMIT 20""".stripMargin)),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp

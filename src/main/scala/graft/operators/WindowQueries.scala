@@ -85,6 +85,36 @@ object WindowQueries extends QueryModule {
         ntile(4).over(w).as("quartile"))
   }
 
+  /** Grouped least-squares trend line over each priority's monthly
+    * series — the closed-form regression the reference's polyfit calls
+    * compute per series (slope3 is its 3-point special case; this is
+    * the general n-point fit). Spark ships `regr_slope`/`regr_intercept`,
+    * but their running-double moments accumulate in partition order —
+    * not reproducible against another engine. Here every moment (Σx,
+    * Σy, Σxy, Σx²) is an EXACT integer aggregate over the month index
+    * x = (year−1970)·12 + month−1 and the integer count y, so both
+    * engines divide the same two exact integers: slope and intercept
+    * are bit-equal without rounding. Map-side partial sums; the moment
+    * shuffle carries five longs per key.
+    */
+  private def regressionTrend(s: SparkSession, d: String): DataFrame = {
+    val x = (substring(col("ym"), 1, 4).cast("long") - 1970) * 12 +
+      substring(col("ym"), 6, 2).cast("long") - 1
+    val num = (col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    monthly(s, d)
+      .select(col("p"), x.as("x"), col("n").as("y"))
+      .groupBy("p")
+      .agg(count(lit(1)).as("cnt"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("p"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * col("sx").cast("double")) /
+          col("cnt").cast("double")).as("intercept"))
+      .orderBy(col("p"))
+  }
+
   /** O1/O2 — multi-column sort + top-k (ref: app.py:322, 472). */
   private def topkOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -236,6 +266,23 @@ object WindowQueries extends QueryModule {
          |t AS (SELECT p, ym, n, lag(n,2) OVER (PARTITION BY p ORDER BY ym) AS n2,
          |      row_number() OVER (PARTITION BY p ORDER BY ym DESC) AS rn FROM m)
          |SELECT p, round((n - n2)/2.0, 2) AS slope FROM t WHERE rn = 1 ORDER BY p""".stripMargin)),
+    QueryDef("q_regression_trend", regressionTrend, Some(
+      s"""$monthlyCte,
+         |a AS (SELECT p, count(*) AS cnt, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x*y) AS sxy, sum(x*x) AS sxx
+         |      FROM (SELECT p,
+         |              (CAST(ym[1:4] AS BIGINT) - 1970)*12
+         |                + CAST(ym[6:7] AS BIGINT) - 1 AS x,
+         |              n AS y FROM m)
+         |      GROUP BY 1)
+         |SELECT p,
+         |  CAST(cnt*sxy - sx*sy AS DOUBLE)
+         |    / CAST(cnt*sxx - sx*sx AS DOUBLE) AS slope,
+         |  (CAST(sy AS DOUBLE)
+         |     - CAST(cnt*sxy - sx*sy AS DOUBLE)
+         |       / CAST(cnt*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |    / CAST(cnt AS DOUBLE) AS intercept
+         |FROM a ORDER BY p""".stripMargin)),
     QueryDef("q_window_rank_stats", rankStats, Some(
       s"""$monthlyCte
          |SELECT p, ym, n,
