@@ -275,6 +275,29 @@ object EventQueries extends QueryModule {
           .as("v_interp"))
   }
 
+  /** First-order Markov transition matrix over each user's event
+    * stream: count (state → next state) adjacencies in (time, id)
+    * order, then the row-normalized transition probability. The
+    * adjacency is one `lead` window (one user-key shuffle); the pair
+    * counts and row totals are exact integers, so the probability is
+    * one IEEE division both engines compute identically — the same
+    * no-float-accumulation discipline as q_regression_trend.
+    */
+  private def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob",
+        col("n").cast("double") /
+          sum("n").over(W.partitionBy("event_type")).cast("double"))
+      .orderBy(col("event_type"), col("next_type"))
+  }
+
   /** STREAM-STATIC broadcast join as a structured stream — each event
     * enriched with its user's market segment from the static customer
     * dimension. Stream-static inner joins are STATELESS: every
@@ -534,6 +557,17 @@ object EventQueries extends QueryModule {
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.ts
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin)),
+    QueryDef("q_event_transitions", eventTransitions, Some(
+      """WITH a AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type, next_type, count(*) AS n FROM a
+        |      WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT event_type, next_type, n,
+        |  CAST(n AS DOUBLE)
+        |    / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE) AS prob
+        |FROM c ORDER BY event_type, next_type""".stripMargin)),
     QueryDef("q_stream_sliding", streamSliding, Some(
       """WITH w AS (
         |  SELECT unnest([date_trunc('day', ts),

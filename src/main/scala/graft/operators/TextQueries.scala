@@ -475,6 +475,36 @@ object TextQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Pairwise source-vocabulary Jaccard — which sources are near-dup
+    * MIRRORS of each other at the vocabulary level (the corpus-level
+    * counterpart of document near-dup: mirrored crawls share vocab
+    * before they share documents). |A∩B| comes from a token-keyed
+    * self-join of the distinct (source, token) set — per-token fan-out
+    * is bounded by the SOURCE COUNT, not the corpus, so the hot join
+    * never explodes on frequent tokens — and |A∪B| is derived as
+    * |A|+|B|−|A∩B| from broadcast per-source vocabulary sizes. All
+    * counts exact; the Jaccard ratio is one IEEE division.
+    */
+  private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val st = Tables.documents(s, d)
+      .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .distinct()
+    val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
+    st.toDF("src_a", "tok")
+      .join(st.toDF("src_b", "tok"), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.toDF("src_a", "n_a")), Seq("src_a"))
+      .join(broadcast(sizes.toDF("src_b", "n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        (col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"))
+          .as("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   /** Canonical content fingerprint (md5 of sorted distinct tokens). */
   private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -943,6 +973,20 @@ object TextQueries extends QueryModule {
          |FROM b JOIN cu cx ON b.x = cx.tok JOIN cu cy ON b.y = cy.tok
          |CROSS JOIN n
          |ORDER BY b.c_xy DESC, b.x, b.y LIMIT 20""".stripMargin)),
+    QueryDef("q_source_overlap", sourceOverlap, Some(
+      s"""WITH st AS (SELECT DISTINCT source, tok FROM (
+         |  SELECT source, unnest($toksSql) AS tok FROM documents)),
+         |sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+         |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+         |         count(*) AS inter
+         |       FROM st a JOIN st b ON a.tok = b.tok
+         |       WHERE a.source < b.source GROUP BY 1, 2)
+         |SELECT src_a, src_b, inter,
+         |  CAST(inter AS DOUBLE)
+         |    / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+         |FROM iv JOIN sz na ON iv.src_a = na.source
+         |        JOIN sz nb ON iv.src_b = nb.source
+         |ORDER BY src_a, src_b""".stripMargin)),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
