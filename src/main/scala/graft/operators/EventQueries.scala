@@ -298,6 +298,52 @@ object EventQueries extends QueryModule {
       .orderBy(col("event_type"), col("next_type"))
   }
 
+  /** Frequent behavioral paths: each user's time-ordered event-type
+    * sequence cut into trigram paths ("a > b > c"), support-counted
+    * corpus-wide, top-15 by exact count. One user-key shuffle builds
+    * the ordered sequences (`array_sort` over (ts, id, type) structs —
+    * collect order is nondeterministic, the sort makes it total); the
+    * path explode is `explode_outer` + null-filter like every computed
+    * generator here (the InferFiltersFromGenerate re-evaluation trap).
+    */
+  private def seqMining(s: SparkSession, d: String): DataFrame = {
+    val seqs = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("t"))
+    seqs
+      .select(explode_outer(
+        when(size(col("t")) < 3, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(col("t")) - 3),
+            i => concat_ws(" > ", slice(col("t"), i + 1, lit(3))))))
+        .as("path"))
+      .filter(col("path").isNotNull)
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("path")).limit(15)
+  }
+
+  /** SCD type-2 dimension build from a change log: each user's
+    * purchase values become attribute VERSIONS with half-open validity
+    * [valid_from, valid_to) — `valid_to` is the next change's
+    * timestamp (one lead window, one key shuffle), null while current.
+    * The classical warehouse shape for as-of attribute lookups (pairs
+    * with q_asof_join, which consumes exactly such intervals).
+    */
+  private def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("user_id"))
+      .orderBy(col("valid_from"), col("event_id"))
+    Tables.events(s, d)
+      .filter(col("event_type") === "purchase" && col("user_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   /** STREAM-STATIC broadcast join as a structured stream — each event
     * enriched with its user's market segment from the static customer
     * dimension. Stream-static inner joins are STATELESS: every
@@ -557,6 +603,24 @@ object EventQueries extends QueryModule {
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.ts
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin)),
+    QueryDef("q_seq_mining", seqMining, Some(
+      """WITH sq AS (SELECT list(event_type ORDER BY ts, event_id) AS t
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+        |g AS (SELECT unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+        |        ELSE list_transform(range(len(t) - 2),
+        |          i -> t[i+1] || ' > ' || t[i+2] || ' > ' || t[i+3])
+        |      END) AS path FROM sq)
+        |SELECT path, count(*) AS n FROM g GROUP BY 1
+        |ORDER BY n DESC, path LIMIT 15""".stripMargin)),
+    QueryDef("q_scd2_intervals", scd2Intervals, Some(
+      """SELECT user_id, event_id, value, ts AS valid_from,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS valid_to,
+        |  lead(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL AS is_current
+        |FROM events
+        |WHERE event_type = 'purchase' AND user_id IS NOT NULL
+        |ORDER BY user_id, valid_from, event_id""".stripMargin)),
     QueryDef("q_event_transitions", eventTransitions, Some(
       """WITH a AS (SELECT event_type,
         |    lead(event_type, 1) OVER (PARTITION BY user_id
