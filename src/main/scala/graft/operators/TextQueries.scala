@@ -456,10 +456,13 @@ object TextQueries extends QueryModule {
       .select(explode_outer(gramsOf(col("t"), 2)).as("bg"))
       .filter(col("bg").isNotNull)
       .groupBy("bg").agg(count(lit(1)).as("c_xy"))
-    val unigrams = toks
+    // Pinned: the unigram count table is consumed three times (both
+    // lift joins + the totals row) — one vocab-sized materialization
+    // beats three corpus token scans.
+    val unigrams = graft.Checkpoint.pin(toks
       .select(explode_outer(col("t")).as("tok"))
       .filter(col("tok").isNotNull)
-      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .groupBy("tok").agg(count(lit(1)).as("c")))
     val totals = unigrams.agg(sum("c").as("n_tok"))
     bigrams
       .filter(col("c_xy") >= 5)
@@ -486,10 +489,14 @@ object TextQueries extends QueryModule {
     * counts exact; the Jaccard ratio is one IEEE division.
     */
   private def sourceOverlap(s: SparkSession, d: String): DataFrame = {
-    val st = Tables.documents(s, d)
+    // Pinned (Checkpoint.pin): the distinct (source, token) set feeds
+    // BOTH self-join sides and the size aggregate — without the pin
+    // the corpus tokenize+distinct subtree plans three times (Catalyst
+    // only reuses bit-identical exchanges; the aliases differ).
+    val st = graft.Checkpoint.pin(Tables.documents(s, d)
       .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
       .filter(col("tok").isNotNull)
-      .distinct()
+      .distinct())
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     st.toDF("src_a", "tok")
       .join(st.toDF("src_b", "tok"), Seq("tok"))

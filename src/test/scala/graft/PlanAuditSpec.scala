@@ -173,6 +173,20 @@ class PlanAuditSpec extends AnyFunSuite {
       "part scan reads more than the three linkage columns")
   }
 
+  test("shared-subtree entries scan their pinned frame, not the corpus") {
+    // q_source_overlap's distinct (source, token) set feeds both
+    // self-join sides plus the size aggregate; q_colloc_lift's unigram
+    // counts feed both lift joins plus the totals row. Each is pinned
+    // (Checkpoint.pin) so the plan scans the materialized RDD instead
+    // of re-planning the tokenize subtree per consumer.
+    Seq("q_source_overlap", "q_colloc_lift").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("ExistingRDD"),
+        s"$name lost its pinned shared frame:\n${plan.take(600)}")
+    }
+  }
+
   test("interpolation's bracket windows share one exchange") {
     val plan = SparkEntry.queries("q_interpolate_linear")(spark, sf)
       .queryExecution.executedPlan.toString
