@@ -247,9 +247,13 @@ object EventQueries extends QueryModule {
     * from it — so Spark plans a single sort with two frame passes.
     * Bit-parity with the oracle: the fraction divides two epoch-ms
     * longs in one IEEE division, the blend mirrors the oracle's
-    * textual op order, and equal bracket timestamps (a null row tied
-    * with its known neighbor) short-circuit to the previous value
-    * instead of dividing 0/0.
+    * textual op order, equal bracket timestamps (a null row tied with
+    * a known neighbor) short-circuit to the previous value instead of
+    * dividing 0/0, and the 4-decimal rounding is spelled
+    * `floor(x·10⁴ + 0.5) / 10⁴` IN BOTH ENGINES — engine-native
+    * `round` differs on half-boundary doubles (Spark: decimal-exact
+    * HALF_UP; the oracle: FP multiply-round), so both sides compute
+    * the identical IEEE op sequence instead.
     */
   private def interpolateLinear(s: SparkSession, d: String): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
@@ -270,8 +274,9 @@ object EventQueries extends QueryModule {
         when(col("v").isNotNull, col("v"))
           .when(col("pv").isNotNull && col("nv").isNotNull,
             when(col("nt") === col("pt"), col("pv"))
-              .otherwise(round(col("pv") + (col("nv") - col("pv")) *
-                ((col("t") - col("pt")) / (col("nt") - col("pt"))), 4)))
+              .otherwise(floor((col("pv") + (col("nv") - col("pv")) *
+                ((col("t") - col("pt")) / (col("nt") - col("pt")))) *
+                10000 + 0.5) / 10000.0))
           .as("v_interp"))
   }
 
@@ -315,10 +320,7 @@ object EventQueries extends QueryModule {
       .select(transform(col("evs"), e => e.getField("event_type")).as("t"))
     seqs
       .select(explode_outer(
-        when(size(col("t")) < 3, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(col("t")) - 3),
-            i => concat_ws(" > ", slice(col("t"), i + 1, lit(3))))))
-        .as("path"))
+        graft.text.TextFunctions.gramsOf(col("t"), 3, " > ")).as("path"))
       .filter(col("path").isNotNull)
       .groupBy("path").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("path")).limit(15)
@@ -595,7 +597,8 @@ object EventQueries extends QueryModule {
         |  CASE WHEN v IS NOT NULL THEN v
         |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
         |         CASE WHEN nt = pt THEN pv
-        |              ELSE round(pv + (nv - pv) * ((t - pt) / (nt - pt)), 4)
+        |              ELSE floor((pv + (nv - pv) * ((t - pt) / (nt - pt)))
+        |                     * 10000 + 0.5) / 10000.0
         |         END
         |  END AS v_interp
         |FROM f ORDER BY event_id""".stripMargin)),

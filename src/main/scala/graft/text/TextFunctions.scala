@@ -42,13 +42,14 @@ object TextFunctions {
     * fallback — fewer than n tokens yields an empty array): the
     * repetition statistics need occurrence counts, which the
     * set-semantic [[shinglesOf]] erases. Same materialized-tokens
-    * contract as `shinglesOf`.
+    * contract as `shinglesOf`. `sep` joins the gram's tokens (the
+    * behavioral-path entry renders "a > b > c").
     */
-  def gramsOf(toks: Column, n: Int): Column =
+  def gramsOf(toks: Column, n: Int, sep: String = " "): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(
         transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+          i => concat_ws(sep, slice(toks, i + 1, lit(n)))))
 
   /** 64-bit string hash for the signature kernels (two 32-bit murmurs
     * combined — LSH-quality, not cryptographic).

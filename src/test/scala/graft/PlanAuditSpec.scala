@@ -163,9 +163,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("q_fuzzy_jaro")(spark, sf)
       .queryExecution.executedPlan.toString
     // Best-match-per-record must be a partial min below the exchange —
-    // the shuffle then carries one candidate struct per record per map
-    // task, never the blocked candidate set (the whole point of the
-    // min(struct) formulation over a row_number window).
+    // the shuffle then carries one packed ordering long per record per
+    // map task, never the blocked candidate set (the packed-long form
+    // keeps the argmin hash-aggregable; min(struct) would force
+    // Sort+SortAggregate over every candidate pair, and a row_number
+    // window would shuffle the whole pair frame).
     assert(plan.contains("partial_min("),
       s"best-match lost its map-side partial aggregate:\n${plan.take(600)}")
     assert(plan.contains(
