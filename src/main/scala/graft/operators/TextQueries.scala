@@ -512,6 +512,29 @@ object TextQueries extends QueryModule {
       .orderBy(col("src_a"), col("src_b"))
   }
 
+  /** Inverted-index posting lists — the retrieval-infrastructure
+    * counterpart of BM25 (which SCORES; this BUILDS the index): for
+    * each frequent token, its document frequency and the first 8
+    * postings in doc-id order. The (token, doc) set is distinct per
+    * membership; posting order is made total by sorting NUMERIC ids
+    * BEFORE rendering (lexicographic id-string order would diverge
+    * between engines). df ≥ 10 bounds the output to the head of the
+    * vocabulary; at corpus scale the same plan shards by token and the
+    * posting cap keeps reducer payloads bounded.
+    */
+  private def invertedIndex(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .distinct()
+      .groupBy("tok")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",", transform(
+          slice(array_sort(collect_list(col("doc_id"))), 1, 8),
+          i => i.cast("string"))).as("postings"))
+      .filter(col("df") >= 10)
+      .orderBy(desc("df"), asc("tok"))
+
   /** Canonical content fingerprint (md5 of sorted distinct tokens). */
   private def fingerprintQuery(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -994,6 +1017,13 @@ object TextQueries extends QueryModule {
          |FROM iv JOIN sz na ON iv.src_a = na.source
          |        JOIN sz nb ON iv.src_b = nb.source
          |ORDER BY src_a, src_b""".stripMargin)),
+    QueryDef("q_inverted_index", invertedIndex, Some(
+      s"""WITH st AS (SELECT DISTINCT doc_id, tok FROM (
+         |  SELECT doc_id, unnest($toksSql) AS tok FROM documents))
+         |SELECT tok, count(*) AS df,
+         |  array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings
+         |FROM st GROUP BY tok HAVING count(*) >= 10
+         |ORDER BY df DESC, tok""".stripMargin)),
     QueryDef("q_text_fingerprint", fingerprintQuery, Some(
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
