@@ -346,6 +346,35 @@ object EventQueries extends QueryModule {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Exact trailing-7-day distinct users per day — the rolling
+    * cardinality every engagement dashboard needs and the op that
+    * degenerates at scale if written naively (7 full scans, or a
+    * day-range self-join over the fact table). The scalable EXACT
+    * form: each (day, user) membership CONTRIBUTES itself to the 7
+    * target days it falls in — a bounded map-side expansion (×window)
+    * — then one distinct on (target day, user) and a count. The
+    * shuffle carries window-factor × membership rows, independent of
+    * the raw event count; trailing days beyond the observed range are
+    * cut by a semi-join against the observed days (mirroring the
+    * oracle's range-join form exactly).
+    */
+  private def rollingUsers(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+    du
+      .select(explode_outer(sequence(col("day"), date_add(col("day"), 6)))
+        .as("target_day"), col("user_id"))
+      .filter(col("target_day").isNotNull)
+      .distinct()
+      .join(du.select(col("day").as("target_day")).distinct(),
+        Seq("target_day"), "left_semi")
+      .groupBy("target_day")
+      .agg(count(lit(1)).as("users_7d"))
+      .orderBy("target_day")
+  }
+
   /** STREAM-STATIC broadcast join as a structured stream — each event
     * enriched with its user's market segment from the static customer
     * dimension. Stream-static inner joins are STATELESS: every
@@ -606,6 +635,15 @@ object EventQueries extends QueryModule {
       """SELECT e.event_id, e.user_id, c.c_mktsegment, e.ts
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |ORDER BY e.event_id""".stripMargin)),
+    QueryDef("q_rolling_users", rollingUsers, Some(
+      """WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |  FROM events WHERE user_id IS NOT NULL),
+        |days AS (SELECT DISTINCT day FROM du),
+        |e AS (SELECT DISTINCT d.day AS target_day, u.user_id
+        |      FROM du u JOIN days d
+        |        ON d.day BETWEEN u.day AND u.day + 6)
+        |SELECT target_day, count(*) AS users_7d
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q_seq_mining", seqMining, Some(
       """WITH sq AS (SELECT list(event_type ORDER BY ts, event_id) AS t
         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
