@@ -354,26 +354,27 @@ object EventQueries extends QueryModule {
     * target days it falls in — a bounded map-side expansion (×window)
     * — then one distinct on (target day, user) and a count. The
     * shuffle carries window-factor × membership rows, independent of
-    * the raw event count; trailing days beyond the observed range are
-    * cut by a semi-join against the observed days (mirroring the
-    * oracle's range-join form exactly).
+    * the raw event count. Days beyond the observed range are cut
+    * WITHOUT a second scan: each contribution carries an
+    * its-own-day flag, and a target day survives only if some
+    * contribution originated on it — a semi-join against observed
+    * days would re-scan the fact table for the same answer.
     */
-  private def rollingUsers(s: SparkSession, d: String): DataFrame = {
-    val du = Tables.events(s, d)
+  private def rollingUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .filter(col("user_id").isNotNull)
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
-    du
       .select(explode_outer(sequence(col("day"), date_add(col("day"), 6)))
-        .as("target_day"), col("user_id"))
+        .as("target_day"), col("user_id"), col("day"))
       .filter(col("target_day").isNotNull)
-      .distinct()
-      .join(du.select(col("day").as("target_day")).distinct(),
-        Seq("target_day"), "left_semi")
       .groupBy("target_day")
-      .agg(count(lit(1)).as("users_7d"))
+      .agg(countDistinct(col("user_id")).as("users_7d"),
+        max(when(col("day") === col("target_day"), 1).otherwise(0))
+          .as("__obs"))
+      .filter(col("__obs") === 1)
+      .select(col("target_day"), col("users_7d"))
       .orderBy("target_day")
-  }
 
   /** STREAM-STATIC broadcast join as a structured stream — each event
     * enriched with its user's market segment from the static customer

@@ -617,6 +617,10 @@ object RelationalQueries extends QueryModule {
     */
   private def basketPairs(s: SparkSession, d: String): DataFrame = {
     val baskets = Tables.lineitem(s, d)
+      // Null order keys would form ONE merged basket under groupBy
+      // while the oracle's equi-join drops them — guard explicitly
+      // (non-null in this schema, but the entry must not depend on it).
+      .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .groupBy("okey")
       .agg(array_sort(collect_set(col("pk"))).as("ps"))
