@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // Optional name filter (dev convenience): trailing args restrict the
+    // dump AND the emitted oracle_sql.json to those entries, so
+    // scripts/selfcheck.py can gate a subset. The driver passes none.
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -27,7 +31,9 @@ object Verify {
     // Sorted like Bench so the per-entry timings are stable across
     // rounds (map order would arbitrarily reassign which entry of a
     // cache-sharing family pays the shared build).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
       val t0 = System.nanoTime()
       // repartition(1), NOT coalesce(1): coalesce merges the final
@@ -58,6 +64,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

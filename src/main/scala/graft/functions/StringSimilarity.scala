@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftSqlBridge.GraftAbstractDataType
 import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -91,7 +92,8 @@ object StringSimilarity {
   }
 
   case class JaroWinkler(left: Expression, right: Expression)
-      extends BinaryExpression {
+      extends BinaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[GraftAbstractDataType] = Seq(StringType, StringType)
     override def dataType: DataType = DoubleType
     override def nullSafeEval(a: Any, b: Any): Any =
       jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
@@ -115,6 +117,10 @@ object StringSimilarity {
     def s(e: Expression): Expression =
       if (e.dataType == StringType) e else Cast(e, StringType)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaro_winkler", exprs => JaroWinkler(s(exprs(0)), s(exprs(1))), "scala_udf")
+      "jaro_winkler", exprs => {
+        require(exprs.length == 2,
+          s"jaro_winkler requires exactly 2 arguments, got ${exprs.length}")
+        JaroWinkler(s(exprs(0)), s(exprs(1)))
+      }, "scala_udf")
   }
 }

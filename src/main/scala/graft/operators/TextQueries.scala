@@ -438,16 +438,21 @@ object TextQueries extends QueryModule {
       .orderBy(desc("n"), asc("tok")).limit(20)
 
   /** Collocation mining: adjacent-token bigrams ranked by exact count,
-    * scored with pointwise lift = N·c(xy) / (c(x)·c(y)) (the PMI
+    * scored with pointwise lift = (c(xy)/c(x)) · (N/c(y)) (the PMI
     * argument without the log — the log is libm whose cross-engine
-    * rounding is not guaranteed; the RATIO is one IEEE division of two
-    * exact integer products, bit-reproducible). Selection and ordering
-    * use only exact integers (count desc, then the pair), so the top-20
-    * cut is engine-stable. Plan: one bigram count shuffle + the
-    * unigram counts broadcast onto it twice; the totals row is a 1-row
-    * broadcast. At corpus scale the unigram side exceeds the broadcast
-    * threshold and falls back to a shuffle join on the token — same
-    * shape, still never a pair-table scan.
+    * rounding is not guaranteed; the factored form is three IEEE double
+    * ops on exact integers, identical on both engines, and unlike the
+    * single 64-bit product N·c(xy) it cannot overflow at corpus scale
+    * where total-tokens × bigram-count exceeds 2^63). Selection and
+    * ordering use only exact integers (count desc, then the pair), so
+    * the top-20 cut is engine-stable. Plan: one bigram count shuffle,
+    * then the unigram counts joined on twice WITHOUT a broadcast hint —
+    * vocabulary grows sublinearly but unboundedly (noisy web corpora
+    * reach 10⁸+ distinct tokens), so the join must be free to fall back
+    * to a shuffle on the token past `autoBroadcastJoinThreshold`; AQE
+    * broadcasts it at driver SFs where it measures small. Only the
+    * 1-row totals frame keeps an explicit broadcast. Never a
+    * pair-table scan either way.
     */
   private def collocLift(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
@@ -468,12 +473,12 @@ object TextQueries extends QueryModule {
       .filter(col("c_xy") >= 5)
       .withColumn("x", split_part(col("bg"), lit(" "), lit(1)))
       .withColumn("y", split_part(col("bg"), lit(" "), lit(2)))
-      .join(broadcast(unigrams.toDF("x", "c_x")), Seq("x"))
-      .join(broadcast(unigrams.toDF("y", "c_y")), Seq("y"))
+      .join(unigrams.toDF("x", "c_x"), Seq("x"))
+      .join(unigrams.toDF("y", "c_y"), Seq("y"))
       .crossJoin(broadcast(totals))
       .select(col("x"), col("y"), col("c_xy"),
-        ((col("n_tok") * col("c_xy")).cast("double") /
-          (col("c_x") * col("c_y")).cast("double")).as("lift"))
+        (col("c_xy").cast("double") / col("c_x").cast("double") *
+          (col("n_tok").cast("double") / col("c_y").cast("double"))).as("lift"))
       .orderBy(desc("c_xy"), asc("x"), asc("y"))
       .limit(20)
   }
@@ -998,8 +1003,8 @@ object TextQueries extends QueryModule {
          |b AS (SELECT split_part(bg, ' ', 1) AS x,
          |        split_part(bg, ' ', 2) AS y, c_xy FROM cb)
          |SELECT b.x, b.y, b.c_xy,
-         |  CAST(n.n_tok * b.c_xy AS DOUBLE)
-         |    / CAST(cx.c * cy.c AS DOUBLE) AS lift
+         |  CAST(b.c_xy AS DOUBLE) / CAST(cx.c AS DOUBLE)
+         |    * (CAST(n.n_tok AS DOUBLE) / CAST(cy.c AS DOUBLE)) AS lift
          |FROM b JOIN cu cx ON b.x = cx.tok JOIN cu cy ON b.y = cy.tok
          |CROSS JOIN n
          |ORDER BY b.c_xy DESC, b.x, b.y LIMIT 20""".stripMargin)),

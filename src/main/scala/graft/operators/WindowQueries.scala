@@ -102,7 +102,11 @@ object WindowQueries extends QueryModule {
       substring(col("ym"), 6, 2).cast("long") - 1
     val num = (col("cnt") * col("sxy") - col("sx") * col("sy")).cast("double")
     val den = (col("cnt") * col("sxx") - col("sx") * col("sx")).cast("double")
-    val slope = num / den
+    // Degenerate series (one month, or all-equal x) make den = 0; Spark's
+    // non-ANSI double division returns NULL there while DuckDB returns
+    // inf/NaN. Guard explicitly on BOTH sides so the engines agree by
+    // construction rather than by data shape.
+    val slope = when(den =!= 0.0, num / den)
     monthly(s, d)
       .select(col("p"), x.as("x"), col("n").as("y"))
       .groupBy("p")
@@ -274,15 +278,17 @@ object WindowQueries extends QueryModule {
          |              (CAST(ym[1:4] AS BIGINT) - 1970)*12
          |                + CAST(ym[6:7] AS BIGINT) - 1 AS x,
          |              n AS y FROM m)
-         |      GROUP BY 1)
+         |      GROUP BY 1),
+         |b AS (SELECT p, cnt, sx, sy,
+         |        CAST(cnt*sxy - sx*sy AS DOUBLE) AS num,
+         |        CAST(cnt*sxx - sx*sx AS DOUBLE) AS den
+         |      FROM a)
          |SELECT p,
-         |  CAST(cnt*sxy - sx*sy AS DOUBLE)
-         |    / CAST(cnt*sxx - sx*sx AS DOUBLE) AS slope,
-         |  (CAST(sy AS DOUBLE)
-         |     - CAST(cnt*sxy - sx*sy AS DOUBLE)
-         |       / CAST(cnt*sxx - sx*sx AS DOUBLE) * CAST(sx AS DOUBLE))
-         |    / CAST(cnt AS DOUBLE) AS intercept
-         |FROM a ORDER BY p""".stripMargin)),
+         |  CASE WHEN den = 0 THEN NULL ELSE num / den END AS slope,
+         |  CASE WHEN den = 0 THEN NULL ELSE
+         |    (CAST(sy AS DOUBLE) - num / den * CAST(sx AS DOUBLE))
+         |      / CAST(cnt AS DOUBLE) END AS intercept
+         |FROM b ORDER BY p""".stripMargin)),
     QueryDef("q_window_rank_stats", rankStats, Some(
       s"""$monthlyCte
          |SELECT p, ym, n,

@@ -10,4 +10,9 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `AbstractDataType` is `private[sql]`; expressions outside the
+    * spark.sql package alias it here to declare `inputTypes`.
+    */
+  type GraftAbstractDataType = org.apache.spark.sql.types.AbstractDataType
 }
