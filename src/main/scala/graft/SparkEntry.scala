@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{AnalyticsQueries, CurationQueries, EventQueries,
-  LinkageQueries, MlQueries, RelationalQueries, SketchQueries, TextQueries,
-  VectorQueries, WindowQueries}
+import graft.operators.{AnalyticsQueries, BpeQueries, CurationQueries,
+  EventQueries, LinkageQueries, MlQueries, RelationalQueries, SketchQueries,
+  TextQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,8 @@ object SparkEntry {
     CurationQueries,
     VectorQueries,
     MlQueries,
-    LinkageQueries
+    LinkageQueries,
+    BpeQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {
