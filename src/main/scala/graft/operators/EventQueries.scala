@@ -109,6 +109,43 @@ object EventQueries extends QueryModule {
     else raw.withColumn("ts", col("ts").cast("timestamp"))
   }
 
+  /** Streaming SESSION windows — the one stateful window shape the
+    * §2.10 surface still lacked (tumbling/sliding windows, dedup,
+    * joins, fMGWS and TWS are covered): `session_window(ts, 2 hours)`
+    * keyed by user, with the same aggregate pack as the batch
+    * q_sessionize. The oracle is the batch derivation itself; the
+    * single-file bounded run is one micro-batch, so CROSS-batch session
+    * merging (the part that could silently diverge) is pinned separately
+    * by StreamingIngestSpec's MemoryStream test, which fuses one user's
+    * session across three micro-batches. Watermarked like production
+    * (state for a session evicts once the watermark passes its close);
+    * complete mode + memory sink are the bounded check harness, as in
+    * q_stream_window. Output start/end are min/max event time (the
+    * reference's session bounds), not the half-open window end at
+    * last+gap.
+    */
+  private def streamSession(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamsess|$d") {
+      val name = "stream_session_" + java.lang.Integer.toHexString(d.hashCode)
+      val ev = streamingEvents(s, d)
+      val agg = ev
+        .withWatermark("ts", "2 days")
+        .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+        .agg(min(col("ts")).as("ss"), max(col("ts")).as("se"),
+          count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, agg, name, outputMode = "complete")
+        .select(col("user_id"),
+          col("ss").cast("timestamp_ntz").as("session_start"),
+          col("se").cast("timestamp_ntz").as("session_end"),
+          col("n_events"), col("n_purchases"), col("total_value"))
+      (out, Seq.empty)
+    }
+
   private def streamSliding(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamslide|$d") {
       val name = "stream_sliding_" + java.lang.Integer.toHexString(d.hashCode)
@@ -517,6 +554,30 @@ object EventQueries extends QueryModule {
       (out, Seq.empty)
     }
 
+  /** Batch per-user session derivation (lag-gap + running break sum),
+    * shared by q_sessionize and its streaming twin q_stream_session.
+    */
+  private val sessionizeOracle =
+    """WITH o AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM o
+      |)
+      |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+      |  count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_asof_join", asofJoin, Some(
       """WITH u AS (
@@ -545,26 +606,10 @@ object EventQueries extends QueryModule {
         |        m_ts IS NOT NULL AND m_ts >= uts - INTERVAL 7 DAY AS ok
         |      FROM m)
         |WHERE side = 1 ORDER BY click_id""".stripMargin)),
-    QueryDef("q_sessionize", sessionizeQ, Some(
-      """WITH o AS (
-        |  SELECT user_id, event_id, ts, event_type, value,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR ts - lag(ts) OVER w > INTERVAL 2 HOUR
-        |         THEN 1 ELSE 0 END AS brk
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), s AS (
-        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
-        |  FROM o
-        |)
-        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-        |  count(*) AS n_events,
-        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS n_purchases,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-        |FROM s GROUP BY user_id, sess
-        |ORDER BY user_id, session_start""".stripMargin)),
+    QueryDef("q_sessionize", sessionizeQ, Some(sessionizeOracle)),
+    // The streaming form must agree with the BATCH session derivation —
+    // the strongest gate on cross-batch session-window state merging.
+    QueryDef("q_stream_session", streamSession, Some(sessionizeOracle)),
     QueryDef("q_range_join_bucketed", rangeJoinBucketed, Some(
       """SELECT e.event_type, count(*) AS n_pairs,
         |  count(DISTINCT s.event_id) AS n_signups

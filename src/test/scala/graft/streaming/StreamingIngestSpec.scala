@@ -133,6 +133,44 @@ class StreamingIngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows merge across micro-batches (q_stream_session kernel)") {
+    // The driver entry streams ONE parquet file (a single micro-batch),
+    // so this is where cross-batch session-window state merging is
+    // actually exercised: user 1's 10:00 event (batch 1) must fuse with
+    // 11:00 (batch 2) and 11:30 (batch 3) into one session while 20:00
+    // starts a new one past the 2-hour gap.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().withColumnRenamed("_1", "user_id")
+      .withColumn("ts", to_timestamp(col("_2"))).drop("_2")
+    val agg = df.withWatermark("ts", "2 days")
+      .groupBy(col("user_id"), session_window(col("ts"), "2 hours"))
+      .agg(min("ts").as("ss"), max("ts").as("se"), count(lit(1)).as("n"))
+      .select("user_id", "ss", "se", "n")
+    val q = agg.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:00:00"))
+      q.processAllAvailable()
+      mem.addData((1L, "2024-01-01 11:00:00"), (2L, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      mem.addData((1L, "2024-01-01 11:30:00"), (1L, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "select user_id, cast(ss as string), cast(se as string), n from sess")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set(
+        (1L, "2024-01-01 10:00:00", "2024-01-01 11:30:00", 3L),
+        (1L, "2024-01-01 20:00:00", "2024-01-01 20:00:00", 1L),
+        (2L, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1L),
+        (2L, "2024-01-01 13:00:00", "2024-01-01 13:00:00", 1L)))
+    } finally q.stop()
+  }
+
   test("watermarked windowed counts run on a claims stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
