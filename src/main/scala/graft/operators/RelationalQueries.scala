@@ -83,6 +83,35 @@ object RelationalQueries extends QueryModule {
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(col("o_custkey")).as("n_cust"))
 
+  /** Arbitrary GROUPING SETS — the mixed-set generalization of the
+    * rollup/cube entries (the reference's n-level dynamic subtotal
+    * builder generalizes to exactly this): ((status, priority),
+    * (status), (year), ()) in ONE pass. The (year) set crosses
+    * dimensions, so neither rollup nor cube over (status, priority)
+    * can express it. `grouping_id` is computed as the explicit bit
+    * formula grouping(status)·4 + grouping(y)·2 + grouping(priority)
+    * on BOTH engines — construction-equal, immune to engine-specific
+    * GROUPING_ID bit conventions. Plan: one Expand (4× replication of
+    * the 3-column projection, not the table) into a single partial-agg
+    * shuffle; the money sum rides as DECIMAL(18,2) so it is
+    * order-independent and oracle-exact.
+    */
+  private def groupingSetsQ(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).as("y"),
+        col("o_orderpriority").as("priority"),
+        col("o_totalprice"))
+      .groupingSets(
+        Seq(Seq(col("status"), col("priority")), Seq(col("status")),
+          Seq(col("y")), Seq()),
+        col("status"), col("y"), col("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+        (grouping(col("status")) * 4 + grouping(col("y")) * 2 +
+          grouping(col("priority"))).cast("int").as("gid"))
+
   /** S5/P5/P6 — predicate + date-range filtered scan with column pruning
     * (ref: core/storage.py:133-199, pages/3:82-86). Filters and the
     * 4-column projection both reach the parquet reader.
@@ -903,6 +932,16 @@ object RelationalQueries extends QueryModule {
         |  count(*) AS n_orders, count(DISTINCT o_custkey) AS n_cust
         |FROM orders
         |GROUP BY CUBE (year(o_orderdate), o_orderpriority)""".stripMargin)),
+    QueryDef("q_grouping_sets", groupingSetsQ, Some(
+      """SELECT o_orderstatus AS status, year(o_orderdate) AS y,
+        |  o_orderpriority AS priority, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  CAST(GROUPING(o_orderstatus) * 4 + GROUPING(year(o_orderdate)) * 2
+        |    + GROUPING(o_orderpriority) AS INTEGER) AS gid
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |  (o_orderstatus), (year(o_orderdate)), ())""".stripMargin)),
     QueryDef("q_global_rank", globalRank, Some(
       """SELECT doc_id, n_chars,
         |  CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT)

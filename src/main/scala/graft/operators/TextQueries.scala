@@ -735,6 +735,50 @@ object TextQueries extends QueryModule {
         round(col("sum_lp") / col("n_tokens"), 4).as("mean_lp"))
   }
 
+  /** Add-k smoothed BIGRAM language-model scoring — the conditional
+    * extension of [[unigramLp]] (KenLM-filter shape one order up):
+    * every adjacent pair scores ln((c(w₁w₂)+k) / (c(w₁)+k·V)) with
+    * k = 0.5 against the corpus's own bigram/unigram counts and vocab
+    * size V, and a document reports its mean bigram log-probability.
+    * Counts are exact integers; the probability is built from ONE IEEE
+    * division per token (plus the ln both engines round away at 4
+    * decimals — the same libm discipline as BM25/unigram), and the
+    * per-doc sum folds over a SORTED array so addition order is
+    * engine-independent. Shuffle shape: bigram + unigram count
+    * aggregates (map-side combined), two plain shuffle joins (no
+    * broadcast hints — both vocabularies are unbounded at corpus
+    * scale), one 1-row V broadcast. The unigram count frame feeds both
+    * the join and V, so it is pinned once. Docs with fewer than two
+    * tokens have no bigrams and drop out on both engines.
+    */
+  private def bigramLp(s: SparkSession, d: String): DataFrame = {
+    val docToks = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val bg = docToks
+      .select(col("doc_id"), explode_outer(gramsOf(col("t"), 2)).as("bg"))
+      .filter(col("bg").isNotNull)
+    val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val cu = graft.Checkpoint.pin(docToks
+      .select(explode_outer(col("t")).as("term"))
+      .filter(col("term").isNotNull)
+      .groupBy("term").agg(count(lit(1)).as("cu")))
+    val vv = cu.agg(count(lit(1)).as("v"))
+    bg.join(cb, Seq("bg"))
+      .withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))
+      .join(cu.toDF("w1", "cu"), Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .select(col("doc_id"),
+        log((col("cb").cast("double") + lit(0.5)) /
+          (col("cu").cast("double") + lit(0.5) * col("v").cast("double")))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(array_sort(collect_list(col("lp"))), lit(0.0),
+          (acc, x) => acc + x).as("sum_lp"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_lp") / col("n_bigrams"), 4).as("mean_lp"))
+  }
+
   /** Curation funnel: the canonical training-data filter chain —
     * language-ID gate → quality gate → exact dedup — as ONE pass over
     * the corpus: per-doc flags from the library kernels ([[langId]],
@@ -1091,6 +1135,27 @@ object TextQueries extends QueryModule {
          |    list_sum(list_sort(list(ln(c::DOUBLE / total)))) AS sum_lp
          |  FROM toks JOIN f USING (term) CROSS JOIN n GROUP BY 1)
          |SELECT doc_id, n_tokens, round(sum_lp / n_tokens, 4) AS mean_lp
+         |FROM s""".stripMargin)),
+    QueryDef("q_text_bigram_lp", bigramLp, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(len(t) - 1),
+         |      i -> t[i+1] || ' ' || t[i+2]) END) AS bg FROM t),
+         |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+         |u AS (SELECT unnest(t) AS term FROM t),
+         |cu AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM cu),
+         |s AS (SELECT doc_id, count(*) AS n_bigrams,
+         |    list_sum(list_sort(list(
+         |      ln((CAST(cb AS DOUBLE) + 0.5)
+         |        / (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))))) AS sum_lp
+         |  FROM (SELECT g.doc_id, c.cb, cu.cu, vv.v
+         |        FROM bg g JOIN cb c ON g.bg = c.bg
+         |        JOIN cu ON split_part(g.bg, ' ', 1) = cu.term
+         |        CROSS JOIN vv)
+         |  GROUP BY 1)
+         |SELECT doc_id, n_bigrams, round(sum_lp / n_bigrams, 4) AS mean_lp
          |FROM s""".stripMargin)),
     QueryDef("q_curation_funnel", curationFunnel, Some(
       s"""WITH h AS (
