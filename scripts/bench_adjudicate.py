@@ -110,6 +110,18 @@ def main():
           "re-run is the only adjudication (the round-12 problem)"
           if no_evidence else
           " + ".join(causes) if causes else "no channel shows interference")
+    # Round 14: the artifact records its own verdict (Bench
+    # .machineCondition, same thresholds). Print it when present so a
+    # judge sees what the run concluded about itself; flag disagreement
+    # (e.g. a constant drifted between the Scala and Python mirrors).
+    recorded = cur.get("machine_condition")
+    if recorded is not None:
+        derived = ("clear" if not causes else "+".join(
+            {"CPU-side load": "cpu_load", "I/O-side load": "io_load",
+             "parallel-throughput cap": "par_cap"}[c] for c in causes))
+        tag = "" if ("dead" in recorded or recorded == derived) \
+            else f"  (DISAGREES with this script's reading: {derived})"
+        print(f"recorded in artifact: {recorded}{tag}")
 
     if prior and cur.get("sf") == prior.get("sf"):
         pq, cq = prior.get("queries", {}), cur.get("queries", {})

@@ -136,7 +136,8 @@ object Bench {
     sentinels += sentinelKernel(); scans += scanSentinel()
     pars += parSentinel()
     println(artifactLine(results, sentinels.toSeq, scans.toSeq, pars.toSeq,
-      repsUsed.toMap, rechecked.toSet, reps, sfDir.split('/').last))
+      repsUsed.toMap, rechecked.toSet, reps, sfDir.split('/').last,
+      cpus.toIntOption.getOrElse(32)))
     spark.stop()
   }
 
@@ -174,10 +175,48 @@ object Bench {
     * entries paying a warm-up rep at sf0.01 blew the whole queries
     * map out of the 1900-char window.
     */
+  /** The channel VERDICT, recorded into the artifact itself (round-13
+    * verdict item 4: the artifact carried the evidence triples but not
+    * the conclusion, so the driver's 2x gate still read only the raw
+    * total). Thresholds mirror scripts/bench_adjudicate.py exactly: a
+    * channel is inflated when its max exceeds 1.5x its healthy constant
+    * OR 1.5x its own within-run min (the machine-free ratio); the
+    * healthy constants are the round-13 box's unloaded readings (CPU
+    * kernel 0.075 s, scan 0.25/0.35 s at sf0.01/sf0.1, parallel 0.20 s
+    * at >=16 cpus else 0.45 s). A probe that recorded -1 is dead, not
+    * healthy — it reports <chan>_dead so "clear" always means
+    * three live flat channels.
+    */
+  private[graft] def machineCondition(sentinel: Seq[Double],
+      scanSentinel: Seq[Double], parSentinel: Seq[Double],
+      sfTag: String, cpus: Int): String = {
+    val scanHealthy = sfTag match {
+      case "sf0.01" => 0.25
+      case "sf0.1" => 0.35
+      case _ => 0.3
+    }
+    val parHealthy = if (cpus >= 16) 0.20 else 0.45
+    val channels = Seq(
+      ("cpu", sentinel, 0.075),
+      ("io", scanSentinel, scanHealthy),
+      ("par", parSentinel, parHealthy))
+    val findings = channels.flatMap { case (name, t, healthy) =>
+      if (t.isEmpty || t.exists(_ < 0)) Some(s"${name}_dead")
+      else if (t.max > 1.5 * healthy ||
+        t.max > 1.5 * math.max(t.min, 1e-9)) Some(name + (name match {
+        case "par" => "_cap"
+        case _ => "_load"
+      }))
+      else None
+    }
+    if (findings.isEmpty) "clear" else findings.mkString("+")
+  }
+
   private[graft] def artifactLine(results: Seq[(String, Double)],
       sentinel: Seq[Double], scanSentinel: Seq[Double],
       parSentinel: Seq[Double], repsUsed: Map[String, Int],
-      rechecked: Set[String], repsDefault: Int, sfTag: String): String = {
+      rechecked: Set[String], repsDefault: Int, sfTag: String,
+      cpus: Int = 32): String = {
     val total = results.map(_._2).sum
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val sentinelStr = sentinel.map(v => f"$v%.3f").mkString("[", ",", "]")
@@ -200,10 +239,13 @@ object Bench {
     // least informative, but without the digest a silent 10× in any of
     // them would be invisible across rounds — a regression in the
     // dropped set now moves a visible number.
+    val condition =
+      machineCondition(sentinel, scanSentinel, parSentinel, sfTag, cpus)
     def suffix(dropped: Int, droppedSum: Double) =
       f"""},"dropped":$dropped,"dropped_sum":$droppedSum%.2f,""" +
         s""""sentinel":$sentinelStr,"scan_sentinel":$scanStr,""" +
-        s""""par_sentinel":$parStr,"reps_default":$repsDefault,""" +
+        s""""par_sentinel":$parStr,""" +
+        s""""machine_condition":"$condition","reps_default":$repsDefault,""" +
         s""""reps_hist":$hist,"rechecked_n":${recheckSorted.size},""" +
         s""""rechecked":$recheckStr,"sf":"$sfTag"}"""
     val budget = 1900 - prefix.length - suffix(999, 99999.99).length

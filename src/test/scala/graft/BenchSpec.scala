@@ -51,13 +51,17 @@ class BenchSpec extends AnyFunSuite {
       parSentinel = Seq(0.330, 0.341, 0.328),
       repsUsed = Map("q_a" -> 2, "q_b" -> 4, "q_c" -> 3),
       rechecked = Set("q_b"),
-      repsDefault = 2, sfTag = "sf0.1")
+      repsDefault = 2, sfTag = "sf0.1", cpus = 32)
     // The self-adjudication fields (round-12 verdict item 1): the raw
     // CPU and scan sentinel triples, the rep-count histogram over all
     // entries, and per-entry detail for the cross-round-distrusted set.
     assert(line.contains(""""sentinel":[0.050,0.051,0.050]"""))
     assert(line.contains(""""scan_sentinel":[0.210,0.215,0.202]"""))
     assert(line.contains(""""par_sentinel":[0.330,0.341,0.328]"""))
+    // Round-14: the artifact records the adjudicator's CONCLUSION, not
+    // just the evidence — par max 0.341 > 1.5x the 0.20 healthy
+    // constant at 32 cpus, both other channels flat.
+    assert(line.contains(""""machine_condition":"par_cap""""))
     assert(line.contains(""""reps_default":2"""))
     assert(line.contains(""""reps_hist":{"2":1,"3":1,"4":1}"""))
     assert(line.contains(""""rechecked_n":1"""))
@@ -68,6 +72,41 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePriorArtifact(line) ===
       Map("q_a" -> 3.42, "q_b" -> 0.33, "q_c" -> 0.05))
     assert(line.contains(""""sf":"sf0.1""""))
+  }
+
+  test("machine-condition verdict mirrors the adjudicator's thresholds") {
+    val flatCpu = Seq(0.065, 0.066, 0.065)
+    val flatScan = Seq(0.30, 0.31, 0.30)
+    val flatPar = Seq(0.12, 0.13, 0.12)
+    // Three live flat channels → clear.
+    assert(Bench.machineCondition(flatCpu, flatScan, flatPar,
+      "sf0.1", 32) === "clear")
+    // Within-run drift trips a channel even under its healthy absolute
+    // level threshold (the r13 live observation: par 0.127→0.295).
+    assert(Bench.machineCondition(flatCpu, flatScan,
+      Seq(0.127, 0.295, 0.290), "sf0.1", 32) === "par_cap")
+    // Absolute inflation on the CPU and scan channels.
+    assert(Bench.machineCondition(Seq(0.15, 0.15, 0.15), flatScan, flatPar,
+      "sf0.1", 32) === "cpu_load")
+    assert(Bench.machineCondition(flatCpu, Seq(0.60, 0.61, 0.60), flatPar,
+      "sf0.1", 32) === "io_load")
+    // Compound causes join with '+' in channel order.
+    assert(Bench.machineCondition(Seq(0.2, 0.2, 0.2), Seq(0.7, 0.7, 0.7),
+      Seq(0.5, 0.5, 0.5), "sf0.1", 32) === "cpu_load+io_load+par_cap")
+    // A dead probe (-1) is NOT healthy: 'clear' must mean three live
+    // flat channels.
+    assert(Bench.machineCondition(flatCpu, flatScan, Seq(0.12, -1.0, 0.12),
+      "sf0.1", 32) === "par_dead")
+    // The parallel healthy constant scales with the cpu count (the
+    // skill's ~0.4 s-at-8-cpus reading must not read as a cap).
+    assert(Bench.machineCondition(flatCpu, flatScan, Seq(0.42, 0.43, 0.42),
+      "sf0.1", 8) === "clear")
+    // Scan healthy constant is SF-aware: 0.41 s crosses sf0.01's
+    // 0.25-healthy threshold but sits inside sf0.1's 0.35 one.
+    assert(Bench.machineCondition(flatCpu, Seq(0.40, 0.41, 0.40), flatPar,
+      "sf0.01", 32) === "io_load")
+    assert(Bench.machineCondition(flatCpu, Seq(0.40, 0.41, 0.40), flatPar,
+      "sf0.1", 32) === "clear")
   }
 
   test("artifact line stays under the 1900-char driver window at any surface size") {
