@@ -185,4 +185,69 @@ class ComponentStorePropertySpec extends AnyFunSuite {
     assert(foldsSeen > 0, s"seed=$seed: no fold ever fired — " +
       "the crafted-components bridge must displace a root")
   }
+
+  test("edge-log fold (slack=0): log stays spanning-bounded, CC re-derivation holds across folds") {
+    // Round-14 fold: with the slack at 0, EVERY append that leaves the
+    // log above its spanning size immediately compacts it to the star
+    // of the resolved components. The same randomized evolution must
+    // stay ≡ from-scratch CC, the log-derived components must keep
+    // matching resolve() ACROSS fold boundaries (star from fold N,
+    // then raw pairs appended, then fold N+1 …), and the log must
+    // never exceed the members row count after an append.
+    val seed = sys.env.get("GRAFT_PROP_SEED").map(_.toLong).getOrElse(11L)
+    val rnd = new scala.util.Random(seed)
+    val tmp = java.nio.file.Files.createTempDirectory("ccefold").toString
+    val fpDir = s"$tmp/fp"
+    val ccDir = s"$tmp/cc"
+    var corpus = Vector.empty[(Long, String)]
+    var nextId = 0L
+    def newRow(): (Long, String) = {
+      val t = rnd.nextInt(10) match {
+        case 0 => null
+        case 1 | 2 | 3 =>
+          val a = rnd.nextInt(pool.length)
+          val b = (a + 1 + rnd.nextInt(pool.length - 1)) % pool.length
+          s"${pool(a)} ${pool(b)}"
+        case _ => pool(rnd.nextInt(pool.length))
+      }
+      val r = (nextId, t); nextId += 1; r
+    }
+    def edgeCount(): Long = spark.read.parquet(s"$ccDir/edges").count()
+    def memberCount(): Long = spark.read.parquet(s"$ccDir/members").count()
+    var foldedOnce = false
+    def stepAndCheck(label: String): Unit = {
+      val docs = df(corpus)
+      val store = DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir,
+        K, B, N)
+      val got = ComponentStore.loadOrBuild(docs, "doc_id", "text",
+        ccDir, store, K, B, N, T, maxBucket = 1000, edgeFoldSlack = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == fromScratch(docs), s"seed=$seed $label diverged")
+      val fromEdges = DedupJobs.connectedComponents(
+        ComponentStore.storedEdges(spark, ccDir))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fromEdges == got, s"seed=$seed $label: edge log drifted")
+      ()
+    }
+    // A dup-heavy base: many pairs per component, so the raw log
+    // starts well above spanning size and the first append must fold.
+    corpus ++= (0 until 12).map(_ => newRow())
+    corpus ++= Seq(pool(0), pool(0), pool(0), pool(1), pool(1))
+      .map { t => val r = (nextId, t); nextId += 1; r }
+    stepAndCheck("base")
+    for (step <- 0 until 6) {
+      corpus ++= (0 until 2 + rnd.nextInt(3)).map(_ => newRow())
+      stepAndCheck(s"append $step")
+      val (e, m) = (edgeCount(), memberCount())
+      assert(e <= m,
+        s"seed=$seed append $step: edge log $e rows > members $m — " +
+          "fold did not bound the log")
+      // Post-fold the star has members − #components rows, strictly
+      // below members (every component has ≥ 2 docs) — observing the
+      // strict gap proves a fold actually rewrote the log, since the
+      // dup-heavy base's raw pair log starts ABOVE members.
+      foldedOnce = foldedOnce || e < m
+    }
+    assert(foldedOnce, s"seed=$seed: fold never observed")
+  }
 }
