@@ -330,6 +330,22 @@ object VectorQueries extends QueryModule {
     VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
       "vec_id", "embedding", threshold = 0.9)
 
+  /** Non-vacuous gate on the exact cosine kernel (round-13 verdict
+    * item 6): [[cosineNearDups]]' τ=0.9 answer is STRUCTURALLY empty on
+    * the synthetic corpus (max pairwise cosine ≈ 0.51 at sf0.01, 0.60
+    * at sf0.1), so a kernel regression could hide behind an empty
+    * match at every driver SF. This entry drives the SAME
+    * mapPartitions sweep at τ=0.4 — 59/920 qualifying pairs at
+    * sf0.01/sf0.1 — and hash-checks the top-20 most-similar pairs.
+    * Ordering is on the ROUNDED similarity with an (id_a, id_b)
+    * tiebreak so the cut is engine-stable.
+    */
+  private def vectorTopPairs(s: SparkSession, d: String): DataFrame =
+    VectorOps.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = 0.4)
+      .orderBy(desc("cos_sim"), asc("id_a"), asc("id_b"))
+      .limit(20)
+
   /** LSH-bucketed near-dup pairs at the same τ=0.9 as the exact entry —
     * the corpus-scale substitute for the O(n²) sweep (id-only buckets,
     * exact cosine verification; [[VectorOps.lshNearDupPairs]]). Built
@@ -698,6 +714,15 @@ object VectorQueries extends QueryModule {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin)),
+    QueryDef("q_vector_top_pairs", vectorTopPairs, Some(
+      """SELECT id_a, id_b, cos_sim FROM (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.embedding::DOUBLE[],
+        |      b.embedding::DOUBLE[]), 4) AS cos_sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |    b.embedding::DOUBLE[]) >= 0.4)
+        |ORDER BY cos_sim DESC, id_a, id_b LIMIT 20""".stripMargin)),
     QueryDef("q_vector_near_dup_lsh", nearDupLsh, None),
     QueryDef("q_vector_near_dup_lsh_sound", nearDupLshSound, Some(
       """SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
