@@ -216,7 +216,15 @@ object Stats {
               col(valCol))).as(s"__vhi_$i"))
         }
       }
-    val grouped = cum.join(broadcast(tot), joinCond)
+    // No broadcast hint: `tot` is one row PER GROUP, and the kernel is
+    // generic over caller keys — at corpus scale a high-cardinality
+    // group-by (per-user, per-url) makes a forced broadcast a driver
+    // materialization of an unbounded frame (the colloc-lift lesson).
+    // AQE broadcasts it whenever it measures under the threshold, which
+    // is every driver entry today; past the threshold the null-safe
+    // equi-key falls back to a shuffle join on the same keys the
+    // histogram already shuffles on.
+    val grouped = cum.join(tot, joinCond)
       .groupBy(keys: _*)
       .agg(aggs.head, aggs.tail: _*)
     // Non-numeric columns (strings, dates, timestamps) take the exact
@@ -262,11 +270,20 @@ object Stats {
         col("__n"))).otherwise(0))
       .drop("__pmin", "__pmax", "__n")
 
-  /** Broadcast a small per-key frame back onto `df` with NULL-SAFE key
+  /** Join a small per-key frame back onto `df` with NULL-SAFE key
     * equality (groupBy keeps null-key groups; an equi-join would drop
     * them) — the kernel's standard join-back idiom, defined once.
     * `small`'s key columns must be named like `df`'s; they are aliased
     * away internally so only its payload columns land on `df`.
+    *
+    * No broadcast HINT: `small` is one row per group, and the kernel
+    * is generic over caller keys — a forced broadcast of a
+    * high-cardinality group-by's per-key frame is a driver
+    * materialization of an unbounded frame at corpus scale (the
+    * colloc-lift lesson). AQE broadcasts it whenever it measures under
+    * the threshold — every driver entry today; past it, the null-safe
+    * equi-key falls back to a shuffle join on the keys the histogram
+    * already shuffles on.
     */
   def joinBackByKey(df: DataFrame, keyCols: Seq[String],
       small: DataFrame, joinType: String = "left"): DataFrame = {
@@ -276,7 +293,7 @@ object Stats {
     }.toSeq: _*)
     val cond = keyCols.map(c => col(c) <=> col(s"__jb_$c"))
       .reduce[Column](_ && _)
-    df.join(broadcast(aliased), cond, joinType)
+    df.join(aliased, cond, joinType)
       .drop(keyCols.map(c => s"__jb_$c"): _*)
   }
 
