@@ -96,18 +96,63 @@ object BpeQueries extends QueryModule {
     merges.result()
   }
 
-  /** (rank, left, right, weighted pair count) for the first K merges.
-    * Frequency classes are the ONLY corpus-sized job.
+  /** Word frequency classes — the ONLY corpus-sized job on the BPE
+    * path; both the trainer and the encoder run over its output.
     */
+  private def freqClasses(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode_outer(tokens(col("text"))).as("w"))
+      .filter(col("w").isNotNull)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** The learned merge table, trained once per (session, dataset) —
+    * q_bpe_merges and q_bpe_encode share it.
+    */
+  private def mergesFor(s: SparkSession,
+      d: String): Seq[(Int, String, String, Long)] =
+    graft.SessionCache.getOrBuild(s, s"bpemerges|$d") {
+      (trainMerges(freqClasses(s, d), MergeCount), Seq.empty)
+    }
+
+  /** (rank, left, right, weighted pair count) for the first K merges. */
   private def bpeMerges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    trainMerges(
-      Tables.documents(s, d)
-        .select(explode_outer(tokens(col("text"))).as("w"))
-        .filter(col("w").isNotNull)
-        .groupBy("w").agg(count(lit(1)).as("cnt")),
-      MergeCount)
+    mergesFor(s, d)
       .toDF("merge_rank", "left_sym", "right_sym", "pair_count")
+  }
+
+  /** The APPLY side of the tokenizer: encode the vocabulary with the
+    * learned merge table (each rule replayed in rank order — exactly
+    * the trainer's own application, so train→encode round-trips) and
+    * report the top-30 subword symbols by corpus frequency. This is
+    * the distributed shape of BPE tokenization at 100 TB: the merge
+    * table is a driver-small artifact (K rows) replayed as K narrow
+    * per-row `replace`s over the frequency classes — no shuffle until
+    * the final subword count aggregate, and raw text is never touched
+    * after the one frequency-class job.
+    */
+  private def bpeEncode(s: SparkSession, d: String): DataFrame =
+    subwordCounts(freqClasses(s, d), mergesFor(s, d))
+      .orderBy(desc("n"), asc("subword"))
+      .limit(30)
+
+  /** Encode a (`w`, `cnt`) frequency-class frame with a merge table
+    * (rules replayed in rank order) and count the resulting subword
+    * symbols corpus-wide. Exposed for the round-trip spec.
+    */
+  private[graft] def subwordCounts(freq: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val words = freq
+      .select(regexp_replace(col("w"), "(.)", " $1 ").as("s"), col("cnt"))
+    val encoded = merges.foldLeft(words) {
+      case (acc, (_, a, b, _)) =>
+        acc.select(
+          replace(col("s"), lit(s" $a  $b "), lit(s" $a$b ")).as("s"),
+          col("cnt"))
+    }
+    encoded
+      .select(explode(split(trim(col("s")), "  ")).as("subword"), col("cnt"))
+      .groupBy("subword").agg(sum("cnt").as("n"))
   }
 
   /** The K iterations unrolled as CTE steps (pN = pair counts, bN = the
@@ -115,7 +160,7 @@ object BpeQueries extends QueryModule {
     * loop; DuckDB's `replace` is the same left-to-right non-overlapping
     * primitive.
     */
-  private def bpeOracle: String = {
+  private def oraclePrefix: String = {
     val steps = (1 to MergeCount).map { k =>
       s"""p$k AS (SELECT sym[i] AS a, sym[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c
          |       FROM (SELECT string_split(trim(s), '  ') AS sym, cnt FROM v${k - 1}) q,
@@ -125,20 +170,33 @@ object BpeQueries extends QueryModule {
          |v$k AS (SELECT replace(s, ' '||a||'  '||b||' ', ' '||a||b||' ') AS s, cnt
          |       FROM v${k - 1}, b$k)""".stripMargin
     }.mkString(",\n")
+    s"""WITH w AS (SELECT t AS w, count(*) AS cnt FROM
+       |       (SELECT unnest(${TextQueries.toksSql}) AS t FROM documents) GROUP BY 1),
+       |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM w),
+       |$steps""".stripMargin
+  }
+
+  private def bpeOracle: String = {
     val out = (1 to MergeCount).map { k =>
       s"SELECT CAST($k AS INTEGER) AS merge_rank, a AS left_sym," +
         s" b AS right_sym, c AS pair_count FROM b$k"
     }.mkString("\nUNION ALL\n")
-    s"""WITH w AS (SELECT t AS w, count(*) AS cnt FROM
-       |       (SELECT unnest(${TextQueries.toksSql}) AS t FROM documents) GROUP BY 1),
-       |v0 AS (SELECT regexp_replace(w, '(.)', ' \\1 ', 'g') AS s, cnt FROM w),
-       |$steps
+    s"""$oraclePrefix
        |SELECT * FROM (
        |$out
        |) ORDER BY merge_rank""".stripMargin
   }
 
+  private def encodeOracle: String =
+    s"""$oraclePrefix
+       |SELECT t.sym AS subword, CAST(sum(q.cnt) AS BIGINT) AS n
+       |FROM (SELECT string_split(trim(s), '  ') AS syms, cnt
+       |      FROM v$MergeCount) q,
+       |     UNNEST(q.syms) AS t(sym)
+       |GROUP BY 1 ORDER BY n DESC, subword LIMIT 30""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
-    QueryDef("q_bpe_merges", bpeMerges, Some(bpeOracle))
+    QueryDef("q_bpe_merges", bpeMerges, Some(bpeOracle)),
+    QueryDef("q_bpe_encode", bpeEncode, Some(encodeOracle))
   )
 }

@@ -29,6 +29,18 @@ class BpeSpec extends AnyFunSuite {
     // k=6 requested, 4 learned: exhaustion stops the loop early.
   }
 
+  test("encode round-trips the trainer's own application") {
+    import spark.implicits._
+    // Replaying the learned rules over the same frequency classes must
+    // reproduce the trainer's final segmentation: aaa → [aaa] (rule 1
+    // then rule 3), ab → [ab], abab → [ab, ab] → [abab].
+    val freq = Seq(("aaa", 5L), ("ab", 4L), ("abab", 3L)).toDF("w", "cnt")
+    val merges = BpeQueries.trainMerges(freq, k = 6)
+    val counts = BpeQueries.subwordCounts(freq, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("aaa" -> 5L, "ab" -> 4L, "abab" -> 3L))
+  }
+
   test("wrapped-string replace is symbol-boundary safe") {
     import spark.implicits._
     // Round 1 merges (x,a)=11; xab becomes [xa, b]. Round 2 merges
