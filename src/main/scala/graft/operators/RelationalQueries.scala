@@ -664,6 +664,42 @@ object RelationalQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Pearson χ² test of independence over the (status × priority)
+    * contingency table — the statistical-TEST family (the reference's
+    * analytics stop at descriptive stats; the χ² is the canonical
+    * next step for "are these two categoricals related"). One
+    * map-side-combined pass over orders builds the contingency cells;
+    * margins, the total, and the expected counts all derive from that
+    * 15-row frame (pinned — four consumers, one corpus scan). Each
+    * cell's (o−e)²/e term is the IDENTICAL double expression tree on
+    * both engines, and the cell sum folds over a SORTED array so the
+    * float addition order is engine-independent (the unigram-LM
+    * discipline). Scale: the only corpus-sized work is the first
+    * aggregate; everything after is O(cells).
+    */
+  private def chisqIndependence(s: SparkSession, d: String): DataFrame = {
+    val c = graft.Checkpoint.pin(Tables.orders(s, d)
+      .groupBy(col("o_orderstatus").as("st"), col("o_orderpriority").as("pr"))
+      .agg(count(lit(1)).as("o")))
+    val r = c.groupBy("st").agg(sum("o").as("rt"))
+    val k = c.groupBy("pr").agg(sum("o").as("ct"))
+    val n = c.agg(sum("o").as("n"))
+    val e = col("rt").cast("double") * col("ct").cast("double") /
+      col("n").cast("double")
+    val dev = col("o").cast("double") - e
+    c.join(r, Seq("st")).join(k, Seq("pr")).crossJoin(n)
+      .select((dev * dev / e).as("term"))
+      .agg(
+        round(aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+          (acc, x) => acc + x), 4).as("chisq"),
+        count(lit(1)).as("n_cells"))
+      .crossJoin(r.agg(count(lit(1)).as("nr")))
+      .crossJoin(k.agg(count(lit(1)).as("nk")))
+      .select(col("chisq"),
+        ((col("nr") - 1) * (col("nk") - 1)).cast("int").as("dof"),
+        col("n_cells"))
+  }
+
   /** Bounded-hop BFS (min-hop labels from a seed) over the part
     * co-occurrence graph — the ITERATIVE-GRAPH operator family the
     * surface lacked, in the canonical distributed frontier-expansion
@@ -723,6 +759,25 @@ object RelationalQueries extends QueryModule {
   }
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_chisq_independence", chisqIndependence, Some(
+      """WITH c AS (SELECT o_orderstatus st, o_orderpriority pr,
+        |    CAST(count(*) AS BIGINT) o FROM orders GROUP BY 1, 2),
+        |r AS (SELECT st, CAST(sum(o) AS BIGINT) rt FROM c GROUP BY 1),
+        |k AS (SELECT pr, CAST(sum(o) AS BIGINT) ct FROM c GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) n FROM c),
+        |t AS (SELECT
+        |    (CAST(o AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    * (CAST(o AS DOUBLE)
+        |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n.n AS DOUBLE))
+        |      AS term
+        |  FROM c JOIN r USING (st) JOIN k USING (pr) CROSS JOIN n)
+        |SELECT round(list_sum(list_sort(list(term))), 4) AS chisq,
+        |  CAST((SELECT count(*) FROM r) - 1 AS INTEGER)
+        |    * CAST((SELECT count(*) FROM k) - 1 AS INTEGER) AS dof,
+        |  CAST(count(*) AS BIGINT) AS n_cells
+        |FROM t""".stripMargin)),
     QueryDef("q_graph_bfs", graphBfs, Some(
       """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS okey,
         |  l_partkey AS pk FROM lineitem),
