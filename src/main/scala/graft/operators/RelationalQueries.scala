@@ -664,6 +664,36 @@ object RelationalQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Shannon entropy per categorical column (nats) — the
+    * information-theoretic profiling companion to q_profile_columns
+    * (is a column informative or near-constant?). Per column: one
+    * map-side-combined value-count aggregate, a 1-row total broadcast,
+    * then each value's −p·ln p term with the IDENTICAL double tree on
+    * both engines, summed over a SORTED array (the unigram-LM float
+    * discipline). Value-count frames are never hinted — a generic
+    * column's domain is unbounded. Output is one row per profiled
+    * column; the three columns here exercise two tables.
+    */
+  private def columnEntropy(s: SparkSession, d: String): DataFrame = {
+    def ent(src: DataFrame, c: String, label: String): DataFrame = {
+      val counts = src.filter(col(c).isNotNull)
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      val n = counts.agg(sum("cnt").as("n"))
+      val p = col("cnt").cast("double") / col("n").cast("double")
+      counts.crossJoin(broadcast(n))
+        .select((p * log(p)).as("term"))
+        .agg(count(lit(1)).as("n_distinct"),
+          round(-aggregate(array_sort(collect_list(col("term"))), lit(0.0),
+            (acc, x) => acc + x), 4).as("entropy"))
+        .select(lit(label).as("col_name"), col("n_distinct"), col("entropy"))
+    }
+    ent(Tables.events(s, d), "event_type", "events.event_type")
+      .unionByName(ent(Tables.orders(s, d), "o_orderstatus",
+        "orders.o_orderstatus"))
+      .unionByName(ent(Tables.orders(s, d), "o_orderpriority",
+        "orders.o_orderpriority"))
+  }
+
   /** Pearson χ² test of independence over the (status × priority)
     * contingency table — the statistical-TEST family (the reference's
     * analytics stop at descriptive stats; the χ² is the canonical
@@ -759,6 +789,31 @@ object RelationalQueries extends QueryModule {
   }
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_column_entropy", columnEntropy, Some(
+      """WITH
+        |e1 AS (SELECT event_type v, count(*) cnt FROM events
+        |       WHERE event_type IS NOT NULL GROUP BY 1),
+        |e2 AS (SELECT o_orderstatus v, count(*) cnt FROM orders
+        |       WHERE o_orderstatus IS NOT NULL GROUP BY 1),
+        |e3 AS (SELECT o_orderpriority v, count(*) cnt FROM orders
+        |       WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+        |h1 AS (SELECT count(*) n_distinct, round(-list_sum(list_sort(list(
+        |         CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))))), 4) entropy
+        |       FROM e1 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) n FROM e1)),
+        |h2 AS (SELECT count(*) n_distinct, round(-list_sum(list_sort(list(
+        |         CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))))), 4) entropy
+        |       FROM e2 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) n FROM e2)),
+        |h3 AS (SELECT count(*) n_distinct, round(-list_sum(list_sort(list(
+        |         CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
+        |           * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))))), 4) entropy
+        |       FROM e3 CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) n FROM e3))
+        |SELECT 'events.event_type' AS col_name, n_distinct, entropy FROM h1
+        |UNION ALL
+        |SELECT 'orders.o_orderstatus', n_distinct, entropy FROM h2
+        |UNION ALL
+        |SELECT 'orders.o_orderpriority', n_distinct, entropy FROM h3""".stripMargin)),
     QueryDef("q_chisq_independence", chisqIndependence, Some(
       """WITH c AS (SELECT o_orderstatus st, o_orderpriority pr,
         |    CAST(count(*) AS BIGINT) o FROM orders GROUP BY 1, 2),
