@@ -108,7 +108,128 @@ object SketchQueries extends QueryModule {
       .select(col("l_returnflag"), col("n"))
   }
 
+  /** Portable polynomial hash of a string column (31-base fold mod the
+    * Mersenne prime 2³¹−1) — exact integer arithmetic both engines
+    * reproduce bit-for-bit (DuckDB: list_reduce over the code points;
+    * its init-less fold starts at the first element, which equals the
+    * zero-init fold since 0·31 + c₁ = c₁). Products stay < 2³⁶, far
+    * inside the long range.
+    */
+  private def polyHash(c: org.apache.spark.sql.Column) =
+    aggregate(
+      transform(sequence(lit(1), length(c)),
+        i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(0L), (a, x) => (a * 31 + x) % 2147483647L)
+
+  /** CMS hash-row parameters (r, a, b): bucket = (a·h + b) mod p mod w. */
+  private val cmsParams = Seq((0, 31L, 7L), (1, 37L, 11L), (2, 41L, 13L))
+  private val cmsWidth = 64
+
+  /** Count-min sketch, fully DuckDB-oracle-checked (unlike the opaque
+    * HLL/GK sketches, every step here is exact integer arithmetic):
+    * d = 3 hash rows × w = 64 buckets built in ONE corpus-token pass —
+    * each token occurrence explodes to its 3 (row, bucket) cells and
+    * the map-side combine collapses the shuffle to ≤ d·w·partitions
+    * rows, the textbook mergeable-sketch shape (the 192-cell table IS
+    * the 100 TB artifact; the exact counts here are the verification
+    * side). The entry reports the top-20 exact tokens with their CMS
+    * estimates; collisions show as est > exact (the synthetic corpus
+    * exhibits one at w=64) and the one-sided guarantee est ≥ exact is
+    * auditted over the WHOLE vocabulary by [[cmsSound]].
+    */
+  private def cmsTable(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"cms|$d") {
+      import graft.text.TextFunctions.tokens
+      val h = Tables.documents(s, d)
+        .select(explode_outer(tokens(col("text"))).as("t"))
+        .filter(col("t").isNotNull)
+        .select(col("t"), polyHash(col("t")).as("hv"))
+      val params = cmsParams.map { case (r, a, b) =>
+        struct(lit(r).as("r"), lit(a).as("a"), lit(b).as("b")) }
+      val cms = graft.Checkpoint.pin(h
+        .select(explode(array(params: _*)).as("p"), col("hv"))
+        .select(col("p.r").as("r"),
+          ((col("p.a") * col("hv") + col("p.b")) % 2147483647L % cmsWidth)
+            .as("bkt"))
+        .groupBy("r", "bkt").agg(count(lit(1)).as("c")))
+      (cms, Seq.empty)
+    }
+
+  /** Exact per-token counts + hash, shared by the estimate and audit. */
+  private def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    Tables.documents(s, d)
+      .select(explode_outer(tokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy("t").agg(count(lit(1)).as("n_exact"))
+      .select(col("t"), col("n_exact"), polyHash(col("t")).as("hv"))
+  }
+
+  private def cmsEstimate(queries: DataFrame, cms: DataFrame): DataFrame = {
+    val params = cmsParams.map { case (r, a, b) =>
+      struct(lit(r).as("r"), lit(a).as("a"), lit(b).as("b")) }
+    queries
+      .select(col("t"), col("n_exact"), explode(array(params: _*)).as("p"),
+        col("hv"))
+      .select(col("t"), col("n_exact"), col("p.r").as("r"),
+        ((col("p.a") * col("hv") + col("p.b")) % 2147483647L % cmsWidth)
+          .as("bkt"))
+      .join(cms, Seq("r", "bkt"))
+      .groupBy(col("t").as("tok"), col("n_exact"))
+      .agg(min(col("c")).as("n_est"))
+  }
+
+  /** Top-20 exact tokens with CMS estimates (oracle-checked values). */
+  private def cmsCounts(s: SparkSession, d: String): DataFrame =
+    cmsEstimate(
+      tokenCounts(s, d).orderBy(desc("n_exact"), asc("t")).limit(20),
+      cmsTable(s, d))
+      .select(col("tok"), col("n_exact"), col("n_est"))
+      .orderBy(desc("n_exact"), asc("tok"))
+
+  /** One-sided guarantee audit over the WHOLE vocabulary: any token
+    * whose estimate undercounts its exact frequency is a violation —
+    * the oracle re-derives the same set and both must be EMPTY (a
+    * real derivation on both sides, not a WHERE FALSE schema stub).
+    */
+  private def cmsSound(s: SparkSession, d: String): DataFrame =
+    cmsEstimate(tokenCounts(s, d), cmsTable(s, d))
+      .filter(col("n_est") < col("n_exact"))
+      .select(col("tok"), col("n_exact"), col("n_est"))
+
+  private val cmsOraclePrefix =
+    s"""WITH u AS (SELECT unnest(${TextQueries.toksSql}) AS t FROM documents),
+       |h AS (SELECT t, list_reduce(list_transform(range(1, len(t)+1),
+       |        i -> CAST(ascii(t[i:i]) AS BIGINT)),
+       |        (a,x) -> (a*31+x) % 2147483647) AS hv FROM u),
+       |p(r, a, b) AS (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13)),
+       |cms AS (SELECT r, (a*hv + b) % 2147483647 % 64 AS bkt, count(*) AS c
+       |        FROM h CROSS JOIN p GROUP BY 1, 2),
+       |ex AS (SELECT t, count(*) AS n_exact, any_value(hv) AS hv
+       |       FROM h GROUP BY 1)""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_cms_counts", cmsCounts, Some(
+      s"""$cmsOraclePrefix,
+         |top AS (SELECT * FROM ex ORDER BY n_exact DESC, t LIMIT 20),
+         |q AS (SELECT top.t, top.n_exact, p.r,
+         |        (p.a*top.hv + p.b) % 2147483647 % 64 AS bkt
+         |      FROM top CROSS JOIN p)
+         |SELECT q.t AS tok, CAST(q.n_exact AS BIGINT) AS n_exact,
+         |  CAST(min(cms.c) AS BIGINT) AS n_est
+         |FROM q JOIN cms ON cms.r = q.r AND cms.bkt = q.bkt
+         |GROUP BY 1, 2 ORDER BY n_exact DESC, tok""".stripMargin)),
+    QueryDef("q_cms_sound", cmsSound, Some(
+      s"""$cmsOraclePrefix,
+         |q AS (SELECT ex.t, ex.n_exact, p.r,
+         |        (p.a*ex.hv + p.b) % 2147483647 % 64 AS bkt
+         |      FROM ex CROSS JOIN p),
+         |est AS (SELECT q.t AS tok, CAST(q.n_exact AS BIGINT) AS n_exact,
+         |          CAST(min(cms.c) AS BIGINT) AS n_est
+         |        FROM q JOIN cms ON cms.r = q.r AND cms.bkt = q.bkt
+         |        GROUP BY 1, 2)
+         |SELECT tok, n_exact, n_est FROM est
+         |WHERE n_est < n_exact""".stripMargin)),
     QueryDef("q_heavy_hitters_sound", heavyHittersSound, Some(
       """SELECT CAST(NULL AS VARCHAR) AS l_returnflag,
         |  CAST(NULL AS BIGINT) AS n WHERE FALSE""".stripMargin)),

@@ -754,9 +754,12 @@ object TextQueries extends QueryModule {
   private def bigramLp(s: SparkSession, d: String): DataFrame = {
     val docToks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
-    val bg = docToks
+    // Pinned: the bigram frame feeds BOTH the count aggregate and the
+    // scored join — without the pin the corpus tokenize+gram subtree
+    // plans twice (one full re-scan per consumer).
+    val bg = graft.Checkpoint.pin(docToks
       .select(col("doc_id"), explode_outer(gramsOf(col("t"), 2)).as("bg"))
-      .filter(col("bg").isNotNull)
+      .filter(col("bg").isNotNull))
     val cb = bg.groupBy("bg").agg(count(lit(1)).as("cb"))
     val cu = graft.Checkpoint.pin(docToks
       .select(explode_outer(col("t")).as("term"))
