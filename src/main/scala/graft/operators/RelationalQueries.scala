@@ -664,6 +664,35 @@ object RelationalQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Gini coefficient of customer order-value concentration — the
+    * inequality/concentration statistic (how much of the book sits
+    * with the top accounts) via the exact rank formula
+    * G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending totals. The
+    * global rank is [[graft.Ranking.twoLevelRank]] on coarse value
+    * buckets — never a single-partition window over all customers —
+    * and both moments are EXACT decimal sums, so the one double
+    * formula at the end is bit-identical across engines (rounded 6).
+    */
+  private def giniConcentration(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      .withColumn("bkt", floor(col("total") / 1000).cast("long"))
+    graft.Ranking.twoLevelRank(t, partCols = Nil,
+        bucketCol = "bkt", bucketAsc = true,
+        tieCols = Seq("total", "o_custkey"), out = "rk")
+      .agg(sum(col("rk") * col("total")).as("s_ix"),
+        sum(col("total")).as("s_x"),
+        count(lit(1)).as("n"))
+      .select(
+        round((lit(2.0) * col("s_ix").cast("double")
+          - (col("n") + 1).cast("double") * col("s_x").cast("double"))
+          / (col("n").cast("double") * col("s_x").cast("double")), 6)
+          .as("gini"),
+        col("n").as("n_customers"),
+        col("s_x").cast("double").as("total_value"))
+  }
+
   /** Shannon entropy per categorical column (nats) — the
     * information-theoretic profiling companion to q_profile_columns
     * (is a column informative or near-constant?). Per column: one
@@ -789,6 +818,19 @@ object RelationalQueries extends QueryModule {
   }
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_gini_concentration", giniConcentration, Some(
+      """WITH t AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT total,
+        |    row_number() OVER (ORDER BY total, o_custkey) AS rk FROM t),
+        |a AS (SELECT sum(rk*total) s_ix, sum(total) s_x, count(*) n FROM r)
+        |SELECT round((2.0 * CAST(s_ix AS DOUBLE)
+        |    - CAST(n+1 AS DOUBLE) * CAST(s_x AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(s_x AS DOUBLE)), 6) AS gini,
+        |  CAST(n AS BIGINT) AS n_customers,
+        |  CAST(s_x AS DOUBLE) AS total_value
+        |FROM a""".stripMargin)),
     QueryDef("q_column_entropy", columnEntropy, Some(
       """WITH
         |e1 AS (SELECT event_type v, count(*) cnt FROM events

@@ -483,6 +483,46 @@ object TextQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Per-source keyness — the top-5 most over-represented tokens per
+    * source by SMOOTHED LOG-ODDS ratio vs the rest of the corpus
+    * (Monroe et al.'s "fightin' words" statistic with a flat α = 0.5
+    * prior, sans the variance normalization): the source-fingerprinting
+    * signal a curation pipeline uses to spot template/boilerplate
+    * skew before it trains in. All counts are exact integers off ONE
+    * pinned (source, token) aggregate (token totals, source totals and
+    * the corpus total all derive from it — no second corpus scan); the
+    * score is two libm lns of IEEE ratios, ROUNDED BEFORE the rank so
+    * the per-source top-5 cut is engine-stable (the q_fuzzy_jaro
+    * discipline), and `rank ≤ 5` plans as WindowGroupLimit. The token
+    * totals join has no broadcast hint (vocab unbounded); the 20-row
+    * source totals do.
+    */
+  private def sourceKeyness(s: SparkSession, d: String): DataFrame = {
+    val st = graft.Checkpoint.pin(Tables.documents(s, d)
+      .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
+      .filter(col("tok").isNotNull)
+      .groupBy("source", "tok").agg(count(lit(1)).as("c_s")))
+    val tokTot = st.groupBy("tok").agg(sum("c_s").as("c_t"))
+    val srcTot = st.groupBy("source").agg(sum("c_s").as("n_s"))
+    val tot = st.agg(sum("c_s").as("n"))
+    val cr = col("c_t") - col("c_s")
+    val nr = col("n") - col("n_s")
+    val score = round(
+      log((col("c_s").cast("double") + 0.5) /
+        ((col("n_s") - col("c_s")).cast("double") + 0.5)) -
+        log((cr.cast("double") + 0.5) / ((nr - cr).cast("double") + 0.5)), 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("tok"))
+    st.join(tokTot, Seq("tok"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("tok"), col("c_s"), score.as("score"))
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("tok"), col("c_s"), col("score"))
+      .orderBy(col("source"), col("score").desc, col("tok"))
+  }
+
   /** Pairwise source-vocabulary Jaccard — which sources are near-dup
     * MIRRORS of each other at the vocabulary level (the corpus-level
     * counterpart of document near-dup: mirrored crawls share vocab
@@ -1055,6 +1095,24 @@ object TextQueries extends QueryModule {
          |FROM b JOIN cu cx ON b.x = cx.tok JOIN cu cy ON b.y = cy.tok
          |CROSS JOIN n
          |ORDER BY b.c_xy DESC, b.x, b.y LIMIT 20""".stripMargin)),
+    QueryDef("q_source_keyness", sourceKeyness, Some(
+      s"""WITH st AS (SELECT source, tok, count(*) AS c_s FROM (
+         |    SELECT source, unnest($toksSql) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT tok, CAST(sum(c_s) AS BIGINT) AS c_t FROM st GROUP BY 1),
+         |ss AS (SELECT source, CAST(sum(c_s) AS BIGINT) AS n_s FROM st GROUP BY 1),
+         |n AS (SELECT CAST(sum(c_s) AS BIGINT) AS n FROM st),
+         |sc AS (SELECT st.source, st.tok, st.c_s,
+         |    round(ln((CAST(st.c_s AS DOUBLE) + 0.5)
+         |        / (CAST(ss.n_s - st.c_s AS DOUBLE) + 0.5))
+         |      - ln((CAST(tt.c_t - st.c_s AS DOUBLE) + 0.5)
+         |        / (CAST((n.n - ss.n_s) - (tt.c_t - st.c_s) AS DOUBLE) + 0.5)),
+         |      4) AS score
+         |  FROM st JOIN tt USING (tok) JOIN ss USING (source) CROSS JOIN n),
+         |r AS (SELECT *, rank() OVER (PARTITION BY source
+         |        ORDER BY score DESC, tok) AS rk FROM sc)
+         |SELECT source, tok, CAST(c_s AS BIGINT) AS c_s, score
+         |FROM r WHERE rk <= 5 ORDER BY source, score DESC, tok""".stripMargin)),
     QueryDef("q_source_overlap", sourceOverlap, Some(
       s"""WITH st AS (SELECT DISTINCT source, tok FROM (
          |  SELECT source, unnest($toksSql) AS tok FROM documents)),
