@@ -664,6 +664,30 @@ object RelationalQueries extends QueryModule {
       .limit(20)
   }
 
+  /** FULL OUTER reconciliation join — the one join shape the surface
+    * lacked (inner/left/semi/anti/asof/range/multiway are covered):
+    * monthly order counts vs monthly ship counts, keeping months
+    * present on EITHER side with a side-indicator column (the classic
+    * two-ledger reconciliation; non-vacuous here — ship months trail
+    * past the last order month). Both inputs pre-aggregate map-side to
+    * |months| rows before the join, so the full-outer shuffle carries
+    * key-sized frames, never facts.
+    */
+  private def joinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.orders(s, d)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_orders"))
+    val b = Tables.lineitem(s, d)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(count(lit(1)).as("n_ships"))
+    a.join(b, Seq("ym"), "full_outer")
+      .select(col("ym"), col("n_orders"), col("n_ships"),
+        when(col("n_orders").isNull, lit("ship_only"))
+          .when(col("n_ships").isNull, lit("order_only"))
+          .otherwise(lit("both")).as("status"))
+      .orderBy(col("ym"))
+  }
+
   /** Gini coefficient of customer order-value concentration — the
     * inequality/concentration statistic (how much of the book sits
     * with the top accounts) via the exact rank formula
@@ -818,6 +842,17 @@ object RelationalQueries extends QueryModule {
   }
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_join_full_outer", joinFullOuter, Some(
+      """WITH a AS (SELECT strftime(o_orderdate, '%Y-%m') ym, count(*) n_orders
+        |           FROM orders GROUP BY 1),
+        |b AS (SELECT strftime(l_shipdate, '%Y-%m') ym, count(*) n_ships
+        |      FROM lineitem GROUP BY 1)
+        |SELECT coalesce(a.ym, b.ym) AS ym, a.n_orders, b.n_ships,
+        |  CASE WHEN a.ym IS NULL THEN 'ship_only'
+        |       WHEN b.ym IS NULL THEN 'order_only'
+        |       ELSE 'both' END AS status
+        |FROM a FULL OUTER JOIN b ON a.ym = b.ym
+        |ORDER BY ym""".stripMargin)),
     QueryDef("q_gini_concentration", giniConcentration, Some(
       """WITH t AS (SELECT o_custkey,
         |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
