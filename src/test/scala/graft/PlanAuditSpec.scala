@@ -133,6 +133,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tf-idf rank filter shuffles all (doc,term) scores:\n${plan.take(600)}")
   }
 
+  test("grouping sets plans one Expand, not a union of re-aggregations") {
+    val plan = SparkEntry.queries("q_grouping_sets")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Expand").length == 2,
+      s"expected exactly one Expand:\n${plan.take(400)}")
+    // One pass over the fact table: a rewrite into per-set unions would
+    // scan orders once per grouping set.
+    assert(plan.split("FileScan parquet").length == 2,
+      "grouping sets must scan the fact table exactly once")
+  }
+
+  test("source keyness top-5 keeps the WindowGroupLimit pushdown") {
+    val plan = SparkEntry.queries("q_source_keyness")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=5 lost its group-limit pushdown:\n${plan.take(400)}")
+  }
+
+  test("CMS build partial-aggregates map-side (mergeable-sketch shape)") {
+    // The cell table must hash-aggregate with a partial phase so the
+    // exchange carries <= d*w*partitions rows, never raw token cells.
+    val plan = SparkEntry.queries("q_cms_counts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(400))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("BFS probes the pinned adjacency, never re-derives it per hop") {
+    // Three hops over one pinned adjacency frame: the lineitem scan
+    // that builds it must appear exactly once in the executed plan
+    // (the seed aggregate is the only other fact scan).
+    val plan = SparkEntry.queries("q_graph_bfs")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.split("FileScan parquet").length <= 3,
+      s"adjacency re-derived per hop:\n${plan.take(600)}")
+  }
+
   test("column pruning reaches the scan for the pruned query") {
     val plan = SparkEntry.queries("q_scan_pruned")(spark, sf)
       .queryExecution.executedPlan.toString
