@@ -252,6 +252,42 @@ object EventQueries extends QueryModule {
       (out, Seq.empty)
     }
 
+  /** Stream-stream LEFT OUTER join — the stateful semantics the inner
+    * form cannot express: an unmatched signup's null-click row may only
+    * emit once the watermark PROVES no click can still arrive (sts+3d
+    * behind the click watermark), i.e. the outer result is a
+    * watermark-eviction artifact, not a plain join row. The oracle is
+    * the batch left join CENSORED at exactly that frontier: matched
+    * pairs are all present (they emit eagerly, as in q_stream_join);
+    * null rows appear iff the signup's join window closed under the
+    * final watermark max(click ts) − 1 day. Spark's terminal no-data
+    * micro-batch (on by default) is what flushes the last evictions
+    * under Trigger.AvailableNow.
+    */
+  private def streamLeftJoin(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"streamljoin|$d") {
+      val name = "stream_ljoin_" + java.lang.Integer.toHexString(d.hashCode)
+      def src(): DataFrame = streamingEvents(s, d)
+      val signups = src().filter(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts").as("sts"))
+        .withWatermark("sts", "1 day")
+      val clicks = src().filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+          col("ts").as("cts"))
+        .withWatermark("cts", "1 day")
+      val joined = signups.join(clicks,
+          col("user_id") === col("c_user") &&
+          col("cts") >= col("sts") &&
+          col("cts") < col("sts") + expr("INTERVAL 3 DAYS"), "leftOuter")
+        .select(col("signup_id"), col("click_id"), col("user_id"),
+          col("sts").cast("timestamp_ntz").as("signup_ts"),
+          col("cts").cast("timestamp_ntz").as("click_ts"))
+      val out = graft.streaming.BoundedStream
+        .runToTable(s, joined, name, outputMode = "append")
+      (out, Seq.empty)
+    }
+
   /** Forward fill (pandas `ffill` / LOCF — the reference engine's
     * native gap-fill idiom): each event carries the user's most recent
     * purchase value at-or-before it, via `last(ignoreNulls)` over a
@@ -643,6 +679,20 @@ object EventQueries extends QueryModule {
         |FROM events s JOIN events c ON c.user_id = s.user_id
         |WHERE s.event_type = 'signup' AND c.event_type = 'click'
         |  AND c.ts >= s.ts AND c.ts < s.ts + INTERVAL 3 DAY
+        |ORDER BY signup_id, click_id""".stripMargin)),
+    QueryDef("q_stream_left_join", streamLeftJoin, Some(
+      """WITH s AS (SELECT event_id signup_id, user_id, ts sts FROM events
+        |           WHERE event_type = 'signup'),
+        |c AS (SELECT event_id click_id, user_id, ts cts FROM events
+        |      WHERE event_type = 'click'),
+        |wm AS (SELECT max(cts) - INTERVAL 1 DAY AS w FROM c),
+        |j AS (SELECT s.signup_id, c.click_id, s.user_id, s.sts, c.cts
+        |      FROM s LEFT JOIN c ON c.user_id = s.user_id
+        |        AND c.cts >= s.sts AND c.cts < s.sts + INTERVAL 3 DAY)
+        |SELECT signup_id, click_id, user_id, sts AS signup_ts,
+        |  cts AS click_ts
+        |FROM j CROSS JOIN wm
+        |WHERE click_id IS NOT NULL OR sts + INTERVAL 3 DAY <= wm.w
         |ORDER BY signup_id, click_id""".stripMargin)),
     QueryDef("q_forward_fill", forwardFill, Some(
       """SELECT event_id, user_id, ts,
