@@ -260,9 +260,11 @@ object EventQueries extends QueryModule {
     * the batch left join CENSORED at exactly that frontier: matched
     * pairs are all present (they emit eagerly, as in q_stream_join);
     * null rows appear iff the signup's join window closed under the
-    * final watermark max(click ts) − 1 day. Spark's terminal no-data
-    * micro-batch (on by default) is what flushes the last evictions
-    * under Trigger.AvailableNow.
+    * final GLOBAL watermark — Spark takes the MIN across both sides'
+    * watermarks (least(max signup ts, max click ts) − 1 day; the
+    * click-side-only frontier emitted one row too many at sf0.1).
+    * Spark's terminal no-data micro-batch (on by default) is what
+    * flushes the last evictions under Trigger.AvailableNow.
     */
   private def streamLeftJoin(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"streamljoin|$d") {
@@ -685,7 +687,8 @@ object EventQueries extends QueryModule {
         |           WHERE event_type = 'signup'),
         |c AS (SELECT event_id click_id, user_id, ts cts FROM events
         |      WHERE event_type = 'click'),
-        |wm AS (SELECT max(cts) - INTERVAL 1 DAY AS w FROM c),
+        |wm AS (SELECT least((SELECT max(sts) FROM s), (SELECT max(cts) FROM c))
+        |         - INTERVAL 1 DAY AS w),
         |j AS (SELECT s.signup_id, c.click_id, s.user_id, s.sts, c.cts
         |      FROM s LEFT JOIN c ON c.user_id = s.user_id
         |        AND c.cts >= s.sts AND c.cts < s.sts + INTERVAL 3 DAY)
