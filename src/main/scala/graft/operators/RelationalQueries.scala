@@ -664,6 +664,43 @@ object RelationalQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Data-quality expectation suite — the Deequ/Great-Expectations
+    * shape: N row-level constraints evaluated in ONE fact-table pass
+    * (each rule is a conditional count inside a single aggregate — no
+    * per-rule scan), reported as (rule, n_checked, n_violations,
+    * pass). Includes a cross-table referential rule (orders→customer
+    * orphans) whose anti-join side pre-aggregates to the key column
+    * only. Exact integers throughout.
+    */
+  private def dqChecks(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val perRow = li.agg(
+      count(lit(1)).as("n"),
+      count(when(col("l_quantity") <= 0, 1)).as("v_qty"),
+      count(when(col("l_extendedprice") < 0, 1)).as("v_price"),
+      count(when(!col("l_returnflag").isin("A", "N", "R"), 1)).as("v_flag"),
+      count(when(col("l_shipdate").isNull, 1)).as("v_shipnull"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, 1))
+        .as("v_disc"))
+    val orphans = Tables.orders(s, d).select(col("o_custkey"))
+      .join(Tables.customer(s, d).select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("v_orphan"))
+    val nOrders = Tables.orders(s, d).agg(count(lit(1)).as("n_o"))
+    perRow.crossJoin(orphans).crossJoin(nOrders)
+      .select(expr(
+        """stack(6,
+          |  'quantity_positive',        n,   v_qty,
+          |  'price_non_negative',       n,   v_price,
+          |  'returnflag_in_domain',     n,   v_flag,
+          |  'shipdate_not_null',        n,   v_shipnull,
+          |  'discount_in_unit_range',   n,   v_disc,
+          |  'orders_customer_fk',       n_o, v_orphan)
+          |AS (rule, n_checked, n_violations)""".stripMargin))
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy(col("rule"))
+  }
+
   /** FULL OUTER reconciliation join — the one join shape the surface
     * lacked (inner/left/semi/anti/asof/range/multiway are covered):
     * monthly order counts vs monthly ship counts, keeping months
@@ -842,6 +879,30 @@ object RelationalQueries extends QueryModule {
   }
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_dq_checks", dqChecks, Some(
+      """WITH li AS (SELECT count(*) n,
+        |    count(*) FILTER (l_quantity <= 0) v_qty,
+        |    count(*) FILTER (l_extendedprice < 0) v_price,
+        |    count(*) FILTER (l_returnflag NOT IN ('A','N','R')) v_flag,
+        |    count(*) FILTER (l_shipdate IS NULL) v_shipnull,
+        |    count(*) FILTER (l_discount < 0 OR l_discount > 1) v_disc
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) v_orphan FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |no AS (SELECT count(*) n_o FROM orders),
+        |u AS (
+        |  SELECT 'quantity_positive' AS "rule", n n_checked, v_qty n_violations
+        |    FROM li
+        |  UNION ALL SELECT 'price_non_negative', n, v_price FROM li
+        |  UNION ALL SELECT 'returnflag_in_domain', n, v_flag FROM li
+        |  UNION ALL SELECT 'shipdate_not_null', n, v_shipnull FROM li
+        |  UNION ALL SELECT 'discount_in_unit_range', n, v_disc FROM li
+        |  UNION ALL SELECT 'orders_customer_fk', no.n_o, fk.v_orphan
+        |    FROM no CROSS JOIN fk)
+        |SELECT "rule", CAST(n_checked AS BIGINT) AS n_checked,
+        |  CAST(n_violations AS BIGINT) AS n_violations,
+        |  n_violations = 0 AS pass
+        |FROM u ORDER BY "rule"""".stripMargin)),
     QueryDef("q_join_full_outer", joinFullOuter, Some(
       """WITH a AS (SELECT strftime(o_orderdate, '%Y-%m') ym, count(*) n_orders
         |           FROM orders GROUP BY 1),
