@@ -664,6 +664,48 @@ object RelationalQueries extends QueryModule {
       .limit(20)
   }
 
+  /** Skyline / Pareto-frontier query (Börzsönyi et al.) — customers
+    * not dominated on (total spend ↑, order count ↑): the classic
+    * multi-criteria operator, absent from SQL engines as a primitive.
+    * The naive form is an O(n²) dominance anti-join; here the 2-D case
+    * reduces to a SORTED SWEEP — a point survives iff its order count
+    * strictly exceeds the max over all STRICTLY-higher spends, and
+    * within its own spend only the max-order customers survive. The
+    * running max uses the same two-level bucket scheme as
+    * [[graft.Ranking]]: per-bucket maxima prefix-max on the
+    * |buckets|-sized frame (never a single-partition window over the
+    * data), the in-bucket window partitioned per bucket. All values
+    * exact (decimal spend, integer counts); ties → co-skyline, exactly
+    * the NOT EXISTS oracle's semantics.
+    */
+  private def skylineQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = graft.Checkpoint.pin(Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
+        count(lit(1)).as("n_orders")))
+    val perSpend = t.groupBy("spend").agg(max("n_orders").as("mo"))
+      .withColumn("bkt", floor(col("spend") / 100000).cast("long"))
+    val wB = Window.orderBy(col("bkt").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketPrior = perSpend.groupBy("bkt").agg(max("mo").as("bmo"))
+      .withColumn("prior_b", max("bmo").over(wB))
+      .select("bkt", "prior_b")
+    val wIn = Window.partitionBy("bkt").orderBy(col("spend").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val surviving = perSpend.join(bucketPrior, Seq("bkt"))
+      .withColumn("prior_in", max("mo").over(wIn))
+      .withColumn("m_gt", greatest(
+        coalesce(col("prior_in"), lit(Long.MinValue)),
+        coalesce(col("prior_b"), lit(Long.MinValue))))
+      .filter(col("mo") > col("m_gt"))
+      .select(col("spend"), col("mo").as("n_orders"))
+    t.join(surviving, Seq("spend", "n_orders"))
+      .select(col("o_custkey").as("custkey"),
+        col("spend").cast("double").as("spend"), col("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   /** Data-quality expectation suite — the Deequ/Great-Expectations
     * shape: N row-level constraints evaluated in ONE fact-table pass
     * (each rule is a conditional count inside a single aggregate — no
@@ -879,6 +921,17 @@ object RelationalQueries extends QueryModule {
   }
 
   override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_skyline", skylineQ, Some(
+      """WITH t AS (SELECT o_custkey,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) spend, count(*) n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT a.o_custkey AS custkey, CAST(a.spend AS DOUBLE) AS spend,
+        |  a.n_orders
+        |FROM t a WHERE NOT EXISTS (
+        |  SELECT 1 FROM t b
+        |  WHERE b.spend >= a.spend AND b.n_orders >= a.n_orders
+        |    AND (b.spend > a.spend OR b.n_orders > a.n_orders))
+        |ORDER BY custkey""".stripMargin)),
     QueryDef("q_dq_checks", dqChecks, Some(
       """WITH li AS (SELECT count(*) n,
         |    count(*) FILTER (l_quantity <= 0) v_qty,
