@@ -678,12 +678,20 @@ object RelationalQueries extends QueryModule {
     * exact (decimal spend, integer counts); ties → co-skyline, exactly
     * the NOT EXISTS oracle's semantics.
     */
-  private def skylineQ(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = graft.Checkpoint.pin(Tables.orders(s, d)
+  private def skylineQ(s: SparkSession, d: String): DataFrame =
+    skylineSweep(graft.Checkpoint.pin(Tables.orders(s, d)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("spend"),
-        count(lit(1)).as("n_orders")))
+        count(lit(1)).as("n_orders"))))
+      .orderBy(col("custkey"))
+
+  /** The sweep kernel over a (o_custkey, spend, n_orders) frame;
+    * exposed for the tie-semantics spec (co-skyline duplicates and
+    * equal-spend domination are the subtle cases, and the synthetic
+    * corpus need not exercise them).
+    */
+  private[graft] def skylineSweep(t: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perSpend = t.groupBy("spend").agg(max("n_orders").as("mo"))
       .withColumn("bkt", floor(col("spend") / 100000).cast("long"))
     val wB = Window.orderBy(col("bkt").desc)
@@ -703,7 +711,6 @@ object RelationalQueries extends QueryModule {
     t.join(surviving, Seq("spend", "n_orders"))
       .select(col("o_custkey").as("custkey"),
         col("spend").cast("double").as("spend"), col("n_orders"))
-      .orderBy(col("custkey"))
   }
 
   /** Data-quality expectation suite — the Deequ/Great-Expectations
