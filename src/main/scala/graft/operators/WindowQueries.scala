@@ -119,6 +119,35 @@ object WindowQueries extends QueryModule {
       .orderBy(col("p"))
   }
 
+  /** CUSUM changepoint per series — the sequential drift detector
+    * (the online counterpart of the KS source-drift entry, and the
+    * classic level-shift estimator behind the reference's early-warning
+    * intent): for each priority's monthly counts, the cumulative
+    * deviation from the series mean is kept EXACT by scaling —
+    * CUSUM_k = n·Σ_{i≤k}x_i − k·Σx (integers; no mean division) — and
+    * the changepoint is the month maximizing |CUSUM| (earliest on
+    * ties). One keyed window over the monthly aggregate (the unbounded
+    * n/S frames and the running sum share its single exchange); the
+    * argmax is a rank-1 filter, so everything is hash-exact.
+    */
+  private def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val wAll = Window.partitionBy("p")
+    val wRun = Window.partitionBy("p").orderBy("ym")
+    val scored = monthly(s, d)
+      .withColumn("nm", count(lit(1)).over(wAll))
+      .withColumn("tot", sum("n").over(wAll))
+      .withColumn("k", row_number().over(wRun))
+      .withColumn("cum", sum("n").over(wRun))
+      .withColumn("cusum", col("nm") * col("cum") - col("k") * col("tot"))
+    val wPick = Window.partitionBy("p")
+      .orderBy(abs(col("cusum")).desc, col("ym"))
+    scored.withColumn("rk", row_number().over(wPick))
+      .filter(col("rk") === 1)
+      .select(col("p"), col("ym").as("cp_month"),
+        abs(col("cusum")).as("max_abs_cusum"))
+      .orderBy(col("p"))
+  }
+
   /** O1/O2 — multi-column sort + top-k (ref: app.py:322, 472). */
   private def topkOrders(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -270,6 +299,22 @@ object WindowQueries extends QueryModule {
          |t AS (SELECT p, ym, n, lag(n,2) OVER (PARTITION BY p ORDER BY ym) AS n2,
          |      row_number() OVER (PARTITION BY p ORDER BY ym DESC) AS rn FROM m)
          |SELECT p, round((n - n2)/2.0, 2) AS slope FROM t WHERE rn = 1 ORDER BY p""".stripMargin)),
+    QueryDef("q_cusum_changepoint", cusumChangepoint, Some(
+      s"""$monthlyCte,
+         |t AS (SELECT p, ym,
+         |    count(*) OVER (PARTITION BY p) AS nm,
+         |    sum(n) OVER (PARTITION BY p) AS tot,
+         |    row_number() OVER w AS k,
+         |    sum(n) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |  FROM m WINDOW w AS (PARTITION BY p ORDER BY ym)),
+         |c AS (SELECT p, ym, CAST(nm*cum - k*tot AS BIGINT) AS cusum FROM t),
+         |r AS (SELECT p, ym, abs(cusum) AS a,
+         |    row_number() OVER (PARTITION BY p ORDER BY abs(cusum) DESC, ym)
+         |      AS rk
+         |  FROM c)
+         |SELECT p, ym AS cp_month, CAST(a AS BIGINT) AS max_abs_cusum
+         |FROM r WHERE rk = 1 ORDER BY p""".stripMargin)),
     QueryDef("q_regression_trend", regressionTrend, Some(
       s"""$monthlyCte,
          |a AS (SELECT p, count(*) AS cnt, sum(x) AS sx, sum(y) AS sy,
