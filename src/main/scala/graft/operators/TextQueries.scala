@@ -132,6 +132,59 @@ object TextQueries extends QueryModule {
         blockCols = Seq("lang"), n = 2, threshold = 0.8,
         cacheKey = Some(s"documents|$d")))
 
+  /** The dup-group components as a DuckDB CTE chain (recursive
+    * min-label closure over the exact n-gram pair SQL), shared by the
+    * groups entry and the representative-selection entry.
+    */
+  // def, not val: references toksSql, declared later in the file
+  // (object vals initialize in declaration order — a val here embeds
+  // "null" into the SQL).
+  private def ccGroupsOracleCte =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
+       |    ELSE list_distinct(list_transform(range(1, len(toks)),
+       |      i -> toks[i] || ' ' || toks[i+1])) END AS grams
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
+       |  WHERE len(toks) > 0),
+       |p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+       |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM p
+       |  UNION SELECT id_b, id_a FROM p
+       |  UNION SELECT id_a, id_a FROM p
+       |  UNION SELECT id_b, id_b FROM p),
+       |reach(src, dst) AS (
+       |  SELECT src, dst FROM sym
+       |  UNION
+       |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+       |comp AS (SELECT src AS doc_id, min(dst) AS component
+       |         FROM reach GROUP BY 1)""".stripMargin
+
+  /** Dup-group REPRESENTATIVE selection — the curation step after
+    * grouping: keep exactly one member per near-dup group by an
+    * explicit deterministic policy (longest document, smallest id on
+    * ties — the usual keep-the-most-complete-copy rule; the reference's
+    * keep-first is the degenerate id-only policy). One packed-struct
+    * max per group (map-side combinable hash aggregate — no per-group
+    * window over members), reading the SAME session-cached pair search
+    * as the groups entry.
+    */
+  private def dedupRepresentative(s: SparkSession, d: String): DataFrame =
+    ngramCcGroups(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy("component")
+      .agg(count(lit(1)).as("group_size"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("component"), (-col("best.nid")).as("kept_doc"),
+        col("best.n_chars").cast("long").as("kept_chars"),
+        col("group_size"))
+      .orderBy(col("component"))
+
   /** Soundness audit for the MinHash-LSH path, DuckDB-checkable even
     * though the LSH search itself is not SQL-expressible: every emitted
     * pair is re-verified with the INDEPENDENT plan-side set-Jaccard
@@ -925,29 +978,21 @@ object TextQueries extends QueryModule {
          |  CAST(n_matches AS BIGINT) AS n_matches
          |FROM r WHERE rn = 1""".stripMargin)),
     QueryDef("q_dedup_cc_groups", ngramCcGroups, Some(
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN len(toks) < 2 THEN [array_to_string(toks, ' ')]
-         |    ELSE list_distinct(list_transform(range(1, len(toks)),
-         |      i -> toks[i] || ' ' || toks[i+1])) END AS grams
-         |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)
-         |  WHERE len(toks) > 0),
-         |p AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
-         |        len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
-         |sym AS (
-         |  SELECT id_a AS src, id_b AS dst FROM p
-         |  UNION SELECT id_b, id_a FROM p
-         |  UNION SELECT id_a, id_a FROM p
-         |  UNION SELECT id_b, id_b FROM p),
-         |reach(src, dst) AS (
-         |  SELECT src, dst FROM sym
-         |  UNION
-         |  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src)
-         |SELECT src AS doc_id, min(dst) AS component
-         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)),
+      s"""$ccGroupsOracleCte
+         |SELECT doc_id, component FROM comp ORDER BY 1""".stripMargin)),
+    QueryDef("q_dedup_representative", dedupRepresentative, Some(
+      s"""$ccGroupsOracleCte,
+         |j AS (SELECT c.component, c.doc_id, d.n_chars
+         |      FROM comp c JOIN documents d USING (doc_id)),
+         |r AS (SELECT *,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY n_chars DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY component) AS gs
+         |  FROM j)
+         |SELECT component, doc_id AS kept_doc,
+         |  CAST(n_chars AS BIGINT) AS kept_chars,
+         |  CAST(gs AS BIGINT) AS group_size
+         |FROM r WHERE rk = 1 ORDER BY component""".stripMargin)),
     QueryDef("q_text_langid", langIdQuery, Some {
       s"""WITH h AS (SELECT doc_id, lang AS lbl,
          |    $langScoresSql
