@@ -35,7 +35,15 @@ import glob
 # (max/min of a triple) is machine-free evidence either way.
 CPU_HEALTHY = 0.075
 SCAN_HEALTHY = {"sf0.01": 0.25, "sf0.1": 0.35}
-PAR_HEALTHY = 0.20  # at 32 cpus; ~0.45 at 8
+
+
+def par_healthy(cpus):
+    """Parallel-channel healthy constant, cpu-aware to match
+    Bench.machineCondition exactly (round-15 advice: the fixed 0.20
+    here called a healthy 8-cpu ~0.42 triple a cap and printed a
+    spurious DISAGREES tag). Round-15 artifacts record "cpus"; older
+    ones default to the round-13 box's 32."""
+    return 0.20 if cpus >= 16 else 0.45
 
 
 def load(path):
@@ -80,13 +88,27 @@ def main():
     prior = load(args[1]) if len(args) > 1 else None
 
     print(f"artifact: {args[0]}  total={cur['value']} s  sf={cur.get('sf')}")
+    cpus = cur.get("cpus", 32)
     cpu = triple(cur, "sentinel")
     scan = triple(cur, "scan_sentinel")
     par = triple(cur, "par_sentinel")
     print(describe("cpu sentinel", cpu, CPU_HEALTHY))
     print(describe("scan sentinel", scan,
                    SCAN_HEALTHY.get(cur.get("sf", ""), 0.3)))
-    print(describe("par sentinel", par, PAR_HEALTHY))
+    print(describe("par sentinel", par, par_healthy(cpus)))
+    # Round-15: persisted-store warmth. Every "cold" name is a
+    # one-time index/digest/component-store build some timed entry
+    # paid (fp-* -> q_dedup_*store, ivf-/lsh- -> q_vector_*,
+    # cc- -> q_dedup_cc_store, stream- -> q_stream_*): discount those
+    # entries before calling a vs-prior delta a regression.
+    stores = cur.get("stores")
+    if stores is not None:
+        cold = stores.get("cold", [])
+        print(f"  stores         : warm={stores.get('warm')} "
+              f"cold_n={stores.get('cold_n')} cold={cold}")
+        if cold:
+            print("                   ^ entries reading these paid a "
+                  "cold one-time build inside their timed reps")
     if cur.get("reps_hist"):
         print(f"  reps           : default={cur.get('reps_default')} "
               f"hist={cur.get('reps_hist')} "
@@ -102,7 +124,7 @@ def main():
         causes.append("CPU-side load")
     if inflated(scan, SCAN_HEALTHY.get(cur.get("sf", ""), 0.3)):
         causes.append("I/O-side load")
-    if inflated(par, PAR_HEALTHY):
+    if inflated(par, par_healthy(cpus)):
         causes.append("parallel-throughput cap")
     no_evidence = cpu is None and scan is None and par is None
     print("machine condition:",
@@ -138,8 +160,11 @@ def main():
             label = ("GENUINE regression suspects vs prior (>1.5x with "
                      "every channel flat)")
         print(f"{label}: {len(sus)}")
+        cold_n = (cur.get("stores") or {}).get("cold_n", 0)
         for d, k, a, b in sus[:10]:
-            print(f"  {k:28s} {a:6.2f} -> {b:6.2f}  (+{d:.2f})")
+            tag = (" [cold-store build?]" if cold_n and k.startswith(
+                ("q_vector_", "q_dedup_", "q_stream_")) else "")
+            print(f"  {k:28s} {a:6.2f} -> {b:6.2f}  (+{d:.2f}){tag}")
     return 0
 
 

@@ -23,7 +23,7 @@ object IndexDirs {
   private def sanitize(s: String): String =
     s.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  private[vector] def root: String =
+  private[graft] def root: String =
     sys.props.get("graft.index.root")
       .orElse(sys.env.get("GRAFT_INDEX_ROOT"))
       .getOrElse(sys.props("java.io.tmpdir") + "/graft-index-" +

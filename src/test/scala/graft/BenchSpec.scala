@@ -51,7 +51,8 @@ class BenchSpec extends AnyFunSuite {
       parSentinel = Seq(0.330, 0.341, 0.328),
       repsUsed = Map("q_a" -> 2, "q_b" -> 4, "q_c" -> 3),
       rechecked = Set("q_b"),
-      repsDefault = 2, sfTag = "sf0.1", cpus = 32)
+      repsDefault = 2, sfTag = "sf0.1", cpus = 32,
+      storesWarm = 3, coldStores = Seq("fp-~-doc_id-text-k64-b16-n5"))
     // The self-adjudication fields (round-12 verdict item 1): the raw
     // CPU and scan sentinel triples, the rep-count histogram over all
     // entries, and per-entry detail for the cross-round-distrusted set.
@@ -62,6 +63,16 @@ class BenchSpec extends AnyFunSuite {
     // just the evidence — par max 0.341 > 1.5x the 0.20 healthy
     // constant at 32 cpus, both other channels flat.
     assert(line.contains(""""machine_condition":"par_cap""""))
+    // Round-15: the par threshold is cpu-aware on both sides — the
+    // artifact must record the cpu count so bench_adjudicate.py can
+    // apply the same constant instead of guessing 32.
+    assert(line.contains(""""cpus":32"""))
+    // Round-15 (r14 verdict item 1): persisted-store warmth. `warm`
+    // stores existed before the first timed entry; `cold` ones were
+    // built DURING the run inside some entry's timed reps — the
+    // cold-store tax a judge must be able to split from code speed.
+    assert(line.contains(
+      """"stores":{"warm":3,"cold_n":1,"cold":["fp-~-doc_id-text-k64-b16-n5"]}"""))
     assert(line.contains(""""reps_default":2"""))
     assert(line.contains(""""reps_hist":{"2":1,"3":1,"4":1}"""))
     assert(line.contains(""""rechecked_n":1"""))
@@ -72,6 +83,21 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.parsePriorArtifact(line) ===
       Map("q_a" -> 3.42, "q_b" -> 0.33, "q_c" -> 0.05))
     assert(line.contains(""""sf":"sf0.1""""))
+  }
+
+  test("store names compact the dataset key for the artifact budget") {
+    assert(Bench.compactStoreName(
+      "fp-_root_testdata_sf0.1-doc_id-text-k64-b16-n5",
+      "/root/testdata/sf0.1") === "fp-~-doc_id-text-k64-b16-n5")
+    // A sibling-SF key (the cc-evolution rehearsal stores) folds its
+    // shared parent dir instead of printing the whole sanitized path.
+    assert(Bench.compactStoreName(
+      "cc-_root_testdata_sf0.001_ccevo-doc_id-text-k32-b8-n3-t0.5-mb100",
+      "/root/testdata/sf0.1")
+      === "cc-~_sf0.001_ccevo-doc_id-text-k32-b8-n3-t0.5-mb100")
+    // A name without either key passes through untouched.
+    assert(Bench.compactStoreName("cc-other-k9", "/root/testdata/sf0.1")
+      === "cc-other-k9")
   }
 
   test("machine-condition verdict mirrors the adjudicator's thresholds") {
