@@ -115,7 +115,7 @@ object SketchQueries extends QueryModule {
     * zero-init fold since 0·31 + c₁ = c₁). Products stay < 2³⁶, far
     * inside the long range.
     */
-  private def polyHash(c: org.apache.spark.sql.Column) =
+  private[operators] def polyHash(c: org.apache.spark.sql.Column) =
     aggregate(
       transform(sequence(lit(1), length(c)),
         i => ascii(c.substr(i, lit(1))).cast("long")),
