@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnalyticsQueries, BpeQueries, CurationQueries,
-  EventQueries, LinkageQueries, MlQueries, RelationalQueries, SketchQueries,
-  TextQueries, VectorQueries, WindowQueries}
+  EventQueries, GraphQueries, LinkageQueries, MlQueries, RelationalQueries,
+  SketchQueries, TextQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -26,7 +26,8 @@ object SparkEntry {
     VectorQueries,
     MlQueries,
     LinkageQueries,
-    BpeQueries
+    BpeQueries,
+    GraphQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {

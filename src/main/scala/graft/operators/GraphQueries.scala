@@ -1,0 +1,224 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative / combinatorial graph analytics over the part
+  * co-occurrence graph (parts are connected when they ship in the same
+  * order) — the family q_graph_bfs opened in round 14, completed here
+  * with the canonical second and third operators: exact triangle
+  * counting and PageRank. Reference justification: the LLM-pipeline
+  * brief's graph-analysis family (link/citation graphs over training
+  * corpora); the reference itself has no graph surface
+  * (`core/analytics.py` stops at tabular stats), so these are
+  * beyond-parity operators in the 100 TB posture.
+  *
+  * Both operators are EXACT-INTEGER end to end, so the full outputs
+  * hash-check against DuckDB re-derivations.
+  */
+object GraphQueries extends QueryModule {
+
+  /** Distinct undirected co-occurrence edges (u < v), via the same
+    * width-bounded map-side basket expansion as q_graph_bfs /
+    * q_basket_pairs: per-order part sets explode to ordered pairs, so
+    * the shuffle carries candidate edges, never a quadratic join
+    * residual. The distinct IS needed here (unlike the BFS adjacency,
+    * where duplicates dedup inside the bucket fold): triangle wedges
+    * and PageRank contributions would otherwise double-count
+    * multi-order edges.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey").isNotNull)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .groupBy("okey").agg(collect_set(col("pk")).as("ps"))
+      .select(explode_outer(flatten(transform(col("ps"), x =>
+        transform(col("ps"), y => struct(x.as("u"), y.as("v"))))))
+        .as("pr"))
+      .filter(col("pr").isNotNull && col("pr.u") < col("pr.v"))
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .distinct()
+
+  /** Exact per-part triangle counts — the degree-ordered oriented
+    * wedge join (the "compact-forward" shape): every undirected edge
+    * is oriented from its lower-(degree, id) endpoint to the higher
+    * one, wedges are built by ONE equi-self-join of the oriented list
+    * on the shared source, and each wedge closes iff its (ordered)
+    * far pair is itself an oriented edge — one membership semi-join.
+    * Orientation is what makes this the 100 TB shape: a hub's wedges
+    * are built only from its few LOWER-ordered neighbors (out-degree
+    * is O(√E) after orientation), so the wedge join never explodes
+    * around power-law hubs the way the naive unoriented self-join
+    * does. Each triangle is found exactly once (apex = its
+    * minimum-order vertex) and credited to all three corners.
+    */
+  private def graphTriangles(s: SparkSession, d: String): DataFrame =
+    triangleCounts(coEdges(s, d))
+
+  /** The oriented-wedge kernel over an undirected edge set (u < v per
+    * row, distinct), exposed for the combinatorial spec (K4, paths,
+    * hub stars). Pins: the edge set feeds the degree pass and the
+    * orientation join (2 consumers), the oriented list feeds both
+    * wedge legs and the membership probe (3 consumers) — each is
+    * materialized once, |E|-bounded.
+    */
+  private[graft] def triangleCounts(eRaw: DataFrame): DataFrame = {
+    val e = graft.Checkpoint.pin(eRaw)
+    val deg = e.select(col("u").as("pk"))
+      .unionByName(e.select(col("v").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("dg"))
+    // Total orientation order: (degree, id) — acyclic by construction,
+    // so the oriented edge list is a DAG and every triangle has a
+    // unique minimum (apex).
+    val before = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = graft.Checkpoint.pin(
+      e.join(deg.select(col("pk").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("pk").as("v"), col("dg").as("dv")), Seq("v"))
+        .select(
+          when(before, col("u")).otherwise(col("v")).as("src"),
+          when(before, col("v")).otherwise(col("u")).as("dst"),
+          when(before, col("dv")).otherwise(col("du")).as("ddg")))
+    // EXPLICIT partition count on the wedge legs: AQE sizes the
+    // exchange from the |E|-row input flowing through it and cannot
+    // see the ~35x wedge fan-out above, so it coalesces the self-join
+    // to a handful of tasks (the documented O(block²) trap). A
+    // user-specified count is respected.
+    val np = eRaw.sparkSession.sparkContext.defaultParallelism
+    val w1 = oriented.repartition(np, col("src"))
+      .select(col("src"), col("dst").as("b"), col("ddg").as("bdg"))
+    val w2 = oriented.repartition(np, col("src"))
+      .select(col("src"), col("dst").as("c"), col("ddg").as("cdg"))
+    // Wedge legs ordered by the SAME orientation order, so the far
+    // pair (b, c) is probed exactly as the oriented edge (b -> c)
+    // would have been written.
+    val wedges = w1.join(w2, Seq("src"))
+      .filter(col("bdg") < col("cdg") ||
+        (col("bdg") === col("cdg") && col("b") < col("c")))
+    val tri = wedges
+      .join(oriented.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      .select(col("src").as("a"), col("b"), col("c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("part_key"))
+      .groupBy("part_key").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("part_key")
+  }
+
+  /** PageRank fixed-point arithmetic scale: ranks are BIGINT
+    * multiples of 10⁻¹², so every step (div by out-degree, sum of
+    * contributions, damping 85/100, teleport 15/100/N) is exact
+    * integer arithmetic — order-independent, bit-identical in DuckDB
+    * (`//`), no float fold discipline needed. The q_cusum_changepoint
+    * scaled-integer trick applied to an iterative algorithm.
+    */
+  private val PrScale = 1000000000000L
+  private val PrIters = 3
+
+  /** PageRank (damping 0.85, [[PrIters]] iterations) over the
+    * SYMMETRIC part co-occurrence graph. The vertex set is the edge
+    * endpoints, so every vertex has out-degree ≥ 1 by construction —
+    * no dangling-mass redistribution term. Each iteration is the
+    * canonical distributed shape: one equi-join of the rank frame
+    * against the pinned edge list, a map-side-combined contribution
+    * sum per destination, and a |V|-row rebuild; the rank frame is
+    * pinned per iteration so iteration k never replays 1..k-1.
+    * Integer floor-division everywhere (see [[PrScale]]) keeps the
+    * full |V|-row labeling hash-checkable against DuckDB's unrolled
+    * CTE — both engines compute literally the same longs.
+    */
+  private def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    // Both directions: the undirected (u < v) set expands to the
+    // symmetric directed edge list the contribution join walks.
+    val ed = graft.Checkpoint.pin(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
+    val vtx = graft.Checkpoint.pin(
+      ed.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    // |V| is the one driver-side scalar (a 1-row count, the same
+    // budget class as the BFS seed).
+    val n = vtx.count()
+    require(n > 0, "pagerank: empty co-occurrence graph")
+    val teleport = (PrScale * 15L / 100L) / n
+    var rank = graft.Checkpoint.pin(
+      vtx.select(col("src").as("pk"), lit(PrScale / n).as("r")))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed
+        .join(vtx, Seq("src"))
+        .join(rank.withColumnRenamed("pk", "src"), Seq("src"))
+        .select(col("dst"), expr("r div outdeg").as("w"))
+        .groupBy("dst").agg(sum(col("w")).as("c"))
+      rank = graft.Checkpoint.pin(
+        vtx.select(col("src").as("pk"))
+          .join(contrib.withColumnRenamed("dst", "pk"), Seq("pk"), "left")
+          .select(col("pk"),
+            (lit(teleport) + expr("(85 * coalesce(c, 0L)) div 100"))
+              .as("r")))
+    }
+    rank.select(col("pk").as("part_key"), col("r").as("rank_scaled"))
+      .orderBy("part_key")
+  }
+
+  /** Shared oracle prelude: the distinct undirected co-occurrence
+    * edge set, exactly as [[coEdges]] derives it.
+    */
+  private val edgesSql =
+    """li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+      |       FROM lineitem WHERE l_orderkey IS NOT NULL),
+      |e AS (SELECT DISTINCT a.pk u, b.pk v
+      |      FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk)""".stripMargin
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_graph_triangles", graphTriangles, Some(
+      s"""WITH $edgesSql,
+         |deg AS (SELECT pk, count(*) dg FROM (
+         |    SELECT u pk FROM e UNION ALL SELECT v pk FROM e) t GROUP BY 1),
+         |o AS (SELECT
+         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+         |         THEN e.u ELSE e.v END src,
+         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+         |         THEN e.v ELSE e.u END dst
+         |  FROM e JOIN deg du ON du.pk = e.u JOIN deg dv ON dv.pk = e.v),
+         |od AS (SELECT o.src, o.dst, dv.dg ddg
+         |       FROM o JOIN deg dv ON dv.pk = o.dst),
+         |tri AS (SELECT w1.src a, w1.dst b, w2.dst c
+         |  FROM od w1 JOIN od w2 ON w1.src = w2.src
+         |    AND (w1.ddg < w2.ddg OR (w1.ddg = w2.ddg AND w1.dst < w2.dst))
+         |  WHERE EXISTS (SELECT 1 FROM o
+         |                WHERE o.src = w1.dst AND o.dst = w2.dst)),
+         |x AS (SELECT a pk FROM tri UNION ALL SELECT b FROM tri
+         |      UNION ALL SELECT c FROM tri)
+         |SELECT pk AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
+         |FROM x GROUP BY 1 ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_pagerank", graphPagerank, Some(
+      s"""WITH $edgesSql,
+         |ed AS (SELECT u src, v dst FROM e
+         |       UNION ALL SELECT v src, u dst FROM e),
+         |vtx AS (SELECT src, CAST(count(*) AS BIGINT) outdeg
+         |        FROM ed GROUP BY 1),
+         |n AS (SELECT count(*) n FROM vtx),
+         |r0 AS (SELECT src pk, 1000000000000 // n.n AS r
+         |       FROM vtx CROSS JOIN n),
+         |c1 AS (SELECT ed.dst pk, CAST(sum(r0.r // vtx.outdeg) AS BIGINT) c
+         |       FROM ed JOIN vtx USING (src) JOIN r0 ON r0.pk = ed.src
+         |       GROUP BY 1),
+         |r1 AS (SELECT vtx.src pk,
+         |    (150000000000 // n.n) + (85 * coalesce(c1.c, 0)) // 100 AS r
+         |  FROM vtx CROSS JOIN n LEFT JOIN c1 ON c1.pk = vtx.src),
+         |c2 AS (SELECT ed.dst pk, CAST(sum(r1.r // vtx.outdeg) AS BIGINT) c
+         |       FROM ed JOIN vtx USING (src) JOIN r1 ON r1.pk = ed.src
+         |       GROUP BY 1),
+         |r2 AS (SELECT vtx.src pk,
+         |    (150000000000 // n.n) + (85 * coalesce(c2.c, 0)) // 100 AS r
+         |  FROM vtx CROSS JOIN n LEFT JOIN c2 ON c2.pk = vtx.src),
+         |c3 AS (SELECT ed.dst pk, CAST(sum(r2.r // vtx.outdeg) AS BIGINT) c
+         |       FROM ed JOIN vtx USING (src) JOIN r2 ON r2.pk = ed.src
+         |       GROUP BY 1),
+         |r3 AS (SELECT vtx.src pk,
+         |    (150000000000 // n.n) + (85 * coalesce(c3.c, 0)) // 100 AS r
+         |  FROM vtx CROSS JOIN n LEFT JOIN c3 ON c3.pk = vtx.src)
+         |SELECT pk AS part_key, CAST(r AS BIGINT) AS rank_scaled
+         |FROM r3 ORDER BY part_key""".stripMargin))
+  )
+}

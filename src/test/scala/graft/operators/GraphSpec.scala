@@ -46,6 +46,51 @@ class GraphSpec extends AnyFunSuite {
     assert(smallRows.length == 1 && smallRows.head._2.toSet == Set(1L, 2L, 3L))
   }
 
+  test("triangle counts: cliques, paths, and open stars") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      GraphQueries.triangleCounts(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every vertex sits on C(3,2)=3 triangles; 4 triangles total.
+    val k4 = for (a <- 0L to 3L; b <- (a + 1) to 3L) yield (a, b)
+    assert(tri(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // A path has wedges but no closure: empty output, not zeros.
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === Map.empty)
+    // A hub star is triangle-free until one rim edge closes it; the
+    // closure credits exactly the hub and the two rim ends. The hub
+    // has the max degree, so every star edge orients rim -> hub and
+    // the wedge apex is a rim vertex — the degree-ordering path.
+    val star = (1L to 5L).map(r => (r, 10L))
+    assert(tri(star) === Map.empty)
+    assert(tri(star :+ (1L, 2L)) === Map(10L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("pagerank conserves scaled mass and respects degree/symmetry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pr")
+    try {
+      // Orders {1,2,3} and {3,4}: vertex 3 has the highest degree;
+      // 1 and 2 are symmetric and must get IDENTICAL integer ranks.
+      Seq((10L, 1L), (10L, 2L), (10L, 3L), (20L, 3L), (20L, 4L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = graft.SparkEntry.queries("q_graph_pagerank")(
+        spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.keySet === Set(1L, 2L, 3L, 4L))
+      assert(out(1L) === out(2L))
+      assert(out(3L) === out.values.max)
+      // Floor divisions only LOSE sub-unit mass: the total stays
+      // within 1% of the 10^12 scale after 3 damped iterations.
+      val total = out.values.sum
+      assert(total <= 1000000000000L && total > 990000000000L,
+        s"mass drifted: $total")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("BFS returns the empty labeling on an all-null part key") {
     // Round-15 advice: the seed extraction used to NPE out of getLong
     // when min(pk) was null; it must return an empty frame instead.
