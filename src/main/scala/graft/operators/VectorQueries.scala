@@ -667,6 +667,21 @@ object VectorQueries extends QueryModule {
       .select(col("method"), col("recall_at_10"), col("floor"))
   }
 
+  /** DEDICATED single-probe IVF recall floor (round-15 verdict item 6:
+    * the batch IVF probe had its own floor but the interactive one was
+    * only floored inside the combined q_vector_ann_floor — this entry
+    * restores the per-index symmetry). Same session-cached recall
+    * measurement, same persisted k=16 index the batch floor shares,
+    * zero extra searches; emits the violation, the oracle asserts
+    * EMPTY.
+    */
+  private def ivfRecallFloor(s: SparkSession, d: String): DataFrame =
+    annRecall(s, d)
+      .filter(col("method") === "ivf")
+      .withColumn("floor", lit(0.8))
+      .filter(col("recall_at_10") < col("floor"))
+      .select(col("method"), col("recall_at_10"), col("floor"))
+
   /** Per-vector int8 dequantization error ([[VectorOps.quantizeError]]);
     * the oracle recomputes the whole quantizer in SQL — per-dim ranges
     * via DuckDB's lock-step parallel unnest, identical arithmetic order
@@ -705,6 +720,10 @@ object VectorQueries extends QueryModule {
         |  CAST(NULL AS DOUBLE) AS max_err WHERE FALSE""".stripMargin)),
     QueryDef("q_vector_ann_recall", annRecall, None),
     QueryDef("q_vector_ann_floor", annRecallFloor, Some(
+      """SELECT CAST(NULL AS VARCHAR) AS method,
+        |  CAST(NULL AS DOUBLE) AS recall_at_10,
+        |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
+    QueryDef("q_vector_ivf_floor", ivfRecallFloor, Some(
       """SELECT CAST(NULL AS VARCHAR) AS method,
         |  CAST(NULL AS DOUBLE) AS recall_at_10,
         |  CAST(NULL AS DOUBLE) AS floor WHERE FALSE""".stripMargin)),
