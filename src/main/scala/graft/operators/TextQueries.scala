@@ -410,13 +410,22 @@ object TextQueries extends QueryModule {
     * (the append-only `edges` dataset) must equal [[ComponentStore
     * .resolve]]'s members⋈remap view EXACTLY — any drift is a bug in
     * the union-find/remap persistence algebra, which is the novel
-    * part. Emits differing rows; the oracle asserts EMPTY.
+    * part. The log is UNIONED with the bounded pre-fold witness
+    * sample (round-15): after an edge-log fold the star alone derives
+    * from the store's own members, so the witness pairs — raw
+    * accepted edges sampled before folding — are what keeps this
+    * audit independently binding over pre-fold history (a mis-folded
+    * star would cross-link witness pairs into the wrong components
+    * and the re-derivation would diverge). Emits differing rows; the
+    * oracle asserts EMPTY.
     */
   private def dedupCcStoreSound(s: SparkSession, d: String): DataFrame = {
     val resolved = dedupCcStore(s, d)
       .select(col("doc_id"), col("component"))
     val ref = graft.text.DedupJobs.connectedComponents(
-      graft.text.ComponentStore.storedEdges(s, ccStoreDir(d)))
+      graft.text.ComponentStore.storedEdges(s, ccStoreDir(d))
+        .unionByName(
+          graft.text.ComponentStore.witnessEdges(s, ccStoreDir(d))))
       .select(col("doc_id"), col("component"))
     val keys = Seq("doc_id", "component")
     resolved.join(ref, keys, "left_anti")

@@ -35,6 +35,13 @@ import graft.vector.PersistedLayout
   *     compacted size by [[edgeFoldSlackDefault]] — bounded by
   *     members + slack + batch instead of growing for the store's
   *     lifetime.
+  *   - `edges_witness` (id_a, id_b): BOUNDED pseudo-random reservoir
+  *     of raw accepted pairs sampled at each fold (round-15) — the
+  *     spanning star is derived from the store's own members, so
+  *     audits over it alone are self-referential for pre-fold
+  *     history; witness pairs give the `_sound` audit back a bounded
+  *     independent check there (every witness pair must still resolve
+  *     into one component).
   *   - `ids` (doc_id): the fingerprinted roster (all non-null-text
   *     docs, paired or not) — the append path's growth detector.
   *
@@ -335,11 +342,36 @@ object ComponentStore {
     delta.select(col(idCol)).write.mode("append").parquet(s"$dir/ids")
     // Edge-log fold LAST (it reads resolve(), which needs the remap
     // just written): compact once the log exceeds its spanning size by
-    // more than the slack. Both counts are parquet metadata reads.
-    val edgeCount = spark.read.parquet(s"$dir/edges").count()
-    val memberCount = spark.read.parquet(s"$dir/members").count()
+    // more than the slack. Both counts come straight from the parquet
+    // FOOTERS (round-15 advice: `read.parquet(...).count()` launches a
+    // Spark job per store dataset per append even when no fold fires —
+    // the footer row counts are the same numbers for free).
+    val edgeCount = footerRowCount(spark, s"$dir/edges")
+    val memberCount = footerRowCount(spark, s"$dir/members")
     if (edgeCount - memberCount > edgeFoldSlack.toLong)
       foldEdges(spark, dir, idCol)
+  }
+
+  /** Exact row count of a parquet dataset from its file footers — a
+    * driver-side metadata read (one footer per data file, no Spark
+    * job). Parquet footers record the row count per row group, so the
+    * sum is exact for any dataset; a missing dir reads as 0 (a store
+    * that has not appended that dataset yet).
+    */
+  private[text] def footerRowCount(spark: SparkSession,
+      dir: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return 0L
+    fs.listStatus(p).iterator
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map { st =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromStatus(st, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
   }
 
   /** Fold the accepted-edge log to the spanning STAR of the resolved
@@ -353,19 +385,61 @@ object ComponentStore {
     */
   private def foldEdges(spark: SparkSession, dir: String,
       idCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(dir, "edges")
+    // Pre-fold WITNESS first (round-15 verdict item 8): a BOUNDED
+    // deterministic reservoir of the RAW accepted pairs being folded
+    // away — merged with any prior witness, deduped, and re-capped by
+    // a pseudo-random (xxhash64) order so the sample spreads over the
+    // store's whole history instead of favoring low ids. The `_sound`
+    // audit unions these into its ground truth, so it keeps
+    // INDEPENDENT force over pre-fold history (the star alone is
+    // derived from the store's own members — self-referential for
+    // everything folded before this session). Crash window: the
+    // witness lands before the star swap, so a torn fold leaves
+    // either (raw log + refreshed witness) or the fully folded pair —
+    // both consistent.
+    val witness = spark.read.parquet(live.toString)
+      .unionByName(witnessEdges(spark, dir))
+      .distinct()
+      .orderBy(xxhash64(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
+      .limit(witnessCap)
+    val wLive = new org.apache.hadoop.fs.Path(dir, "edges_witness")
+    val wStaging = new org.apache.hadoop.fs.Path(dir, "edges_witness__folding")
+    if (fs.exists(wStaging)) fs.delete(wStaging, true)
+    witness.write.parquet(wStaging.toString)
+    if (fs.exists(wLive)) fs.delete(wLive, true)
+    require(fs.rename(wStaging, wLive),
+      s"could not rename $wStaging into $wLive")
     val star = resolve(spark, dir, idCol)
       .filter(col(idCol) =!= col("component"))
       .select(col("component").cast("long").as("id_a"),
         col(idCol).cast("long").as("id_b"))
-    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(dir, "edges")
     val staging = new org.apache.hadoop.fs.Path(dir, "edges__folding")
     if (fs.exists(staging)) fs.delete(staging, true)
     star.write.parquet(staging.toString)
     fs.delete(live, true)
     require(fs.rename(staging, live),
       s"could not rename $staging into $live")
+  }
+
+  /** Witness-sample bound: one parquet-file-sized slab of pair rows —
+    * the same budget class as [[edgeFoldSlackDefault]], kept flat for
+    * the store's lifetime (each fold re-caps the merged sample).
+    */
+  private val witnessCap = 4096
+
+  /** The bounded pre-fold witness sample ([[foldEdges]]); empty until
+    * the first fold. Audits should union this with [[storedEdges]] —
+    * witness pairs were genuinely accepted pre-fold, so they must
+    * still land inside one resolved component each.
+    */
+  def witnessEdges(spark: SparkSession, dir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(dir, "edges_witness")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(p.toString)
+    else spark.range(0).select(col("id").as("id_a"), col("id").as("id_b"))
   }
 
   /** Fold the remap into `members`: rewrite every member's orig_root

@@ -223,8 +223,13 @@ class ComponentStorePropertySpec extends AnyFunSuite {
         ccDir, store, K, B, N, T, maxBucket = 1000, edgeFoldSlack = 0)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == fromScratch(docs), s"seed=$seed $label diverged")
+      // Mirror the driver audit exactly (round-15): the log UNIONED
+      // with the pre-fold witness sample must re-derive the same
+      // components — the witness is what stays independently binding
+      // over history the star has folded away.
       val fromEdges = DedupJobs.connectedComponents(
-        ComponentStore.storedEdges(spark, ccDir))
+        ComponentStore.storedEdges(spark, ccDir)
+          .unionByName(ComponentStore.witnessEdges(spark, ccDir)))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(fromEdges == got, s"seed=$seed $label: edge log drifted")
       ()
@@ -249,5 +254,17 @@ class ComponentStorePropertySpec extends AnyFunSuite {
       foldedOnce = foldedOnce || e < m
     }
     assert(foldedOnce, s"seed=$seed: fold never observed")
+    // The fold left a bounded, non-empty raw-pair witness: every
+    // sampled pair is a genuine pre-fold acceptance, and the cap keeps
+    // the sample one slab-sized regardless of how many folds ran.
+    val witness = ComponentStore.witnessEdges(spark, ccDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(witness.nonEmpty, s"seed=$seed: fold left no witness sample")
+    assert(witness.length <= 4096)
+    val comp = fromScratch(df(corpus)).toMap
+    witness.foreach { case (a, b) =>
+      assert(comp.get(a).nonEmpty && comp(a) == comp(b),
+        s"seed=$seed: witness pair ($a,$b) does not co-resolve")
+    }
   }
 }

@@ -262,4 +262,19 @@ class ComponentStoreSpec extends AnyFunSuite {
     assert(resolved.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       == Set((1L, 1L), (4L, 1L), (2L, 1L), (7L, 1L)))
   }
+
+  test("footer row counts match count() across appends, without a job") {
+    // The fold trigger reads these every append (round-15 advice:
+    // the old read.parquet().count() was two Spark jobs per append);
+    // the footer sum must stay exact across multi-file appends, and a
+    // dataset that never appended reads as zero.
+    val tmp = java.nio.file.Files.createTempDirectory("ccfooter").toString
+    import spark.implicits._
+    Seq(1L, 2L, 3L).toDF("x").write.parquet(s"$tmp/ds")
+    Seq(4L, 5L).toDF("x").repartition(2)
+      .write.mode("append").parquet(s"$tmp/ds")
+    assert(ComponentStore.footerRowCount(spark, s"$tmp/ds") ===
+      spark.read.parquet(s"$tmp/ds").count())
+    assert(ComponentStore.footerRowCount(spark, s"$tmp/missing") === 0L)
+  }
 }
