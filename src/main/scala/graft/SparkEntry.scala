@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnalyticsQueries, BpeQueries, CurationQueries,
   EventQueries, GraphQueries, LinkageQueries, MlQueries, RelationalQueries,
-  SketchQueries, TextQueries, VectorQueries, WindowQueries}
+  SketchQueries, TextQueries, TopicQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -27,7 +27,8 @@ object SparkEntry {
     MlQueries,
     LinkageQueries,
     BpeQueries,
-    GraphQueries
+    GraphQueries,
+    TopicQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {

@@ -1,0 +1,182 @@
+package graft.operators
+
+import graft.{QueryDef, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Topic-model-shaped corpus structuring — the last operator family
+  * the LLM-pipeline brief lists that the surface lacked: cluster the
+  * document corpus in TERM space and report each cluster as its
+  * top-weight terms ("topics"), the k-means/NMF-style shape used for
+  * corpus exploration and mixture balancing before training.
+  *
+  * The whole computation is EXACT-INTEGER (the scaled-integer
+  * discipline of q_cusum_changepoint / q_graph_pagerank applied to
+  * Lloyd's algorithm), so the full topic table hash-checks against a
+  * DuckDB re-derivation — no float fold ordering anywhere:
+  *
+  *  - doc vectors are raw term COUNTS over a top-[[TopicVocab]]
+  *    pruned vocabulary (ties by term — deterministic);
+  *  - centroids are BIGINT multiples of 1/[[TopicScale]]: the rebuild
+  *    `floor(S * sum(x_t) / n_k)` is integer floor-division;
+  *  - squared Euclidean distance expands to
+  *    `S²·‖x‖² − 2S·⟨x,c⟩ + ‖c‖²` — three integer moments, summed
+  *    exactly in any order;
+  *  - assignment is the packed-struct argmin `min((d2, topic))`
+  *    (ties to the lower topic id — deterministic).
+  *
+  * Scale posture: the corpus-sized work per iteration is ONE
+  * broadcast join of the doc-term frame against the K·V-row centroid
+  * table (config-bounded — the legitimate broadcast case) plus
+  * map-side-combined aggregates; the doc-term frame and the per-doc
+  * moments are pinned once and reused by every iteration. Driver
+  * state is the K anchor ids — nothing data-sized.
+  */
+object TopicQueries extends QueryModule {
+
+  /** Pruned vocabulary size (top terms by corpus frequency). */
+  private val TopicVocab = 64
+
+  /** Cluster count. */
+  private val TopicK = 4
+
+  /** Lloyd iterations after the anchor init. */
+  private val TopicIters = 2
+
+  /** Fixed-point scale for centroid coordinates. 10⁴ keeps every
+    * moment far inside BIGINT: with per-doc term counts up to ~10³,
+    * S²·‖x‖² ≤ 10⁸·V·10⁶ ≈ 10¹⁶ and 2S·⟨x,c⟩ ≤ 2·10⁴·V·10³·10⁷ ≈ 10¹⁶.
+    */
+  private val TopicScale = 10000L
+
+  /** (doc_id, t, x): term counts over the pruned vocabulary. The
+    * vocabulary is a TakeOrdered (never a global sort) and joins back
+    * by broadcast — V rows, config-bounded.
+    */
+  private def docTerms(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextFunctions.tokens
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
+      .filter(col("t").isNotNull)
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cf"))
+      .orderBy(desc("cf"), asc("t")).limit(TopicVocab)
+      .select("t")
+    tok.join(broadcast(vocab), Seq("t"), "left_semi")
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("x"))
+  }
+
+  /** Final topic table: (topic, rk, term, weight_scaled, n_docs) —
+    * the top-5 centroid terms per topic after [[TopicIters]] exact
+    * Lloyd steps from the anchor-document init (the K largest docs by
+    * pruned-token mass, ties by id — the deterministic seeding). Docs
+    * with no pruned-vocabulary term are outside the clustering on
+    * both engines; a topic that loses all docs keeps no centroid rows
+    * (zero vector) and simply stops attracting.
+    */
+  private def textTopics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val S = TopicScale
+    val dt = graft.Checkpoint.pin(docTerms(s, d))
+    val docNorm = graft.Checkpoint.pin(
+      dt.groupBy("doc_id").agg(sum(col("x") * col("x")).as("xx"),
+        sum(col("x")).as("xsum")))
+    // K anchor ids are the only driver-side state (config-bounded).
+    val anchorIds = docNorm
+      .orderBy(desc("xsum"), asc("doc_id")).limit(TopicK)
+      .select("doc_id").collect().map(_.getLong(0))
+    val anchorDf = anchorIds.toSeq.zipWithIndex
+      .map { case (id, k) => (id, k.toLong) }.toDF("doc_id", "topic")
+    var cent = graft.Checkpoint.pin(
+      dt.join(broadcast(anchorDf), Seq("doc_id"))
+        .select(col("topic"), col("t"), (col("x") * S).as("c")))
+    var sizes: DataFrame = null
+    for (_ <- 1 to TopicIters) {
+      val centNorm = cent.groupBy("topic")
+        .agg(sum(col("c") * col("c")).as("cc"))
+      val dots = dt.join(broadcast(cent), Seq("t"))
+        .groupBy("doc_id", "topic")
+        .agg(sum(col("x") * col("c")).as("dot"))
+      val d2 = docNorm.crossJoin(broadcast(centNorm))
+        .join(dots, Seq("doc_id", "topic"), "left")
+        .select(col("doc_id"), col("topic"),
+          (lit(S * S) * col("xx") - lit(2L * S) *
+            coalesce(col("dot"), lit(0L)) + col("cc")).as("d2"))
+      val assign = d2.groupBy("doc_id")
+        .agg(min(struct(col("d2"), col("topic"))).as("m"))
+        .select(col("doc_id"), col("m.topic").as("topic"))
+      sizes = assign.groupBy("topic").agg(count(lit(1)).as("n"))
+      cent = graft.Checkpoint.pin(
+        dt.join(assign, Seq("doc_id"))
+          .groupBy(col("topic"), col("t")).agg(sum(col("x")).as("sx"))
+          .join(sizes, Seq("topic"))
+          .select(col("topic"), col("t"),
+            expr(s"($S * sx) div n").as("c")))
+    }
+    // K·V-bounded window — config-sized partitions, not data-sized.
+    val w = Window.partitionBy("topic").orderBy(desc("c"), asc("t"))
+    cent.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .join(sizes, Seq("topic"))
+      .select(col("topic"), col("rk"), col("t").as("term"),
+        col("c").as("weight_scaled"), col("n").as("n_docs"))
+      .orderBy("topic", "rk")
+  }
+
+  /** One unrolled Lloyd step in the oracle: cN/aN/sN out of c(N-1). */
+  private def iterSql(i: Int): String = {
+    val p = i - 1
+    s"""cn$p AS (SELECT topic, CAST(sum(c*c) AS BIGINT) cc
+       |         FROM c$p GROUP BY 1),
+       |dot$p AS (SELECT dt.doc_id, c$p.topic,
+       |           CAST(sum(dt.x * c$p.c) AS BIGINT) dot
+       |         FROM dt JOIN c$p USING (t) GROUP BY 1, 2),
+       |d2$p AS (SELECT dn.doc_id, cn$p.topic,
+       |           100000000 * dn.xx
+       |             - 20000 * coalesce(dot$p.dot, 0) + cn$p.cc AS d2
+       |         FROM dn CROSS JOIN cn$p
+       |         LEFT JOIN dot$p ON dot$p.doc_id = dn.doc_id
+       |           AND dot$p.topic = cn$p.topic),
+       |a$p AS (SELECT doc_id, topic FROM (
+       |          SELECT doc_id, topic, row_number() OVER (
+       |            PARTITION BY doc_id ORDER BY d2, topic) rn
+       |          FROM d2$p) WHERE rn = 1),
+       |s$p AS (SELECT topic, CAST(count(*) AS BIGINT) n
+       |        FROM a$p GROUP BY 1),
+       |c$i AS (SELECT a$p.topic, dt.t,
+       |          (10000 * CAST(sum(dt.x) AS BIGINT)) // s$p.n AS c
+       |        FROM dt JOIN a$p USING (doc_id)
+       |        JOIN s$p ON s$p.topic = a$p.topic
+       |        GROUP BY a$p.topic, dt.t, s$p.n)""".stripMargin
+  }
+
+  override val defs: Seq[QueryDef] = Seq(
+    QueryDef("q_text_topics", textTopics, Some(
+      s"""WITH tok AS (SELECT doc_id, unnest(${TextQueries.toksSql}) t
+         |             FROM documents),
+         |tok2 AS (SELECT doc_id, t FROM tok WHERE t IS NOT NULL),
+         |vocab AS (SELECT t FROM (
+         |    SELECT t, count(*) cf FROM tok2 GROUP BY 1
+         |    ORDER BY cf DESC, t LIMIT $TopicVocab)),
+         |dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) x
+         |       FROM tok2 WHERE t IN (SELECT t FROM vocab) GROUP BY 1, 2),
+         |dn AS (SELECT doc_id, CAST(sum(x*x) AS BIGINT) xx,
+         |         CAST(sum(x) AS BIGINT) xsum
+         |       FROM dt GROUP BY 1),
+         |anch AS (SELECT doc_id, CAST(row_number() OVER (
+         |           ORDER BY xsum DESC, doc_id) - 1 AS BIGINT) topic
+         |         FROM dn ORDER BY xsum DESC, doc_id LIMIT $TopicK),
+         |c0 AS (SELECT a.topic, dt.t, dt.x * 10000 AS c
+         |       FROM dt JOIN anch a USING (doc_id)),
+         |${iterSql(1)},
+         |${iterSql(2)}
+         |SELECT topic, CAST(rk AS INTEGER) AS rk, term, weight_scaled,
+         |  n_docs
+         |FROM (
+         |  SELECT c2.topic, row_number() OVER (
+         |      PARTITION BY c2.topic ORDER BY c2.c DESC, c2.t) rk,
+         |    c2.t term, c2.c weight_scaled, s1.n n_docs
+         |  FROM c2 JOIN s1 USING (topic))
+         |WHERE rk <= 5 ORDER BY topic, rk""".stripMargin))
+  )
+}

@@ -160,6 +160,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("triangle wedge join carries the orientation predicate") {
+    // The wedge self-join must join on the shared source WITH the
+    // orientation-order condition ((bdg < cdg) or the id tie-break) —
+    // an unoriented wedge join explodes around power-law hubs at 100x
+    // scale. Catalyst keeps the predicate in the join condition, so
+    // the ordering columns must be visible inside the executed plan's
+    // join nodes, and the probe stays an equi-join.
+    val plan = SparkEntry.queries("q_graph_triangles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bdg") && plan.contains("cdg"),
+      s"orientation predicate missing from the wedge join:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("BFS probes the pinned adjacency, never re-derives it per hop") {
     // Three hops over one pinned adjacency frame: the lineitem scan
     // that builds it must appear exactly once in the executed plan
