@@ -127,8 +127,13 @@ object GraphQueries extends QueryModule {
     * no dangling-mass redistribution term. Each iteration is the
     * canonical distributed shape: one equi-join of the rank frame
     * against the pinned edge list, a map-side-combined contribution
-    * sum per destination, and a |V|-row rebuild; the rank frame is
-    * pinned per iteration so iteration k never replays 1..k-1.
+    * sum per destination, and a |V|-row rebuild. Rank frames are NOT
+    * pinned: with a small fixed iteration count and one terminal
+    * action the whole chain executes once anyway, and each pin is a
+    * localCheckpoint job that measured ~35% of the entry (the
+    * shared ed/vtx frames, read every iteration, ARE pinned). A
+    * long-horizon variant (tens of iterations) should pin every few
+    * rounds to bound plan depth — the BFS per-level pattern.
     * Integer floor-division everywhere (see [[PrScale]]) keeps the
     * full |V|-row labeling hash-checkable against DuckDB's unrolled
     * CTE — both engines compute literally the same longs.
@@ -147,20 +152,19 @@ object GraphQueries extends QueryModule {
     val n = vtx.count()
     require(n > 0, "pagerank: empty co-occurrence graph")
     val teleport = (PrScale * 15L / 100L) / n
-    var rank = graft.Checkpoint.pin(
-      vtx.select(col("src").as("pk"), lit(PrScale / n).as("r")))
+    var rank =
+      vtx.select(col("src").as("pk"), lit(PrScale / n).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = ed
         .join(vtx, Seq("src"))
         .join(rank.withColumnRenamed("pk", "src"), Seq("src"))
         .select(col("dst"), expr("r div outdeg").as("w"))
         .groupBy("dst").agg(sum(col("w")).as("c"))
-      rank = graft.Checkpoint.pin(
-        vtx.select(col("src").as("pk"))
-          .join(contrib.withColumnRenamed("dst", "pk"), Seq("pk"), "left")
-          .select(col("pk"),
-            (lit(teleport) + expr("(85 * coalesce(c, 0L)) div 100"))
-              .as("r")))
+      rank = vtx.select(col("src").as("pk"))
+        .join(contrib.withColumnRenamed("dst", "pk"), Seq("pk"), "left")
+        .select(col("pk"),
+          (lit(teleport) + expr("(85 * coalesce(c, 0L)) div 100"))
+            .as("r"))
     }
     rank.select(col("pk").as("part_key"), col("r").as("rank_scaled"))
       .orderBy("part_key")
