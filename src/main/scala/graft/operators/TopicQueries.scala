@@ -31,7 +31,8 @@ import org.apache.spark.sql.functions._
   * table (config-bounded — the legitimate broadcast case) plus
   * map-side-combined aggregates; the doc-term frame and the per-doc
   * moments are pinned once and reused by every iteration. Driver
-  * state is the K anchor ids — nothing data-sized.
+  * state is the K anchor ids plus the K·V centroid table and the K
+  * topic sizes — all config-bounded, nothing data-sized.
   */
 object TopicQueries extends QueryModule {
 
@@ -87,7 +88,14 @@ object TopicQueries extends QueryModule {
       .select("doc_id").collect().map(_.getLong(0))
     val anchorDf = anchorIds.toSeq.zipWithIndex
       .map { case (id, k) => (id, k.toLong) }.toDF("doc_id", "topic")
-    var cent = graft.Checkpoint.pin(
+    // The centroid table is ≤ K·V rows — config-bounded — so it lives
+    // as a DRIVER-LOCAL frame (the BPE merge-table pattern) instead of
+    // a per-iteration localCheckpoint: the three consumers per
+    // iteration (norm, dots, rebuild) read a literal, lineage stays
+    // flat, and the broadcast join ships driver bytes directly.
+    def localize(df: DataFrame): DataFrame =
+      s.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    var cent = localize(
       dt.join(broadcast(anchorDf), Seq("doc_id"))
         .select(col("topic"), col("t"), (col("x") * S).as("c")))
     var sizes: DataFrame = null
@@ -105,13 +113,21 @@ object TopicQueries extends QueryModule {
       val assign = d2.groupBy("doc_id")
         .agg(min(struct(col("d2"), col("topic"))).as("m"))
         .select(col("doc_id"), col("m.topic").as("topic"))
-      sizes = assign.groupBy("topic").agg(count(lit(1)).as("n"))
-      cent = graft.Checkpoint.pin(
-        dt.join(assign, Seq("doc_id"))
-          .groupBy(col("topic"), col("t")).agg(sum(col("x")).as("sx"))
-          .join(sizes, Seq("topic"))
-          .select(col("topic"), col("t"),
-            expr(s"($S * sx) div n").as("c")))
+      // ONE action per iteration: the rebuilt centroid rows carry the
+      // topic size along, so cent AND sizes both come out of a single
+      // collect (a second collect re-executed the whole assign chain).
+      val rebuilt = dt.join(assign, Seq("doc_id"))
+        .groupBy(col("topic"), col("t")).agg(sum(col("x")).as("sx"))
+        .join(assign.groupBy("topic").agg(count(lit(1)).as("n")),
+          Seq("topic"))
+        .select(col("topic"), col("t"),
+          expr(s"($S * sx) div n").as("c"), col("n"))
+        .collect()
+      cent = rebuilt.toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toDF("topic", "t", "c")
+      sizes = rebuilt.toSeq.map(r => (r.getLong(0), r.getLong(3)))
+        .distinct.toDF("topic", "n")
     }
     // K·V-bounded window — config-sized partitions, not data-sized.
     val w = Window.partitionBy("topic").orderBy(desc("c"), asc("t"))
