@@ -45,11 +45,21 @@ object TopicQueries extends QueryModule {
   /** Lloyd iterations after the anchor init. */
   private val TopicIters = 2
 
-  /** Fixed-point scale for centroid coordinates. 10⁴ keeps every
-    * moment far inside BIGINT: with per-doc term counts up to ~10³,
-    * S²·‖x‖² ≤ 10⁸·V·10⁶ ≈ 10¹⁶ and 2S·⟨x,c⟩ ≤ 2·10⁴·V·10³·10⁷ ≈ 10¹⁶.
+  /** Fixed-point scale for centroid coordinates. Together with
+    * [[TopicTfCap]] it keeps every moment inside BIGINT by
+    * construction: S²·‖x‖² ≤ 10⁸·V·cap² ≈ 6·10¹⁷,
+    * 2S·⟨x,c⟩ ≤ 2·10⁴·V·cap·(S·cap) ≈ 1.3·10¹⁸, ‖c‖² ≤ V·(S·cap)² ≈
+    * 6·10¹⁷ — all under 2⁶³ at ANY corpus size.
     */
   private val TopicScale = 10000L
+
+  /** Per-doc term-frequency clip (standard tf clipping): without it a
+    * pathological document repeating one vocabulary term ~10⁶ times
+    * silently overflows S²·‖x‖² (ANSI is off for oracle parity, so
+    * the wraparound would corrupt, not throw). The clip is part of
+    * the operator's semantics and mirrored in the oracle.
+    */
+  private val TopicTfCap = 10000L
 
   /** (doc_id, t, x): term counts over the pruned vocabulary. The
     * vocabulary is a TakeOrdered (never a global sort) and joins back
@@ -64,7 +74,8 @@ object TopicQueries extends QueryModule {
       .orderBy(desc("cf"), asc("t")).limit(TopicVocab)
       .select("t")
     tok.join(broadcast(vocab), Seq("t"), "left_semi")
-      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("x"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(least(count(lit(1)), lit(TopicTfCap)).as("x"))
   }
 
   /** Final topic table: (topic, rk, term, weight_scaled, n_docs) —
@@ -174,7 +185,8 @@ object TopicQueries extends QueryModule {
          |vocab AS (SELECT t FROM (
          |    SELECT t, count(*) cf FROM tok2 GROUP BY 1
          |    ORDER BY cf DESC, t LIMIT $TopicVocab)),
-         |dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) x
+         |dt AS (SELECT doc_id, t,
+         |         CAST(least(count(*), $TopicTfCap) AS BIGINT) x
          |       FROM tok2 WHERE t IN (SELECT t FROM vocab) GROUP BY 1, 2),
          |dn AS (SELECT doc_id, CAST(sum(x*x) AS BIGINT) xx,
          |         CAST(sum(x) AS BIGINT) xsum
