@@ -858,9 +858,14 @@ object RelationalQueries extends QueryModule {
         .groupBy(col(c).as("v")).agg(count(lit(1)).as("cnt"))
       val n = counts.agg(sum("cnt").as("n"))
       val p = col("cnt").cast("double") / col("n").cast("double")
+      // '#' sentinel prefix: an EMPTY-string value would feed the
+      // portable hash a zero-length fold, which DuckDB's init-less
+      // list_reduce rejects — prefixing keeps the hashed string
+      // non-empty on both engines (any deterministic bucket function
+      // is equally valid).
       val partials = counts.crossJoin(broadcast(n))
-        .select((SketchQueries.polyHash(col("v")) % EntropyBuckets)
-          .as("bkt"), (p * log(p)).as("term"))
+        .select((SketchQueries.polyHash(concat(lit("#"), col("v")))
+          % EntropyBuckets).as("bkt"), (p * log(p)).as("term"))
         .groupBy("bkt")
         .agg(count(lit(1)).as("pn"),
           aggregate(array_sort(collect_list(col("term"))), lit(0.0),
@@ -1090,8 +1095,8 @@ object RelationalQueries extends QueryModule {
         |    FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1, 2),
         |n AS (SELECT lbl, CAST(sum(cnt) AS BIGINT) n FROM c GROUP BY 1),
         |t AS (SELECT c.lbl,
-        |    list_reduce(list_transform(range(1, len(v)+1),
-        |      i -> CAST(ascii(v[i:i]) AS BIGINT)),
+        |    list_reduce(list_transform(range(1, len('#' || v)+1),
+        |      i -> CAST(ascii(('#' || v)[i:i]) AS BIGINT)),
         |      (a,x) -> (a*31+x) % 2147483647) % 4096 AS bkt,
         |    CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)
         |      * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) AS term
