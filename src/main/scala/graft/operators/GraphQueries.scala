@@ -19,26 +19,38 @@ import org.apache.spark.sql.functions._
   */
 object GraphQueries extends QueryModule {
 
-  /** Distinct undirected co-occurrence edges (u < v), via the same
-    * width-bounded map-side basket expansion as q_graph_bfs /
-    * q_basket_pairs: per-order part sets explode to ordered pairs, so
-    * the shuffle carries candidate edges, never a quadratic join
-    * residual. The distinct IS needed here (unlike the BFS adjacency,
-    * where duplicates dedup inside the bucket fold): triangle wedges
-    * and PageRank contributions would otherwise double-count
-    * multi-order edges.
+  /** Undirected co-occurrence pairs (u < v), ONE row per order that
+    * co-ships the pair — the shared map-side basket expansion behind
+    * [[coEdges]] (distinct) and the weighted PageRank (multiplicity =
+    * edge weight). STREAMED (round-16): two chained generators —
+    * `posexplode` picks each left element, `explode(slice(...))` walks
+    * its strict successors in the sorted basket — so per-row memory is
+    * O(d) at any basket width. The round-15 form built the full
+    * d²-struct pair array in ONE row via `flatten(transform×transform)`
+    * before the explode; bounded on this schema (≤7 lineitems/order)
+    * but an executor OOM on the power-law "baskets" (citation lists,
+    * link pages) the graph family exists for — a 10⁵-member basket is
+    * a 10¹⁰-struct single row. The shuffle still carries candidate
+    * pairs, never a quadratic join residual.
     */
-  private def coEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def coPairs(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .filter(col("l_orderkey").isNotNull)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .groupBy("okey").agg(collect_set(col("pk")).as("ps"))
-      .select(explode_outer(flatten(transform(col("ps"), x =>
-        transform(col("ps"), y => struct(x.as("u"), y.as("v"))))))
-        .as("pr"))
-      .filter(col("pr").isNotNull && col("pr.u") < col("pr.v"))
-      .select(col("pr.u").as("u"), col("pr.v").as("v"))
-      .distinct()
+      .groupBy("okey").agg(array_sort(collect_set(col("pk"))).as("ps"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("u"),
+        explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
+          .as("v"))
+
+  /** Distinct undirected co-occurrence edges (u < v). The distinct IS
+    * needed here (unlike the BFS adjacency, where duplicates dedup
+    * inside the bucket fold): triangle wedges and the unweighted
+    * PageRank contributions would otherwise double-count multi-order
+    * edges.
+    */
+  private def coEdges(s: SparkSession, d: String): DataFrame =
+    coPairs(s, d).distinct()
 
   /** Exact per-part triangle counts — the degree-ordered oriented
     * wedge join (the "compact-forward" shape): every undirected edge

@@ -639,10 +639,13 @@ object RelationalQueries extends QueryModule {
     * the equivalent okey self-join scans the fact table twice and
     * shuffles it twice (measured 2.2 s vs 0.9 s warm at sf0.1), and at
     * corpus scale pays two full scans for what one basket pass
-    * carries. The per-element lambdas are interpreted, but over ≤7
-    * elements per row — the trap is inlining a TOKENIZER there, not a
-    * slice of a 7-element array. Support and the tie-break are exact
-    * integers; a < b comes free from the sorted basket.
+    * carries. STREAMED (round-16): two chained generators —
+    * `posexplode` picks each left element, `explode(slice(...))` its
+    * strict successors — so per-row memory is O(d) at any basket
+    * width; the previous `flatten(transform×transform)` built the full
+    * d²/2-struct pair array in ONE row first, an executor OOM on
+    * power-law baskets. Support and the tie-break are exact integers;
+    * a < b comes free from the sorted basket.
     */
   private def basketPairs(s: SparkSession, d: String): DataFrame = {
     val baskets = Tables.lineitem(s, d)
@@ -654,11 +657,11 @@ object RelationalQueries extends QueryModule {
       .groupBy("okey")
       .agg(array_sort(collect_set(col("pk"))).as("ps"))
     baskets
-      .select(explode_outer(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + lit(2), size(col("ps"))),
-          y => struct(x.as("part_a"), y.as("part_b")))))).as("pr"))
-      .filter(col("pr").isNotNull)
-      .groupBy(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .select(col("ps"), posexplode(col("ps")))
+      .select(col("col").as("part_a"),
+        explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
+          .as("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("support"))
       .orderBy(desc("support"), asc("part_a"), asc("part_b"))
       .limit(20)
@@ -960,13 +963,18 @@ object RelationalQueries extends QueryModule {
     // occurrences share a pmod bucket where the per-bucket collect_set
     // drops them, and the occurrence count is a valid degree UPPER
     // bound (over-bucketing only narrows rows).
+    // STREAMED expansion (round-16): two chained explodes — per-row
+    // memory O(d) at any basket width. The round-15 form built the
+    // full d²-struct pair array in ONE row via
+    // `flatten(transform×transform)` before exploding; bounded on this
+    // schema (≤7 lineitems/order) but an executor OOM on power-law
+    // baskets — the same single-row hazard the width-bounded adjacency
+    // below closes, one level earlier in the pipeline.
     val edgeWidth = 16
     val edges = li.groupBy("okey").agg(collect_set(col("pk")).as("ps"))
-      .select(explode_outer(flatten(transform(col("ps"), x =>
-        transform(col("ps"), y => struct(x.as("src"), y.as("dst"))))))
-        .as("pr"))
-      .filter(col("pr").isNotNull && col("pr.src") =!= col("pr.dst"))
-      .select(col("pr.src").as("src"), col("pr.dst").as("dst"))
+      .select(col("ps"), explode(col("ps")).as("src"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
     val adj = graft.Checkpoint.pin(bfsAdjacency(edges, edgeWidth))
     import s.implicits._
     // Null-safe seed (round-15 advice): an empty lineitem or an
@@ -1006,10 +1014,24 @@ object RelationalQueries extends QueryModule {
     * collect_set drops them, while the occurrence count serves as a
     * degree upper bound (extra buckets only make rows narrower). The
     * output keeps one (src, nbrs) row per non-empty bucket.
+    *
+    * The degree join is SALTED (round-16 advice): a bare-src equi-join
+    * would re-concentrate a power-law hub's full edge set into one
+    * shuffle partition just to attach its degree — the aggregate rows
+    * were bounded but the join task still sorted the whole hub.
+    * Degrees are counted per (src, salt = pmod(dst, 32)) sub-key,
+    * summed to the |V|-row total on the SMALL frame (≤32 rows per src
+    * meet 1), and attached to the edges on the salted key — no task
+    * ever holds more than ~1/32 of a hub at any stage before the
+    * width-bounded fold. Salt and bucket both derive from dst alone,
+    * so the output partition of the neighborhood is unchanged.
     */
   private[graft] def bfsAdjacency(edges: DataFrame, width: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    edges.join(deg, Seq("src"))
+    val salted = edges.withColumn("slt", pmod(col("dst"), lit(32L)))
+    val degS = salted.groupBy("src", "slt").agg(count(lit(1)).as("dpart"))
+    val deg = degS.groupBy("src").agg(sum(col("dpart")).as("deg"))
+    salted.join(degS.join(deg, Seq("src")).select("src", "slt", "deg"),
+        Seq("src", "slt"))
       .withColumn("bkt", pmod(col("dst"), greatest(lit(1L),
         ceil(col("deg").cast("double") / width).cast("long"))))
       .groupBy(col("src"), col("bkt"))

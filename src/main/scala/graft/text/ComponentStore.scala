@@ -36,12 +36,18 @@ import graft.vector.PersistedLayout
   *     members + slack + batch instead of growing for the store's
   *     lifetime.
   *   - `edges_witness` (id_a, id_b): BOUNDED pseudo-random reservoir
-  *     of raw accepted pairs sampled at each fold (round-15) — the
-  *     spanning star is derived from the store's own members, so
-  *     audits over it alone are self-referential for pre-fold
-  *     history; witness pairs give the `_sound` audit back a bounded
-  *     independent check there (every witness pair must still resolve
-  *     into one component).
+  *     of raw accepted pairs — the spanning star is derived from the
+  *     store's own members, so audits over it alone are
+  *     self-referential for pre-fold history; witness pairs give the
+  *     `_sound` audit back a bounded independent check there (every
+  *     witness pair must still resolve into one component). Sampled
+  *     at ACCEPT time (round-16 advice) — seeded from the raw pair
+  *     log at build, refreshed from each append's verified batch —
+  *     never from the post-fold log: the round-15 fold-time sampling
+  *     read the live log, which after the first fold contains derived
+  *     star rows, so successive folds diluted the raw history with
+  *     the store's own output and a mis-fold surviving one audit
+  *     cycle got its wrong star edges adopted as ground truth.
   *   - `ids` (doc_id): the fingerprinted roster (all non-null-text
   *     docs, paired or not) — the append path's growth detector.
   *
@@ -199,6 +205,8 @@ object ComponentStore {
         spark.sparkContext.hadoopConfiguration)
       fsb.delete(new org.apache.hadoop.fs.Path(dir, "members__folding"), true)
       fsb.delete(new org.apache.hadoop.fs.Path(dir, "edges__folding"), true)
+      fsb.delete(
+        new org.apache.hadoop.fs.Path(dir, "edges_witness__folding"), true)
       val comps = DedupJobs.connectedComponents(pairsOf(docs))
       comps.select(col("doc_id").as(idCol), col("component").as("orig_root"))
         .write.mode("overwrite").parquet(s"$dir/members")
@@ -207,6 +215,12 @@ object ComponentStore {
         .write.mode("overwrite").parquet(s"$dir/edges")
       docs.filter(col(textCol).isNotNull).select(col(idCol))
         .write.mode("overwrite").parquet(s"$dir/ids")
+      // Witness seeded from the just-written RAW pair log (a parquet
+      // re-read, not a third pair search), RESET rather than merged: a
+      // rebuild starts a new store generation, and a prior generation's
+      // witness may reference docs the new corpus no longer pairs.
+      refreshWitness(spark, dir, spark.read.parquet(s"$dir/edges"),
+        reset = true)
     } match {
       case PersistedLayout.Busy =>
         // A concurrent session is writing the layout: serve this call
@@ -328,9 +342,16 @@ object ComponentStore {
     val mergedRemap = (oldRemap.map { case (o, nr) => (o, finalOf(nr)) }
       ++ displaced).distinct
 
-    if (newEdges.nonEmpty)
+    if (newEdges.nonEmpty) {
       newEdges.toSeq.toDF("id_a", "id_b")
         .write.mode("append").parquet(s"$dir/edges")
+      // Witness refreshed from the RAW verified batch, before any fold
+      // can rewrite it (round-16 advice — see the layout doc). Skipped
+      // when the batch accepted nothing, so a quiet append pays no
+      // extra job.
+      refreshWitness(spark, dir,
+        newEdges.toSeq.toDF("id_a", "id_b"), reset = false)
+    }
     if (newMembers.nonEmpty)
       newMembers.toSeq.toDF(idCol, "orig_root")
         .write.mode("append").parquet(s"$dir/members")
@@ -388,30 +409,11 @@ object ComponentStore {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val live = new org.apache.hadoop.fs.Path(dir, "edges")
-    // Pre-fold WITNESS first (round-15 verdict item 8): a BOUNDED
-    // deterministic reservoir of the RAW accepted pairs being folded
-    // away — merged with any prior witness, deduped, and re-capped by
-    // a pseudo-random (xxhash64) order so the sample spreads over the
-    // store's whole history instead of favoring low ids. The `_sound`
-    // audit unions these into its ground truth, so it keeps
-    // INDEPENDENT force over pre-fold history (the star alone is
-    // derived from the store's own members — self-referential for
-    // everything folded before this session). Crash window: the
-    // witness lands before the star swap, so a torn fold leaves
-    // either (raw log + refreshed witness) or the fully folded pair —
-    // both consistent.
-    val witness = spark.read.parquet(live.toString)
-      .unionByName(witnessEdges(spark, dir))
-      .distinct()
-      .orderBy(xxhash64(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
-      .limit(witnessCap)
-    val wLive = new org.apache.hadoop.fs.Path(dir, "edges_witness")
-    val wStaging = new org.apache.hadoop.fs.Path(dir, "edges_witness__folding")
-    if (fs.exists(wStaging)) fs.delete(wStaging, true)
-    witness.write.parquet(wStaging.toString)
-    if (fs.exists(wLive)) fs.delete(wLive, true)
-    require(fs.rename(wStaging, wLive),
-      s"could not rename $wStaging into $wLive")
+    // The fold no longer touches the witness (round-16): the reservoir
+    // is maintained at ACCEPT time (build seed + per-append refresh),
+    // so by the time a fold fires every raw pair being folded away has
+    // already had its sampling chance — and the fold's own star output
+    // can never leak into the sample.
     val star = resolve(spark, dir, idCol)
       .filter(col(idCol) =!= col("component"))
       .select(col("component").cast("long").as("id_a"),
@@ -426,14 +428,46 @@ object ComponentStore {
 
   /** Witness-sample bound: one parquet-file-sized slab of pair rows —
     * the same budget class as [[edgeFoldSlackDefault]], kept flat for
-    * the store's lifetime (each fold re-caps the merged sample).
+    * the store's lifetime (each refresh re-caps the merged sample).
     */
   private val witnessCap = 4096
 
-  /** The bounded pre-fold witness sample ([[foldEdges]]); empty until
-    * the first fold. Audits should union this with [[storedEdges]] —
-    * witness pairs were genuinely accepted pre-fold, so they must
-    * still land inside one resolved component each.
+  /** Merge `raw` accepted pairs into the bounded witness reservoir:
+    * union with the prior sample (unless `reset` — a from-scratch
+    * build starts a new generation), dedupe, re-cap by a pseudo-random
+    * (xxhash64) order so the sample spreads uniformly over the store's
+    * whole accept history instead of favoring low ids or late batches.
+    * Staged-write + rename (the merge lazily READS the live witness —
+    * an in-place overwrite would read-under-write); a crash between
+    * delete and rename is healed by the marker discipline (the marker
+    * is invalid while any append/build runs, so a torn witness reads
+    * as "stale → rebuild", which re-seeds it).
+    */
+  private def refreshWitness(spark: SparkSession, dir: String,
+      raw: DataFrame, reset: Boolean): Unit = {
+    val pairs = raw.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val merged =
+      (if (reset) pairs else pairs.unionByName(witnessEdges(spark, dir)))
+        .distinct()
+        .orderBy(xxhash64(col("id_a"), col("id_b")), col("id_a"), col("id_b"))
+        .limit(witnessCap)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val wLive = new org.apache.hadoop.fs.Path(dir, "edges_witness")
+    val wStaging = new org.apache.hadoop.fs.Path(dir, "edges_witness__folding")
+    if (fs.exists(wStaging)) fs.delete(wStaging, true)
+    merged.write.parquet(wStaging.toString)
+    if (fs.exists(wLive)) fs.delete(wLive, true)
+    require(fs.rename(wStaging, wLive),
+      s"could not rename $wStaging into $wLive")
+  }
+
+  /** The bounded raw-pair witness sample ([[refreshWitness]]) —
+    * seeded at build, refreshed per accepting append, untouched by
+    * folds. Audits should union this with [[storedEdges]] — witness
+    * pairs were genuinely accepted raw, so they must still land
+    * inside one resolved component each.
     */
   def witnessEdges(spark: SparkSession, dir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(dir, "edges_witness")

@@ -91,6 +91,32 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("streamed basket expansion: exact ordered pairs on a pathologically wide basket") {
+    // Round-16: the basket expansion must STREAM (posexplode +
+    // explode(slice)) — the round-15 nested-transform form built the
+    // full d²-struct pair array in ONE row, so a wide basket was an
+    // executor OOM before any downstream join ran. A 2000-part single
+    // order expands to C(2000,2) = 1,999,000 ordered pairs; pin the
+    // exact count and the ordering invariant u < v.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wide")
+    try {
+      (1L to 2000L).map(p => (1L, p))
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val pairs = GraphQueries.coPairs(spark, dir.toString)
+      val agg = pairs.agg(
+        count(lit(1)), sum(when(col("u") < col("v"), 0L).otherwise(1L)),
+        min(col("u")), max(col("v"))).collect()(0)
+      assert(agg.getLong(0) == 1999000L, s"pair count: ${agg.getLong(0)}")
+      assert(agg.getLong(1) == 0L, "ordering u < v violated")
+      assert(agg.getLong(2) == 1L && agg.getLong(3) == 2000L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("BFS returns the empty labeling on an all-null part key") {
     // Round-15 advice: the seed extraction used to NPE out of getLong
     // when min(pk) was null; it must return an empty frame instead.

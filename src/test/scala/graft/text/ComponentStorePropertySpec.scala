@@ -240,6 +240,13 @@ class ComponentStorePropertySpec extends AnyFunSuite {
     corpus ++= Seq(pool(0), pool(0), pool(0), pool(1), pool(1))
       .map { t => val r = (nextId, t); nextId += 1; r }
     stepAndCheck("base")
+    // Round-16: the witness is seeded at BUILD time from the raw pair
+    // log (and refreshed per accepting append) — never sampled from
+    // the post-fold log, where star rows would dilute it. The
+    // dup-heavy base has raw pairs, so the sample must already exist
+    // here, before any fold has fired.
+    assert(ComponentStore.witnessEdges(spark, ccDir).count() > 0,
+      s"seed=$seed: witness not seeded at build time")
     for (step <- 0 until 6) {
       corpus ++= (0 until 2 + rnd.nextInt(3)).map(_ => newRow())
       stepAndCheck(s"append $step")
