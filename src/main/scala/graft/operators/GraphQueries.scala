@@ -182,6 +182,84 @@ object GraphQueries extends QueryModule {
       .orderBy("part_key")
   }
 
+  /** WEIGHTED PageRank (round-16 verdict item 3) — the variant every
+    * real citation/link graph needs: edge weight = co-occurrence
+    * multiplicity (how many orders co-ship the pair — [[coPairs]]
+    * WITHOUT the distinct), a vertex's strength is its weighted
+    * degree, and each neighbor receives `(w·r) div strength` — the
+    * same BIGINT fixed-point discipline as the unweighted entry, so
+    * the full |V|-row labeling stays hash-checkable against DuckDB's
+    * unrolled CTE. Overflow budget: the per-term product w·r needs
+    * w·PrScale < 2⁶³, i.e. multiplicity below ~9.2×10⁶ per edge —
+    * generous for co-citation counts (here ≤ orders per pair ≈ 10²);
+    * a corpus beyond that drops PrScale a decade, same discipline as
+    * the topics entry's 10⁴ scale.
+    */
+  private def graphPagerankWeighted(s: SparkSession, d: String): DataFrame = {
+    val wE = coPairs(s, d).groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val ed = graft.Checkpoint.pin(
+      wE.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(
+          wE.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+    val vtx = graft.Checkpoint.pin(
+      ed.groupBy("src").agg(sum(col("w")).as("strength")))
+    val n = vtx.count()
+    require(n > 0, "weighted pagerank: empty co-occurrence graph")
+    val teleport = (PrScale * 15L / 100L) / n
+    var rank =
+      vtx.select(col("src").as("pk"), lit(PrScale / n).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = ed
+        .join(vtx, Seq("src"))
+        .join(rank.withColumnRenamed("pk", "src"), Seq("src"))
+        .select(col("dst"), expr("(w * r) div strength").as("cw"))
+        .groupBy("dst").agg(sum(col("cw")).as("c"))
+      rank = vtx.select(col("src").as("pk"))
+        .join(contrib.withColumnRenamed("dst", "pk"), Seq("pk"), "left")
+        .select(col("pk"),
+          (lit(teleport) + expr("(85 * coalesce(c, 0L)) div 100"))
+            .as("r"))
+    }
+    rank.select(col("pk").as("part_key"), col("r").as("rank_scaled"))
+      .orderBy("part_key")
+  }
+
+  /** Label-propagation communities (round-16 verdict item 5):
+    * synchronous MIN-label propagation over the symmetric
+    * co-occurrence graph — l₀(v) = v, l_{t+1}(v) = min(l_t(v),
+    * min over neighbors l_t(u)) — for [[LpIters]] bounded rounds.
+    * Exact integer labels, min is order-independent and its own
+    * tie-break, so the full labeling hash-checks against DuckDB's
+    * unrolled CTE; at convergence the labels are the connected
+    * components (the dedup analogue on link graphs), and the k-round
+    * cut means a label is the minimum vertex id within k hops —
+    * deterministic either way. Per round: ONE rank⋈edges equi-join +
+    * a map-side-combined min per destination — the PageRank
+    * contribution shape with min for sum, so it scales the same way;
+    * label frames unpinned for the same one-terminal-action reason,
+    * the shared edge frame pinned (read every round).
+    */
+  private val LpIters = 4
+
+  private def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val und = coEdges(s, d)
+    val ed = graft.Checkpoint.pin(
+      und.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
+    var lbl = ed.select(col("src").as("pk")).distinct()
+      .select(col("pk"), col("pk").as("lbl"))
+    for (_ <- 1 to LpIters) {
+      val nbrMin = ed.join(lbl.toDF("src", "sl"), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("sl")).as("nl"))
+        .withColumnRenamed("dst", "pk")
+      lbl = lbl.join(nbrMin, Seq("pk"), "left")
+        .select(col("pk"),
+          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+    }
+    lbl.select(col("pk").as("part_key"), col("lbl").as("community"))
+      .orderBy("part_key")
+  }
+
   /** Shared oracle prelude: the distinct undirected co-occurrence
     * edge set, exactly as [[coEdges]] derives it.
     */
@@ -241,6 +319,65 @@ object GraphQueries extends QueryModule {
          |    (150000000000 // n.n) + (85 * coalesce(c3.c, 0)) // 100 AS r
          |  FROM vtx CROSS JOIN n LEFT JOIN c3 ON c3.pk = vtx.src)
          |SELECT pk AS part_key, CAST(r AS BIGINT) AS rank_scaled
-         |FROM r3 ORDER BY part_key""".stripMargin))
+         |FROM r3 ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_pagerank_weighted", graphPagerankWeighted, Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        |       FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |ew AS (SELECT a.pk u, b.pk v, CAST(count(*) AS BIGINT) w
+        |       FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk
+        |       GROUP BY 1, 2),
+        |ed AS (SELECT u src, v dst, w FROM ew
+        |       UNION ALL SELECT v src, u dst, w FROM ew),
+        |vtx AS (SELECT src, CAST(sum(w) AS BIGINT) strength
+        |        FROM ed GROUP BY 1),
+        |n AS (SELECT count(*) n FROM vtx),
+        |r0 AS (SELECT src pk, 1000000000000 // n.n AS r
+        |       FROM vtx CROSS JOIN n),
+        |c1 AS (SELECT ed.dst pk,
+        |         CAST(sum((ed.w * r0.r) // vtx.strength) AS BIGINT) c
+        |       FROM ed JOIN vtx USING (src) JOIN r0 ON r0.pk = ed.src
+        |       GROUP BY 1),
+        |r1 AS (SELECT vtx.src pk,
+        |    (150000000000 // n.n) + (85 * coalesce(c1.c, 0)) // 100 AS r
+        |  FROM vtx CROSS JOIN n LEFT JOIN c1 ON c1.pk = vtx.src),
+        |c2 AS (SELECT ed.dst pk,
+        |         CAST(sum((ed.w * r1.r) // vtx.strength) AS BIGINT) c
+        |       FROM ed JOIN vtx USING (src) JOIN r1 ON r1.pk = ed.src
+        |       GROUP BY 1),
+        |r2 AS (SELECT vtx.src pk,
+        |    (150000000000 // n.n) + (85 * coalesce(c2.c, 0)) // 100 AS r
+        |  FROM vtx CROSS JOIN n LEFT JOIN c2 ON c2.pk = vtx.src),
+        |c3 AS (SELECT ed.dst pk,
+        |         CAST(sum((ed.w * r2.r) // vtx.strength) AS BIGINT) c
+        |       FROM ed JOIN vtx USING (src) JOIN r2 ON r2.pk = ed.src
+        |       GROUP BY 1),
+        |r3 AS (SELECT vtx.src pk,
+        |    (150000000000 // n.n) + (85 * coalesce(c3.c, 0)) // 100 AS r
+        |  FROM vtx CROSS JOIN n LEFT JOIN c3 ON c3.pk = vtx.src)
+        |SELECT pk AS part_key, CAST(r AS BIGINT) AS rank_scaled
+        |FROM r3 ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_communities", graphCommunities, Some(
+      s"""WITH $edgesSql,
+         |ed AS (SELECT u src, v dst FROM e
+         |       UNION ALL SELECT v src, u dst FROM e),
+         |a0 AS (SELECT DISTINCT src AS pk, src AS lbl FROM ed),
+         |n1 AS (SELECT ed.dst pk, min(a0.lbl) nl
+         |       FROM ed JOIN a0 ON a0.pk = ed.src GROUP BY 1),
+         |a1 AS (SELECT a0.pk, least(a0.lbl, coalesce(n1.nl, a0.lbl)) lbl
+         |       FROM a0 LEFT JOIN n1 USING (pk)),
+         |n2 AS (SELECT ed.dst pk, min(a1.lbl) nl
+         |       FROM ed JOIN a1 ON a1.pk = ed.src GROUP BY 1),
+         |a2 AS (SELECT a1.pk, least(a1.lbl, coalesce(n2.nl, a1.lbl)) lbl
+         |       FROM a1 LEFT JOIN n2 USING (pk)),
+         |n3 AS (SELECT ed.dst pk, min(a2.lbl) nl
+         |       FROM ed JOIN a2 ON a2.pk = ed.src GROUP BY 1),
+         |a3 AS (SELECT a2.pk, least(a2.lbl, coalesce(n3.nl, a2.lbl)) lbl
+         |       FROM a2 LEFT JOIN n3 USING (pk)),
+         |n4 AS (SELECT ed.dst pk, min(a3.lbl) nl
+         |       FROM ed JOIN a3 ON a3.pk = ed.src GROUP BY 1),
+         |a4 AS (SELECT a3.pk, least(a3.lbl, coalesce(n4.nl, a3.lbl)) lbl
+         |       FROM a3 LEFT JOIN n4 USING (pk))
+         |SELECT pk AS part_key, CAST(lbl AS BIGINT) AS community
+         |FROM a4 ORDER BY part_key""".stripMargin))
   )
 }

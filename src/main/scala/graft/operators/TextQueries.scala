@@ -884,6 +884,38 @@ object TextQueries extends QueryModule {
         round(col("sum_lp") / col("n_bigrams"), 4).as("mean_lp"))
   }
 
+  /** Perplexity-threshold model-quality FILTER (round-16 verdict item
+    * 4) — the curation step the LM surface scored but never applied:
+    * every doc's add-k bigram mean log-probability ([[bigramLp]],
+    * the KenLM-filter shape) gates it at a fixed threshold, and the
+    * entry reports the per-source funnel — kept/dropped counts and
+    * retention rate — exactly what a corpus-mix decision consumes.
+    * The comparison runs on the ROUNDED (4-decimal) score, which the
+    * green q_text_bigram_lp gate proves bit-identical across engines,
+    * so a boundary doc cannot flip sides; docs too short to score
+    * (< 2 tokens → no bigrams) are DROPPED — an unscorable doc is not
+    * a certified-quality doc. Retention is one IEEE division rounded
+    * at 4, the library-wide ratio discipline. Plan adds one
+    * broadcast-size per-source aggregate on top of the LM's two count
+    * shuffles — nothing new to skew.
+    */
+  private val pplThreshold = -3.42
+
+  private def pplFilter(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(bigramLp(s, d).select(col("doc_id"), col("mean_lp")),
+        Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("mean_lp").isNotNull &&
+          col("mean_lp") >= lit(pplThreshold), 1L).otherwise(0L))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).as("n_kept"))
+      .select(col("source"), col("n_docs"), col("n_kept"),
+        (col("n_docs") - col("n_kept")).as("n_dropped"),
+        round(col("n_kept").cast("double") / col("n_docs"), 4)
+          .as("retention"))
+      .orderBy("source")
+
   /** Curation funnel: the canonical training-data filter chain —
     * language-ID gate → quality gate → exact dedup — as ONE pass over
     * the corpus: per-doc flags from the library kernels ([[langId]],
@@ -1272,6 +1304,34 @@ object TextQueries extends QueryModule {
          |  GROUP BY 1)
          |SELECT doc_id, n_bigrams, round(sum_lp / n_bigrams, 4) AS mean_lp
          |FROM s""".stripMargin)),
+    QueryDef("q_text_ppl_filter", pplFilter, Some(
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |bg AS (SELECT doc_id,
+         |  unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         |    ELSE list_transform(range(len(t) - 1),
+         |      i -> t[i+1] || ' ' || t[i+2]) END) AS bg FROM t),
+         |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+         |u AS (SELECT unnest(t) AS term FROM t),
+         |cu AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
+         |vv AS (SELECT count(*) AS v FROM cu),
+         |s AS (SELECT doc_id, round(list_sum(list_sort(list(
+         |      ln((CAST(cb AS DOUBLE) + 0.5)
+         |        / (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))))
+         |    / count(*), 4) AS mean_lp
+         |  FROM (SELECT g.doc_id, c.cb, cu.cu, vv.v
+         |        FROM bg g JOIN cb c ON g.bg = c.bg
+         |        JOIN cu ON split_part(g.bg, ' ', 1) = cu.term
+         |        CROSS JOIN vv)
+         |  GROUP BY 1)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN s.mean_lp >= -3.42 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN s.mean_lp >= -3.42 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped,
+         |  round(CAST(sum(CASE WHEN s.mean_lp >= -3.42 THEN 1 ELSE 0 END)
+         |      AS DOUBLE) / count(*), 4) AS retention
+         |FROM documents d LEFT JOIN s USING (doc_id)
+         |GROUP BY 1 ORDER BY d.source""".stripMargin)),
     QueryDef("q_curation_funnel", curationFunnel, Some(
       s"""WITH h AS (
          |  SELECT doc_id, md5(text) AS digest, text, $toksSql AS toks,

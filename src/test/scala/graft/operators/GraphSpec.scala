@@ -91,6 +91,64 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted pagerank: multiplicity pulls mass, conserves it, keeps symmetry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prw")
+    try {
+      // Vertex 2 co-ships with 1 THREE times and with 3 once; 1 and 3
+      // are otherwise symmetric leaves of 2 (degree 1 each). Under
+      // UNWEIGHTED pagerank they'd tie; the weighted variant must rank
+      // 1 above 3 (it receives 3/4 of 2's mass), with total scaled
+      // mass conserved within floor-division loss.
+      val orders = Seq(
+        (10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L), (30L, 1L), (30L, 2L),
+        (40L, 2L), (40L, 3L))
+      orders.toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = graft.SparkEntry.queries("q_graph_pagerank_weighted")(
+        spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out.keySet === Set(1L, 2L, 3L))
+      assert(out(1L) > out(3L),
+        s"weight-3 neighbor must outrank weight-1: $out")
+      assert(out(2L) === out.values.max)
+      val total = out.values.sum
+      assert(total <= 1000000000000L && total > 990000000000L,
+        s"mass drifted: $total")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
+  test("min-label communities: k-hop bound on a path, convergence on disjoint cliques") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp")
+    try {
+      // A 10-vertex path (orders = adjacent pairs) plus a disjoint
+      // triangle {20,21,22}. With 4 synchronous min-label rounds a
+      // path vertex's label is the min id within 4 hops — pinned
+      // exactly, including the NON-converged tail (v=6..10 > 4 hops
+      // from 1) — while the triangle converges to its min, 20.
+      val path = (1L to 9L).map(i => Seq((i * 100, i), (i * 100, i + 1)))
+        .flatten
+      val tri = Seq((2000L, 20L), (2000L, 21L), (2001L, 21L), (2001L, 22L),
+        (2002L, 20L), (2002L, 22L))
+      (path ++ tri).toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val out = graft.SparkEntry.queries("q_graph_communities")(
+        spark, dir.toString)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected =
+        (1L to 10L).map(v => v -> math.max(1L, v - 4)).toMap ++
+          Map(20L -> 20L, 21L -> 20L, 22L -> 20L)
+      assert(out === expected)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(dir.toFile).deleteRecursively()
+    }
+  }
+
   test("streamed basket expansion: exact ordered pairs on a pathologically wide basket") {
     // Round-16: the basket expansion must STREAM (posexplode +
     // explode(slice)) — the round-15 nested-transform form built the
