@@ -87,7 +87,22 @@ def main():
         return 1
     prior = load(args[1]) if len(args) > 1 else None
 
-    print(f"artifact: {args[0]}  total={cur['value']} s  sf={cur.get('sf')}")
+    norm = cur.get("value_norm")
+    norm_s = f"  norm={norm} s" if norm is not None else ""
+    print(f"artifact: {args[0]}  total={cur['value']} s{norm_s}"
+          f"  sf={cur.get('sf')}")
+    # Round-16: value_norm is the cap-robust headline — each segment's
+    # entry times scaled by (best par sentinel / local par sentinel),
+    # with the boundary readings in par_seg. On a box whose cap the
+    # bench itself trips (this one), compare value_norm across rounds;
+    # the raw total only answers "what did this run cost".
+    seg = cur.get("par_seg")
+    if seg:
+        live = [x for x in seg if x > 0]
+        drift = (f"{max(live) / min(live):.1f}x boundary drift"
+                 if live else "all probes dead")
+        print(f"  par_seg        : {seg} — {drift}; value_norm is the "
+              f"cross-round comparable number")
     cpus = cur.get("cpus", 32)
     cpu = triple(cur, "sentinel")
     scan = triple(cur, "scan_sentinel")
@@ -124,7 +139,12 @@ def main():
         causes.append("CPU-side load")
     if inflated(scan, SCAN_HEALTHY.get(cur.get("sf", ""), 0.3)):
         causes.append("I/O-side load")
-    if inflated(par, par_healthy(cpus)):
+    # The par channel reads the segment boundaries too (round-16,
+    # mirroring Bench.machineCondition): a mid-run cap can dodge the
+    # triple's three probe points; dead boundary probes are dropped.
+    par_all = (par + [x for x in (seg or []) if x >= 0]
+               if par is not None else None)
+    if inflated(par_all, par_healthy(cpus)):
         causes.append("parallel-throughput cap")
     no_evidence = cpu is None and scan is None and par is None
     print("machine condition:",
@@ -146,6 +166,10 @@ def main():
         print(f"recorded in artifact: {recorded}{tag}")
 
     if prior and cur.get("sf") == prior.get("sf"):
+        pn = prior.get("value_norm")
+        if norm is not None and pn is not None:
+            print(f"norm vs prior: {pn} -> {norm} s "
+                  f"({(norm / pn - 1) * 100:+.0f}% cap-robust)")
         pq, cq = prior.get("queries", {}), cur.get("queries", {})
         sus = sorted(((cq[k] - pq[k], k, pq[k], cq[k])
                       for k in cq.keys() & pq.keys()

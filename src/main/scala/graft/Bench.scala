@@ -108,7 +108,21 @@ object Bench {
     val repsUsed = scala.collection.mutable.Map.empty[String, Int]
     val rechecked = scala.collection.mutable.Set.empty[String]
     val mid = (headline.size + 1) / 2
+    // Segment boundaries for the CAP-ROBUST normalized total
+    // (round-16 verdict item 1): this box's par cap is proven
+    // SELF-INDUCED — the bench's own sustained 32-way load trips a
+    // burst/thermal ceiling mid-run, every full run — so raw totals
+    // are structurally incomparable across rounds and code speed was
+    // being adjudicated by narrative. The par sentinel now interleaves
+    // every [[normSegSize]] entries; each segment's entry times get
+    // scaled by (best observed sentinel / local sentinel) into
+    // `value_norm` — what the run WOULD have totaled had the whole
+    // run seen its own best throughput window. `value` stays the raw
+    // sum (the driver gate's number); the boundary readings land in
+    // `par_seg` so the scaling is auditable from the artifact alone.
+    val parSeg = scala.collection.mutable.ArrayBuffer(pars.last)
     val results = headline.zipWithIndex.map { case ((name, fn), idx) =>
+      if (idx > 0 && idx % normSegSize == 0) parSeg += parSentinel()
       if (idx == mid) {
         sentinels += sentinelKernel(); scans += scanSentinel()
         pars += parSentinel()
@@ -146,12 +160,47 @@ object Bench {
     }
     sentinels += sentinelKernel(); scans += scanSentinel()
     pars += parSentinel()
+    parSeg += pars.last
     val coldStores = (listStoreDirs() -- storesBefore).toSeq.sorted
       .map(compactStoreName(_, sfDir))
     println(artifactLine(results, sentinels.toSeq, scans.toSeq, pars.toSeq,
       repsUsed.toMap, rechecked.toSet, reps, sfDir.split('/').last,
-      cpus.toIntOption.getOrElse(32), storesBefore.size, coldStores))
+      cpus.toIntOption.getOrElse(32), storesBefore.size, coldStores,
+      parSeg.toSeq))
     spark.stop()
+  }
+
+  /** Entries per normalization segment: small enough that a mid-run
+    * cap transition lands near a boundary (the observed cap trips once,
+    * not per-entry), large enough that the extra sentinel runs cost
+    * ~1-2% of the suite (12 extra ~0.1-0.4 s probes over ~190 entries).
+    */
+  private[graft] val normSegSize = 16
+
+  /** The cap-robust total: each entry's time scaled by (best observed
+    * par sentinel / its segment's local sentinel), where a segment's
+    * local reading is the mean of its two boundary probes. Entry i
+    * belongs to segment i / segSize; boundary k and k+1 bracket
+    * segment k. A dead probe (-1) is excluded; with fewer than two
+    * live boundaries the raw sum is returned unscaled (no evidence,
+    * no adjustment). The reference is the run's own BEST window — the
+    * sentinel ratio is machine-free, so `value_norm` compares across
+    * rounds the way raw totals cannot on a box whose cap the bench
+    * itself trips. Normalization can only DEFLATE toward the best
+    * window (ref = min); a flat run has value_norm ≈ value.
+    */
+  private[graft] def normalizedTotal(times: Seq[Double], segSize: Int,
+      parSeg: Seq[Double]): Double = {
+    val live = parSeg.filter(_ > 0)
+    if (live.size < 2 || segSize <= 0) return times.sum
+    val ref = live.min
+    times.zipWithIndex.map { case (t, i) =>
+      val k = i / segSize
+      val b = Seq(parSeg.lift(k), parSeg.lift(k + 1))
+        .flatten.filter(_ > 0)
+      val local = if (b.isEmpty) ref else b.sum / b.size
+      t * ref / math.max(local, 1e-9)
+    }.sum
   }
 
   /** The one-line JSON artifact, factored out so BenchSpec can pin the
@@ -183,7 +232,11 @@ object Bench {
     * the entries the CROSS-ROUND stabilizer distrusted (best > 1.5x
     * their prior-round value even after the in-run reps) — the load
     * signal a judge adjudicates, capped at 16 entries with the true
-    * total in `rechecked_n`. Per-entry detail for routine third reps
+    * total in `rechecked_n`; `value_norm` + `par_seg` the cap-robust
+    * normalized total and its interleaved boundary sentinels
+    * ([[normalizedTotal]] — round-16: the one number meant to compare
+    * across rounds on a box whose par cap the bench itself trips).
+    * Per-entry detail for routine third reps
     * is deliberately NOT recorded: the first cut did, and 110 of 141
     * entries paying a warm-up rep at sf0.01 blew the whole queries
     * map out of the 1900-char window.
@@ -202,17 +255,22 @@ object Bench {
     */
   private[graft] def machineCondition(sentinel: Seq[Double],
       scanSentinel: Seq[Double], parSentinel: Seq[Double],
-      sfTag: String, cpus: Int): String = {
+      sfTag: String, cpus: Int, parSeg: Seq[Double] = Nil): String = {
     val scanHealthy = sfTag match {
       case "sf0.01" => 0.25
       case "sf0.1" => 0.35
       case _ => 0.3
     }
     val parHealthy = if (cpus >= 16) 0.20 else 0.45
+    // The par channel reads the interleaved segment boundaries too
+    // (round-16): a mid-run cap can sit between the triple's three
+    // probe points — the first normalized run recorded a 2.2x boundary
+    // drift under a flat triple. Dead boundary probes are dropped (the
+    // triple still guards channel death); live ones are evidence.
     val channels = Seq(
       ("cpu", sentinel, 0.075),
       ("io", scanSentinel, scanHealthy),
-      ("par", parSentinel, parHealthy))
+      ("par", parSentinel ++ parSeg.filter(_ >= 0), parHealthy))
     val findings = channels.flatMap { case (name, t, healthy) =>
       if (t.isEmpty || t.exists(_ < 0)) Some(s"${name}_dead")
       else if (t.max > 1.5 * healthy ||
@@ -230,8 +288,16 @@ object Bench {
       parSentinel: Seq[Double], repsUsed: Map[String, Int],
       rechecked: Set[String], repsDefault: Int, sfTag: String,
       cpus: Int = 32, storesWarm: Int = 0,
-      coldStores: Seq[String] = Nil): String = {
+      coldStores: Seq[String] = Nil,
+      parSeg: Seq[Double] = Nil): String = {
     val total = results.map(_._2).sum
+    // Cap-robust companion total (round-16; see [[normalizedTotal]]).
+    // `results` is in EXECUTION order here (the caller times entries
+    // sorted by name and never reorders), so entry i / normSegSize is
+    // its true segment.
+    val norm = normalizedTotal(results.map(_._2), normSegSize, parSeg)
+    val parSegStr = parSeg.take(32).map(v => f"$v%.3f")
+      .mkString("[", ",", "]")
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val sentinelStr = sentinel.map(v => f"$v%.3f").mkString("[", ",", "]")
     val scanStr = scanSentinel.map(v => f"$v%.3f").mkString("[", ",", "]")
@@ -254,17 +320,24 @@ object Bench {
     // them would be invisible across rounds — a regression in the
     // dropped set now moves a visible number.
     val condition =
-      machineCondition(sentinel, scanSentinel, parSentinel, sfTag, cpus)
+      machineCondition(sentinel, scanSentinel, parSentinel, sfTag, cpus,
+        parSeg)
     // Store-warmth evidence (round-15): `warm` counts the persisted
     // store dirs that existed BEFORE the first timed entry; `cold`
     // names the ones that appeared during the run — every cold name is
     // a one-time build some timed entry paid that warm sessions skip.
     // Names are capped at 8 (sorted) for the budget, with the dataset
-    // key folded to `~`; cold_n is the true total either way.
-    val coldStr = coldStores.take(8).map(n => s""""$n"""")
+    // key folded to `~`; cold_n is the true total either way. Each
+    // name is JSON-escaped (round-16 advice): the framework's own
+    // names are [A-Za-z0-9._-]-sanitized, but listStoreDirs() picks up
+    // ANY directory under the (world-writable, by default) shared
+    // index root — a foreign dir with a quote or backslash in its
+    // name must not corrupt the one-line artifact.
+    val coldStr = coldStores.take(8).map(jsonStr)
       .mkString("[", ",", "]")
     def suffix(dropped: Int, droppedSum: Double) =
       f"""},"dropped":$dropped,"dropped_sum":$droppedSum%.2f,""" +
+        f""""value_norm":$norm%.3f,"par_seg":$parSegStr,""" +
         s""""sentinel":$sentinelStr,"scan_sentinel":$scanStr,""" +
         s""""par_sentinel":$parStr,""" +
         s""""machine_condition":"$condition","cpus":$cpus,""" +
@@ -282,6 +355,19 @@ object Bench {
     prefix + parts.take(keptN).mkString(",") +
       suffix(parts.length - keptN, droppedSum)
   }
+
+  /** JSON string literal with escaping for quote, backslash, and all
+    * control chars — the same discipline as Verify's oracle-SQL dump
+    * (an unescaped char in one embedded string kills the whole line's
+    * json.load).
+    */
+  private[graft] def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    } + "\""
 
   /** Dead-store sink keeping the JIT from eliding [[sentinelKernel]]'s
     * loop (volatile write = observable side effect).

@@ -127,12 +127,68 @@ class BenchSpec extends AnyFunSuite {
     // skill's ~0.4 s-at-8-cpus reading must not read as a cap).
     assert(Bench.machineCondition(flatCpu, flatScan, Seq(0.42, 0.43, 0.42),
       "sf0.1", 8) === "clear")
+    // Round-16: a mid-run cap that dodges the triple's probe points
+    // still trips the verdict through the segment boundaries; dead
+    // boundary probes are dropped rather than killing the channel.
+    assert(Bench.machineCondition(flatCpu, flatScan, flatPar,
+      "sf0.1", 32, parSeg = Seq(0.12, 0.31, 0.12)) === "par_cap")
+    assert(Bench.machineCondition(flatCpu, flatScan, flatPar,
+      "sf0.1", 32, parSeg = Seq(0.12, -1.0, 0.12)) === "clear")
     // Scan healthy constant is SF-aware: 0.41 s crosses sf0.01's
     // 0.25-healthy threshold but sits inside sf0.1's 0.35 one.
     assert(Bench.machineCondition(flatCpu, Seq(0.40, 0.41, 0.40), flatPar,
       "sf0.01", 32) === "io_load")
     assert(Bench.machineCondition(flatCpu, Seq(0.40, 0.41, 0.40), flatPar,
       "sf0.1", 32) === "clear")
+  }
+
+  test("normalized total scales each segment by its local par sentinel") {
+    // Round-16 (verdict item 1): the par cap is self-induced, so the
+    // raw total can never be flat-channel comparable on this box —
+    // value_norm must carry the cap-robust reading by itself.
+    // Two segments of 2 entries; boundaries [0.1, 0.1, 0.3]: segment 0
+    // is flat at the best window (factor 1), segment 1's local mean is
+    // 0.2 → its entries scale by 0.1/0.2 = 0.5.
+    val t = Seq(1.0, 1.0, 4.0, 4.0)
+    val norm = Bench.normalizedTotal(t, segSize = 2, Seq(0.1, 0.1, 0.3))
+    assert(math.abs(norm - (2.0 + 8.0 * 0.5)) < 1e-9, s"norm=$norm")
+    // A flat run normalizes to (almost exactly) the raw sum.
+    assert(math.abs(Bench.normalizedTotal(t, 2, Seq(0.1, 0.1, 0.1))
+      - t.sum) < 1e-9)
+    // Normalization only DEFLATES toward the best window.
+    assert(norm < t.sum)
+    // No/insufficient live evidence → the raw sum, unscaled: a dead
+    // probe (-1) is excluded, and a single live boundary is not a
+    // ratio.
+    assert(Bench.normalizedTotal(t, 2, Nil) === t.sum)
+    assert(Bench.normalizedTotal(t, 2, Seq(-1.0, 0.2, -1.0)) === t.sum)
+    // Dead middle boundary: its segments fall back to the live ends.
+    val part = Bench.normalizedTotal(t, 2, Seq(0.1, -1.0, 0.2))
+    assert(part > 0 && part <= t.sum)
+  }
+
+  test("artifact carries value_norm + par_seg; cold-store names are JSON-escaped") {
+    val results = Seq("q_a" -> 2.0, "q_b" -> 1.0)
+    val line = Bench.artifactLine(results,
+      sentinel = Seq(0.05, 0.05, 0.05),
+      scanSentinel = Seq(0.21, 0.21, 0.21),
+      parSentinel = Seq(0.12, 0.12, 0.12),
+      repsUsed = Map("q_a" -> 2, "q_b" -> 2), rechecked = Set.empty,
+      repsDefault = 2, sfTag = "sf0.1", cpus = 32, storesWarm = 0,
+      // A FOREIGN dir under the shared index root with a quote and a
+      // backslash in its name (round-16 advice): the artifact must
+      // stay one parseable JSON line.
+      coldStores = Seq("""evil"name\with"quotes"""),
+      parSeg = Seq(0.10, 0.10))
+    assert(line.contains(""""value_norm":3.000"""))
+    assert(line.contains(""""par_seg":[0.100,0.100]"""))
+    // The whole line must survive a strict JSON parse despite the
+    // hostile store name (ujson-less check: the escaped name is there
+    // and the queries map still parses).
+    assert(line.contains("""evil\"name\\with\"quotes"""))
+    assert(Bench.parsePriorArtifact(line) === Map("q_a" -> 2.0, "q_b" -> 1.0))
+    // jsonStr escapes control chars too.
+    assert(Bench.jsonStr("a\tb\nc") === "\"a\\u0009b\\u000ac\"")
   }
 
   test("artifact line stays under the 1900-char driver window at any surface size") {
