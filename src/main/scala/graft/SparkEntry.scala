@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnalyticsQueries, BpeQueries, CurationQueries,
   EventQueries, GraphQueries, LinkageQueries, MlQueries, RelationalQueries,
-  SketchQueries, TextQueries, TopicQueries, VectorQueries, WindowQueries}
+  SketchQueries, TextQueries, TopicQueries, UnigramTokQueries,
+  VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,7 +29,8 @@ object SparkEntry {
     LinkageQueries,
     BpeQueries,
     GraphQueries,
-    TopicQueries
+    TopicQueries,
+    UnigramTokQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {
