@@ -75,8 +75,15 @@ object GraphQueries extends QueryModule {
     * wedge legs and the membership probe (3 consumers) — each is
     * materialized once, |E|-bounded.
     */
-  private[graft] def triangleCounts(eRaw: DataFrame): DataFrame = {
-    val e = graft.Checkpoint.pin(eRaw)
+  private[graft] def triangleCounts(eRaw: DataFrame): DataFrame =
+    triangleCountsPinned(graft.Checkpoint.pin(eRaw))
+
+  /** [[triangleCounts]] body over an ALREADY-pinned edge frame, so
+    * callers that pin the edge set for their own joins (the
+    * clustering-coefficient entry reads it for degrees too) don't pay
+    * a second localCheckpoint job over |E| rows.
+    */
+  private def triangleCountsPinned(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("pk"))
       .unionByName(e.select(col("v").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("dg"))
@@ -97,7 +104,7 @@ object GraphQueries extends QueryModule {
     // see the ~35x wedge fan-out above, so it coalesces the self-join
     // to a handful of tasks (the documented O(block²) trap). A
     // user-specified count is respected.
-    val np = eRaw.sparkSession.sparkContext.defaultParallelism
+    val np = e.sparkSession.sparkContext.defaultParallelism
     val w1 = oriented.repartition(np, col("src"))
       .select(col("src"), col("dst").as("b"), col("ddg").as("bdg"))
     val w2 = oriented.repartition(np, col("src"))
@@ -260,6 +267,163 @@ object GraphQueries extends QueryModule {
       .orderBy("part_key")
   }
 
+  /** Peeling rounds for the k-core entry — bounded like every
+    * iterative entry here, so the oracle unrolls to a fixed CTE chain.
+    */
+  private[operators] val KcoreRounds = 4
+
+  /** k-core decomposition ([[KcoreRounds]] bounded peeling rounds) at
+    * the DATA-DERIVED threshold k = mean degree = (2|E|) div |V| — a
+    * fixed literal k is degenerate across scale factors (this graph's
+    * min degree grows with SF), while the integer mean self-scales
+    * and peels the sub-average half wherever the graph lands. Each
+    * round drops every vertex whose CURRENT degree is below k and
+    * removes its edges, so a removal can cascade (the classic core
+    * collapse); after the bounded rounds the output labels every
+    * original vertex with either its peel round or its final in-core
+    * degree — exact integers end to end, so the full labeling
+    * hash-checks against DuckDB's unrolled CTE. Scale shape: per
+    * round one map-side-combined degree count plus two semi-joins of
+    * the |E| frame against the |V|-row survivor set; the edge frame
+    * is pinned per round (three consumers: the degree pass and both
+    * ends of the next filter), the same per-level discipline as BFS.
+    */
+  private[graft] def kcoreFrame(eRaw: DataFrame): DataFrame = {
+    var e = graft.Checkpoint.pin(eRaw)
+    var v = graft.Checkpoint.pin(
+      e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
+        .distinct())
+    // |E| and |V| are the two driver-side scalars (1-row counts over
+    // pinned frames — the BFS-seed budget class).
+    val m = e.count()
+    val n = v.count()
+    require(n > 0, "kcore: empty co-occurrence graph")
+    val k = (2L * m) / n
+    val peeled = Seq.newBuilder[DataFrame]
+    for (i <- 1 to KcoreRounds) {
+      val dcnt = e.select(col("u").as("pk"))
+        .unionByName(e.select(col("v").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("dg"))
+      val degf = graft.Checkpoint.pin(
+        v.join(dcnt, Seq("pk"), "left")
+          .select(col("pk"), coalesce(col("dg"), lit(0L)).as("dg")))
+      peeled += degf.filter(col("dg") < k)
+        .select(col("pk"), lit(i.toLong).as("peel_round"))
+      v = graft.Checkpoint.pin(degf.filter(col("dg") >= k).select("pk"))
+      e = graft.Checkpoint.pin(
+        e.join(v.withColumnRenamed("pk", "u"), Seq("u"), "left_semi")
+          .join(v.withColumnRenamed("pk", "v"), Seq("v"), "left_semi"))
+    }
+    val fin = e.select(col("u").as("pk"))
+      .unionByName(e.select(col("v").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("dg"))
+    val nullL = lit(null).cast("long")
+    peeled.result().reduce(_ unionByName _)
+      .select(col("pk"), col("peel_round"), nullL.as("core_deg"))
+      .unionByName(v.join(fin, Seq("pk"), "left")
+        .select(col("pk"), nullL.as("peel_round"),
+          coalesce(col("dg"), lit(0L)).as("core_deg")))
+      .select(col("pk").as("part_key"), col("peel_round"), col("core_deg"))
+      .orderBy("part_key")
+  }
+
+  private def graphKcore(s: SparkSession, d: String): DataFrame =
+    kcoreFrame(coEdges(s, d))
+
+  /** Local clustering coefficient — closed wedges over possible
+    * wedges per vertex, cc(v) = 2·T(v) / (d(v)·(d(v)−1)) for
+    * d(v) ≥ 2, carried as an exact PPM integer
+    * (2·T·10⁶) div (d·(d−1)) so the full labeling hash-checks. Reuses
+    * the oriented wedge kernel for T(v) (the 100 TB triangle shape)
+    * and the pinned edge frame for degrees — one pin, both consumers.
+    * Overflow budget: 2·T·10⁶ < 2⁶³ up to T ≈ 4.6×10¹² triangles per
+    * vertex — beyond any real link graph's per-vertex closure.
+    */
+  private[graft] def clusteringFrame(eRaw: DataFrame): DataFrame = {
+    val e = graft.Checkpoint.pin(eRaw)
+    val deg = e.select(col("u").as("pk"))
+      .unionByName(e.select(col("v").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("dg"))
+    val tri = triangleCountsPinned(e).withColumnRenamed("part_key", "pk")
+    deg.filter(col("dg") >= 2)
+      .join(tri, Seq("pk"), "left")
+      .select(col("pk").as("part_key"), col("dg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(2 * coalesce(n_triangles, 0L) * 1000000)" +
+          " div (dg * (dg - 1))").as("cc_ppm"))
+      .orderBy("part_key")
+  }
+
+  private def graphClustering(s: SparkSession, d: String): DataFrame =
+    clusteringFrame(coEdges(s, d))
+
+  /** HITS fixed-point scale and iteration count: scores are BIGINT
+    * multiples of 10⁻⁶ and each normalization is an exact integer
+    * floor-division by the global sum, so both engines compute
+    * literally the same longs. Overflow budget: an un-normalized
+    * score is ≤ Σ of the opposite side's normalized scores ≈ 10⁶, so
+    * the re-scale product stays ≤ 10¹²·degree — BIGINT-safe past 10⁶
+    * neighbors; a denser graph drops the scale a decade (the topics
+    * discipline).
+    */
+  private val HitsScale = 1000000L
+  private[operators] val HitsIters = 2
+
+  /** HITS hubs/authorities (Kleinberg) over a DIRECTED bipartite edge
+    * set (`c` → `p`) — the mutual-reinforcement ranking every
+    * citation/link corpus wants next to PageRank: a hub is good
+    * because it points at good authorities and vice versa. Each
+    * half-step is the PageRank contribution shape (one edges⋈scores
+    * equi-join + a map-side-combined sum per far endpoint) followed
+    * by an exact integer normalization against the 1-row global sum
+    * (broadcast, never collected). The edge frame is pinned (read
+    * every half-step); each score frame is pinned before its global
+    * sum so the normalize reads blocks, not lineage.
+    */
+  private[graft] def hitsFrame(beRaw: DataFrame): (DataFrame, DataFrame) = {
+    val be = graft.Checkpoint.pin(beRaw)
+    var hub = be.select(col("c")).distinct()
+      .select(col("c"), lit(HitsScale).as("h"))
+    var auth: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val aPin = graft.Checkpoint.pin(
+        be.join(hub, Seq("c"))
+          .groupBy("p").agg(sum(col("h")).as("ar")))
+      val aTot = aPin.agg(sum(col("ar")).as("t"))
+      auth = graft.Checkpoint.pin(
+        aPin.crossJoin(broadcast(aTot))
+          .select(col("p"), expr(s"(ar * ${HitsScale}L) div t").as("a")))
+      val hPin = graft.Checkpoint.pin(
+        be.join(auth, Seq("p"))
+          .groupBy("c").agg(sum(col("a")).as("hr")))
+      val hTot = hPin.agg(sum(col("hr")).as("t"))
+      hub = graft.Checkpoint.pin(
+        hPin.crossJoin(broadcast(hTot))
+          .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h")))
+    }
+    (hub, auth)
+  }
+
+  /** Driver entry: HITS over the customer→part purchase bipartite
+    * graph (orders⋈lineitem, distinct (custkey, partkey)) — a genuine
+    * DIRECTED two-mode graph, unlike the symmetric co-occurrence set
+    * where hubs and authorities coincide.
+    */
+  private def graphHits(s: SparkSession, d: String): DataFrame = {
+    val be = Tables.orders(s, d)
+      .select(col("o_orderkey").as("okey"), col("o_custkey").as("c"))
+      .join(Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("p")),
+        Seq("okey"))
+      .select("c", "p").distinct()
+    val (hub, auth) = hitsFrame(be)
+    hub.select(col("c").as("entity_key"), lit("hub").as("kind"),
+        col("h").as("score_scaled"))
+      .unionByName(auth.select(col("p").as("entity_key"),
+        lit("auth").as("kind"), col("a").as("score_scaled")))
+      .orderBy("kind", "entity_key")
+  }
+
   /** Shared oracle prelude: the distinct undirected co-occurrence
     * edge set, exactly as [[coEdges]] derives it.
     */
@@ -269,28 +433,116 @@ object GraphQueries extends QueryModule {
       |e AS (SELECT DISTINCT a.pk u, b.pk v
       |      FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk)""".stripMargin
 
+  /** Shared oracle mid-section: per-vertex triangle counts via the
+    * SAME oriented-wedge derivation as [[triangleCounts]] (assumes
+    * [[edgesSql]]'s `e` is in scope) — used by both the triangle and
+    * the clustering-coefficient oracles.
+    */
+  private val triSql =
+    """deg AS (SELECT pk, count(*) dg FROM (
+      |    SELECT u pk FROM e UNION ALL SELECT v pk FROM e) t GROUP BY 1),
+      |o AS (SELECT
+      |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |         THEN e.u ELSE e.v END src,
+      |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+      |         THEN e.v ELSE e.u END dst
+      |  FROM e JOIN deg du ON du.pk = e.u JOIN deg dv ON dv.pk = e.v),
+      |od AS (SELECT o.src, o.dst, dv.dg ddg
+      |       FROM o JOIN deg dv ON dv.pk = o.dst),
+      |tri AS (SELECT w1.src a, w1.dst b, w2.dst c
+      |  FROM od w1 JOIN od w2 ON w1.src = w2.src
+      |    AND (w1.ddg < w2.ddg OR (w1.ddg = w2.ddg AND w1.dst < w2.dst))
+      |  WHERE EXISTS (SELECT 1 FROM o
+      |                WHERE o.src = w1.dst AND o.dst = w2.dst)),
+      |x AS (SELECT a pk FROM tri UNION ALL SELECT b FROM tri
+      |      UNION ALL SELECT c FROM tri),
+      |tc AS (SELECT pk, CAST(count(*) AS BIGINT) t FROM x GROUP BY 1)"""
+      .stripMargin
+
+  /** One k-core peel round as oracle CTEs: degrees over e{i-1}
+    * restricted to v{i-1}, the round-i peel set, survivors, and the
+    * surviving edge set.
+    */
+  private def kcoreRoundSql(i: Int): String = {
+    val (pv, pe) = (s"v${i - 1}", s"e${i - 1}")
+    // MATERIALIZED throughout: each round references the previous
+    // round's CTEs several times, and plain CTEs inline that chain
+    // exponentially (the q_unigram_tok_train lesson).
+    s"""d$i AS MATERIALIZED (SELECT $pv.pk, coalesce(c.dg, 0) dg FROM $pv
+       |  LEFT JOIN (SELECT pk, count(*) dg FROM (
+       |      SELECT u pk FROM $pe UNION ALL SELECT v pk FROM $pe) t
+       |    GROUP BY 1) c USING (pk)),
+       |p$i AS (SELECT pk, $i r FROM d$i, kk WHERE dg < kk.k),
+       |v$i AS MATERIALIZED (SELECT pk FROM d$i, kk WHERE dg >= kk.k),
+       |e$i AS MATERIALIZED (SELECT $pe.u, $pe.v FROM $pe
+       |  JOIN v$i a ON a.pk = $pe.u JOIN v$i b ON b.pk = $pe.v)"""
+      .stripMargin
+  }
+
+  /** One HITS iteration as oracle CTEs: authority raw/normalized from
+    * hub h{i-1}, then hub raw/normalized from a$i.
+    */
+  private def hitsIterSql(i: Int): String =
+    // MATERIALIZED accumulators — each raw-score CTE is read twice
+    // (its global sum and its normalize), so a plain chain inlines
+    // exponentially across iterations.
+    s"""ar$i AS MATERIALIZED (SELECT p, CAST(sum(h) AS BIGINT) ar
+       |         FROM be JOIN h${i - 1} USING (c) GROUP BY 1),
+       |at$i AS (SELECT CAST(sum(ar) AS BIGINT) t FROM ar$i),
+       |a$i AS MATERIALIZED (SELECT p, (ar * ${HitsScale}) // t a
+       |        FROM ar$i CROSS JOIN at$i),
+       |hr$i AS MATERIALIZED (SELECT c, CAST(sum(a) AS BIGINT) hr
+       |         FROM be JOIN a$i USING (p) GROUP BY 1),
+       |ht$i AS (SELECT CAST(sum(hr) AS BIGINT) t FROM hr$i),
+       |h$i AS MATERIALIZED (SELECT c, (hr * ${HitsScale}) // t h
+       |        FROM hr$i CROSS JOIN ht$i)""".stripMargin
+
   override val defs: Seq[QueryDef] = Seq(
     QueryDef("q_graph_triangles", graphTriangles, Some(
       s"""WITH $edgesSql,
-         |deg AS (SELECT pk, count(*) dg FROM (
-         |    SELECT u pk FROM e UNION ALL SELECT v pk FROM e) t GROUP BY 1),
-         |o AS (SELECT
-         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
-         |         THEN e.u ELSE e.v END src,
-         |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
-         |         THEN e.v ELSE e.u END dst
-         |  FROM e JOIN deg du ON du.pk = e.u JOIN deg dv ON dv.pk = e.v),
-         |od AS (SELECT o.src, o.dst, dv.dg ddg
-         |       FROM o JOIN deg dv ON dv.pk = o.dst),
-         |tri AS (SELECT w1.src a, w1.dst b, w2.dst c
-         |  FROM od w1 JOIN od w2 ON w1.src = w2.src
-         |    AND (w1.ddg < w2.ddg OR (w1.ddg = w2.ddg AND w1.dst < w2.dst))
-         |  WHERE EXISTS (SELECT 1 FROM o
-         |                WHERE o.src = w1.dst AND o.dst = w2.dst)),
-         |x AS (SELECT a pk FROM tri UNION ALL SELECT b FROM tri
-         |      UNION ALL SELECT c FROM tri)
-         |SELECT pk AS part_key, CAST(count(*) AS BIGINT) AS n_triangles
-         |FROM x GROUP BY 1 ORDER BY part_key""".stripMargin)),
+         |$triSql
+         |SELECT pk AS part_key, t AS n_triangles
+         |FROM tc ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_kcore", graphKcore, Some(
+      s"""WITH $edgesSql,
+         |e0 AS MATERIALIZED (SELECT u, v FROM e),
+         |v0 AS MATERIALIZED (SELECT DISTINCT pk FROM (
+         |    SELECT u pk FROM e UNION ALL SELECT v pk FROM e) t),
+         |kk AS (SELECT (2 * (SELECT count(*) FROM e))
+         |         // (SELECT count(*) FROM v0) AS k),
+         |${(1 to KcoreRounds).map(kcoreRoundSql).mkString(",\n")},
+         |fin AS (SELECT pk, CAST(count(*) AS BIGINT) dg FROM (
+         |    SELECT u pk FROM e$KcoreRounds
+         |    UNION ALL SELECT v pk FROM e$KcoreRounds) t GROUP BY 1)
+         |SELECT pk AS part_key, CAST(r AS BIGINT) AS peel_round,
+         |       CAST(NULL AS BIGINT) AS core_deg
+         |FROM (${(1 to KcoreRounds)
+            .map(i => s"SELECT pk, r FROM p$i").mkString(" UNION ALL ")}) p
+         |UNION ALL
+         |SELECT v$KcoreRounds.pk, CAST(NULL AS BIGINT),
+         |       CAST(coalesce(fin.dg, 0) AS BIGINT)
+         |FROM v$KcoreRounds LEFT JOIN fin USING (pk)
+         |ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_clustering", graphClustering, Some(
+      s"""WITH $edgesSql,
+         |$triSql
+         |SELECT deg.pk AS part_key, CAST(deg.dg AS BIGINT) AS degree,
+         |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_triangles,
+         |  CAST((2 * coalesce(tc.t, 0) * 1000000)
+         |    // (deg.dg * (deg.dg - 1)) AS BIGINT) AS cc_ppm
+         |FROM deg LEFT JOIN tc USING (pk)
+         |WHERE deg.dg >= 2 ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_hits", graphHits, Some(
+      s"""WITH be AS (SELECT DISTINCT o.o_custkey c, l.l_partkey p
+         |      FROM orders o JOIN lineitem l
+         |        ON l.l_orderkey = o.o_orderkey),
+         |h0 AS (SELECT DISTINCT c, CAST(${HitsScale} AS BIGINT) h FROM be),
+         |${(1 to HitsIters).map(hitsIterSql).mkString(",\n")}
+         |SELECT c AS entity_key, 'hub' AS kind,
+         |       CAST(h AS BIGINT) AS score_scaled FROM h$HitsIters
+         |UNION ALL
+         |SELECT p, 'auth', CAST(a AS BIGINT) FROM a$HitsIters
+         |ORDER BY kind, entity_key""".stripMargin)),
     QueryDef("q_graph_pagerank", graphPagerank, Some(
       s"""WITH $edgesSql,
          |ed AS (SELECT u src, v dst FROM e

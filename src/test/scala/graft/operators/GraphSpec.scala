@@ -175,6 +175,63 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("kcore peels below the mean degree, with cascade, exactly") {
+    // K4 on {1..4} plus the chain 4-5, 5-6: |E|=8, |V|=6, so the
+    // data-derived k = (2*8) div 6 = 2. Round 1 peels only vertex 6
+    // (degree 1); dropping edge (5,6) leaves vertex 5 at degree 1, so
+    // round 2 peels it — the cascade — and the K4 core (all degrees
+    // >= 3 after edge (4,5) drops) survives all remaining rounds.
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val out = GraphQueries.kcoreFrame(edges.toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .toMap
+    assert(out === Map(
+      1L -> (None, Some(3L)), 2L -> (None, Some(3L)),
+      3L -> (None, Some(3L)), 4L -> (None, Some(3L)),
+      5L -> (Some(2L), None), 6L -> (Some(1L), None)))
+  }
+
+  test("clustering coefficient: exact ppm on a clique with a tail") {
+    // Same K4 + 4-5, 5-6 graph: the three pure-clique vertices close
+    // every wedge (cc = 1e6 exactly), the attachment vertex 4 has
+    // degree 4 but still 3 triangles (cc = 6e6 div 12 = 500000), the
+    // chain vertex 5 has wedges but no closure (cc = 0), and the
+    // degree-1 endpoint 6 is excluded (cc undefined).
+    import spark.implicits._
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = k4 ++ Seq((4L, 5L), (5L, 6L))
+    val out = GraphQueries.clusteringFrame(edges.toDF("u", "v"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out === Map(
+      1L -> ((3L, 3L, 1000000L)), 2L -> ((3L, 3L, 1000000L)),
+      3L -> ((3L, 3L, 1000000L)), 4L -> ((4L, 3L, 500000L)),
+      5L -> ((2L, 0L, 0L))))
+  }
+
+  test("HITS: exact integer mutual reinforcement on a tiny bipartite") {
+    // Customers {1, 2}, parts {10, 20}, edges (1,10), (1,20), (2,10):
+    // customer 1 points at both parts (the better hub), part 10 is
+    // cited by both customers (the better authority). The expected
+    // longs are the hand-run of the integer iteration (verified
+    // independently): after two normalize rounds auth(10)=625000,
+    // auth(20)=375000, hub(1)=615384, hub(2)=384615 — sums within one
+    // floor-division ulp of the 1e6 scale.
+    import spark.implicits._
+    val be = Seq((1L, 10L), (1L, 20L), (2L, 10L)).toDF("c", "p")
+    val (hub, auth) = GraphQueries.hitsFrame(be)
+    val h = hub.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = auth.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === Map(10L -> 625000L, 20L -> 375000L))
+    assert(h === Map(1L -> 615384L, 2L -> 384615L))
+  }
+
   test("BFS returns the empty labeling on an all-null part key") {
     // Round-15 advice: the seed extraction used to NPE out of getLong
     // when min(pk) was null; it must return an empty frame instead.
