@@ -60,11 +60,52 @@ object UnigramTokQueries extends QueryModule {
     */
   private val TopK = 30
 
+  /** The shared model-fit core: filtered word classes, the costed
+    * vocabulary, and the completed Viterbi DP table — everything up
+    * to (but not including) the backtrack, so the trainer (which
+    * backtracks to recount pieces) and the encoder (which only needs
+    * each word's optimal piece COUNT at its final position) split
+    * here.
+    */
+  private[graft] final case class EmArtifacts(
+      words: DataFrame, cost: DataFrame, dp: DataFrame)
+
   /** One hard-EM round over a (`w`, `cnt`) frequency-class frame;
     * exposed so the spec can drive it with hand-computable corpora.
     * Returns (piece, seed_count, piece_cost, em_count).
     */
   private[graft] def trainFrame(freqRaw: DataFrame): DataFrame = {
+    val art = emCore(freqRaw)
+    val (words, cost, dp) = (art.words, art.cost, art.dp)
+    // Backtrack: walk each word from its end through the stored
+    // backpointers, emitting one piece per step — again MaxWordLen
+    // bounded joins, each against the pinned DP table.
+    var cur = words.select(col("w"),
+      length(col("w")).cast("int").as("pos"), col("cnt"))
+    val parts = Seq.newBuilder[DataFrame]
+    for (_ <- 1 to MaxWordLen) {
+      // Pinned per step for the same plan-depth reason as the DP
+      // rounds: every emitted piece frame hangs off `step`, and an
+      // unpinned chain puts step k's whole join history under each of
+      // the 12 union branches.
+      val step = Checkpoint.pin(
+        cur.filter(col("pos") > 0).join(dp, Seq("w", "pos"))
+          .select(col("w"), col("pos"), col("bj"), col("cnt")))
+      parts += step.select(
+        expr("substring(w, bj + 1, pos - bj)").as("piece"), col("cnt"))
+      cur = step.select(col("w"), col("bj").as("pos"), col("cnt"))
+    }
+    val em = parts.result().reduce(_ unionByName _)
+      .groupBy("piece").agg(sum(col("cnt")).as("em"))
+    cost.join(em, Seq("piece"), "left")
+      .select(col("piece"), col("c").as("seed_count"),
+        col("pc").as("piece_cost"),
+        coalesce(col("em"), lit(0L)).as("em_count"))
+      .orderBy(desc("em_count"), asc("piece"))
+      .limit(TopK)
+  }
+
+  private[graft] def emCore(freqRaw: DataFrame): EmArtifacts = {
     val words = Checkpoint.pin(
       freqRaw.filter(length(col("w")) <= MaxWordLen))
     // All spans (j, i = j+l, piece): ≤ MaxWordLen × MaxPieceLen = 48
@@ -123,33 +164,42 @@ object UnigramTokQueries extends QueryModule {
           col("m.np").as("np"), col("m.bj").as("bj"))
       dpAcc = Checkpoint.pin(dpAcc.unionByName(next))
     }
-    val dp = dpAcc
-    // Backtrack: walk each word from its end through the stored
-    // backpointers, emitting one piece per step — again MaxWordLen
-    // bounded joins, each against the pinned DP table.
-    var cur = words.select(col("w"),
-      length(col("w")).cast("int").as("pos"), col("cnt"))
-    val parts = Seq.newBuilder[DataFrame]
-    for (_ <- 1 to MaxWordLen) {
-      // Pinned per step for the same plan-depth reason as the DP
-      // rounds: every emitted piece frame hangs off `step`, and an
-      // unpinned chain puts step k's whole join history under each of
-      // the 12 union branches.
-      val step = Checkpoint.pin(
-        cur.filter(col("pos") > 0).join(dp, Seq("w", "pos"))
-          .select(col("w"), col("pos"), col("bj"), col("cnt")))
-      parts += step.select(
-        expr("substring(w, bj + 1, pos - bj)").as("piece"), col("cnt"))
-      cur = step.select(col("w"), col("bj").as("pos"), col("cnt"))
-    }
-    val em = parts.result().reduce(_ unionByName _)
-      .groupBy("piece").agg(sum(col("cnt")).as("em"))
-    cost.join(em, Seq("piece"), "left")
-      .select(col("piece"), col("c").as("seed_count"),
-        col("pc").as("piece_cost"),
-        coalesce(col("em"), lit(0L)).as("em_count"))
-      .orderBy(desc("em_count"), asc("piece"))
-      .limit(TopK)
+    EmArtifacts(words, cost, dpAcc)
+  }
+
+  /** ENCODE with the trained model (the apply counterpart, mirroring
+    * the BPE train/encode pair): fit the unigram LM on the corpus's
+    * own frequency classes, then label every document with its
+    * tokenization stats — scorable word count, total optimal piece
+    * count, characters covered, and words skipped by the length cap.
+    * The per-word piece count is the DP's `np` at the word's final
+    * position (no backtrack needed — the count rides the struct-min),
+    * so encoding is a |distinct words|-row join back onto the token
+    * stream: the corpus is touched exactly twice (frequency classes +
+    * the final per-doc fold), everything between is sublinear. The
+    * compression signal (n_pieces / n_words) is the
+    * tokenizer-fertility quality gate a curation pipeline thresholds
+    * on.
+    */
+  private[graft] def encodeFrame(toksRaw: DataFrame): DataFrame = {
+    // The token stream feeds the frequency classes AND the per-doc
+    // fold — pin once, read blocks twice.
+    val tk = Checkpoint.pin(toksRaw)
+    val art = emCore(tk.groupBy("w").agg(count(lit(1)).as("cnt")))
+    val wp = art.dp
+      .join(art.words.select(col("w"),
+        length(col("w")).cast("int").as("wl")), Seq("w"))
+      .filter(col("pos") === col("wl"))
+      .select(col("w"), col("np").cast("long").as("np"))
+    tk.join(wp, Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("np")).as("n_words"),
+        coalesce(sum(col("np")), lit(0L)).as("n_pieces"),
+        coalesce(sum(when(col("np").isNotNull,
+          length(col("w")).cast("long"))), lit(0L)).as("n_chars"),
+        sum(when(col("np").isNull, 1L).otherwise(0L)).as("n_skipped"))
+      .orderBy("doc_id")
   }
 
   /** Word frequency classes — the only corpus-sized job on this path
@@ -161,13 +211,22 @@ object UnigramTokQueries extends QueryModule {
       .filter(col("w").isNotNull)
       .groupBy("w").agg(count(lit(1)).as("cnt")))
 
+  private def unigramTokEncode(s: SparkSession, d: String): DataFrame =
+    encodeFrame(Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w").isNotNull))
+
   /** DuckDB mirror: the DP and backtrack unrolled as MATERIALIZED CTE
     * steps (without materialization the accumulator chain inlines
     * exponentially — a{k} references a{k-1} twice), QUALIFY row_number
     * for the per-position min (equivalent to the Spark struct-min:
     * the minimum is unique, see [[trainFrame]]).
     */
-  private def oracle: String = {
+  /** The shared CTE prelude (frequency classes → spans → costed vocab
+    * → completed DP accumulator a[[MaxWordLen]]) — the SQL mirror of
+    * [[emCore]], shared by the train and encode oracles.
+    */
+  private def coreSql: String = {
     val dpSteps = (1 to MaxWordLen).map { i =>
       val prev = if (i == 1) "d0" else s"a${i - 1}"
       s"""d$i AS MATERIALIZED (SELECT m.w, $i AS pos,
@@ -179,17 +238,7 @@ object UnigramTokQueries extends QueryModule {
          |a$i AS MATERIALIZED (SELECT * FROM $prev
          |  UNION ALL SELECT * FROM d$i)""".stripMargin
     }.mkString(",\n")
-    val btSteps = (1 to MaxWordLen).map { k =>
-      val prev = if (k == 1) "b0" else s"b${k - 1}"
-      s"""u$k AS MATERIALIZED (SELECT b.w, a.bj, b.pos, b.cnt
-         |  FROM $prev b JOIN a$MaxWordLen a
-         |    ON a.w = b.w AND a.pos = b.pos WHERE b.pos > 0),
-         |b$k AS (SELECT w, bj AS pos, cnt FROM u$k)""".stripMargin
-    }.mkString(",\n")
-    val used = (1 to MaxWordLen)
-      .map(k => s"SELECT substr(w, bj + 1, pos - bj) AS piece, cnt FROM u$k")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS (SELECT t AS w, count(*) AS cnt FROM
+    s"""w0 AS (SELECT t AS w, count(*) AS cnt FROM
        |    (SELECT unnest(${TextQueries.toksSql}) AS t FROM documents)
        |    GROUP BY 1),
        |w AS MATERIALIZED (SELECT * FROM w0 WHERE len(w) <= $MaxWordLen),
@@ -212,7 +261,21 @@ object UnigramTokQueries extends QueryModule {
        |  FROM sp JOIN cost USING (piece)),
        |d0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS cost,
        |       0 AS np, 0 AS bj FROM w),
-       |$dpSteps,
+       |$dpSteps""".stripMargin
+  }
+
+  private def oracle: String = {
+    val btSteps = (1 to MaxWordLen).map { k =>
+      val prev = if (k == 1) "b0" else s"b${k - 1}"
+      s"""u$k AS MATERIALIZED (SELECT b.w, a.bj, b.pos, b.cnt
+         |  FROM $prev b JOIN a$MaxWordLen a
+         |    ON a.w = b.w AND a.pos = b.pos WHERE b.pos > 0),
+         |b$k AS (SELECT w, bj AS pos, cnt FROM u$k)""".stripMargin
+    }.mkString(",\n")
+    val used = (1 to MaxWordLen)
+      .map(k => s"SELECT substr(w, bj + 1, pos - bj) AS piece, cnt FROM u$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $coreSql,
        |b0 AS (SELECT w.w, len(w.w) AS pos, w.cnt FROM w),
        |$btSteps,
        |used AS ($used),
@@ -224,7 +287,29 @@ object UnigramTokQueries extends QueryModule {
        |ORDER BY em_count DESC, cost.piece LIMIT $TopK""".stripMargin
   }
 
+  /** Encode oracle: the shared DP prelude, each word's optimal piece
+    * count at its final position, and the per-doc LEFT-join fold
+    * (unmatched = over-cap word = skipped).
+    */
+  private def encodeOracle: String =
+    s"""WITH $coreSql,
+       |wp AS MATERIALIZED (SELECT a.w, a.np FROM a$MaxWordLen a
+       |  JOIN w ON w.w = a.w AND a.pos = len(w.w)),
+       |dt AS (SELECT doc_id, t AS w FROM
+       |  (SELECT doc_id, unnest(${TextQueries.toksSql}) AS t
+       |   FROM documents))
+       |SELECT doc_id,
+       |  CAST(count(wp.np) AS BIGINT) AS n_words,
+       |  CAST(coalesce(sum(wp.np), 0) AS BIGINT) AS n_pieces,
+       |  CAST(coalesce(sum(CASE WHEN wp.np IS NOT NULL
+       |    THEN len(dt.w) END), 0) AS BIGINT) AS n_chars,
+       |  CAST(sum(CASE WHEN wp.np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_skipped
+       |FROM dt LEFT JOIN wp USING (w)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
-    QueryDef("q_unigram_tok_train", unigramTokTrain, Some(oracle))
+    QueryDef("q_unigram_tok_train", unigramTokTrain, Some(oracle)),
+    QueryDef("q_unigram_tok_encode", unigramTokEncode, Some(encodeOracle))
   )
 }

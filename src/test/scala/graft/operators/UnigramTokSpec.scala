@@ -53,6 +53,25 @@ class UnigramTokSpec extends AnyFunSuite {
     assert(out.values.forall(_._2 > 0L), "costs are positive (c < T)")
   }
 
+  test("encode: per-doc piece counts from the DP, over-cap words skip") {
+    // Corpus of two docs sharing the tokenizer fit: "abab" dominates
+    // (3 occurrences), so its whole-word piece wins the Viterbi
+    // (np = 1, the train-spec cost argument at these counts too);
+    // the 13-char word exceeds MaxWordLen=12 and must count ONLY as
+    // skipped — no pieces, no chars.
+    import spark.implicits._
+    val toks = Seq(
+      (1L, "abab"), (1L, "abab"),
+      (2L, "abab"), (2L, "aaaaaaaaaaaaa")).toDF("doc_id", "w")
+    val out = UnigramTokQueries.encodeFrame(toks).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out === Map(
+      1L -> ((2L, 2L, 8L, 0L)),
+      2L -> ((1L, 1L, 4L, 1L))))
+  }
+
   test("words over the length cap are excluded, not truncated") {
     // A 13-char word exceeds MaxWordLen=12: it contributes NOTHING
     // (no seed counts, no segmentation) rather than a clipped prefix.
