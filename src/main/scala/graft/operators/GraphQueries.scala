@@ -357,6 +357,78 @@ object GraphQueries extends QueryModule {
   private def graphClustering(s: SparkSession, d: String): DataFrame =
     clusteringFrame(coEdges(s, d))
 
+  /** Top-k for the link-prediction entry (deterministic cut: the
+    * (jaccard_ppm DESC, b, c) order is total — (b, c) is unique).
+    */
+  private val LinkPredTopK = 100
+
+  /** Common-neighbor / Jaccard link prediction — the similarity-join
+    * counterpart of triangle counting: score every NON-edge pair
+    * (b, c) that shares at least one wedge center by its common
+    * neighbor count and exact Jaccard overlap
+    * cn·10⁶ div (d(b) + d(c) − cn), and return the top
+    * [[LinkPredTopK]]. Scale posture: common-neighbor counting is
+    * inherently Σ C(d(u), 2) over wedge CENTERS u, which a power-law
+    * hub makes catastrophic (a 10⁵-degree hub alone is 5×10⁹
+    * wedges) — so centers are restricted to degree ≤ the MEAN degree,
+    * the hub-exclusion of the link-prediction literature and the
+    * graph analogue of the prefix filter's document-frequency cut
+    * (q_ngram_jaccard): a super-average-degree vertex is the
+    * stop-word of the graph — its wedges carry the least similarity
+    * signal and ALL of the quadratic cost (here the cut is 148M → 52M
+    * wedges at sf0.1; on a power-law graph it is the difference
+    * between feasible and not). The cap is DATA-DERIVED like the
+    * k-core threshold, the semantics stay exact-conditional (common
+    * neighbors through sub-mean-degree centers), and the oracle
+    * mirrors the cap literally. Per-pair degrees in the Jaccard
+    * denominator are the FULL degrees, attached AFTER the pair
+    * aggregation by unhinted joins — AQE broadcasts the |V|-row side
+    * at any realistic vertex count and falls back to shuffle beyond,
+    * and nothing but the bare (center, pair) wedge rides the one big
+    * shuffle. Wedge legs get explicit partition counts — the same
+    * AQE fan-out-blindness guard as the triangle kernel.
+    */
+  private[graft] def linkPredictFrame(eRaw: DataFrame): DataFrame = {
+    val e = graft.Checkpoint.pin(eRaw)
+    val deg = graft.Checkpoint.pin(
+      e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("dg")))
+    val m = e.count()
+    val n = deg.count()
+    require(n > 0, "link predict: empty co-occurrence graph")
+    val cap = (2L * m) / n
+    val ctr = deg.filter(col("dg") <= cap).select("pk")
+    val ed = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    val np = e.sparkSession.sparkContext.defaultParallelism
+    val adj = graft.Checkpoint.pin(
+      ed.join(ctr.withColumnRenamed("pk", "src"), Seq("src"), "left_semi"))
+    val a1 = adj.repartition(np, col("src"))
+      .select(col("src"), col("dst").as("b"))
+    val a2 = adj.repartition(np, col("src"))
+      .select(col("src"), col("dst").as("c"))
+    // The one wedge-scale shuffle carries a single packed long per
+    // wedge (ids here are < 2³² — a corpus with wider ids keeps the
+    // (b, c) pair, paying ~50% more shuffle): 16 bytes/row and a
+    // single-column hash for the map-side combine.
+    a1.join(a2, Seq("src")).filter(col("b") < col("c"))
+      .select(expr("shiftleft(b, 32) + c").as("bc"))
+      .groupBy("bc").agg(count(lit(1)).as("cn"))
+      .select(expr("shiftright(bc, 32)").as("b"),
+        expr("bc & 4294967295").as("c"), col("cn"))
+      .join(e.select(col("u").as("b"), col("v").as("c")),
+        Seq("b", "c"), "left_anti")
+      .join(deg.select(col("pk").as("b"), col("dg").as("db")), Seq("b"))
+      .join(deg.select(col("pk").as("c"), col("dg").as("dc")), Seq("c"))
+      .select(col("b"), col("c"), col("cn").as("common_neighbors"),
+        expr("(cn * 1000000) div (db + dc - cn)").as("jaccard_ppm"))
+      .orderBy(desc("jaccard_ppm"), asc("b"), asc("c"))
+      .limit(LinkPredTopK)
+  }
+
+  private def graphLinkPredict(s: SparkSession, d: String): DataFrame =
+    linkPredictFrame(coEdges(s, d))
+
   /** HITS fixed-point scale and iteration count: scores are BIGINT
     * multiples of 10⁻⁶ and each normalization is an exact integer
     * floor-division by the global sum, so both engines compute
@@ -532,6 +604,32 @@ object GraphQueries extends QueryModule {
          |    // (deg.dg * (deg.dg - 1)) AS BIGINT) AS cc_ppm
          |FROM deg LEFT JOIN tc USING (pk)
          |WHERE deg.dg >= 2 ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_link_predict", graphLinkPredict, Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+        |       FROM lineitem WHERE l_orderkey IS NOT NULL),
+        |e AS MATERIALIZED (SELECT DISTINCT a.pk u, b.pk v
+        |      FROM li a JOIN li b ON a.okey = b.okey AND a.pk < b.pk),
+        |deg AS MATERIALIZED (SELECT pk, count(*) dg FROM (
+        |    SELECT u pk FROM e UNION ALL SELECT v pk FROM e) t GROUP BY 1),
+        |st AS (SELECT (2 * (SELECT count(*) FROM e))
+        |         // (SELECT count(*) FROM deg) AS cap),
+        |ctr AS (SELECT pk FROM deg, st WHERE dg <= st.cap),
+        |ed AS (SELECT u src, v dst FROM e
+        |       UNION ALL SELECT v src, u dst FROM e),
+        |adj AS MATERIALIZED (SELECT ed.src, ed.dst FROM ed
+        |       JOIN ctr ON ctr.pk = ed.src),
+        |cn AS MATERIALIZED (SELECT a1.dst b, a2.dst c,
+        |      CAST(count(*) AS BIGINT) cn
+        |    FROM adj a1 JOIN adj a2
+        |      ON a1.src = a2.src AND a1.dst < a2.dst
+        |    GROUP BY 1, 2),
+        |nw AS (SELECT cn.* FROM cn WHERE NOT EXISTS (
+        |    SELECT 1 FROM e WHERE e.u = cn.b AND e.v = cn.c))
+        |SELECT nw.b, nw.c, nw.cn AS common_neighbors,
+        |  CAST((nw.cn * 1000000) // (db.dg + dc.dg - nw.cn) AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM nw JOIN deg db ON db.pk = nw.b JOIN deg dc ON dc.pk = nw.c
+        |ORDER BY jaccard_ppm DESC, b, c LIMIT 100""".stripMargin)),
     QueryDef("q_graph_hits", graphHits, Some(
       s"""WITH be AS (SELECT DISTINCT o.o_custkey c, l.l_partkey p
          |      FROM orders o JOIN lineitem l

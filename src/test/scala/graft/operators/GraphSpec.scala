@@ -232,6 +232,28 @@ class GraphSpec extends AnyFunSuite {
     assert(h === Map(1L -> 615384L, 2L -> 384615L))
   }
 
+  test("link prediction: cycle wedges score, hub centers are excluded") {
+    // C6 cycle 1-2-...-6-1 plus a hub 10 adjacent to every cycle
+    // vertex. Degrees: cycle 3 each, hub 6; mean = 24/7 = 3, so the
+    // hub is excluded as a wedge center (degree 6 > 3) while every
+    // cycle vertex qualifies. Distance-2 cycle pairs then have
+    // EXACTLY one counted common neighbor (their cycle wedge center;
+    // the hub path doesn't count) -> jaccard = 1e6 div (3+3-1) =
+    // 200000; distance-3 pairs' only common neighbor IS the hub ->
+    // absent; (i, hub) pairs are edges -> anti-joined out.
+    import spark.implicits._
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 6L))
+    val hub = (1L to 6L).map(i => (i, 10L))
+    val out = GraphQueries.linkPredictFrame((cycle ++ hub).toDF("u", "v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val exp = Seq((1L, 3L), (1L, 5L), (2L, 4L), (2L, 6L), (3L, 5L),
+      (4L, 6L)).map(_ -> ((1L, 200000L))).toMap
+    assert(out === exp)
+  }
+
   test("BFS returns the empty labeling on an all-null part key") {
     // Round-15 advice: the seed extraction used to NPE out of getLong
     // when min(pk) was null; it must return an empty frame instead.
