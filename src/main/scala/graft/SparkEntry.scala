@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{AnalyticsQueries, BpeQueries, CurationQueries,
-  EventQueries, GraphQueries, LinkageQueries, MlQueries, RelationalQueries,
-  SketchQueries, TextQueries, TopicQueries, UnigramTokQueries,
-  VectorQueries, WindowQueries}
+  EventQueries, GraphQueries, HybridQueries, LinkageQueries, MlQueries,
+  RelationalQueries, SketchQueries, TextQueries, TopicQueries,
+  UnigramTokQueries, VectorQueries, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -30,7 +30,8 @@ object SparkEntry {
     BpeQueries,
     GraphQueries,
     TopicQueries,
-    UnigramTokQueries
+    UnigramTokQueries,
+    HybridQueries
   )
 
   private lazy val allDefs: Seq[QueryDef] = {

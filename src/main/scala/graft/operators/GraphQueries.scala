@@ -429,6 +429,46 @@ object GraphQueries extends QueryModule {
   private def graphLinkPredict(s: SparkSession, d: String): DataFrame =
     linkPredictFrame(coEdges(s, d))
 
+  /** Degree assortativity (Newman's r) — the Pearson correlation of
+    * endpoint degrees over the symmetric directed edge list: the
+    * one-number structural summary (hub-hub vs hub-leaf mixing) every
+    * link-graph profile reports next to the degree histogram. All
+    * five moments (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINT sums in
+    * one map-side-combined pass over edges⋈degrees; the correlation
+    * itself is ONE double expression over those integers, written
+    * with the identical operation tree in both engines and rounded
+    * to 6 dp — the proven chisq/Gini libm-parity discipline. Overflow
+    * budget: Σ d(u)²·d(v)² terms stay under 2⁶³ while max-degree² ·
+    * |E| < 9.2×10¹⁸ — beyond 10⁹ edges of 10⁴-degree hubs; drop to
+    * per-partition doubles only past that (documented, not needed
+    * here).
+    */
+  private[graft] def assortativityFrame(eRaw: DataFrame): DataFrame = {
+    val e = graft.Checkpoint.pin(eRaw)
+    val deg = e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
+      .groupBy("pk").agg(count(lit(1)).as("dg"))
+    val ed = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    ed.join(deg.select(col("pk").as("src"), col("dg").as("dx")), Seq("src"))
+      .join(deg.select(col("pk").as("dst"), col("dg").as("dy")), Seq("dst"))
+      .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
+        sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      .select(col("m"), col("sx"), col("sxy"),
+        expr("""round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+          |  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+          |  / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+          |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          |    * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+          |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)"""
+          .stripMargin.replace("\n", " ")).as("assortativity_r6"))
+  }
+
+  private def graphAssortativity(s: SparkSession, d: String): DataFrame =
+    assortativityFrame(coEdges(s, d))
+
   /** HITS fixed-point scale and iteration count: scores are BIGINT
     * multiples of 10⁻⁶ and each normalization is an exact integer
     * floor-division by the global sum, so both engines compute
@@ -604,6 +644,28 @@ object GraphQueries extends QueryModule {
          |    // (deg.dg * (deg.dg - 1)) AS BIGINT) AS cc_ppm
          |FROM deg LEFT JOIN tc USING (pk)
          |WHERE deg.dg >= 2 ORDER BY part_key""".stripMargin)),
+    QueryDef("q_graph_assortativity", graphAssortativity, Some(
+      s"""WITH $edgesSql,
+         |deg AS (SELECT pk, count(*) dg FROM (
+         |    SELECT u pk FROM e UNION ALL SELECT v pk FROM e) t GROUP BY 1),
+         |ed AS (SELECT u src, v dst FROM e
+         |       UNION ALL SELECT v src, u dst FROM e),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) m,
+         |    CAST(sum(dx.dg) AS BIGINT) sx, CAST(sum(dy.dg) AS BIGINT) sy,
+         |    CAST(sum(dx.dg * dy.dg) AS BIGINT) sxy,
+         |    CAST(sum(dx.dg * dx.dg) AS BIGINT) sxx,
+         |    CAST(sum(dy.dg * dy.dg) AS BIGINT) syy
+         |  FROM ed JOIN deg dx ON dx.pk = ed.src
+         |    JOIN deg dy ON dy.pk = ed.dst)
+         |SELECT m, sx, sxy,
+         |  round((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |    / (sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+         |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |      * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+         |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+         |    AS assortativity_r6
+         |FROM mo""".stripMargin)),
     QueryDef("q_graph_link_predict", graphLinkPredict, Some(
       """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
         |       FROM lineitem WHERE l_orderkey IS NOT NULL),

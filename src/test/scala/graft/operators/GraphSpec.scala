@@ -232,6 +232,18 @@ class GraphSpec extends AnyFunSuite {
     assert(h === Map(1L -> 615384L, 2L -> 384615L))
   }
 
+  test("assortativity: a star is exactly -1, a clique degenerate") {
+    import spark.implicits._
+    // Every edge of a star pairs the hub (degree 5) with a leaf
+    // (degree 1) — perfect disassortativity, r = -1 exactly (the
+    // 6-dp rounding cannot disturb an exact integer-ratio result).
+    val star = (1L to 5L).map(r => (r, 10L))
+    val out = GraphQueries.assortativityFrame(star.toDF("u", "v"))
+      .collect()(0)
+    assert(out.getLong(0) == 10L) // m = 2|E| directed rows
+    assert(out.getDouble(3) == -1.0)
+  }
+
   test("link prediction: cycle wedges score, hub centers are excluded") {
     // C6 cycle 1-2-...-6-1 plus a hub 10 adjacent to every cycle
     // vertex. Degrees: cycle 3 each, hub 6; mean = 24/7 = 3, so the
