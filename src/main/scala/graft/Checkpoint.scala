@@ -135,6 +135,14 @@ object Checkpoint {
     case _ => false
   }
 
+  /** [[pin]] unless the frame is already pinned — for kernels whose
+    * callers may hand them an already-materialized shared frame (the
+    * session-cached co-occurrence edge set feeding the whole graph
+    * family): a second pin would only copy the blocks again.
+    */
+  def ensurePinned(df: DataFrame): DataFrame =
+    if (isPinned(df)) df else pin(df)
+
   /** Drop the storage behind a frame returned by [[pin]] (best-effort;
     * reliable checkpoint FILES are left for the cleaner/dir owner —
     * only block-manager storage is released). After release the frame

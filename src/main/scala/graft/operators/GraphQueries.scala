@@ -48,9 +48,20 @@ object GraphQueries extends QueryModule {
     * inside the bucket fold): triangle wedges and the unweighted
     * PageRank contributions would otherwise double-count multi-order
     * edges.
+    *
+    * Session-cached AND pinned (the topkBatch precedent): the edge
+    * set is the shared input of the whole graph family — triangles,
+    * both PageRanks' vertex sets, communities, k-core, clustering,
+    * link prediction, assortativity — and a real deployment derives
+    * the graph ONCE and materializes it, not once per analytic. The
+    * first consumer in a session pays the corpus scan + distinct;
+    * every later entry reads the pinned |E|-row frame.
     */
   private def coEdges(s: SparkSession, d: String): DataFrame =
-    coPairs(s, d).distinct()
+    graft.SessionCache.getOrBuild(s, s"graph-coedges|$d") {
+      val e = graft.Checkpoint.pin(coPairs(s, d).distinct())
+      (e, Seq(e))
+    }
 
   /** Exact per-part triangle counts — the degree-ordered oriented
     * wedge join (the "compact-forward" shape): every undirected edge
@@ -76,7 +87,7 @@ object GraphQueries extends QueryModule {
     * materialized once, |E|-bounded.
     */
   private[graft] def triangleCounts(eRaw: DataFrame): DataFrame =
-    triangleCountsPinned(graft.Checkpoint.pin(eRaw))
+    triangleCountsPinned(graft.Checkpoint.ensurePinned(eRaw))
 
   /** [[triangleCounts]] body over an ALREADY-pinned edge frame, so
     * callers that pin the edge set for their own joins (the
@@ -289,7 +300,7 @@ object GraphQueries extends QueryModule {
     * ends of the next filter), the same per-level discipline as BFS.
     */
   private[graft] def kcoreFrame(eRaw: DataFrame): DataFrame = {
-    var e = graft.Checkpoint.pin(eRaw)
+    var e = graft.Checkpoint.ensurePinned(eRaw)
     var v = graft.Checkpoint.pin(
       e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
         .distinct())
@@ -340,7 +351,7 @@ object GraphQueries extends QueryModule {
     * vertex — beyond any real link graph's per-vertex closure.
     */
   private[graft] def clusteringFrame(eRaw: DataFrame): DataFrame = {
-    val e = graft.Checkpoint.pin(eRaw)
+    val e = graft.Checkpoint.ensurePinned(eRaw)
     val deg = e.select(col("u").as("pk"))
       .unionByName(e.select(col("v").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("dg"))
@@ -389,7 +400,7 @@ object GraphQueries extends QueryModule {
     * AQE fan-out-blindness guard as the triangle kernel.
     */
   private[graft] def linkPredictFrame(eRaw: DataFrame): DataFrame = {
-    val e = graft.Checkpoint.pin(eRaw)
+    val e = graft.Checkpoint.ensurePinned(eRaw)
     val deg = graft.Checkpoint.pin(
       e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("dg")))
@@ -444,7 +455,7 @@ object GraphQueries extends QueryModule {
     * here).
     */
   private[graft] def assortativityFrame(eRaw: DataFrame): DataFrame = {
-    val e = graft.Checkpoint.pin(eRaw)
+    val e = graft.Checkpoint.ensurePinned(eRaw)
     val deg = e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("dg"))
     val ed = e.select(col("u").as("src"), col("v").as("dst"))

@@ -174,6 +174,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("link prediction keeps the explicit wedge-leg repartition") {
+    // The wedge self-join's legs carry user-specified partition
+    // counts (AQE sizes the exchange from the |adj| rows flowing in
+    // and cannot see the Σ C(d,2) fan-out above — the documented
+    // O(block²) trap), and the heavy shuffle groups on the single
+    // packed pair key.
+    val plan = SparkEntry.queries("q_graph_link_predict")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"wedge legs lost the explicit partition count:\n${plan.take(600)}")
+    assert(plan.contains("shiftleft"),
+      s"packed pair key missing from the wedge aggregation:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("BFS probes the pinned adjacency, never re-derives it per hop") {
     // Three hops over one pinned adjacency frame: the lineitem scan
     // that builds it must appear exactly once in the executed plan
