@@ -74,8 +74,10 @@ object UnigramTokQueries extends QueryModule {
     * exposed so the spec can drive it with hand-computable corpora.
     * Returns (piece, seed_count, piece_cost, em_count).
     */
-  private[graft] def trainFrame(freqRaw: DataFrame): DataFrame = {
-    val art = emCore(freqRaw)
+  private[graft] def trainFrame(freqRaw: DataFrame): DataFrame =
+    trainFromArtifacts(emCore(freqRaw))
+
+  private def trainFromArtifacts(art: EmArtifacts): DataFrame = {
     val (words, cost, dp) = (art.words, art.cost, art.dp)
     // Backtrack: walk each word from its end through the stored
     // backpointers, emitting one piece per step — again MaxWordLen
@@ -185,7 +187,12 @@ object UnigramTokQueries extends QueryModule {
     // The token stream feeds the frequency classes AND the per-doc
     // fold — pin once, read blocks twice.
     val tk = Checkpoint.pin(toksRaw)
-    val art = emCore(tk.groupBy("w").agg(count(lit(1)).as("cnt")))
+    encodeFromArtifacts(emCore(
+      tk.groupBy("w").agg(count(lit(1)).as("cnt"))), tk)
+  }
+
+  private def encodeFromArtifacts(art: EmArtifacts,
+      tk: DataFrame): DataFrame = {
     val wp = art.dp
       .join(art.words.select(col("w"),
         length(col("w")).cast("int").as("wl")), Seq("w"))
@@ -202,19 +209,32 @@ object UnigramTokQueries extends QueryModule {
       .orderBy("doc_id")
   }
 
-  /** Word frequency classes — the only corpus-sized job on this path
-    * (the same shape as the BPE trainer's).
+  /** The corpus-fitted model, session-cached (the coEdges precedent):
+    * a tokenizer is trained ONCE per corpus and then applied — the
+    * train and encode entries share the fitted artifacts instead of
+    * each paying the frequency-class job and the 12-round DP. The
+    * word frequency classes are the only corpus-sized job on this
+    * path (the same shape as the BPE trainer's).
     */
+  private def corpusEmCore(s: SparkSession, d: String): EmArtifacts =
+    graft.SessionCache.getOrBuild(s, s"unigram-emcore|$d") {
+      val art = emCore(Tables.documents(s, d)
+        .select(explode_outer(tokens(col("text"))).as("w"))
+        .filter(col("w").isNotNull)
+        .groupBy("w").agg(count(lit(1)).as("cnt")))
+      (art, Seq(art.words, art.cost, art.dp))
+    }
+
   private def unigramTokTrain(s: SparkSession, d: String): DataFrame =
-    trainFrame(Tables.documents(s, d)
-      .select(explode_outer(tokens(col("text"))).as("w"))
-      .filter(col("w").isNotNull)
-      .groupBy("w").agg(count(lit(1)).as("cnt")))
+    trainFromArtifacts(corpusEmCore(s, d))
 
   private def unigramTokEncode(s: SparkSession, d: String): DataFrame =
-    encodeFrame(Tables.documents(s, d)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .filter(col("w").isNotNull))
+    // The token stream has ONE consumer here (the per-doc fold — the
+    // model comes from the cache), so it is not pinned.
+    encodeFromArtifacts(corpusEmCore(s, d),
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .filter(col("w").isNotNull))
 
   /** DuckDB mirror: the DP and backtrack unrolled as MATERIALIZED CTE
     * steps (without materialization the accumulator chain inlines
