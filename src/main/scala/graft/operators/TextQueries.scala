@@ -853,7 +853,17 @@ object TextQueries extends QueryModule {
     * the join and V, so it is pinned once. Docs with fewer than two
     * tokens have no bigrams and drop out on both engines.
     */
-  private def bigramLp(s: SparkSession, d: String): DataFrame = {
+  private def bigramLp(s: SparkSession, d: String): DataFrame =
+    // Session-cached (the coEdges/unigram-model precedent): the
+    // scored per-doc frame is read by BOTH the scoring entry and the
+    // perplexity filter — a curation pipeline scores the corpus once
+    // and gates on the stored scores. |docs|-row frame, pinned.
+    graft.SessionCache.getOrBuild(s, s"bigramlp|$d") {
+      val out = graft.Checkpoint.pin(bigramLpBuild(s, d))
+      (out, Seq(out))
+    }
+
+  private def bigramLpBuild(s: SparkSession, d: String): DataFrame = {
     val docToks = Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
     // Pinned: the bigram frame feeds BOTH the count aggregate and the
