@@ -48,10 +48,7 @@ object HybridQueries extends QueryModule {
     // score expression restricted to the query terms' posting rows
     // and summed per doc over a SORTED fold (≤3 doubles — the
     // bigram-LM discipline).
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
-      .filter(col("term").isNotNull)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = TextQueries.tfFrame(s, d)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))

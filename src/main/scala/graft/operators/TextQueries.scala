@@ -749,11 +749,25 @@ object TextQueries extends QueryModule {
     * exchange). At corpus scale both groupBys shuffle on their keys
     * and the df side stays skew-free (stopwords cap at df = N).
     */
+  /** The (doc_id, term, tf) term-frequency frame — the shared
+    * posting-list input of TF-IDF, BM25, and the hybrid RRF entry.
+    * Session-cached + pinned (the coEdges precedent): a retrieval
+    * stack materializes its term index once; each scorer reads the
+    * pinned frame instead of re-tokenizing the corpus.
+    */
+  private[operators] def tfFrame(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"tf|$d") {
+      val tf = graft.Checkpoint.pin(
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            explode_outer(tokens(col("text"))).as("term"))
+          .filter(col("term").isNotNull)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+      (tf, Seq(tf))
+    }
+
   private def textTfidf(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
-      .filter(col("term").isNotNull)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfFrame(s, d)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, Seq("term"))
@@ -782,10 +796,7 @@ object TextQueries extends QueryModule {
     */
   private def textBm25(s: SparkSession, d: String): DataFrame = {
     val (k1, b) = (1.2, 0.75)
-    val toks = Tables.documents(s, d)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("term"))
-      .filter(col("term").isNotNull)
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = tfFrame(s, d)
     val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
