@@ -296,7 +296,12 @@ object Bench {
     // sorted by name and never reorders), so entry i / normSegSize is
     // its true segment.
     val norm = normalizedTotal(results.map(_._2), normSegSize, parSeg)
-    val parSegStr = parSeg.take(32).map(v => f"$v%.3f")
+    // ALL boundaries, untruncated (review finding: a 32-cap would let
+    // value_norm stop being reproducible from the artifact past ~512
+    // entries with no marker): boundary count grows as entries/16, so
+    // even a 1000-entry suite costs ~400 chars — the queries budget
+    // below absorbs it by dropping fast-tail entries instead.
+    val parSegStr = parSeg.map(v => f"$v%.3f")
       .mkString("[", ",", "]")
     val prefix = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
     val sentinelStr = sentinel.map(v => f"$v%.3f").mkString("[", ",", "]")

@@ -43,23 +43,36 @@ object GraphQueries extends QueryModule {
         explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
           .as("v"))
 
-  /** Distinct undirected co-occurrence edges (u < v). The distinct IS
-    * needed here (unlike the BFS adjacency, where duplicates dedup
-    * inside the bucket fold): triangle wedges and the unweighted
-    * PageRank contributions would otherwise double-count multi-order
-    * edges.
-    *
-    * Session-cached AND pinned (the topkBatch precedent): the edge
-    * set is the shared input of the whole graph family — triangles,
-    * both PageRanks' vertex sets, communities, k-core, clustering,
-    * link prediction, assortativity — and a real deployment derives
-    * the graph ONCE and materializes it, not once per analytic. The
-    * first consumer in a session pays the corpus scan + distinct;
-    * every later entry reads the pinned |E|-row frame.
+  /** WEIGHTED undirected co-occurrence edges (u < v, multiplicity =
+    * co-shipping order count) — the ONE materialized graph derivation
+    * of the whole family, session-cached and pinned (the topkBatch
+    * precedent): a real deployment derives the graph once and
+    * persists it, not once per analytic. The grouped frame is
+    * distinct by construction, so [[coEdges]] is a projection of it —
+    * the weighted PageRank and every unweighted consumer (triangles,
+    * communities, k-core, clustering, link prediction, assortativity,
+    * the vertex sets) share this single corpus expansion. The first
+    * consumer in a session pays the corpus scan + aggregation; every
+    * later entry reads the pinned |E|-row frame.
+    */
+  private def coWeighted(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"graph-cowedges|$d") {
+      val e = graft.Checkpoint.pin(
+        coPairs(s, d).groupBy("u", "v").agg(count(lit(1)).as("w")))
+      (e, Seq(e))
+    }
+
+  /** Distinct undirected co-occurrence edges (u < v) — the unweighted
+    * projection of [[coWeighted]]. The distinct IS needed semantically
+    * (triangle wedges and the unweighted PageRank contributions would
+    * otherwise double-count multi-order edges); it comes free from
+    * the grouped frame. Cached as its own pinned frame (one |E|-row
+    * copy per session) so every kernel's [[graft.Checkpoint.ensurePinned]]
+    * sees an already-pinned input instead of re-copying per entry.
     */
   private def coEdges(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"graph-coedges|$d") {
-      val e = graft.Checkpoint.pin(coPairs(s, d).distinct())
+      val e = graft.Checkpoint.pin(coWeighted(s, d).select("u", "v"))
       (e, Seq(e))
     }
 
@@ -77,7 +90,18 @@ object GraphQueries extends QueryModule {
     * minimum-order vertex) and credited to all three corners.
     */
   private def graphTriangles(s: SparkSession, d: String): DataFrame =
-    triangleCounts(coEdges(s, d))
+    sharedTriangles(s, d)
+
+  /** Session-cached per-vertex triangle counts over the shared edge
+    * frame — the wedge join is the family's most expensive kernel and
+    * BOTH q_graph_triangles and q_graph_clustering consume its output
+    * (the coEdges/tfFrame precedent). |V|-row result, pinned.
+    */
+  private def sharedTriangles(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"graph-tri|$d") {
+      val t = graft.Checkpoint.pin(triangleCounts(coEdges(s, d)))
+      (t, Seq(t))
+    }
 
   /** The oriented-wedge kernel over an undirected edge set (u < v per
     * row, distinct), exposed for the combinatorial spec (K4, paths,
@@ -214,7 +238,7 @@ object GraphQueries extends QueryModule {
     * the topics entry's 10⁴ scale.
     */
   private def graphPagerankWeighted(s: SparkSession, d: String): DataFrame = {
-    val wE = coPairs(s, d).groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val wE = coWeighted(s, d)
     val ed = graft.Checkpoint.pin(
       wE.select(col("u").as("src"), col("v").as("dst"), col("w"))
         .unionByName(
@@ -350,12 +374,16 @@ object GraphQueries extends QueryModule {
     * Overflow budget: 2·T·10⁶ < 2⁶³ up to T ≈ 4.6×10¹² triangles per
     * vertex — beyond any real link graph's per-vertex closure.
     */
-  private[graft] def clusteringFrame(eRaw: DataFrame): DataFrame = {
+  private[graft] def clusteringFrame(eRaw: DataFrame): DataFrame =
+    clusteringFromTriangles(eRaw, triangleCounts(eRaw))
+
+  private def clusteringFromTriangles(eRaw: DataFrame,
+      triRaw: DataFrame): DataFrame = {
     val e = graft.Checkpoint.ensurePinned(eRaw)
     val deg = e.select(col("u").as("pk"))
       .unionByName(e.select(col("v").as("pk")))
       .groupBy("pk").agg(count(lit(1)).as("dg"))
-    val tri = triangleCountsPinned(e).withColumnRenamed("part_key", "pk")
+    val tri = triRaw.withColumnRenamed("part_key", "pk")
     deg.filter(col("dg") >= 2)
       .join(tri, Seq("pk"), "left")
       .select(col("pk").as("part_key"), col("dg").as("degree"),
@@ -366,7 +394,7 @@ object GraphQueries extends QueryModule {
   }
 
   private def graphClustering(s: SparkSession, d: String): DataFrame =
-    clusteringFrame(coEdges(s, d))
+    clusteringFromTriangles(coEdges(s, d), sharedTriangles(s, d))
 
   /** Top-k for the link-prediction entry (deterministic cut: the
     * (jaccard_ppm DESC, b, c) order is total — (b, c) is unique).
@@ -405,8 +433,17 @@ object GraphQueries extends QueryModule {
       e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("dg")))
     val m = e.count()
-    val n = deg.count()
+    // One pass over the |V|-row pinned degree frame for the count AND
+    // the id bound the packed pair key requires (fail fast instead of
+    // silently colliding (b, c) pairs past 2³² — wide-id corpora keep
+    // the two-column key, documented at the packing site).
+    val vrow = deg.agg(count(lit(1)), max(col("pk"))).head()
+    val n = vrow.getLong(0)
     require(n > 0, "link predict: empty co-occurrence graph")
+    val maxId = vrow.getLong(1)
+    require(maxId < (1L << 32),
+      s"link predict: vertex id $maxId overflows the packed (b<<32|c) " +
+        "pair key; use the two-column (b, c) grouping for wide-id corpora")
     val cap = (2L * m) / n
     val ctr = deg.filter(col("dg") <= cap).select("pk")
     val ed = e.select(col("u").as("src"), col("v").as("dst"))

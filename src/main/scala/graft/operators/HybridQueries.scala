@@ -43,24 +43,12 @@ object HybridQueries extends QueryModule {
   private val TopK = 20
 
   private def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    // Lexical side: corpus-wide exact tf/df/dl/N statistics (BM25
-    // needs them regardless of the query), then the q_text_bm25
-    // score expression restricted to the query terms' posting rows
-    // and summed per doc over a SORTED fold (≤3 doubles — the
-    // bigram-LM discipline).
-    val tf = TextQueries.tfFrame(s, d)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-    val scored = tf.filter(col("term").isin(QueryTerms: _*))
-      .join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("score", log(
-        (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
-        col("tf") * lit(2.2) /
-        (col("tf") + lit(1.2) * (lit(0.25) +
-          lit(0.75) * col("dl") * col("n") / col("sum_dl"))))
-    val tRank = scored.groupBy("doc_id")
+    // Lexical side: the shared scored-postings frame (the ONE copy of
+    // the BM25 expression tree, session-cached) restricted to the
+    // query terms and summed per doc over a SORTED fold (≤3 doubles —
+    // the bigram-LM discipline).
+    val tRank = TextQueries.bm25Scored(s, d)
+      .filter(col("term").isin(QueryTerms: _*)).groupBy("doc_id")
       .agg(aggregate(array_sort(collect_list(col("score"))),
         lit(0.0), _ + _).as("ts"))
       .withColumn("text_rank", row_number().over(

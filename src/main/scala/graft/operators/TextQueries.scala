@@ -794,26 +794,41 @@ object TextQueries extends QueryModule {
     * in as a broadcast 1-row cross join. The rank filter compiles to
     * WindowGroupLimit — top-5 taken locally before the exchange.
     */
+  /** Every posting scored with the Okapi BM25 expression — the ONE
+    * copy of the engine-parity-critical double expression tree
+    * (review finding: q_text_bm25 and q_hybrid_rrf each carried one;
+    * a k1/b tweak to one would silently de-synchronize the other).
+    * Session-cached + pinned like [[tfFrame]]: the ranker takes the
+    * per-doc top-5, the hybrid RRF entry filters its query terms.
+    */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"bm25scored|$d") {
+      val (k1, b) = (1.2, 0.75)
+      val tf = tfFrame(s, d)
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+      val out = graft.Checkpoint.pin(
+        tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(
+            (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+          // Literals spelled exactly as the oracle spells them (2.2,
+          // 0.25) rather than computed (k1+1, 1-b): the score must
+          // come from the IDENTICAL double expression tree on both
+          // engines.
+          .withColumn("score", col("idf") * col("tf") * lit(2.2) /
+            (col("tf") + lit(k1) * (lit(0.25) +
+              lit(b) * col("dl") * col("n") / col("sum_dl"))))
+          .select(col("doc_id"), col("term"), col("score")))
+      (out, Seq(out))
+    }
+
   private def textBm25(s: SparkSession, d: String): DataFrame = {
-    val (k1, b) = (1.2, 0.75)
-    val tf = tfFrame(s, d)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
-    val scored = tf.join(dl, Seq("doc_id")).join(dfreq, Seq("term"))
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(
-        (col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-      // Literals spelled exactly as the oracle spells them (2.2, 0.25)
-      // rather than computed (k1+1, 1-b): the score must come from the
-      // IDENTICAL double expression tree on both engines.
-      .withColumn("score", col("idf") * col("tf") * lit(2.2) /
-        (col("tf") + lit(k1) * (lit(0.25) +
-          lit(b) * col("dl") * col("n") / col("sum_dl"))))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(round(col("score"), 6).desc, col("term"))
-    scored.withColumn("rk", row_number().over(w))
+    bm25Scored(s, d).withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("doc_id"), col("term"), round(col("score"), 4).as("score"))
   }
@@ -961,6 +976,31 @@ object TextQueries extends QueryModule {
         """stack(4, '1_ingest', n0, '2_lang_known', n1,
           |  '3_quality', n2, '4_exact_dedup', n3) AS (stage, n_docs)"""
           .stripMargin))
+
+  /** Shared add-k bigram-LM oracle CTEs through the per-doc
+    * (doc_id, n_bigrams, sum_lp) aggregate `s` — the ONE SQL copy of
+    * the LM derivation, consumed by both the scoring and the
+    * perplexity-filter oracles (the triSql/coreSql precedent).
+    */
+  private def bigramLmSql: String =
+    s"""t AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |bg AS (SELECT doc_id,
+       |  unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(len(t) - 1),
+       |      i -> t[i+1] || ' ' || t[i+2]) END) AS bg FROM t),
+       |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
+       |u AS (SELECT unnest(t) AS term FROM t),
+       |cu AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
+       |vv AS (SELECT count(*) AS v FROM cu),
+       |s AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    list_sum(list_sort(list(
+       |      ln((CAST(cb AS DOUBLE) + 0.5)
+       |        / (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))))) AS sum_lp
+       |  FROM (SELECT g.doc_id, c.cb, cu.cu, vv.v
+       |        FROM bg g JOIN cb c ON g.bg = c.bg
+       |        JOIN cu ON split_part(g.bg, ' ', 1) = cu.term
+       |        CROSS JOIN vv)
+       |  GROUP BY 1)""".stripMargin
 
   private[operators] val toksSql =
     "list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> len(t) > 0)"
@@ -1305,53 +1345,24 @@ object TextQueries extends QueryModule {
          |SELECT doc_id, n_tokens, round(sum_lp / n_tokens, 4) AS mean_lp
          |FROM s""".stripMargin)),
     QueryDef("q_text_bigram_lp", bigramLp, Some(
-      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (SELECT doc_id,
-         |  unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(len(t) - 1),
-         |      i -> t[i+1] || ' ' || t[i+2]) END) AS bg FROM t),
-         |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
-         |u AS (SELECT unnest(t) AS term FROM t),
-         |cu AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
-         |vv AS (SELECT count(*) AS v FROM cu),
-         |s AS (SELECT doc_id, count(*) AS n_bigrams,
-         |    list_sum(list_sort(list(
-         |      ln((CAST(cb AS DOUBLE) + 0.5)
-         |        / (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE)))))) AS sum_lp
-         |  FROM (SELECT g.doc_id, c.cb, cu.cu, vv.v
-         |        FROM bg g JOIN cb c ON g.bg = c.bg
-         |        JOIN cu ON split_part(g.bg, ' ', 1) = cu.term
-         |        CROSS JOIN vv)
-         |  GROUP BY 1)
+      s"""WITH $bigramLmSql
          |SELECT doc_id, n_bigrams, round(sum_lp / n_bigrams, 4) AS mean_lp
          |FROM s""".stripMargin)),
     QueryDef("q_text_ppl_filter", pplFilter, Some(
-      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |bg AS (SELECT doc_id,
-         |  unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
-         |    ELSE list_transform(range(len(t) - 1),
-         |      i -> t[i+1] || ' ' || t[i+2]) END) AS bg FROM t),
-         |cb AS (SELECT bg, count(*) AS cb FROM bg GROUP BY 1),
-         |u AS (SELECT unnest(t) AS term FROM t),
-         |cu AS (SELECT term, count(*) AS cu FROM u GROUP BY 1),
-         |vv AS (SELECT count(*) AS v FROM cu),
-         |s AS (SELECT doc_id, round(list_sum(list_sort(list(
-         |      ln((CAST(cb AS DOUBLE) + 0.5)
-         |        / (CAST(cu AS DOUBLE) + 0.5 * CAST(v AS DOUBLE))))))
-         |    / count(*), 4) AS mean_lp
-         |  FROM (SELECT g.doc_id, c.cb, cu.cu, vv.v
-         |        FROM bg g JOIN cb c ON g.bg = c.bg
-         |        JOIN cu ON split_part(g.bg, ' ', 1) = cu.term
-         |        CROSS JOIN vv)
-         |  GROUP BY 1)
+      // The shared LM CTEs plus the gate — threshold interpolated from
+      // the SAME [[pplThreshold]] constant the Spark side reads
+      // (review finding: three hardcoded copies could drift).
+      s"""WITH $bigramLmSql,
+         |ml AS (SELECT doc_id, round(sum_lp / n_bigrams, 4) AS mean_lp
+         |       FROM s)
          |SELECT d.source, count(*) AS n_docs,
-         |  CAST(sum(CASE WHEN s.mean_lp >= -3.42 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_kept,
-         |  CAST(count(*) - sum(CASE WHEN s.mean_lp >= -3.42 THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_dropped,
-         |  round(CAST(sum(CASE WHEN s.mean_lp >= -3.42 THEN 1 ELSE 0 END)
-         |      AS DOUBLE) / count(*), 4) AS retention
-         |FROM documents d LEFT JOIN s USING (doc_id)
+         |  CAST(sum(CASE WHEN ml.mean_lp >= $pplThreshold
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN ml.mean_lp >= $pplThreshold
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  round(CAST(sum(CASE WHEN ml.mean_lp >= $pplThreshold
+         |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS retention
+         |FROM documents d LEFT JOIN ml USING (doc_id)
          |GROUP BY 1 ORDER BY d.source""".stripMargin)),
     QueryDef("q_curation_funnel", curationFunnel, Some(
       s"""WITH h AS (

@@ -342,6 +342,21 @@ object ComponentStore {
     val mergedRemap = (oldRemap.map { case (o, nr) => (o, finalOf(nr)) }
       ++ displaced).distinct
 
+    // UPGRADE BACKFILL (round-16 review): a store written by a
+    // pre-witness binary has raw history but no edges_witness dir —
+    // and the accept-time refresh below would create one holding only
+    // THIS batch, after which the fold could rewrite the pre-upgrade
+    // log unsampled. Seed the reservoir from the existing raw log
+    // FIRST (before the batch refresh and before any fold); fires at
+    // most once per legacy store.
+    locally {
+      val fsw = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fsw.exists(new org.apache.hadoop.fs.Path(dir, "edges_witness"))
+          && fsw.exists(new org.apache.hadoop.fs.Path(dir, "edges")))
+        refreshWitness(spark, dir, spark.read.parquet(s"$dir/edges"),
+          reset = true)
+    }
     if (newEdges.nonEmpty) {
       newEdges.toSeq.toDF("id_a", "id_b")
         .write.mode("append").parquet(s"$dir/edges")

@@ -166,8 +166,13 @@ class PlanAuditSpec extends AnyFunSuite {
     // an unoriented wedge join explodes around power-law hubs at 100x
     // scale. Catalyst keeps the predicate in the join condition, so
     // the ordering columns must be visible inside the executed plan's
-    // join nodes, and the probe stays an equi-join.
-    val plan = SparkEntry.queries("q_graph_triangles")(spark, sf)
+    // join nodes, and the probe stays an equi-join. Audited on the
+    // KERNEL (the driver entry serves the session-cached pinned
+    // result, whose plan is just the cached scan).
+    import spark.implicits._
+    val edges = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("u", "v")
+    val plan = graft.operators.GraphQueries.triangleCounts(edges)
       .queryExecution.executedPlan.toString
     assert(plan.contains("bdg") && plan.contains("cdg"),
       s"orientation predicate missing from the wedge join:\n${plan.take(600)}")

@@ -186,6 +186,60 @@ class ComponentStorePropertySpec extends AnyFunSuite {
       "the crafted-components bridge must displace a root")
   }
 
+  test("legacy store without a witness is backfilled at its first fold") {
+    // Upgrade path (round-16 review): a store written by a binary that
+    // predates the accept-time witness has raw history but no
+    // edges_witness dir. Its FIRST fold must sample the pre-fold edge
+    // log before rewriting it — otherwise that history is folded away
+    // unsampled and the _sound audit loses independent force over it.
+    val tmp = java.nio.file.Files.createTempDirectory("cclegacy").toString
+    val fpDir = s"$tmp/fp"
+    val ccDir = s"$tmp/cc"
+    var corpus = Vector.empty[(Long, String)]
+    var nextId = 0L
+    def add(texts: Seq[String]): Unit = texts.foreach { t =>
+      corpus :+= ((nextId, t)); nextId += 1
+    }
+    def run(): Set[(Long, Long)] = {
+      val docs = df(corpus)
+      val store = DedupStore.loadOrBuild(docs, "doc_id", "text", fpDir,
+        K, B, N)
+      ComponentStore.loadOrBuild(docs, "doc_id", "text", ccDir, store,
+        K, B, N, T, maxBucket = 1000, edgeFoldSlack = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // Dup-heavy base: many raw pairs per component, so the next append
+    // is guaranteed to fold.
+    add((0 until 4).map(_ => pool(0)) ++ (0 until 4).map(_ => pool(1)))
+    run()
+    // Simulate the legacy store: the raw log exists, the witness does
+    // not (delete BOTH generations of the store's witness files).
+    val fs = new org.apache.hadoop.fs.Path(ccDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(ccDir, "edges_witness"), true)
+    assert(ComponentStore.witnessEdges(spark, ccDir).count() == 0)
+    // Append → accept-time refresh would only cover the NEW batch; the
+    // first fold must have backfilled the pre-fold log too.
+    add(Seq(pool(2), pool(2), pool(2)))
+    val got = run()
+    val witness = ComponentStore.witnessEdges(spark, ccDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(witness.nonEmpty, "legacy store folded without a backfill")
+    assert(witness.length <= 4096)
+    val comp = fromScratch(df(corpus)).toMap
+    witness.foreach { case (a, b) =>
+      assert(comp.get(a).nonEmpty && comp(a) == comp(b),
+        s"backfilled witness pair ($a,$b) does not co-resolve")
+    }
+    // The backfill covered PRE-append history, not just the new batch:
+    // some sampled pair must join two of the original pool(0)/pool(1)
+    // docs (ids below the append frontier on both ends).
+    val frontier = corpus.length - 3L
+    assert(witness.exists { case (a, b) => a < frontier && b < frontier },
+      "backfill sampled only the post-upgrade batch")
+    assert(got == comp.toSet)
+  }
+
   test("edge-log fold (slack=0): log stays spanning-bounded, CC re-derivation holds across folds") {
     // Round-14 fold: with the slack at 0, EVERY append that leaves the
     // log above its spanning size immediately compacts it to the star
