@@ -315,12 +315,26 @@ object Stats {
     val hist = Checkpoint.pin(df.filter(col(valCol).isNotNull)
       .groupBy(keys :+ col(valCol): _*)
       .agg(count(lit(1)).as("__cnt")), eager = false)
-    val med = exactPercentileByKey(hist, keyCols, valCol, 0.5, "__med",
-      weightCol = Some("__cnt"))
-    val adHist = joinBackByKey(hist, keyCols, med, "inner")
-      .withColumn("__ad", abs(col(valCol) - col("__med")))
-    val mad = exactPercentileByKey(adHist, keyCols, "__ad", 0.5, "__mad",
-      weightCol = Some("__cnt"))
+    // The per-key median is a |keys|-row frame consumed by EVERY
+    // replica of the deviation histogram below — pinned (round-16:
+    // unpinned, its whole percentile sub-plan — windows, prefix sums,
+    // rank join — replayed once per consumer of adHist; the driver
+    // entry's physical plan was 166 KB of duplicated subtrees and the
+    // entry measured 4.3 s at sf0.1 for two histogram passes).
+    val med = Checkpoint.pin(
+      exactPercentileByKey(hist, keyCols, valCol, 0.5, "__med",
+        weightCol = Some("__cnt")), eager = false)
+    // The weighted kernel path deliberately skips its internal pin on
+    // the contract that the caller hands it a MATERIALIZED histogram
+    // (see exactPercentilesByKey) — honor it: adHist feeds the MAD
+    // pass's four internal consumers plus the final fold.
+    val adHist = Checkpoint.pin(
+      joinBackByKey(hist, keyCols, med, "inner")
+        .withColumn("__ad", abs(col(valCol) - col("__med"))),
+      eager = false)
+    val mad = Checkpoint.pin(
+      exactPercentileByKey(adHist, keyCols, "__ad", 0.5, "__mad",
+        weightCol = Some("__cnt")), eager = false)
     joinBackByKey(adHist, keyCols, mad, "inner")
       .groupBy(keys: _*)
       .agg(sum(col("__cnt")).as("n"),

@@ -55,7 +55,7 @@ object GraphQueries extends QueryModule {
     * consumer in a session pays the corpus scan + aggregation; every
     * later entry reads the pinned |E|-row frame.
     */
-  private def coWeighted(s: SparkSession, d: String): DataFrame =
+  private[operators] def coWeighted(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"graph-cowedges|$d") {
       val e = graft.Checkpoint.pin(
         coPairs(s, d).groupBy("u", "v").agg(count(lit(1)).as("w")))
@@ -70,10 +70,45 @@ object GraphQueries extends QueryModule {
     * copy per session) so every kernel's [[graft.Checkpoint.ensurePinned]]
     * sees an already-pinned input instead of re-copying per entry.
     */
-  private def coEdges(s: SparkSession, d: String): DataFrame =
+  private[operators] def coEdges(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"graph-coedges|$d") {
       val e = graft.Checkpoint.pin(coWeighted(s, d).select("u", "v"))
       (e, Seq(e))
+    }
+
+  /** SYMMETRIC directed projection of [[coEdges]] (both (u→v) and
+    * (v→u) per undirected edge) — the 2|E|-row frame every
+    * neighbor-walk kernel starts from. Round-16 optimization: five
+    * entries (pagerank, communities, assortativity, link prediction,
+    * BFS) each derived AND pinned their own copy per call — five
+    * localCheckpoint jobs over 2|E| rows per bench pass for literally
+    * the same rows. One session-pinned copy, every consumer reads
+    * blocks (the coEdges precedent, one derivation level up).
+    */
+  private[operators] def symEdges(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"graph-symedges|$d") {
+      val und = coEdges(s, d)
+      val ed = graft.Checkpoint.pin(
+        und.select(col("u").as("src"), col("v").as("dst"))
+          .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
+      (ed, Seq(ed))
+    }
+
+  /** Full (unweighted) vertex degrees over [[coEdges]] — the |V|-row
+    * (pk, dg) frame consumed by the triangle orientation, k-core's
+    * round-1 threshold, clustering's denominator, link prediction's
+    * center cut and Jaccard denominators, assortativity's endpoint
+    * attach, and PageRank's out-degree (symmetric graph ⇒ outdeg =
+    * degree). Round-16 optimization: each of those re-aggregated the
+    * 2|E|-row endpoint union per call; now one session-pinned copy.
+    */
+  private[operators] def degFrame(s: SparkSession, d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"graph-degrees|$d") {
+      val e = coEdges(s, d)
+      val deg = graft.Checkpoint.pin(
+        e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
+          .groupBy("pk").agg(count(lit(1)).as("dg")))
+      (deg, Seq(deg))
     }
 
   /** Exact per-part triangle counts — the degree-ordered oriented
@@ -99,7 +134,8 @@ object GraphQueries extends QueryModule {
     */
   private def sharedTriangles(s: SparkSession, d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"graph-tri|$d") {
-      val t = graft.Checkpoint.pin(triangleCounts(coEdges(s, d)))
+      val t = graft.Checkpoint.pin(
+        triangleCountsPinned(coEdges(s, d), Some(degFrame(s, d))))
       (t, Seq(t))
     }
 
@@ -116,12 +152,15 @@ object GraphQueries extends QueryModule {
   /** [[triangleCounts]] body over an ALREADY-pinned edge frame, so
     * callers that pin the edge set for their own joins (the
     * clustering-coefficient entry reads it for degrees too) don't pay
-    * a second localCheckpoint job over |E| rows.
+    * a second localCheckpoint job over |E| rows. `degShared` lets the
+    * driver path hand in the session-pinned [[degFrame]] instead of
+    * re-aggregating the 2|E| endpoint union.
     */
-  private def triangleCountsPinned(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("pk"))
+  private def triangleCountsPinned(e: DataFrame,
+      degShared: Option[DataFrame] = None): DataFrame = {
+    val deg = degShared.getOrElse(e.select(col("u").as("pk"))
       .unionByName(e.select(col("v").as("pk")))
-      .groupBy("pk").agg(count(lit(1)).as("dg"))
+      .groupBy("pk").agg(count(lit(1)).as("dg")))
     // Total orientation order: (degree, id) — acyclic by construction,
     // so the oriented edge list is a DAG and every triangle has a
     // unique minimum (apex).
@@ -193,14 +232,14 @@ object GraphQueries extends QueryModule {
     * CTE — both engines compute literally the same longs.
     */
   private def graphPagerank(s: SparkSession, d: String): DataFrame = {
-    val und = coEdges(s, d)
-    // Both directions: the undirected (u < v) set expands to the
-    // symmetric directed edge list the contribution join walks.
-    val ed = graft.Checkpoint.pin(
-      und.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
-    val vtx = graft.Checkpoint.pin(
-      ed.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    // Shared session frames (round-16): the symmetric edge list and
+    // the degree frame are the family-wide pinned artifacts — on the
+    // symmetric graph outdeg IS the full degree, so the contribution
+    // join reads [[degFrame]] renamed instead of re-aggregating and
+    // re-pinning 2|E| rows per call.
+    val ed = symEdges(s, d)
+    val vtx = degFrame(s, d)
+      .select(col("pk").as("src"), col("dg").as("outdeg"))
     // |V| is the one driver-side scalar (a 1-row count, the same
     // budget class as the BFS seed).
     val n = vtx.count()
@@ -284,12 +323,11 @@ object GraphQueries extends QueryModule {
   private val LpIters = 4
 
   private def graphCommunities(s: SparkSession, d: String): DataFrame = {
-    val und = coEdges(s, d)
-    val ed = graft.Checkpoint.pin(
-      und.select(col("u").as("src"), col("v").as("dst"))
-        .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
-    var lbl = ed.select(col("src").as("pk")).distinct()
-      .select(col("pk"), col("pk").as("lbl"))
+    val ed = symEdges(s, d)
+    // l₀: every vertex labels itself. The degree frame IS the distinct
+    // vertex set (one row per endpoint), so the init reads the shared
+    // |V|-row pin instead of a distinct over 2|E| rows per call.
+    var lbl = degFrame(s, d).select(col("pk"), col("pk").as("lbl"))
     for (_ <- 1 to LpIters) {
       val nbrMin = ed.join(lbl.toDF("src", "sl"), Seq("src"))
         .groupBy(col("dst")).agg(min(col("sl")).as("nl"))
@@ -323,11 +361,20 @@ object GraphQueries extends QueryModule {
     * is pinned per round (three consumers: the degree pass and both
     * ends of the next filter), the same per-level discipline as BFS.
     */
-  private[graft] def kcoreFrame(eRaw: DataFrame): DataFrame = {
+  private[graft] def kcoreFrame(eRaw: DataFrame,
+      firstDeg: Option[DataFrame] = None): DataFrame = {
     var e = graft.Checkpoint.ensurePinned(eRaw)
-    var v = graft.Checkpoint.pin(
-      e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
-        .distinct())
+    // Round-1 degrees over the FULL edge set are exactly the shared
+    // [[degFrame]] (every endpoint has degree ≥ 1, so the left-join
+    // zero-fill is vacuous there) — the driver path hands it in and
+    // skips both the |V| distinct and the first 2|E| degree count;
+    // later rounds always recount over the peeled edge set.
+    // (a narrow projection of an already-pinned frame needs no pin of
+    // its own — it reads blocks either way)
+    var v = firstDeg.map(_.select("pk"))
+      .getOrElse(graft.Checkpoint.pin(
+        e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
+          .distinct()))
     // |E| and |V| are the two driver-side scalars (1-row counts over
     // pinned frames — the BFS-seed budget class).
     val m = e.count()
@@ -339,9 +386,12 @@ object GraphQueries extends QueryModule {
       val dcnt = e.select(col("u").as("pk"))
         .unionByName(e.select(col("v").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("dg"))
-      val degf = graft.Checkpoint.pin(
-        v.join(dcnt, Seq("pk"), "left")
-          .select(col("pk"), coalesce(col("dg"), lit(0L)).as("dg")))
+      val degf =
+        if (i == 1 && firstDeg.isDefined)
+          graft.Checkpoint.ensurePinned(firstDeg.get)
+        else graft.Checkpoint.pin(
+          v.join(dcnt, Seq("pk"), "left")
+            .select(col("pk"), coalesce(col("dg"), lit(0L)).as("dg")))
       peeled += degf.filter(col("dg") < k)
         .select(col("pk"), lit(i.toLong).as("peel_round"))
       v = graft.Checkpoint.pin(degf.filter(col("dg") >= k).select("pk"))
@@ -363,7 +413,7 @@ object GraphQueries extends QueryModule {
   }
 
   private def graphKcore(s: SparkSession, d: String): DataFrame =
-    kcoreFrame(coEdges(s, d))
+    kcoreFrame(coEdges(s, d), Some(degFrame(s, d)))
 
   /** Local clustering coefficient — closed wedges over possible
     * wedges per vertex, cc(v) = 2·T(v) / (d(v)·(d(v)−1)) for
@@ -378,11 +428,13 @@ object GraphQueries extends QueryModule {
     clusteringFromTriangles(eRaw, triangleCounts(eRaw))
 
   private def clusteringFromTriangles(eRaw: DataFrame,
-      triRaw: DataFrame): DataFrame = {
-    val e = graft.Checkpoint.ensurePinned(eRaw)
-    val deg = e.select(col("u").as("pk"))
-      .unionByName(e.select(col("v").as("pk")))
-      .groupBy("pk").agg(count(lit(1)).as("dg"))
+      triRaw: DataFrame, degShared: Option[DataFrame] = None): DataFrame = {
+    val deg = degShared.getOrElse {
+      val e = graft.Checkpoint.ensurePinned(eRaw)
+      e.select(col("u").as("pk"))
+        .unionByName(e.select(col("v").as("pk")))
+        .groupBy("pk").agg(count(lit(1)).as("dg"))
+    }
     val tri = triRaw.withColumnRenamed("part_key", "pk")
     deg.filter(col("dg") >= 2)
       .join(tri, Seq("pk"), "left")
@@ -394,7 +446,8 @@ object GraphQueries extends QueryModule {
   }
 
   private def graphClustering(s: SparkSession, d: String): DataFrame =
-    clusteringFromTriangles(coEdges(s, d), sharedTriangles(s, d))
+    clusteringFromTriangles(coEdges(s, d), sharedTriangles(s, d),
+      Some(degFrame(s, d)))
 
   /** Top-k for the link-prediction entry (deterministic cut: the
     * (jaccard_ppm DESC, b, c) order is total — (b, c) is unique).
@@ -432,6 +485,48 @@ object GraphQueries extends QueryModule {
     val deg = graft.Checkpoint.pin(
       e.select(col("u").as("pk")).unionByName(e.select(col("v").as("pk")))
         .groupBy("pk").agg(count(lit(1)).as("dg")))
+    val ed = e.select(col("u").as("src"), col("v").as("dst"))
+      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    linkPredictFromParts(e, ed, deg)
+  }
+
+  /** [[linkPredictFrame]] body over the (pinned) edge set, its
+    * symmetric projection, and the degree frame — the driver path
+    * hands in the session-pinned shared frames.
+    *
+    * Round-16 measured rework of the wedge-count pipeline (the
+    * bench's single most expensive entry, 10.3 s at sf0.1; 52M
+    * wedges → 45M distinct pairs):
+    *
+    *  1. STREAMED wedge generation off per-center sorted neighbor
+    *     arrays (the coPairs/basketPairs two-generator discipline)
+    *     instead of the oriented self-join: collect each center's
+    *     ≤cap neighbors once (the cap bounds the row — this is the
+    *     one graph frame where a width bound needs no bucketing,
+    *     because sub-mean-degree centers ARE the bounded set), then
+    *     posexplode + slice emits each unordered pair exactly once —
+    *     the self-join materialized all d² ordered pairs and filtered
+    *     half away (104M generated rows → 52M), plus two exchanges
+    *     and a sort-merge join that this shape skips.
+    *  2. The non-edge cut runs BEFORE the count, on the packed single
+    *     long (one LongHashedRelation probe per wedge, vs the 2-col
+    *     generic-row anti the optimizer used to push below the
+    *     aggregate): same result — dropping an edge-pair's wedges
+    *     cannot change any non-edge pair's count — and every
+    *     edge-closed wedge now skips the big exchange entirely.
+    *  3. EXPLICIT repartition on the pair key BEFORE the count.
+    *     Measured: the default plan put the partial aggregate below
+    *     the exchange, where ~1.15× multiplicity makes it a ~45M-key
+    *     hash-map pass that reduces almost nothing (guide §2.3:
+    *     partial aggregation pays only when it combines); the map
+    *     stage alone burned 225 CPU-seconds. Repartitioning the raw
+    *     packed longs moves ALL aggregation to the reduce side where
+    *     each key's copies are co-located (8.85 s → 5.1 s for the
+    *     count in isolation). The count is respected by AQE (user-
+    *     specified), so the fan-out above cannot be coalesced away.
+    */
+  private def linkPredictFromParts(e: DataFrame, ed: DataFrame,
+      deg: DataFrame): DataFrame = {
     val m = e.count()
     // One pass over the |V|-row pinned degree frame for the count AND
     // the id bound the packed pair key requires (fail fast instead of
@@ -446,26 +541,33 @@ object GraphQueries extends QueryModule {
         "pair key; use the two-column (b, c) grouping for wide-id corpora")
     val cap = (2L * m) / n
     val ctr = deg.filter(col("dg") <= cap).select("pk")
-    val ed = e.select(col("u").as("src"), col("v").as("dst"))
-      .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
     val np = e.sparkSession.sparkContext.defaultParallelism
-    val adj = graft.Checkpoint.pin(
-      ed.join(ctr.withColumnRenamed("pk", "src"), Seq("src"), "left_semi"))
-    val a1 = adj.repartition(np, col("src"))
-      .select(col("src"), col("dst").as("b"))
-    val a2 = adj.repartition(np, col("src"))
-      .select(col("src"), col("dst").as("c"))
-    // The one wedge-scale shuffle carries a single packed long per
+    // Per-center sorted neighbor arrays: ≤cap elements per row by the
+    // center cut, collect_set == the distinct neighbor set (ed is
+    // distinct per (src, dst)). Explicit partition count on the
+    // grouping exchange — AQE sizes it from the |adj| rows flowing in
+    // and cannot see the ~50× pair fan-out above it (the documented
+    // O(block²) coalesce trap).
+    val adjArr = ed
+      .join(ctr.withColumnRenamed("pk", "src"), Seq("src"), "left_semi")
+      .repartition(np, col("src"))
+      .groupBy("src").agg(array_sort(collect_set(col("dst"))).as("ns"))
+    // The one wedge-scale stream carries a single packed long per
     // wedge (ids here are < 2³² — a corpus with wider ids keeps the
-    // (b, c) pair, paying ~50% more shuffle): 16 bytes/row and a
-    // single-column hash for the map-side combine.
-    a1.join(a2, Seq("src")).filter(col("b") < col("c"))
-      .select(expr("shiftleft(b, 32) + c").as("bc"))
+    // (b, c) pair, paying ~50% more shuffle).
+    val wedges = adjArr
+      .select(col("ns"), posexplode(col("ns")))
+      .select(shiftleft(col("col"), 32).as("bhi"),
+        explode(slice(col("ns"), col("pos") + lit(2), size(col("ns"))))
+          .as("cc"))
+      .select((col("bhi") + col("cc")).as("bc"))
+    wedges
+      .join(e.select((shiftleft(col("u"), 32) + col("v")).as("bc")),
+        Seq("bc"), "left_anti")
+      .repartition(np, col("bc"))
       .groupBy("bc").agg(count(lit(1)).as("cn"))
       .select(expr("shiftright(bc, 32)").as("b"),
         expr("bc & 4294967295").as("c"), col("cn"))
-      .join(e.select(col("u").as("b"), col("v").as("c")),
-        Seq("b", "c"), "left_anti")
       .join(deg.select(col("pk").as("b"), col("dg").as("db")), Seq("b"))
       .join(deg.select(col("pk").as("c"), col("dg").as("dc")), Seq("c"))
       .select(col("b"), col("c"), col("cn").as("common_neighbors"),
@@ -475,7 +577,7 @@ object GraphQueries extends QueryModule {
   }
 
   private def graphLinkPredict(s: SparkSession, d: String): DataFrame =
-    linkPredictFrame(coEdges(s, d))
+    linkPredictFromParts(coEdges(s, d), symEdges(s, d), degFrame(s, d))
 
   /** Degree assortativity (Newman's r) — the Pearson correlation of
     * endpoint degrees over the symmetric directed edge list: the
@@ -497,6 +599,15 @@ object GraphQueries extends QueryModule {
       .groupBy("pk").agg(count(lit(1)).as("dg"))
     val ed = e.select(col("u").as("src"), col("v").as("dst"))
       .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
+    assortativityFromParts(ed, deg)
+  }
+
+  /** [[assortativityFrame]] body over pre-derived symmetric edges +
+    * degrees, so the driver path reads the session-pinned shared
+    * frames instead of re-deriving both per call.
+    */
+  private def assortativityFromParts(ed: DataFrame,
+      deg: DataFrame): DataFrame = {
     ed.join(deg.select(col("pk").as("src"), col("dg").as("dx")), Seq("src"))
       .join(deg.select(col("pk").as("dst"), col("dg").as("dy")), Seq("dst"))
       .agg(count(lit(1)).as("m"), sum(col("dx")).as("sx"),
@@ -515,7 +626,7 @@ object GraphQueries extends QueryModule {
   }
 
   private def graphAssortativity(s: SparkSession, d: String): DataFrame =
-    assortativityFrame(coEdges(s, d))
+    assortativityFromParts(symEdges(s, d), degFrame(s, d))
 
   /** HITS fixed-point scale and iteration count: scores are BIGINT
     * multiples of 10⁻⁶ and each normalization is an exact integer

@@ -647,25 +647,19 @@ object RelationalQueries extends QueryModule {
     * power-law baskets. Support and the tie-break are exact integers;
     * a < b comes free from the sorted basket.
     */
-  private def basketPairs(s: SparkSession, d: String): DataFrame = {
-    val baskets = Tables.lineitem(s, d)
-      // Null order keys would form ONE merged basket under groupBy
-      // while the oracle's equi-join drops them — guard explicitly
-      // (non-null in this schema, but the entry must not depend on it).
-      .filter(col("l_orderkey").isNotNull)
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .groupBy("okey")
-      .agg(array_sort(collect_set(col("pk"))).as("ps"))
-    baskets
-      .select(col("ps"), posexplode(col("ps")))
-      .select(col("col").as("part_a"),
-        explode(slice(col("ps"), col("pos") + lit(2), size(col("ps"))))
-          .as("part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("support"))
+  private def basketPairs(s: SparkSession, d: String): DataFrame =
+    // The support-counted pair set IS the graph family's weighted
+    // co-occurrence edge frame — identical derivation (null-guarded
+    // basket collect, sorted-set streamed pair expansion, exact count
+    // per (a < b) pair), so the entry reads the session-pinned shared
+    // frame (round-16: it used to re-run the full basket expansion +
+    // count per call for rows [[GraphQueries.coWeighted]] already
+    // holds) and keeps only the top-20 cut for itself.
+    GraphQueries.coWeighted(s, d)
+      .select(col("u").as("part_a"), col("v").as("part_b"),
+        col("w").as("support"))
       .orderBy(desc("support"), asc("part_a"), asc("part_b"))
       .limit(20)
-  }
 
   /** Skyline / Pareto-frontier query (Börzsönyi et al.) — customers
     * not dominated on (total spend ↑, order count ↑): the classic
@@ -954,28 +948,20 @@ object RelationalQueries extends QueryModule {
     // each src's neighbors spread over ceil(degree/W) buckets keyed by
     // pmod(dst), so a row holds ~W=16 neighbors in expectation at any
     // degree. The hop probe is unchanged — the join matches every
-    // bucket of a frontier src. The degree pass and the bucketed fold
-    // each re-run the map-side basket expansion rather than sharing a
-    // materialized edge list: the expansion is projection+explode over
-    // one order-grouped pass, while localCheckpoint'ing the |E|-row
-    // frame measured 2.3x the whole entry (and a pre-distinct shuffle
-    // 3x) — duplicates are free anyway, since repeated (src,dst)
-    // occurrences share a pmod bucket where the per-bucket collect_set
-    // drops them, and the occurrence count is a valid degree UPPER
-    // bound (over-bucketing only narrows rows).
-    // STREAMED expansion (round-16): two chained explodes — per-row
-    // memory O(d) at any basket width. The round-15 form built the
-    // full d²-struct pair array in ONE row via
-    // `flatten(transform×transform)` before exploding; bounded on this
-    // schema (≤7 lineitems/order) but an executor OOM on power-law
-    // baskets — the same single-row hazard the width-bounded adjacency
-    // below closes, one level earlier in the pipeline.
+    // bucket of a frontier src. Edges come from the graph family's
+    // session-pinned symmetric co-occurrence frame (round-16: earlier
+    // rounds re-ran the map-side basket expansion TWICE per call —
+    // once for the degree pass, once for the fold — because
+    // localCheckpoint'ing a private |E|-row frame measured 2.3x the
+    // whole entry; the family-shared pin amortizes that copy across
+    // five entries, so this entry now reads 2|E| pinned rows twice
+    // instead of scanning + exploding the fact table twice). The
+    // distinct edge set leaves the fold unchanged: the per-bucket
+    // collect_set was already dedup-insensitive, and exact degrees
+    // only tighten the (upper-bound) bucket count.
     val edgeWidth = 16
-    val edges = li.groupBy("okey").agg(collect_set(col("pk")).as("ps"))
-      .select(col("ps"), explode(col("ps")).as("src"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    val adj = graft.Checkpoint.pin(bfsAdjacency(edges, edgeWidth))
+    val adj = graft.Checkpoint.pin(
+      bfsAdjacency(GraphQueries.symEdges(s, d), edgeWidth))
     import s.implicits._
     // Null-safe seed (round-15 advice): an empty lineitem or an
     // all-null part key must return the empty labeling, not throw an
