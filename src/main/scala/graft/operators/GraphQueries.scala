@@ -646,30 +646,32 @@ object GraphQueries extends QueryModule {
     * because it points at good authorities and vice versa. Each
     * half-step is the PageRank contribution shape (one edges⋈scores
     * equi-join + a map-side-combined sum per far endpoint) followed
-    * by an exact integer normalization against the 1-row global sum
-    * (broadcast, never collected). The edge frame is pinned (read
-    * every half-step); each score frame is pinned before its global
-    * sum so the normalize reads blocks, not lineage.
+    * by an exact integer normalization against the global sum, taken
+    * as an unpartitioned window over the ALREADY-AGGREGATED score
+    * frame (bounded by vertex cardinality — the aggTopShare
+    * precedent; round-16: the previous shape pinned the raw score
+    * frame, ran a separate broadcast-sum job, and pinned the
+    * normalized frame again — four pin jobs and two sum jobs per
+    * iteration for the same longs). The edge frame is pinned (read
+    * every half-step); each normalized score frame is pinned once —
+    * it feeds the next half-step's join and the final output.
     */
   private[graft] def hitsFrame(beRaw: DataFrame): (DataFrame, DataFrame) = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     val be = graft.Checkpoint.pin(beRaw)
     var hub = be.select(col("c")).distinct()
       .select(col("c"), lit(HitsScale).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      val aPin = graft.Checkpoint.pin(
-        be.join(hub, Seq("c"))
-          .groupBy("p").agg(sum(col("h")).as("ar")))
-      val aTot = aPin.agg(sum(col("ar")).as("t"))
       auth = graft.Checkpoint.pin(
-        aPin.crossJoin(broadcast(aTot))
+        be.join(hub, Seq("c"))
+          .groupBy("p").agg(sum(col("h")).as("ar"))
+          .withColumn("t", sum(col("ar")).over(wAll))
           .select(col("p"), expr(s"(ar * ${HitsScale}L) div t").as("a")))
-      val hPin = graft.Checkpoint.pin(
-        be.join(auth, Seq("p"))
-          .groupBy("c").agg(sum(col("a")).as("hr")))
-      val hTot = hPin.agg(sum(col("hr")).as("t"))
       hub = graft.Checkpoint.pin(
-        hPin.crossJoin(broadcast(hTot))
+        be.join(auth, Seq("p"))
+          .groupBy("c").agg(sum(col("a")).as("hr"))
+          .withColumn("t", sum(col("hr")).over(wAll))
           .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h")))
     }
     (hub, auth)

@@ -66,16 +66,20 @@ object TopicQueries extends QueryModule {
     * by broadcast — V rows, config-bounded.
     */
   private def docTerms(s: SparkSession, d: String): DataFrame = {
-    import graft.text.TextFunctions.tokens
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("t"))
-      .filter(col("t").isNotNull)
-    val vocab = tok.groupBy("t").agg(count(lit(1)).as("cf"))
-      .orderBy(desc("cf"), asc("t")).limit(TopicVocab)
-      .select("t")
-    tok.join(broadcast(vocab), Seq("t"), "left_semi")
-      .groupBy(col("doc_id"), col("t"))
-      .agg(least(count(lit(1)), lit(TopicTfCap)).as("x"))
+    // Round-16: derive from the session-pinned (doc_id, term, tf)
+    // posting frame (TextQueries.tfFrame — the retrieval stack's
+    // shared term index). The previous form tokenized the corpus
+    // TWICE per call (once under the vocabulary aggregate, once under
+    // the semi-join); corpus frequency = Σ tf and the per-doc count =
+    // tf, so both derive from posting rows without touching the
+    // corpus at all.
+    val tf = TextQueries.tfFrame(s, d)
+    val vocab = tf.groupBy("term").agg(sum(col("tf")).as("cf"))
+      .orderBy(desc("cf"), asc("term")).limit(TopicVocab)
+      .select("term")
+    tf.join(broadcast(vocab), Seq("term"), "left_semi")
+      .select(col("doc_id"), col("term").as("t"),
+        least(col("tf"), lit(TopicTfCap)).as("x"))
   }
 
   /** Final topic table: (topic, rk, term, weight_scaled, n_docs) —
