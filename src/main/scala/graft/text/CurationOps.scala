@@ -410,17 +410,18 @@ object CurationOps {
     // frame (one ~5×-text pin per (session, input, n), warm on repeat
     // calls); spanReport must not pin again. Bounded group + pinned
     // registration: see charGramsMaterialized.
-    val pinned =
-      if (materialize)
-        SessionCache.getOrBuildBounded(docs.sparkSession,
-          s"wordgrams|sem=${graft.PlanKey.of(docs)}|" +
-            s"$idCol|$textCol|n=$n", group = SpanFrameGroup,
+    val key = s"sem=${graft.PlanKey.of(docs)}|$idCol|$textCol|n=$n"
+    val dup =
+      if (materialize) {
+        val pinned = SessionCache.getOrBuildBounded(docs.sparkSession,
+          s"wordgrams|$key", group = SpanFrameGroup,
           maxPerGroup = MaxSpanFrames) {
           val g = Checkpoint.pin(grams)
           (g, Seq(g))
         }
-      else grams
-    spanReport(pinned, totals, idCol)
+        dupPositionsCached(pinned, s"word|$key")
+      } else dupPositions(grams)
+    spanReport(dup, totals, idCol)
   }
 
   /** The duplicated-position sliver both span reports consume — rows
@@ -437,6 +438,22 @@ object CurationOps {
     grams.join(occ, Seq("__h1", "__h2"))
   }
 
+  /** Session-shared pinned [[dupPositions]] sliver (round-16): the
+    * occurrence count + join-back over the full positional frame is
+    * the dominant per-call cost of BOTH char-span entries (report and
+    * cut read literally the same duplicated positions), and the word
+    * report pays the same shape. One pinned sliver per (session,
+    * input, granularity), the same bounded-LRU group as the gram
+    * frames it derives from. Only the `materialize = true` paths
+    * route here — the storage-free recompute path stays pin-free.
+    */
+  private def dupPositionsCached(grams: DataFrame, key: String): DataFrame =
+    SessionCache.getOrBuildBounded(grams.sparkSession, s"duppos|$key",
+      group = SpanFrameGroup, maxPerGroup = MaxSpanFrames) {
+      val p = Checkpoint.pin(dupPositions(grams))
+      (p, Seq(p))
+    }
+
   /** Shared island-merge kernel behind [[dupSpans]] and
     * [[dupSpansChars]]: from a positional frame of 128-bit gram keys,
     * count global occurrences (`groupBy` — partial aggregation absorbs
@@ -446,22 +463,25 @@ object CurationOps {
     * trick. The per-doc window is bounded by document length, never by
     * corpus size.
     */
-  private def spanReport(grams: DataFrame, totals: DataFrame,
+  private def spanReport(dupRaw: DataFrame, totals: DataFrame,
       idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // The positional frame feeds BOTH the occurrence count and the
-    // join-back probe; without materialization the generation subtree
-    // (tokenize/substring + hash) executes twice — once per join side
-    // (measured 1.5× the entry cost at sf0.1). Materialization policy
-    // lives in the CALLERS: with materialize = true they pass the
-    // session-shared checkpointed frame (see charGramsMaterialized /
-    // dupSpans — storage is positions × ~32 B, ~5× the raw text for
-    // word grams and ~30× for char windows); with materialize = false
-    // they pass the raw generation subtree and pay the second pass at
-    // zero checkpoint storage. The recompute path is output-identical —
-    // proven (not just offered) by CurationSpec's planted-fixture
-    // equality cases and TextScaleSpec's 20k-doc hot-gram rehearsal.
-    val dup = dupPositions(grams)
+    // `dupRaw` is the duplicated-position sliver ([[dupPositions]]).
+    // The positional frame behind it feeds BOTH the occurrence count
+    // and the join-back probe; without materialization the generation
+    // subtree (tokenize/substring + hash) executes twice — once per
+    // join side (measured 1.5× the entry cost at sf0.1).
+    // Materialization policy lives in the CALLERS: with
+    // materialize = true they pass the session-shared pinned sliver
+    // over the session-shared gram frame (see charGramsMaterialized /
+    // dupPositionsCached — gram storage is positions × ~32 B, ~5× the
+    // raw text for word grams and ~30× for char windows); with
+    // materialize = false they pass the raw recompute subtree and pay
+    // the second pass at zero checkpoint storage. The recompute path
+    // is output-identical — proven (not just offered) by
+    // CurationSpec's planted-fixture equality cases and
+    // TextScaleSpec's 20k-doc hot-gram rehearsal.
+    val dup = dupRaw
       .withColumn("__grp", col("pos") -
         row_number().over(Window.partitionBy(col(idCol)).orderBy("pos")))
     val runs = dup.groupBy(col(idCol), col("__grp"))
@@ -486,13 +506,14 @@ object CurationOps {
   /** Bounded-LRU group for the session-shared span frames: the char
     * frame is ~30× the raw text, so a long session scanning many
     * distinct inputs must not accumulate one pinned frame per input —
-    * at most [[MaxSpanFrames]] (word + char combined) stay live, the
-    * oldest released (blocks dropped) on overflow. 4 covers every
-    * in-repo pipeline (one word + one char frame per active input,
-    * two inputs in flight).
+    * at most [[MaxSpanFrames]] (word + char gram frames plus their
+    * [[dupPositionsCached]] slivers) stay live, the oldest released
+    * (blocks dropped) on overflow. 8 covers every in-repo pipeline
+    * (word + char frame + two slivers per active input, two inputs in
+    * flight).
     */
   private val SpanFrameGroup = "spanframes"
-  private val MaxSpanFrames = 4
+  private val MaxSpanFrames = 8
 
   /** The materialized char-gram frame, built ONCE per (session, input,
     * k) and shared by [[dupSpansChars]] and [[spanCut]] — both reports
@@ -553,14 +574,24 @@ object CurationOps {
     val totals = docs.select(col(idCol),
       greatest(length(col(textCol)) - (k - 1), lit(0)).cast("long")
         .as("n_grams"))
-    // materialize = true reads the session-shared frame (spanCut over
-    // the same input reuses it — see charGramsMaterialized).
+    // materialize = true reads the session-shared gram frame AND the
+    // session-shared duplicated sliver over it (spanCut over the same
+    // input reuses both — see charGramsMaterialized /
+    // dupPositionsCached).
     if (materialize)
-      spanReport(charGramsMaterialized(docs, idCol, textCol, k), totals,
-        idCol)
+      spanReport(charDupPositions(docs, idCol, textCol, k), totals, idCol)
     else
-      spanReport(charGrams(docs, idCol, textCol, k), totals, idCol)
+      spanReport(dupPositions(charGrams(docs, idCol, textCol, k)), totals,
+        idCol)
   }
+
+  /** The cached char-gram duplicated sliver shared by the report and
+    * the cut (both consume literally the same duplicated positions).
+    */
+  private def charDupPositions(docs: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame =
+    dupPositionsCached(charGramsMaterialized(docs, idCol, textCol, k),
+      s"char|sem=${graft.PlanKey.of(docs)}|$idCol|$textCol|k=$k")
 
   /** The APPLY step of char-level ExactSubstr dedup: per document, the
     * union of characters covered by any duplicated `k`-char window —
@@ -581,11 +612,11 @@ object CurationOps {
     // materialize = false trades the second generation pass for zero
     // checkpoint storage (equality of the two paths is spec-proven —
     // see spanReport).
-    val grams =
-      if (materialize) charGramsMaterialized(docs, idCol, textCol, k)
-      else charGrams(docs, idCol, textCol, k)
+    val dup =
+      if (materialize) charDupPositions(docs, idCol, textCol, k)
+      else dupPositions(charGrams(docs, idCol, textCol, k))
     val byDoc = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val islands = dupPositions(grams)
+    val islands = dup
       .withColumn("__gap",
         when(col("pos") - lag(col("pos"), 1).over(byDoc) > k, 1)
           .otherwise(0))
