@@ -493,10 +493,11 @@ object TextQueries extends QueryModule {
     * merge on the driver — never a global sort).
     */
   private def vocabTopk(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(explode_outer(tokens(col("text"))).as("tok"))
-      .filter(col("tok").isNotNull)
-      .groupBy("tok").agg(count(lit(1)).as("n"))
+    // Corpus frequency = Σ per-doc tf, off the session-pinned posting
+    // frame (round-16: the entry re-tokenized the corpus per call for
+    // totals tfFrame already carries).
+    tfFrame(s, d)
+      .groupBy(col("term").as("tok")).agg(sum(col("tf")).as("n"))
       .orderBy(desc("n"), asc("tok")).limit(20)
 
   /** Collocation mining: adjacent-token bigrams ranked by exact count,
@@ -560,10 +561,14 @@ object TextQueries extends QueryModule {
     * source totals do.
     */
   private def sourceKeyness(s: SparkSession, d: String): DataFrame = {
-    val st = graft.Checkpoint.pin(Tables.documents(s, d)
-      .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
-      .filter(col("tok").isNotNull)
-      .groupBy("source", "tok").agg(count(lit(1)).as("c_s")))
+    // (source, token) counts = Σ tf over the source's docs — derived
+    // from the session-pinned posting frame + a broadcast-size
+    // doc→source map instead of re-tokenizing the corpus (round-16).
+    val st = graft.Checkpoint.pin(tfFrame(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .groupBy(col("source"), col("term").as("tok"))
+      .agg(sum(col("tf")).as("c_s")))
     val tokTot = st.groupBy("tok").agg(sum("c_s").as("c_t"))
     val srcTot = st.groupBy("source").agg(sum("c_s").as("n_s"))
     val tot = st.agg(sum("c_s").as("n"))
@@ -600,9 +605,10 @@ object TextQueries extends QueryModule {
     // BOTH self-join sides and the size aggregate — without the pin
     // the corpus tokenize+distinct subtree plans three times (Catalyst
     // only reuses bit-identical exchanges; the aliases differ).
-    val st = graft.Checkpoint.pin(Tables.documents(s, d)
-      .select(col("source"), explode_outer(tokens(col("text"))).as("tok"))
-      .filter(col("tok").isNotNull)
+    val st = graft.Checkpoint.pin(tfFrame(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+        Seq("doc_id"))
+      .select(col("source"), col("term").as("tok"))
       .distinct())
     val sizes = st.groupBy("source").agg(count(lit(1)).as("n"))
     st.toDF("src_a", "tok")
@@ -630,10 +636,11 @@ object TextQueries extends QueryModule {
     * posting cap keeps reducer payloads bounded.
     */
   private def invertedIndex(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode_outer(tokens(col("text"))).as("tok"))
-      .filter(col("tok").isNotNull)
-      .distinct()
+    // The (doc, token) membership set IS the posting frame's key set —
+    // read the session-pinned tfFrame (distinct by construction)
+    // instead of re-tokenizing + re-distinct-ing the corpus per call.
+    tfFrame(s, d)
+      .select(col("doc_id"), col("term").as("tok"))
       .groupBy("tok")
       .agg(count(lit(1)).as("df"),
         concat_ws(",", transform(
