@@ -565,11 +565,23 @@ object VectorQueries extends QueryModule {
         "it broadcasts the full neighbor corpus, so the streamed side " +
         "must be a strict sample; route full-corpus kNN through " +
         "IvfIndex.topK instead")
+    // Norms are per-VECTOR constants: computed once per side here, so
+    // each scored pair evaluates ONE codegen'd dot product instead of
+    // three (round-16 — the norm(a)·norm(b) denominator used to
+    // re-derive both norms per pair, tripling the kernel's arithmetic
+    // on the |eval|×N hot path). `sqrt(dot(v,v))` per row then
+    // multiplied is the IDENTICAL double expression tree, so the
+    // rounded cosine is bit-equal to the fused form.
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
+      .withColumn("nv", VectorOps.norm(col("v")))
     val nb = broadcast(e.select(col("vec_id").as("nb_id"),
-      col("label").as("nb_label"), col("v").as("nb_v")))
+      col("label").as("nb_label"), col("v").as("nb_v"),
+      col("nv").as("nb_nv")))
+    val den = col("nv") * col("nb_nv")
+    val cos = when(den > 0,
+      VectorOps.dot(col("v"), col("nb_v")) / den).otherwise(lit(0.0))
     // Eval split: every evalEvery-th vector queries; neighbors stay
     // the FULL corpus. Purity over a held-out sample is the standard
     // eval (and keeps the scored-pair count at |eval|×N, not N²).
@@ -577,7 +589,7 @@ object VectorQueries extends QueryModule {
       .join(nb, col("vec_id") =!= col("nb_id"))
       .select(col("vec_id"), col("label"),
         struct(
-          round(VectorOps.cosine(col("v"), col("nb_v")), 6).as("cs"),
+          round(cos, 6).as("cs"),
           (-col("nb_id")).as("neg_id"),
           col("nb_label").as("nb_label")).as("cand"))
       .groupBy(col("vec_id"), col("label"))
