@@ -86,11 +86,21 @@ object GraphQueries extends QueryModule {
     * blocks (the coEdges precedent, one derivation level up).
     */
   private[operators] def symEdges(s: SparkSession, d: String): DataFrame =
+    symEdgesWeighted(s, d).select("src", "dst")
+
+  /** The pinned symmetric frame CARRIES the co-occurrence weight —
+    * it is [[coWeighted]] symmetrized, so the weighted PageRank reads
+    * the same shared pin (one extra long per row for the unweighted
+    * consumers' projections, instead of a second 2|E|-row copy).
+    */
+  private[operators] def symEdgesWeighted(s: SparkSession,
+      d: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"graph-symedges|$d") {
-      val und = coEdges(s, d)
+      val und = coWeighted(s, d)
       val ed = graft.Checkpoint.pin(
-        und.select(col("u").as("src"), col("v").as("dst"))
-          .unionByName(und.select(col("v").as("src"), col("u").as("dst"))))
+        und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .unionByName(
+            und.select(col("v").as("src"), col("u").as("dst"), col("w"))))
       (ed, Seq(ed))
     }
 
@@ -277,11 +287,10 @@ object GraphQueries extends QueryModule {
     * the topics entry's 10⁴ scale.
     */
   private def graphPagerankWeighted(s: SparkSession, d: String): DataFrame = {
-    val wE = coWeighted(s, d)
-    val ed = graft.Checkpoint.pin(
-      wE.select(col("u").as("src"), col("v").as("dst"), col("w"))
-        .unionByName(
-          wE.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+    // The shared pinned symmetric frame carries the weight (round-16)
+    // — only the |V|-row strength frame is still derived (and pinned:
+    // the contribution join reads it every iteration) per call.
+    val ed = symEdgesWeighted(s, d)
     val vtx = graft.Checkpoint.pin(
       ed.groupBy("src").agg(sum(col("w")).as("strength")))
     val n = vtx.count()
