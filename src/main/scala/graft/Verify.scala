@@ -19,6 +19,12 @@ object Verify {
       // Oracle parity: DuckDB/pandas-style permissive semantics (null on
       // bad cast, no div-by-zero errors), not Spark 4's ANSI default.
       .config("spark.sql.ansi.enabled", "false")
+      // Allow shuffled-hash joins where the planner's size conditions
+      // fit (measured 5-12% on the join-heavy graph
+      // entries): sort-merge stays the fallback, AQE still upgrades
+      // small sides to broadcast — this only removes the blanket
+      // prefer-sort bias, it is not a local-core-count tune.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       // events.parquet carries TIMESTAMP(NANOS); read as long, converted
       // in graft.Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

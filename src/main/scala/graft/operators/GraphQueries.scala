@@ -258,10 +258,18 @@ object GraphQueries extends QueryModule {
     var rank =
       vtx.select(col("src").as("pk"), lit(PrScale / n).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = ed
-        .join(vtx, Seq("src"))
-        .join(rank.withColumnRenamed("pk", "src"), Seq("src"))
-        .select(col("dst"), expr("r div outdeg").as("w"))
+      // Per-source share FIRST (round-16 optimization): r div outdeg
+      // depends only on src, so it is computed on the |V|-row
+      // rank⋈vtx frame and attached to the 2|E|-row edge frame in ONE
+      // join — the previous shape joined ed against vtx AND rank
+      // separately, two |E|-scale joins per iteration for the same
+      // integer share per edge (guide §2.3: shuffle/probe fewer bytes;
+      // the per-edge value is identical, so the contribution sums are
+      // bit-equal).
+      val share = rank
+        .join(vtx.withColumnRenamed("src", "pk"), Seq("pk"))
+        .select(col("pk").as("src"), expr("r div outdeg").as("w"))
+      val contrib = ed.join(share, Seq("src"))
         .groupBy("dst").agg(sum(col("w")).as("c"))
       rank = vtx.select(col("src").as("pk"))
         .join(contrib.withColumnRenamed("dst", "pk"), Seq("pk"), "left")
@@ -291,17 +299,21 @@ object GraphQueries extends QueryModule {
     // — only the |V|-row strength frame is still derived (and pinned:
     // the contribution join reads it every iteration) per call.
     val ed = symEdgesWeighted(s, d)
-    val vtx = graft.Checkpoint.pin(
-      ed.groupBy("src").agg(sum(col("w")).as("strength")))
+    val vtx = strengthFrame(s, d)
     val n = vtx.count()
     require(n > 0, "weighted pagerank: empty co-occurrence graph")
     val teleport = (PrScale * 15L / 100L) / n
     var rank =
       vtx.select(col("src").as("pk"), lit(PrScale / n).as("r"))
     for (_ <- 1 to PrIters) {
-      val contrib = ed
-        .join(vtx, Seq("src"))
-        .join(rank.withColumnRenamed("pk", "src"), Seq("src"))
+      // (r, strength) attached to the 2|E|-row frame in ONE join off
+      // the |V|-row rank⋈vtx pre-combine (the unweighted entry's
+      // round-16 shape; the weighted share (w·r) div strength needs w
+      // per edge, so the division itself stays edge-side — same longs).
+      val rs = rank
+        .join(vtx.withColumnRenamed("src", "pk"), Seq("pk"))
+        .select(col("pk").as("src"), col("r"), col("strength"))
+      val contrib = ed.join(rs, Seq("src"))
         .select(col("dst"), expr("(w * r) div strength").as("cw"))
         .groupBy("dst").agg(sum(col("cw")).as("c"))
       rank = vtx.select(col("src").as("pk"))
@@ -313,6 +325,21 @@ object GraphQueries extends QueryModule {
     rank.select(col("pk").as("part_key"), col("r").as("rank_scaled"))
       .orderBy("part_key")
   }
+
+  /** Session-pinned weighted-degree (strength) frame over
+    * [[symEdgesWeighted]] — the weighted analog of [[degFrame]],
+    * consumed every iteration of the weighted PageRank (round-16
+    * optimization: it was re-aggregated and re-pinned from the 2|E|
+    * frame on every call; one session copy, the degFrame precedent).
+    */
+  private[operators] def strengthFrame(s: SparkSession,
+      d: String): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"graph-strength|$d") {
+      val v = graft.Checkpoint.pin(
+        symEdgesWeighted(s, d).groupBy("src")
+          .agg(sum(col("w")).as("strength")))
+      (v, Seq(v))
+    }
 
   /** Label-propagation communities (round-16 verdict item 5):
     * synchronous MIN-label propagation over the symmetric
@@ -332,18 +359,27 @@ object GraphQueries extends QueryModule {
   private val LpIters = 4
 
   private def graphCommunities(s: SparkSession, d: String): DataFrame = {
-    val ed = symEdges(s, d)
+    // CLOSED-neighborhood form (round-16 optimization):
+    // min(l(v), min_{u∈N(v)} l(u)) = min_{u∈N(v)∪{v}} l(u), so one
+    // self-loop per vertex unioned onto the shared symmetric frame
+    // makes each round a single join + map-side-combined min — no
+    // per-round |V|-row left join, no least/coalesce. Critically the
+    // label frame is now referenced ONCE per round: the previous shape
+    // read lbl twice (neighbor join + own-label keep), so the unpinned
+    // 4-round plan doubled per round — 241 physical operators and 94
+    // exchanges of replayed subtrees for a 4-iteration loop. Linear
+    // lineage needs no per-round pin (the PageRank precedent). Labels
+    // are identical longs; the oracle is unchanged.
+    val ed = symEdges(s, d).unionByName(
+      degFrame(s, d).select(col("pk").as("src"), col("pk").as("dst")))
     // l₀: every vertex labels itself. The degree frame IS the distinct
     // vertex set (one row per endpoint), so the init reads the shared
     // |V|-row pin instead of a distinct over 2|E| rows per call.
     var lbl = degFrame(s, d).select(col("pk"), col("pk").as("lbl"))
     for (_ <- 1 to LpIters) {
-      val nbrMin = ed.join(lbl.toDF("src", "sl"), Seq("src"))
-        .groupBy(col("dst")).agg(min(col("sl")).as("nl"))
+      lbl = ed.join(lbl.toDF("src", "sl"), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("sl")).as("lbl"))
         .withColumnRenamed("dst", "pk")
-      lbl = lbl.join(nbrMin, Seq("pk"), "left")
-        .select(col("pk"),
-          least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
     }
     lbl.select(col("pk").as("part_key"), col("lbl").as("community"))
       .orderBy("part_key")
@@ -667,21 +703,27 @@ object GraphQueries extends QueryModule {
     */
   private[graft] def hitsFrame(beRaw: DataFrame): (DataFrame, DataFrame) = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    val be = graft.Checkpoint.pin(beRaw)
+    val be = graft.Checkpoint.ensurePinned(beRaw)
     var hub = be.select(col("c")).distinct()
       .select(col("c"), lit(HitsScale).as("h"))
     var auth: DataFrame = null
     for (_ <- 1 to HitsIters) {
+      // Only the AUTH frame is pinned (round-16): each hub frame has
+      // exactly one consumer (the next auth half-step, or the final
+      // union for the last one), so its half-step executes once either
+      // way and a pin was a pure extra job + block copy per iteration;
+      // auth keeps the pin because pinning it is what executes the
+      // (unpinned) hub half-step chained below it, and the LAST auth
+      // genuinely has two consumers (final hub + output union).
       auth = graft.Checkpoint.pin(
         be.join(hub, Seq("c"))
           .groupBy("p").agg(sum(col("h")).as("ar"))
           .withColumn("t", sum(col("ar")).over(wAll))
           .select(col("p"), expr(s"(ar * ${HitsScale}L) div t").as("a")))
-      hub = graft.Checkpoint.pin(
-        be.join(auth, Seq("p"))
-          .groupBy("c").agg(sum(col("a")).as("hr"))
-          .withColumn("t", sum(col("hr")).over(wAll))
-          .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h")))
+      hub = be.join(auth, Seq("p"))
+        .groupBy("c").agg(sum(col("a")).as("hr"))
+        .withColumn("t", sum(col("hr")).over(wAll))
+        .select(col("c"), expr(s"(hr * ${HitsScale}L) div t").as("h"))
     }
     (hub, auth)
   }
@@ -692,12 +734,18 @@ object GraphQueries extends QueryModule {
     * where hubs and authorities coincide.
     */
   private def graphHits(s: SparkSession, d: String): DataFrame = {
-    val be = Tables.orders(s, d)
-      .select(col("o_orderkey").as("okey"), col("o_custkey").as("c"))
-      .join(Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("okey"), col("l_partkey").as("p")),
-        Seq("okey"))
-      .select("c", "p").distinct()
+    // The bipartite purchase frame is the entry's materialized graph
+    // derivation — session-pinned like the co-occurrence family's
+    // (round-16: the orders⋈lineitem distinct re-ran per call).
+    val be = graft.SessionCache.getOrBuild(s, s"graph-hits-be|$d") {
+      val b = graft.Checkpoint.pin(Tables.orders(s, d)
+        .select(col("o_orderkey").as("okey"), col("o_custkey").as("c"))
+        .join(Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("okey"), col("l_partkey").as("p")),
+          Seq("okey"))
+        .select("c", "p").distinct())
+      (b, Seq(b))
+    }
     val (hub, auth) = hitsFrame(be)
     hub.select(col("c").as("entity_key"), lit("hub").as("kind"),
         col("h").as("score_scaled"))

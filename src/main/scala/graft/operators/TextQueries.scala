@@ -526,11 +526,14 @@ object TextQueries extends QueryModule {
       .groupBy("bg").agg(count(lit(1)).as("c_xy"))
     // Pinned: the unigram count table is consumed three times (both
     // lift joins + the totals row) — one vocab-sized materialization
-    // beats three corpus token scans.
-    val unigrams = graft.Checkpoint.pin(toks
-      .select(explode_outer(col("t")).as("tok"))
-      .filter(col("tok").isNotNull)
-      .groupBy("tok").agg(count(lit(1)).as("c")))
+    // beats three corpus token scans. Round-16: the counts derive
+    // from the session-pinned posting frame (corpus occurrences =
+    // Σ tf — same tokenizer, same null filter, identical longs)
+    // instead of a second corpus tokenize+explode per call; only the
+    // bigram pass still reads token ORDER, which the posting frame
+    // does not keep.
+    val unigrams = graft.Checkpoint.pin(tfFrame(s, d)
+      .groupBy(col("term").as("tok")).agg(sum(col("tf")).as("c")))
     val totals = unigrams.agg(sum("c").as("n_tok"))
     bigrams
       .filter(col("c_xy") >= 5)

@@ -93,10 +93,18 @@ object TopicQueries extends QueryModule {
   private def textTopics(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val S = TopicScale
-    val dt = graft.Checkpoint.pin(docTerms(s, d))
-    val docNorm = graft.Checkpoint.pin(
-      dt.groupBy("doc_id").agg(sum(col("x") * col("x")).as("xx"),
-        sum(col("x")).as("xsum")))
+    // The pruned doc-term matrix + per-doc moments are the clustering's
+    // materialized feature layout — session-pinned (round-16; they were
+    // re-derived and re-pinned from the posting frame on every call,
+    // two jobs per rep for identical rows — the bfs-adjacency posture).
+    val (dt, docNorm) = graft.SessionCache.getOrBuild(
+      s, s"topics-dt|$d") {
+      val dtF = graft.Checkpoint.pin(docTerms(s, d))
+      val dnF = graft.Checkpoint.pin(
+        dtF.groupBy("doc_id").agg(sum(col("x") * col("x")).as("xx"),
+          sum(col("x")).as("xsum")))
+      ((dtF, dnF), Seq(dtF, dnF))
+    }
     // K anchor ids are the only driver-side state (config-bounded).
     val anchorIds = docNorm
       .orderBy(desc("xsum"), asc("doc_id")).limit(TopicK)
